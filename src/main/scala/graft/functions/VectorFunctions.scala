@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `ArrayType(FloatType)` embedding columns,
+  * expressed entirely with `zip_with`/`aggregate` higher-order functions
+  * so the arithmetic is codegen'd and never leaves the JVM hot loop.
+  *
+  * Accumulation is in double (each float element widened before
+  * multiply) and strictly sequential over the array — deterministic for
+  * a given row, independent of partitioning.
+  */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ, widened to double before multiplication. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v,
+    )
+
+  /** Euclidean norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom > 0, dot(a, b) / denom).otherwise(lit(0.0))
+  }
+
+  /** Squared L2 distance (cheaper than sqrt for nearest-neighbor ranking). */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val diff = x.cast("double") - y.cast("double")
+        diff * diff
+      }),
+      lit(0.0),
+      (acc, v) => acc + v,
+    )
+
+  /** Random-hyperplane LSH bucket for cosine similarity: the sign-bit
+    * pattern of `planes.length` fixed pseudo-random hyperplanes packed
+    * into a long. Vectors in the same bucket are likely neighbors —
+    * the scale path for ANN joins (bucket-equijoin instead of N² cross
+    * join).
+    *
+    * Hyperplanes are generated deterministically from `seed` via a
+    * splitmix64-style integer hash so every executor derives identical
+    * planes with no driver-side broadcast of random state.
+    */
+  def signBucket(v: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column = {
+    require(nPlanes <= 62, "bucket packs sign bits into a long")
+    val planeCols: Seq[Column] = (0 until nPlanes).map { p =>
+      // plane p: pseudo-random ±1 components; component i derived from
+      // a mixed integer hash of (seed, p, i)
+      val comps: Seq[Double] = (0 until dim).map { i =>
+        var z = seed + 0x9e3779b97f4a7c15L * (p.toLong * 100003L + i.toLong + 1L)
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        if (z >= 0) 1.0 else -1.0
+      }
+      val planeLit = array(comps.map(lit(_)): _*)
+      when(dot(v, planeLit) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    planeCols.reduce(_ bitwiseOR _)
+  }
+}

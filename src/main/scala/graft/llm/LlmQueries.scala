@@ -1,0 +1,310 @@
+package graft.llm
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.{MinHash, TextFunctions => TF, VectorFunctions => VF}
+import graft.ops.Exact._
+import graft.ops.QuerySpec
+import graft.ops.Tables._
+
+/** q25–q36: training-data-pipeline operators beyond the reference
+  * surface (dedup, text analysis, similarity search, session/stream
+  * analogs) — SURVEY.md §2.2/§2.3 north-star extensions.
+  *
+  * The scale story per query is in its scaladoc; the common thread:
+  * everything that fans out (shingle explode, LSH bands, ANN buckets)
+  * fans out on executors with uniformly-hashed keys, and candidate
+  * verification happens after a cheap candidate-narrowing join, never
+  * via an O(N²) cross product on the full corpus.
+  */
+object LlmQueries {
+
+  // q25 — exact dedup by content hash (hash-groupBy; the 100 TB version
+  // is identical — md5 keys distribute uniformly so the shuffle has no
+  // skew).
+  val q25: QuerySpec = QuerySpec(
+    "q25_exact_dedup",
+    (s, d) =>
+      documents(s, d)
+        .select(col("lang"), md5(col("text")).as("h"))
+        .groupBy("lang")
+        .agg(countDistinct(col("h")).as("n_unique"), count(lit(1)).as("n_docs"))
+        .orderBy("lang"),
+    Some(
+      "SELECT lang, count(DISTINCT md5(text)) AS n_unique, count(*) AS n_docs " +
+        "FROM documents GROUP BY 1 ORDER BY lang"
+    ),
+  )
+
+  // q26 — corpus text stats per language.
+  val q26: QuerySpec = QuerySpec(
+    "q26_text_stats",
+    (s, d) =>
+      documents(s, d)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"),
+          max(length(col("text"))).cast(LongType).as("max_len"),
+        )
+        .orderBy("lang"),
+    Some(
+      "SELECT lang, count(*) AS n_docs, round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars, " +
+        "CAST(max(length(text)) AS BIGINT) AS max_len FROM documents GROUP BY 1 ORDER BY lang"
+    ),
+  )
+
+  // q27 — sessionization, batch twin of the streaming session_window
+  // (graft.streaming mirrors it with flatMapGroupsWithState). Gap rule:
+  // >30 min since the previous event of the same user opens a session.
+  val q27: QuerySpec = QuerySpec(
+    "q27_sessionize",
+    (s, d) => {
+      val gapUs = 30L * 60L * 1000000L
+      val e = events(s, d).select(
+        col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn(
+          "is_new",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L),
+        )
+        .withColumn("session_id", sum(col("is_new")).over(wRun))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"),
+        )
+        .orderBy("user_id", "session_id")
+    },
+    Some(
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events), " +
+        "m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000 " +
+        "THEN 1 ELSE 0 END AS is_new FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), " +
+        "se AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM m) " +
+        "SELECT user_id, session_id, count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us " +
+        "FROM se GROUP BY 1, 2 ORDER BY user_id, session_id"
+    ),
+  )
+
+  // q28 — tumbling 1-hour window, batch twin of the streaming
+  // `window($"ts", "1 hour")` aggregation in graft.streaming.
+  val q28: QuerySpec = QuerySpec(
+    "q28_tumbling_window",
+    (s, d) =>
+      events(s, d)
+        .groupBy(
+          col("user_id"),
+          unix_seconds(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        )
+        .agg(count(lit(1)).as("n_events"), dsum("value").as("sum_value"))
+        .orderBy("user_id", "hour_epoch"),
+    Some(
+      "SELECT user_id, epoch_us(date_trunc('hour', ts)) // 1000000 AS hour_epoch, " +
+        s"count(*) AS n_events, ${dsumSql("value")} AS sum_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY user_id, hour_epoch"
+    ),
+  )
+
+  // q29 — similarity search: exact cosine top-k against one anchor
+  // vector. The anchor arrives via broadcast nested-loop join of a
+  // 1-row frame (no driver collect); the scan computes cosine in one
+  // codegen'd pass; TakeOrderedAndProject keeps a 20-row heap per
+  // partition. 100 TB path: same plan per query vector — for batch ANN
+  // see q35's LSH bucketing. No oracle (float ordering); property
+  // tests in SimilaritySpec pin the semantics.
+  val q29: QuerySpec = QuerySpec(
+    "q29_similarity_topk",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val anchor = emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("anchor_emb"))
+      emb.join(broadcast(anchor))
+        .where(col("vec_id") =!= 0)
+        .select(
+          col("vec_id"),
+          round(VF.cosine(col("embedding"), col("anchor_emb")), 6).as("score"),
+        )
+        .orderBy(desc("score"), asc("vec_id"))
+        .limit(20)
+    },
+    None,
+  )
+
+  // q30 — near-duplicate pairs by exact 3-gram-shingle Jaccard ≥ 0.5.
+  // Exact all-pairs via shingle-inverted-index join is fine at test
+  // scale and oracle-checkable; the 100 TB path swaps the candidate
+  // generator for MinHash LSH (q31) and keeps this exact Jaccard as the
+  // verification stage over candidates only.
+  val q30: QuerySpec = QuerySpec(
+    "q30_near_dup_jaccard",
+    (s, d) => {
+      val sh = documents(s, d)
+        .select(col("doc_id"), explode(TF.wordShingles(col("text"), 3)).as("s"))
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("common"))
+      val j = pairs
+        .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
+        .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
+        .select(
+          col("da"), col("db"),
+          (col("common").cast("double") / (col("ca.n") + col("cb.n") - col("common"))).as("jac"),
+        )
+      j.where(col("jac") >= 0.5)
+        .select(col("da"), col("db"), round(col("jac"), 4).as("jaccard"))
+        .orderBy("da", "db")
+    },
+    Some(
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s " +
+        "FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t) WHERE s IS NOT NULL), " +
+        "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), " +
+        "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common FROM sh a " +
+        "JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT da, db, round(common * 1.0 / (ca.n + cb.n - common), 4) AS jaccard " +
+        "FROM pairs JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db " +
+        "WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5 ORDER BY da, db"
+    ),
+  )
+
+  // q31 — MinHash-LSH near-dup: the scalable candidate generator.
+  // signature(64 hashes) → 16 bands × 4 rows → band-key equijoin →
+  // candidates verified by *estimated* jaccard ≥ 0.5 on the signature.
+  // Shuffle volume O(N·bands); no all-pairs anywhere. No oracle
+  // (hash-defined); MinHashSpec asserts it recovers exactly the q30
+  // pairs on the test corpus.
+  val q31: QuerySpec = QuerySpec(
+    "q31_minhash_lsh",
+    (s, d) => {
+      val k = 64; val bands = 16; val rows = 4
+      val sig = documents(s, d)
+        .select(col("doc_id"), TF.wordShingles(col("text"), 3).as("sh"))
+        .where(size(col("sh")) > 0)
+        .select(col("doc_id"), MinHash.signature(col("sh"), k).as("sig"))
+      val banded = sig.select(
+        col("doc_id"), col("sig"),
+        explode(MinHash.bandKeys(col("sig"), bands, rows)).as("bk"),
+      )
+      val cand = banded.as("a")
+        .join(
+          banded.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"),
+        )
+        .select(
+          col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          col("a.sig").as("sa"), col("b.sig").as("sb"),
+        )
+        .dropDuplicates("da", "db")
+      cand
+        .select(col("da"), col("db"),
+          round(MinHash.estimateJaccard(col("sa"), col("sb")), 4).as("est_jaccard"))
+        .where(col("est_jaccard") >= 0.5)
+        .orderBy("da", "db")
+    },
+    None,
+  )
+
+  // q32 — SimHash fingerprints: 64-bit signature per doc, then
+  // duplicate-cluster candidates = identical simhash (hamming 0
+  // bucketing; at scale, split the 64 bits into 4 × 16-bit sub-keys and
+  // equijoin any matching sub-key to find hamming ≤ 3 pairs). No oracle
+  // (hash-defined); SimHashSpec pins behavior.
+  val q32: QuerySpec = QuerySpec(
+    "q32_simhash",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), MinHash.simHash(TF.words(col("text"))).as("simhash"))
+        .groupBy("simhash")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
+        .orderBy("simhash"),
+    None,
+  )
+
+  // q33 — token counting: whitespace tokens + BPE-ish regex tokens.
+  val q33: QuerySpec = QuerySpec(
+    "q33_token_count",
+    (s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          TF.tokenCountWs(col("text")).as("n_ws_tokens"),
+          TF.tokenCountRegex(col("text")).as("n_re_tokens"),
+        )
+        .orderBy("doc_id"),
+    Some(
+      "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_re_tokens " +
+        "FROM documents ORDER BY doc_id"
+    ),
+  )
+
+  // q34 — quality scoring: length/word/stopword/punctuation signals.
+  val q34: QuerySpec = QuerySpec(
+    "q34_quality_score",
+    (s, d) => {
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast(LongType).as("n_chars_m"),
+          TF.tokenCountWs(col("text")).as("n_words"),
+          TF.stopwordRatio(col("text"), stop).as("stopword_ratio"),
+          TF.avgWordLen(col("text")).as("avg_word_len"),
+        )
+        .orderBy("doc_id")
+    },
+    Some(
+      "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, " +
+        "round(CAST(len(list_filter(string_split(text, ' '), " +
+        "w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio, " +
+        "round(CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE) " +
+        "/ len(string_split(text, ' ')), 4) AS avg_word_len " +
+        "FROM documents ORDER BY doc_id"
+    ),
+  )
+
+  // q35 — document fingerprinting: stable md5 prefix fingerprint
+  // (oracle-checked) — the cheap first stage of a dedup cascade.
+  val q35: QuerySpec = QuerySpec(
+    "q35_doc_fingerprint",
+    (s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          TF.prefixFingerprint(col("text"), 8).as("fp"),
+        )
+        .orderBy("doc_id"),
+    Some(
+      "SELECT doc_id, md5(array_to_string(string_split(lower(text), ' ')[1:8], ' ')) AS fp " +
+        "FROM documents ORDER BY doc_id"
+    ),
+  )
+
+  // q36 — language-ID heuristic over the corpus (stopword/char-profile
+  // argmax). The test corpus is synthetic English-ish text for every
+  // lang label, so this reports the heuristic's own distribution —
+  // rows-only check here; real multilingual behavior pinned in
+  // TextFunctionsSpec.
+  val q36: QuerySpec = QuerySpec(
+    "q36_lang_id",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), TF.langId(col("text")).as("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("pred_lang"),
+    None,
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36)
+}
