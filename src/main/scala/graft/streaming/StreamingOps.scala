@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming twins of the batch q27/q28 operators
+  * (SURVEY.md §2.2-H). The reference is batch-only, but its late-data
+  * semantics map exactly: the 2-day lookback re-extraction window
+  * (pipeline.py:164-178) ≡ a watermark that admits late events for a
+  * bounded horizon and then finalizes; the metadata seal ≡ watermark-
+  * gated emission (a window's aggregate is emitted only once no
+  * earlier data can arrive).
+  *
+  * Both transforms accept any DataFrame with (ts: timestamp, user_id,
+  * value) — batch or streaming. On a streaming source they require a
+  * watermark to bound state; state is keyed by (user, window) and
+  * evicted at watermark passage, so executor memory stays O(active
+  * windows), not O(history) — the property that matters for an
+  * unbounded 100 TB/day stream.
+  */
+object StreamingOps {
+
+  /** q28 twin: tumbling 1-hour counts + sums per user, late data beyond
+    * `lateness` dropped (reference lookback supersession).
+    */
+  def tumblingCounts(events: DataFrame, lateness: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(
+        col("user_id"),
+        col("w.start").as("hour_start"),
+        col("n_events"),
+        col("sum_value"),
+      )
+
+  /** q27 twin: session windows with a 30-minute gap per user —
+    * `session_window` keeps per-user open-session state and emits when
+    * the watermark passes the gap.
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes", lateness: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min("ts").as("first_ts"), max("ts").as("last_ts"))
+      .select(
+        col("user_id"),
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end"),
+        col("n_events"),
+      )
+}

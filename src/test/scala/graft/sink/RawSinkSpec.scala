@@ -1,0 +1,83 @@
+package graft.sink
+
+import java.nio.file.Files
+import java.sql.Date
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.{PartitionKey, PartitionState}
+
+class RawSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("rawsink").toString
+
+  private def payload(date: String, rows: Int, customer: String = "c1"): DataFrame =
+    (1 to rows)
+      .map(i => ("google_ads", customer, "campaign_daily", Date.valueOf(date), i.toLong, s"v$i"))
+      .toDF("source", "customer_id", "query_name", "logical_date", "metric", "payload")
+
+  private def key(date: String, customer: String = "c1") =
+    PartitionKey("google_ads", customer, "campaign_daily", Date.valueOf(date))
+
+  test("writeRun writes payload, seals metadata-last, records counts") {
+    val root = freshRoot()
+    val sink = new RawSink(spark, root)
+    val seals = sink.writeRun(payload("2024-01-01", 5), "2024-01-02T00:00:00.000Z")
+    assert(seals.map(s => (s.key, s.recordCount)) == Seq((key("2024-01-01"), 5L)))
+    assert(sink.isSealed(key("2024-01-01"), "2024-01-02T00:00:00.000Z"))
+    val sealJson = sink.readSeal(key("2024-01-01"), "2024-01-02T00:00:00.000Z").get
+    assert(sealJson.contains("\"record_count\":5"))
+    assert(sink.readAll().count() == 5)
+  }
+
+  test("overwrite refusal: second write into a sealed (key, run) throws") {
+    val root = freshRoot()
+    val sink = new RawSink(spark, root)
+    sink.writeRun(payload("2024-01-01", 3), "r1")
+    val e = intercept[IllegalStateException](sink.writeRun(payload("2024-01-01", 3), "r1"))
+    assert(e.getMessage.contains("refusing overwrite"))
+    // a different run id is fenced separately and fine
+    sink.writeRun(payload("2024-01-01", 3), "r2")
+    assert(sink.listRuns(key("2024-01-01")) == Seq("r1", "r2"))
+  }
+
+  test("multi-partition run: one write job, one seal per logical partition") {
+    val root = freshRoot()
+    val sink = new RawSink(spark, root)
+    val df = payload("2024-01-01", 2).unionByName(payload("2024-01-02", 3))
+      .unionByName(payload("2024-01-01", 4, customer = "c2"))
+    val seals = sink.writeRun(df, "r1")
+    assert(seals.size == 3)
+    assert(seals.map(_.recordCount).sum == 9)
+    assert(sink.readAll().count() == 9)
+  }
+
+  test("unsealed partitions are invisible to readers") {
+    val root = freshRoot()
+    val sink = new RawSink(spark, root)
+    sink.writeRun(payload("2024-01-01", 2), "r1")
+    // simulate a torn write: payload without seal
+    payload("2024-01-02", 7).withColumn("run_id", lit("r9"))
+      .write.partitionBy("source", "customer_id", "query_name", "logical_date", "run_id")
+      .mode("append").parquet(root)
+    assert(sink.readAll().count() == 2) // the 7 unsealed rows don't exist yet
+  }
+
+  test("authoritativeRows: consumer gate exposes only the state-approved run") {
+    val root = freshRoot()
+    val sink = new RawSink(spark, root)
+    sink.writeRun(payload("2024-01-01", 2), "r1")
+    sink.writeRun(payload("2024-01-01", 3), "r2") // superseding run
+    val states = Seq(
+      ("google_ads", "c1", "campaign_daily", Date.valueOf("2024-01-01"),
+        PartitionState.Success, "r2"),
+    ).toDF("source", "customer_id", "query_name", "logical_date", "status", "current_run_id")
+    val visible = sink.authoritativeRows(states)
+    assert(visible.count() == 3)
+    assert(visible.select("run_id").distinct().as[String].collect().toSeq == Seq("r2"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.SparkSpec
+
+case class Ev(ts: Timestamp, user_id: Long, value: Double)
+
+/** MemoryStream tests for the streaming twins: watermark-gated emission
+  * ≡ the reference's lookback-window supersession (late data inside the
+  * horizon is admitted; beyond it, dropped).
+  */
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def runToCompletion(q: StreamingQuery): Unit = {
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("tumblingCounts: hourly windows finalize at watermark; late data beyond horizon dropped") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StreamingOps.tumblingCounts(in.toDF(), lateness = "1 hour")
+    val q = out.writeStream.format("memory").queryName("tumbling_t").outputMode("append").start()
+
+    in.addData(
+      Ev(ts("2024-01-01 10:05:00"), 1L, 1.0),
+      Ev(ts("2024-01-01 10:55:00"), 1L, 2.0),
+      Ev(ts("2024-01-01 11:10:00"), 2L, 3.0),
+    )
+    q.processAllAvailable()
+    // push the watermark far past 11:00 so the 10:00 window finalizes
+    in.addData(Ev(ts("2024-01-01 14:00:00"), 9L, 0.0))
+    q.processAllAvailable()
+    // this event is 3h late, beyond the 1h watermark → must be dropped
+    in.addData(Ev(ts("2024-01-01 10:30:00"), 1L, 100.0))
+    q.processAllAvailable()
+    in.addData(Ev(ts("2024-01-01 18:00:00"), 9L, 0.0))
+    runToCompletion(q)
+
+    val rows = spark.table("tumbling_t")
+      .select("user_id", "hour_start", "n_events", "sum_value")
+      .as[(Long, Timestamp, Long, Double)].collect().toSet
+    assert(rows.contains((1L, ts("2024-01-01 10:00:00"), 2L, 3.0))) // late 100.0 NOT included
+    assert(rows.contains((2L, ts("2024-01-01 11:00:00"), 1L, 3.0)))
+  }
+
+  test("sessionize: 30-minute gap splits sessions per user") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StreamingOps.sessionize(in.toDF(), gap = "30 minutes", lateness = "1 hour")
+    val q = out.writeStream.format("memory").queryName("session_t").outputMode("append").start()
+
+    in.addData(
+      Ev(ts("2024-01-01 10:00:00"), 1L, 1.0),
+      Ev(ts("2024-01-01 10:10:00"), 1L, 1.0), // same session
+      Ev(ts("2024-01-01 11:00:00"), 1L, 1.0), // 50-min gap → new session
+    )
+    q.processAllAvailable()
+    in.addData(Ev(ts("2024-01-01 15:00:00"), 9L, 0.0)) // advance watermark
+    runToCompletion(q)
+
+    val sessions = spark.table("session_t")
+      .where($"user_id" === 1L)
+      .select("n_events").as[Long].collect().toSeq.sorted
+    assert(sessions == Seq(1L, 2L))
+  }
+
+  test("batch parity: streaming transforms applied to a batch frame match q28 shape") {
+    val batch = Seq(
+      Ev(ts("2024-01-01 10:05:00"), 1L, 1.5),
+      Ev(ts("2024-01-01 10:35:00"), 1L, 2.5),
+      Ev(ts("2024-01-01 12:00:00"), 1L, 4.0),
+    ).toDF()
+    val got = StreamingOps.tumblingCounts(batch)
+      .select("hour_start", "n_events", "sum_value")
+      .as[(Timestamp, Long, Double)].collect().toSet
+    assert(got == Set(
+      (ts("2024-01-01 10:00:00"), 2L, 4.0),
+      (ts("2024-01-01 12:00:00"), 1L, 4.0),
+    ))
+  }
+}
