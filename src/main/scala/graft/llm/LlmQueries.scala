@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.functions.{MinHash, TextFunctions => TF, VectorFunctions => VF}
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.ops.Exact._
 import graft.ops.QuerySpec
 import graft.ops.Tables._
@@ -143,25 +143,11 @@ object LlmQueries {
   // verification stage over candidates only.
   val q30: QuerySpec = QuerySpec(
     "q30_near_dup_jaccard",
-    (s, d) => {
-      val sh = documents(s, d)
-        .select(col("doc_id"), explode(TF.wordShingles(col("text"), 3)).as("s"))
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = sh.as("a")
-        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .agg(count(lit(1)).as("common"))
-      val j = pairs
-        .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
-        .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
-        .select(
-          col("da"), col("db"),
-          (col("common").cast("double") / (col("ca.n") + col("cb.n") - col("common"))).as("jac"),
-        )
-      j.where(col("jac") >= 0.5)
+    (s, d) =>
+      TextPipeline
+        .exactJaccardPairs(documents(s, d).select("doc_id", "text"), 3, 0.5)
         .select(col("da"), col("db"), round(col("jac"), 4).as("jaccard"))
-        .orderBy("da", "db")
-    },
+        .orderBy("da", "db"),
     Some(
       "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s " +
@@ -183,32 +169,13 @@ object LlmQueries {
   // pairs on the test corpus.
   val q31: QuerySpec = QuerySpec(
     "q31_minhash_lsh",
-    (s, d) => {
-      val k = 64; val bands = 16; val rows = 4
-      val sig = documents(s, d)
-        .select(col("doc_id"), TF.wordShingles(col("text"), 3).as("sh"))
-        .where(size(col("sh")) > 0)
-        .select(col("doc_id"), MinHash.signature(col("sh"), k).as("sig"))
-      val banded = sig.select(
-        col("doc_id"), col("sig"),
-        explode(MinHash.bandKeys(col("sig"), bands, rows)).as("bk"),
-      )
-      val cand = banded.as("a")
-        .join(
-          banded.as("b"),
-          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"),
-        )
-        .select(
-          col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-          col("a.sig").as("sa"), col("b.sig").as("sb"),
-        )
-        .dropDuplicates("da", "db")
-      cand
-        .select(col("da"), col("db"),
-          round(MinHash.estimateJaccard(col("sa"), col("sb")), 4).as("est_jaccard"))
+    (s, d) =>
+      TextPipeline
+        .lshCandidates(documents(s, d).select("doc_id", "text"),
+          shingleK = 3, k = 64, bands = 16, rowsPerBand = 4)
         .where(col("est_jaccard") >= 0.5)
-        .orderBy("da", "db")
-    },
+        .select(col("da"), col("db"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy("da", "db"),
     None,
   )
 
@@ -220,8 +187,8 @@ object LlmQueries {
   val q32: QuerySpec = QuerySpec(
     "q32_simhash",
     (s, d) =>
-      documents(s, d)
-        .select(col("doc_id"), MinHash.simHash(TF.words(col("text"))).as("simhash"))
+      TextPipeline
+        .simHashDf(documents(s, d).select("doc_id", "text"))
         .groupBy("simhash")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
         .orderBy("simhash"),
@@ -297,8 +264,8 @@ object LlmQueries {
   val q36: QuerySpec = QuerySpec(
     "q36_lang_id",
     (s, d) =>
-      documents(s, d)
-        .select(col("doc_id"), TF.langId(col("text")).as("pred_lang"))
+      TextPipeline
+        .langIdDf(documents(s, d).select("doc_id", "text"))
         .groupBy("pred_lang")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("pred_lang"),

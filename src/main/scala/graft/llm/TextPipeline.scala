@@ -1,0 +1,172 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DataFrame-shaped (relational) implementations of the text/dedup
+  * pipeline stages.
+  *
+  * The Column-function forms in [[graft.functions.TextFunctions]] and
+  * [[graft.functions.MinHash]] use array higher-order functions, which
+  * are CodegenFallback in Spark — every lambda element is evaluated
+  * interpreted, per row. Fine for ad-hoc use; ~10× too slow in the hot
+  * path (measured: 13.5s to shingle 5k docs interpreted vs <2s
+  * relational). These transforms express the same stages as
+  * explode/window/groupBy pipelines built only from codegen'd native
+  * expressions (split, lead, concat_ws, xxhash64, bitwise ops), so the
+  * whole stage stays inside WholeStageCodegen and scales linearly with
+  * executors.
+  */
+object TextPipeline {
+
+  /** Distinct word k-shingles per document: posexplode the token stream,
+    * window-lead to form k-grams, distinct. One shuffle (by doc) for the
+    * window + one for the distinct; both map-side combined.
+    */
+  def docShingles(docs: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val tok = docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val leadCols = (1 until k).map(i => lead(col("w"), i).over(w).as(s"w$i"))
+    tok
+      .select(col("doc_id") +: col("w") +: leadCols: _*)
+      .where(col(s"w${k - 1}").isNotNull) // stream tail yields no complete k-gram
+      .select(
+        col("doc_id"),
+        concat_ws(" ", col("w") +: (1 until k).map(i => col(s"w$i")): _*).as("s"),
+      )
+      .distinct()
+  }
+
+  /** Attach the per-doc distinct-shingle count (|set| for Jaccard). */
+  def withDocCounts(shingles: DataFrame): DataFrame =
+    shingles.withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+
+  /** Exact Jaccard-similar pairs above `threshold` via a shingle
+    * inverted-index self-join. Exact but O(pairs-sharing-a-shingle) —
+    * the verification stage of the dedup cascade; pair it with
+    * [[minHashSignatures]]+[[bandKeys]] candidates at scale.
+    */
+  def exactJaccardPairs(docs: DataFrame, k: Int, threshold: Double): DataFrame = {
+    val sh = withDocCounts(docShingles(docs, k))
+    sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n").as("na"), col("b.n").as("nb"),
+      )
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jac", col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .where(col("jac") >= threshold)
+  }
+
+  /** MinHash signatures as k wide columns `m0..m{k-1}`:
+    * shingle → one string xxhash64, then k cheap per-function rehashes
+    * (`xxhash64(h, i)`), min-aggregated per doc. All codegen'd; the
+    * groupBy partial-aggregates map-side so the shuffle carries one
+    * k-column row per doc.
+    */
+  def minHashSignatures(shingles: DataFrame, k: Int): DataFrame = {
+    val hashed = shingles.select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val mins = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Collapse the wide signature into `array<bigint>` (for estimate
+    * comparisons / storage).
+    */
+  def signatureArray(sigWide: DataFrame, k: Int): DataFrame =
+    sigWide.select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+
+  /** LSH band keys: one row per (doc, band) with the band's rows hashed
+    * to a single key. Join on (band, bkey) to get candidates.
+    */
+  def bandKeys(sigWide: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val comps = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(comps: _*).as("bkey"))
+    }
+    sigWide
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** Near-dup candidate pairs from LSH banding with signature-estimated
+    * Jaccard attached. Scalable end-to-end: shuffles are O(docs·bands),
+    * and only candidate pairs (not all pairs) ever materialize.
+    */
+  def lshCandidates(docs: DataFrame, shingleK: Int, k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    require(bands * rowsPerBand <= k)
+    val sigWide = minHashSignatures(docShingles(docs, shingleK), k)
+    val banded = bandKeys(sigWide, bands, rowsPerBand)
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val sig = signatureArray(sigWide, k)
+    cand
+      .join(sig.withColumnRenamed("doc_id", "da").withColumnRenamed("sig", "sa"), "da")
+      .join(sig.withColumnRenamed("doc_id", "db").withColumnRenamed("sig", "sb"), "db")
+      .withColumn(
+        "est_jaccard",
+        size(filter(zip_with(col("sa"), col("sb"), (a, b) => a === b), x => x)).cast("double") / k,
+      )
+      .select("da", "db", "est_jaccard")
+  }
+
+  /** SimHash per doc, relational form: per-token hash, per-bit ±1 vote
+    * sums in one 64-column aggregate, sign → bit. Matches
+    * [[graft.functions.MinHash.simHash]] bit-for-bit (parity-tested).
+    */
+  def simHashDf(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val votes = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1L).otherwise(-1L)).as(s"v$b")
+    }
+    tok
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(
+        col("doc_id"),
+        (0 until 64)
+          .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _)
+          .as("simhash"),
+      )
+  }
+
+  /** Language-ID heuristic, relational form: one token explode, per-lang
+    * stopword-hit sums, zh scored document-level on character
+    * containment, fixed-order argmax. Same decision function as
+    * [[graft.functions.TextFunctions.langId]] (parity-tested).
+    */
+  def langIdDf(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.langProfiles
+    val wordLangs = Seq("en", "de", "fr", "es")
+    val tok = docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+    val sums = wordLangs.map { l =>
+      sum(when(col("w").isInCollection(langProfiles(l)), 1).otherwise(0)).as(s"s_$l")
+    }
+    val wordScores = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    val zh = langProfiles("zh")
+      .map(c => when(col("text").contains(c), 1).otherwise(0))
+      .reduce(_ + _)
+    val scored = docs
+      .select(col("doc_id"), zh.cast("long").as("s_zh"))
+      .join(wordScores, Seq("doc_id"), "left_outer")
+      .na.fill(0L, wordLangs.map(l => s"s_$l"))
+    val ordered = Seq("en", "de", "fr", "es", "zh")
+    val best = ordered.tail.foldLeft((lit("en"), col("s_en"))) { case ((bl, bs), l) =>
+      val sc = col(s"s_$l")
+      (when(sc > bs, lit(l)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
+    }
+    scored.select(
+      col("doc_id"),
+      when(best._2 > 0, best._1).otherwise(lit("und")).as("pred_lang"),
+    )
+  }
+}

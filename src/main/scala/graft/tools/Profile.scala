@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Ad-hoc stage profiler for the heavy extension queries.
+  * runMain graft.tools.Profile [sfDir]
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (rows=$n)")
+    }
+
+    val docs = graft.ops.Tables.documents(spark, sfDir).select("doc_id", "text")
+    time("docs.count")(docs.count())
+    val shHof = docs.select(col("doc_id"), explode(TF.wordShingles(col("text"), 3)).as("s"))
+    time("shingles (HOF, interp)")(shHof.count())
+    val sh = graft.llm.TextPipeline.docShingles(docs)
+    time("shingles (relational)")(sh.count())
+    val sig = graft.llm.TextPipeline.minHashSignatures(sh, 64)
+    time("minhash signatures")(sig.count())
+    val banded = graft.llm.TextPipeline.bandKeys(sig, 16, 4)
+    time("band keys")(banded.count())
+    time("lsh candidates")(
+      graft.llm.TextPipeline.lshCandidates(docs, 3, 64, 16, 4).count())
+    time("q30 full")(graft.llm.LlmQueries.q30.run(spark, sfDir).count())
+    time("q31 full")(graft.llm.LlmQueries.q31.run(spark, sfDir).count())
+    time("q32 full")(graft.llm.LlmQueries.q32.run(spark, sfDir).count())
+    time("q36 full")(graft.llm.LlmQueries.q36.run(spark, sfDir).count())
+    spark.stop()
+  }
+}

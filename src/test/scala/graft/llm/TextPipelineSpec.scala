@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{MinHash, TextFunctions => TF}
+
+/** Parity tests: the relational (codegen) pipeline must agree with the
+  * Column-function (HOF) forms it replaces in the hot path.
+  */
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = graft.ops.Tables.documents(spark, sfDir).select("doc_id", "text")
+
+  test("docShingles ≡ exploded wordShingles (distinct sets)") {
+    val relational = TextPipeline.docShingles(docs, 3)
+      .as[(Long, String)].collect().toSet
+    val hof = docs.select(col("doc_id"), explode(TF.wordShingles(col("text"), 3)).as("s"))
+      .as[(Long, String)].collect().toSet
+    assert(relational == hof)
+  }
+
+  test("simHashDf ≡ MinHash.simHash column form") {
+    val relational = TextPipeline.simHashDf(docs).as[(Long, Long)].collect().toMap
+    val hof = docs.select(col("doc_id"), MinHash.simHash(split(col("text"), " ")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(relational == hof)
+  }
+
+  test("langIdDf ≡ TextFunctions.langId on multilingual fixtures") {
+    val fixtures = Seq(
+      (0L, "the cat sat on the mat and it was happy"),
+      (1L, "der hund ist nicht mit der katze auf dem sofa"),
+      (2L, "le chat est dans la maison et il dort pour une heure"),
+      (3L, "el perro es una mascota y los gatos son como reyes"),
+      (4L, "我是一个人他不是这个人"),
+      (5L, "xyzzy plugh qwerty"),
+    ).toDF("doc_id", "text")
+    val relational = TextPipeline.langIdDf(fixtures).as[(Long, String)].collect().toMap
+    val hof = fixtures.select(col("doc_id"), TF.langId(col("text")).as("p"))
+      .as[(Long, String)].collect().toMap
+    assert(relational == hof)
+    assert(relational(0L) == "en" && relational(4L) == "zh" && relational(5L) == "und")
+  }
+
+  test("minHashSignatures: deterministic, k columns, identical docs → identical sigs") {
+    val two = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "h i j k l m n"))
+      .toDF("doc_id", "text")
+    val sig = TextPipeline.signatureArray(
+      TextPipeline.minHashSignatures(TextPipeline.docShingles(two, 3), 16), 16)
+    val m = sig.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(m(1L).length == 16)
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(3L))
+  }
+
+  test("lshCandidates est_jaccard ∈ [0,1] and finds the planted near-dups") {
+    val cand = TextPipeline.lshCandidates(docs, 3, 64, 16, 4)
+    val est = cand.select("est_jaccard").as[Double].collect()
+    assert(est.forall(e => e >= 0.0 && e <= 1.0))
+    val exact = TextPipeline.exactJaccardPairs(docs, 3, 0.8)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val found = cand.where(col("est_jaccard") >= 0.5)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    // every strongly-duplicated pair must surface as an LSH candidate
+    assert(exact.subsetOf(found), s"missing: ${exact -- found}")
+  }
+}
