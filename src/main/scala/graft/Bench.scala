@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: exercise scan/agg/sort codegen + JIT once so the
+    // first measured query doesn't absorb session initialization.
+    spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 7)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

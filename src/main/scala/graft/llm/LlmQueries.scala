@@ -272,6 +272,35 @@ object LlmQueries {
     None,
   )
 
+  // q37 — IVF approximate nearest neighbors: 5 query vectors, top-3
+  // same-cell neighbors each (the label column stands in for the coarse
+  // quantizer assignment). Rows-only check (float scores);
+  // SimilarityPipelineSpec pins recall vs brute force.
+  val q37: QuerySpec = QuerySpec(
+    "q37_ann_ivf",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      SimilarityPipeline
+        .ivfTopK(emb, emb.where(col("vec_id") < 5), k = 3)
+        .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "vec_id")
+    },
+    None,
+  )
+
+  // q38 — embedding-cosine near-dup pairs, IVF-bucketed, exact cosine
+  // verified relationally (codegen'd component join, no N² cross
+  // product). Rows-only check.
+  val q38: QuerySpec = QuerySpec(
+    "q38_embed_near_dup",
+    (s, d) =>
+      SimilarityPipeline
+        .ivfNearDupPairs(embeddings(s, d), threshold = 0.4)
+        .select(col("va"), col("vb"), round(col("cos"), 4).as("cos"))
+        .orderBy("va", "vb"),
+    None,
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36)
+    Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38)
 }

@@ -1,0 +1,155 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads
+  * with typed metadata, plus the decode / feature-extract / resize /
+  * frame-sample plumbing.
+  *
+  * Spark-side design (the part that is real and tested here):
+  *  - media rows are (id, kind, meta struct, bytes) — the binary column
+  *    travels opaque through shuffles/scans; all relational pruning
+  *    applies to the metadata columns without touching payloads;
+  *  - decoding runs via `mapPartitions` over a typed Dataset, so the
+  *    decoder (in production: a JNI codec, an ONNX session, a JVM image
+  *    library) is instantiated ONCE PER PARTITION and reused across the
+  *    partition's rows — the Scala analog of the Python
+  *    `mapInPandas` batch-UDF pattern, and the only shape that
+  *    amortizes model/codec init at 100 TB;
+  *  - partition sizing: media blobs are large, so callers should
+  *    `repartition` by byte budget, not row count ([[byByteBudget]]).
+  *
+  * The codec itself is STUBBED: this container has no image/audio
+  * libraries, so [[MediaDecoder.real]] is an intentional `???` and
+  * tests/pipelines plug [[MediaDecoder.deterministicStub]], which
+  * derives stable pseudo-content from the payload bytes.
+  */
+object Multimodal {
+
+  final case class MediaRecord(
+      media_id: Long,
+      kind: String, // image | audio | video
+      format: String, // png, wav, mp4, ...
+      width: Int, // source-declared metadata; 0 when unknown
+      height: Int,
+      bytes: Array[Byte],
+  )
+
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      decoded_width: Int,
+      decoded_height: Int,
+      n_frames: Int,
+      embedding: Array[Float],
+      decoder_instances: Int, // observability: how many decoder inits this partition saw
+  )
+
+  /** A per-partition-instantiable decoder. `decode` maps raw bytes to
+    * (width, height, frames, embedding).
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(kind: String, format: String, bytes: Array[Byte]): (Int, Int, Int, Array[Float])
+  }
+
+  object MediaDecoder {
+
+    /** STUB — the real decoder needs codec libraries absent from this
+      * environment (javax.imageio alone can't cover audio/video, and no
+      * model runtime is installed). Production would construct e.g. an
+      * ONNX/JNI session here.
+      */
+    def real: MediaDecoder = ??? // STUB: no codec/model libraries in this container
+
+    /** Deterministic fake: dimensions and embedding are stable functions
+      * of the payload bytes, so pipelines and tests behave like the real
+      * thing (decode cost per row, init cost per partition) with
+      * reproducible outputs.
+      */
+    def deterministicStub(embeddingDim: Int = 8): MediaDecoder = new MediaDecoder {
+      def decode(kind: String, format: String, bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+        var h = 1125899906842597L // deterministic FNV-ish fold of the payload
+        bytes.foreach(b => h = h * 31 + (b & 0xff))
+        val w = 16 + math.floorMod(h, 240).toInt
+        val ht = 16 + math.floorMod(h >> 8, 240).toInt
+        val frames = if (kind == "video") 1 + math.floorMod(h >> 16, 32).toInt else 1
+        val emb = Array.tabulate(embeddingDim) { i =>
+          val z = h ^ (0x9e3779b97f4a7c15L * (i + 1))
+          ((z >>> 11).toDouble / (1L << 53).toDouble).toFloat
+        }
+        (w, ht, frames, emb)
+      }
+    }
+  }
+
+  /** Decode + feature-extract: one decoder instance per partition,
+    * streamed over the partition iterator (no materialization of the
+    * whole partition in memory — blobs stay one-at-a-time).
+    */
+  def decodeFeatures(
+      media: Dataset[MediaRecord],
+      mkDecoder: () => MediaDecoder,
+  ): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val decoder = mkDecoder() // once per partition — amortized init
+      it.map { r =>
+        val (w, h, frames, emb) = decoder.decode(r.kind, r.format, r.bytes)
+        MediaFeatures(r.media_id, r.kind, w, h, frames, emb, 1)
+      }
+    }
+  }
+
+  /** Frame-sample plumbing for video rows: emit one row per sampled
+    * frame index (decode stubbed; the flatMap shape — one input row,
+    * many output rows, still one decoder per partition — is the real
+    * part).
+    */
+  def sampleFrames(
+      media: Dataset[MediaRecord],
+      everyN: Int,
+      mkDecoder: () => MediaDecoder,
+  ): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .mapPartitions { it =>
+        val decoder = mkDecoder()
+        it.flatMap { r =>
+          if (r.kind != "video") Iterator.empty
+          else {
+            val (w, h, frames, _) = decoder.decode(r.kind, r.format, r.bytes)
+            (0 until frames by everyN).iterator.map(f => (r.media_id, f, w, h))
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "width", "height")
+  }
+
+  /** Repartition media by cumulative byte budget instead of row count:
+    * with multi-MB blobs, row-count partitioning yields wildly skewed
+    * task sizes. Approximation: partitions = ceil(total_bytes /
+    * budget), then hash-distribute — at 100 TB this is the difference
+    * between balanced 256 MB tasks and OOM stragglers.
+    */
+  def byByteBudget(media: DataFrame, bytesPerPartition: Long): DataFrame = {
+    val total = media
+      .agg(sum(length(col("bytes")))).head().getLong(0)
+    val parts = math.max(1, math.ceil(total.toDouble / bytesPerPartition).toInt)
+    media.repartition(parts)
+  }
+
+  /** Relational metadata pass (no payload touch): per kind/format stats
+    * over declared metadata — demonstrates that pruning keeps the
+    * binary column out of the scan entirely when not selected.
+    */
+  def mediaStats(media: DataFrame): DataFrame =
+    media
+      .groupBy("kind", "format")
+      .agg(
+        count(lit(1)).as("n"),
+        max("width").as("max_w"),
+        max("height").as("max_h"),
+      )
+      .orderBy("kind", "format")
+}
