@@ -61,26 +61,13 @@ object LlmQueries {
   // >30 min since the previous event of the same user opens a session.
   val q27: QuerySpec = QuerySpec(
     "q27_sessionize",
-    (s, d) => {
-      val gapUs = 30L * 60L * 1000000L
-      val e = events(s, d).select(
-        col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
-      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      e.withColumn("prev_us", lag(col("ts_us"), 1).over(w))
-        .withColumn(
-          "is_new",
-          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L),
+    (s, d) =>
+      graft.ops.Sessionize
+        .sessions(
+          events(s, d).select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us")),
+          gapUs = 30L * 60L * 1000000L,
         )
-        .withColumn("session_id", sum(col("is_new")).over(wRun))
-        .groupBy("user_id", "session_id")
-        .agg(
-          count(lit(1)).as("n_events"),
-          min(col("ts_us")).as("start_us"),
-          max(col("ts_us")).as("end_us"),
-        )
-        .orderBy("user_id", "session_id")
-    },
+        .orderBy("user_id", "session_id"),
     Some(
       "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events), " +
         "m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000 " +

@@ -1,0 +1,128 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.functions._
+
+/** ScalaCheck properties (SURVEY.md §5.2.3). DataFrame-backed
+  * properties run few cases (each case is a Spark job); pure ones run
+  * the default count.
+  */
+object GraftProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  // --- upsert commutativity (D1/D2): the final ledger row per key is
+  // independent of delta application order, because the winner is the
+  // max of (updated_at, run_id) — an associative+commutative reduction.
+  private val deltaGen = for {
+    n <- Gen.choose(1, 4)
+    rows <- Gen.listOfN(n, for {
+      day <- Gen.choose(1, 3)
+      hour <- Gen.choose(0, 23)
+      run <- Gen.choose(1, 9)
+      status <- Gen.oneOf("pending", "success", "failed")
+    } yield (day, hour, run, status))
+  } yield rows
+
+  property("ledger upsert is order-independent") =
+    forAll(deltaGen, deltaGen, Gen.choose(0L, 1000000L)) { (d1, d2, salt) =>
+      def toDf(rows: List[(Int, Int, Int, String)]) =
+        rows.map { case (day, hour, run, status) =>
+          ("s", "c", "q", Date.valueOf(f"2024-01-$day%02d"), status, s"r$run",
+            "v1", 1L, Timestamp.valueOf(f"2024-02-01 $hour%02d:00:00"), null: String, 1L)
+        }.toDF("source", "customer_id", "query_name", "logical_date", "status",
+          "current_run_id", "schema_version", "record_count", "updated_at",
+          "error_message", "attempt_count")
+      def runOrder(ds: Seq[List[(Int, Int, Int, String)]]): Set[String] = {
+        val dir = java.nio.file.Files.createTempDirectory(s"prop$salt").toString
+        val store = new graft.state.StateStore(spark, dir)
+        ds.filter(_.nonEmpty).foreach(d => store.upsert(toDf(d)))
+        store.snapshot()
+          .select("logical_date", "status", "current_run_id", "updated_at")
+          .collect().map(_.toString).toSet
+      }
+      runOrder(Seq(d1, d2)) == runOrder(Seq(d2, d1))
+    }
+
+  // --- gap-detection inverse (E1): adding the reported gaps back as
+  // success rows yields a gap-free ledger.
+  private val dateSetGen = Gen.nonEmptyListOf(Gen.choose(1, 20)).map(_.distinct)
+
+  property("inserting reported gaps leaves no gaps") = forAll(dateSetGen) { days =>
+    def statesOf(ds: Seq[Int]) =
+      ds.map(d => ("s", "c", "q", Date.valueOf(f"2024-01-$d%02d"), "success", "r1",
+        "v1", 1L, Timestamp.valueOf("2024-02-01 00:00:00"), null: String, 1L))
+        .toDF("source", "customer_id", "query_name", "logical_date", "status",
+          "current_run_id", "schema_version", "record_count", "updated_at",
+          "error_message", "attempt_count")
+    val gaps = graft.state.StateStore.observe.dateGaps(statesOf(days))
+      .select("logical_date").as[Date].collect().map(_.toLocalDate.getDayOfMonth).toSeq
+    val repaired = graft.state.StateStore.observe.dateGaps(statesOf(days ++ gaps)).count()
+    repaired == 0L
+  }
+
+  // --- exact-dedup idempotence (q25 semantics): distinct-by-hash is a
+  // fixpoint.
+  property("dedup by content hash is idempotent") =
+    forAll(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "dd", "ee"))) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = df.withColumn("h", md5(col("text"))).dropDuplicates("h")
+      val twice = once.dropDuplicates("h")
+      once.select("h").collect().toSet == twice.select("h").collect().toSet &&
+      once.count() == texts.distinct.size.toLong
+    }
+
+  // --- sessionization monotonicity (q27): shrinking the gap threshold
+  // never merges sessions — session count is non-increasing in the gap.
+  private val tsListGen = Gen.nonEmptyListOf(Gen.choose(0L, 10000L)).map(_.distinct)
+
+  property("session count is non-increasing in gap size") = forAll(tsListGen) { tss =>
+    val df = tss.zipWithIndex.map { case (t, i) => (1L, i.toLong, t * 1000000L) }
+      .toDF("user_id", "event_id", "ts_us")
+    def nSessions(gapUs: Long) = graft.ops.Sessionize.sessions(df, gapUs).count()
+    val gaps = Seq(1L, 100L * 1000000L, 5000L * 1000000L, 20000L * 1000000L)
+    val counts = gaps.map(nSessions)
+    counts.zip(counts.tail).forall { case (smaller, larger) => smaller >= larger }
+  }
+
+  // --- MinHash estimate bounds + symmetry (pure column math on tiny df).
+  property("estimateJaccard is within [0,1] and symmetric") =
+    forAll(Gen.listOfN(6, Gen.alphaLowerStr.suchThat(_.nonEmpty))) { words =>
+      val t1 = words.mkString(" ")
+      val t2 = words.reverse.mkString(" ")
+      val df = Seq((t1, t2)).toDF("a", "b")
+      import graft.functions.{MinHash, TextFunctions}
+      val Array(e1, e2) = df.select(
+        MinHash.estimateJaccard(
+          MinHash.signature(TextFunctions.wordShingles(col("a"), 2), 16),
+          MinHash.signature(TextFunctions.wordShingles(col("b"), 2), 16)).as("ab"),
+        MinHash.estimateJaccard(
+          MinHash.signature(TextFunctions.wordShingles(col("b"), 2), 16),
+          MinHash.signature(TextFunctions.wordShingles(col("a"), 2), 16)).as("ba"),
+      ).head().toSeq.map(_.asInstanceOf[Double]).toArray
+      e1 >= 0.0 && e1 <= 1.0 && math.abs(e1 - e2) < 1e-12
+    }
+
+  // --- pure config properties.
+  property("csv split+trim is idempotent and drops empties") =
+    forAll(Gen.listOf(Gen.oneOf("a", " b ", "", "  ", "c-d"))) { parts =>
+      val csv = parts.mkString(",")
+      val once = graft.model.ConfigLoader.splitCustomerIds(csv)
+      val again = graft.model.ConfigLoader.splitCustomerIds(once.mkString(","))
+      once == again && once.forall(s => s.nonEmpty && s == s.trim)
+    }
+
+  property("interpolate replaces exactly the defined vars") =
+    forAll(Gen.alphaLowerStr.suchThat(_.nonEmpty), Gen.alphaNumStr) { (name, value) =>
+      val out = graft.model.ConfigLoader.interpolate(s"pre ${"$"}{$name} post", Map(name -> value))
+      out == s"pre $value post"
+    }
+}
