@@ -1,0 +1,130 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for dense float-vector math.
+  *
+  * The higher-order-function formulations (`zip_with` + `aggregate`)
+  * are CodegenFallback: each element evaluation is an interpreted
+  * virtual call, and cosine needs three of them (dot, |a|, |b|) — nine
+  * interpreted passes worth of lambda dispatch per row. These
+  * expressions instead emit a single fused Java loop via `doGenCode`,
+  * participating in whole-stage codegen like any built-in, with an
+  * interpreted `nullSafeEval` fallback that matches bit-for-bit
+  * (parity-tested against the HOF forms).
+  *
+  * This is the preference order SURVEY.md §7.2 prescribes: compose
+  * built-ins first (done — the HOF forms), drop to a custom Expression
+  * only where the bench demands it (q29/q37 similarity scans).
+  */
+object VectorExpressions {
+
+  /** Σ aᵢ·bᵢ over float arrays, accumulated in double. */
+  def vecDot(a: Column, b: Column): Column =
+    ColumnShim.column(FloatVecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Cosine similarity in one fused pass (dot + both norms); 0.0 when
+    * either norm is zero.
+    */
+  def vecCosine(a: Column, b: Column): Column =
+    ColumnShim.column(FloatVecCosine(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  private[expressions] def checkVecTypes(left: Expression, right: Expression, name: String): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$name expects (array<float>, array<float>), got ($l, $r)")
+    }
+}
+
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.checkVecTypes(left, right, prettyName)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = Math.min($a.numElements(), $b.numElements());
+         |double s = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  if (!$a.isNullAt(i) && !$b.isNullAt(i)) {
+         |    s += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |  }
+         |}
+         |${ev.value} = s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class FloatVecCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.checkVecTypes(left, right, prettyName)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val xv = x.getFloat(i).toDouble
+        val yv = y.getFloat(i).toDouble
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+      }
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom > 0.0) dot / denom else 0.0
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0, na = 0.0, nb = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  if (!$a.isNullAt(i) && !$b.isNullAt(i)) {
+         |    double xv = (double) $a.getFloat(i);
+         |    double yv = (double) $b.getFloat(i);
+         |    dot += xv * yv; na += xv * xv; nb += yv * yv;
+         |  }
+         |}
+         |double denom = Math.sqrt(na) * Math.sqrt(nb);
+         |${ev.value} = denom > 0.0 ? dot / denom : 0.0;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -13,8 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ, widened to double before multiplication. */
+  /** Σ aᵢ·bᵢ, widened to double before multiplication. Native codegen'd
+    * expression ([[graft.expressions.FloatVecDot]]); [[dotHof]] is the
+    * HOF composition it replaced (kept as the parity oracle).
+    */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.vecDot(a, b)
+
+  /** HOF form of [[dot]] — interpreted (CodegenFallback), parity-tested. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -24,10 +31,16 @@ object VectorFunctions {
   /** Euclidean norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0.0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
-    when(denom > 0, dot(a, b) / denom).otherwise(lit(0.0))
+  /** Cosine similarity; 0.0 when either vector has zero norm. Single
+    * fused codegen'd pass ([[graft.expressions.FloatVecCosine]]).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.vecCosine(a, b)
+
+  /** HOF form of [[cosine]] — three interpreted reductions, parity-tested. */
+  def cosineHof(a: Column, b: Column): Column = {
+    val denom = sqrt(dotHof(a, a)) * sqrt(dotHof(b, b))
+    when(denom > 0, dotHof(a, b) / denom).otherwise(lit(0.0))
   }
 
   /** Squared L2 distance (cheaper than sqrt for nearest-neighbor ranking). */
@@ -56,12 +69,12 @@ object VectorFunctions {
     val planeCols: Seq[Column] = (0 until nPlanes).map { p =>
       // plane p: pseudo-random ±1 components; component i derived from
       // a mixed integer hash of (seed, p, i)
-      val comps: Seq[Double] = (0 until dim).map { i =>
+      val comps: Seq[Float] = (0 until dim).map { i =>
         var z = seed + 0x9e3779b97f4a7c15L * (p.toLong * 100003L + i.toLong + 1L)
         z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
         z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
         z = z ^ (z >>> 31)
-        if (z >= 0) 1.0 else -1.0
+        if (z >= 0) 1.0f else -1.0f
       }
       val planeLit = array(comps.map(lit(_)): _*)
       when(dot(v, planeLit) >= 0, lit(1L << p)).otherwise(lit(0L))

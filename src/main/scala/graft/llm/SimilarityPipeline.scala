@@ -64,36 +64,20 @@ object SimilarityPipeline {
   }
 
   /** IVF-bucketed near-duplicate pairs: same-cell pairs with exact
-    * cosine ≥ `threshold`. The dot products are computed relationally
-    * (component posexplode → equijoin on (cell, component) → sum) so
-    * the whole pipeline is codegen'd — the HOF cosine would be
-    * interpreted per candidate pair.
+    * cosine ≥ `threshold`, computed by the native codegen'd
+    * [[graft.expressions.FloatVecCosine]] — one fused loop per
+    * candidate pair, no N² cross product (the cell equijoin bounds the
+    * pair count), no per-element row blowup.
     */
   def ivfNearDupPairs(corpus: DataFrame, threshold: Double, cellCol: String = "label"): DataFrame = {
-    // Normalize once per vector (one interpreted pass over N rows, not
-    // N² pairs), then pair dots are plain sums of products.
-    val norms = corpus.select(
-      col("vec_id"),
-      col(cellCol).as("cell"),
-      VectorFunctions.l2Norm(col("embedding")).as("nrm"),
-      col("embedding"),
-    )
-    val comp = norms
-      .where(col("nrm") > 0)
+    val e = corpus.select(col("vec_id"), col(cellCol).as("cell"), col("embedding"))
+    e.as("a")
+      .join(e.as("b"), col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(
-        col("vec_id"), col("cell"),
-        posexplode(col("embedding")).as(Seq("i", "x")),
-        col("nrm"),
+        col("a.vec_id").as("va"),
+        col("b.vec_id").as("vb"),
+        VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("cos"),
       )
-      .select(col("vec_id"), col("cell"), col("i"), (col("x") / col("nrm")).as("xn"))
-    comp.as("a")
-      .join(
-        comp.as("b"),
-        col("a.cell") === col("b.cell") && col("a.i") === col("b.i") &&
-          col("a.vec_id") < col("b.vec_id"),
-      )
-      .groupBy(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
-      .agg(sum(col("a.xn") * col("b.xn")).as("cos"))
       .where(col("cos") >= threshold)
   }
 }

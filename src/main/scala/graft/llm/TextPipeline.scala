@@ -97,7 +97,12 @@ object TextPipeline {
     */
   def lshCandidates(docs: DataFrame, shingleK: Int, k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     require(bands * rowsPerBand <= k)
+    // The signature table is referenced three times below (both sides of
+    // the band self-join + the estimate lookup); it is tiny (one
+    // k-column row per doc) while its lineage (shingling + k hashes) is
+    // the expensive part — persist so the lineage runs once.
     val sigWide = minHashSignatures(docShingles(docs, shingleK), k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = bandKeys(sigWide, bands, rowsPerBand)
     val cand = banded.as("a")
       .join(banded.as("b"),
