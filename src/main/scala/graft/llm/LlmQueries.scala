@@ -288,6 +288,31 @@ object LlmQueries {
     None,
   )
 
+  // q39 — bounded-heap top-k per group via the custom TopK Aggregator
+  // (graft.functions.TopK): k-row buffers + map-side combine instead of
+  // a full per-group sort. Oracle-checked against the window form.
+  val q39: QuerySpec = QuerySpec(
+    "q39_topk_aggregate",
+    (s, d) =>
+      events(s, d)
+        .groupBy("event_type")
+        .agg(graft.functions.TopK.topK(3, col("value"), col("event_id")).as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(
+          col("event_type"),
+          (col("pos") + 1).cast(LongType).as("rank"),
+          col("t.id").as("event_id"),
+          col("t.score").as("value"),
+        )
+        .orderBy("event_type", "rank"),
+    Some(
+      "SELECT event_type, rank, event_id, value FROM (" +
+        "SELECT event_type, event_id, value, row_number() OVER (" +
+        "PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rank FROM events) " +
+        "WHERE rank <= 3 ORDER BY event_type, rank"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38)
+    Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
 }
