@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.streaming.StatefulSessionizer._
+
+class StatefulSessionizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val m = 60L * 1000000L // one minute in µs
+
+  test("batch: gap splits sessions, open session flushed, max length enforced") {
+    val evs = Seq(
+      Event(1L, 1L, 0L), Event(1L, 2L, 10 * m), Event(1L, 3L, 60 * m), // gap at 60m
+      Event(2L, 4L, 0L), Event(2L, 5L, 5 * m),
+    ).toDS()
+    val got = sessionizeBatch(evs, gapUs = 30 * m).collect().toSet
+    assert(got == Set(
+      Session(1L, 0L, 10 * m, 2), Session(1L, 60 * m, 60 * m, 1),
+      Session(2L, 0L, 5 * m, 2),
+    ))
+    // max session length closes even without a gap
+    val capped = sessionizeBatch(
+      Seq(Event(1L, 1L, 0L), Event(1L, 2L, 10 * m), Event(1L, 3L, 20 * m)).toDS(),
+      gapUs = 30 * m, maxSessionUs = 15 * m).collect()
+    assert(capped.length == 2)
+  }
+
+  test("batch parity with the window-based Sessionize operator") {
+    val ev = graft.ops.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) as ts_us")
+    val viaState = sessionizeBatch(ev.as[Event], gapUs = 30 * m)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val viaWindow = graft.ops.Sessionize.sessions(ev, gapUs = 30 * m)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaState == viaWindow)
+  }
+
+  test("streaming: sessions emit as later events close them; state is per-user") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = sessionize(in.toDS(), gapUs = 30 * m)
+      .writeStream.format("memory").queryName("stateful_sessions").outputMode("append").start()
+    in.addData(Event(1L, 1L, 0L), Event(1L, 2L, 10 * m))
+    q.processAllAvailable()
+    assert(spark.table("stateful_sessions").count() == 0) // still open
+    in.addData(Event(1L, 3L, 100 * m)) // closes the first session
+    q.processAllAvailable()
+    val closed = spark.table("stateful_sessions").as[Session].collect().toSeq
+    assert(closed == Seq(Session(1L, 0L, 10 * m, 2)))
+    q.stop()
+  }
+}
+
+class PayloadReaderSpec extends SparkSpec {
+
+  test("FAILFAST JSONL read crashes on missing declared fields (spec.md:42 semantics)") {
+    val q = graft.model.QueryDefinition("q", "campaign", "date", Seq("campaign.id", "clicks"))
+    val dir = java.nio.file.Files.createTempDirectory("jsonl")
+    java.nio.file.Files.writeString(dir.resolve("payload.jsonl"),
+      """{"campaign_id":"1","clicks":"10","__query_name":"q"}
+        |{"campaign_id":"2","clicks":"20","__query_name":"q"}
+        |""".stripMargin)
+    val ok = graft.sink.PayloadReader.readJsonl(spark, q, dir.toString)
+    assert(ok.count() == 2)
+    assert(ok.columns.toSeq == Seq("campaign_id", "clicks", "__query_name"))
+
+    java.nio.file.Files.writeString(dir.resolve("bad.jsonl"), "{not json}\n")
+    val e = intercept[Exception](graft.sink.PayloadReader.readJsonl(spark, q, dir.toString).count())
+    assert(e.getMessage.contains("FAILFAST") || e.getCause != null)
+  }
+
+  test("sink factory requires RAW_SINK_ROOT (K6)") {
+    val e = intercept[IllegalArgumentException](
+      graft.sink.PayloadReader.sinkFor(spark, Map.empty))
+    assert(e.getMessage.contains("RAW_SINK_ROOT"))
+    val sink = graft.sink.PayloadReader.sinkFor(spark,
+      Map("RAW_SINK_ROOT" -> java.nio.file.Files.createTempDirectory("fac").toString))
+    assert(sink != null)
+  }
+}
