@@ -1,0 +1,114 @@
+package graft.state
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.EtlFunctions
+import graft.model.PartitionState
+
+/** Control-plane bulk state transitions (reference cli.py:138-232
+  * retry, 580-664 backfill, 493-577 mark-terminal;
+  * docs/control_plane.md), with the reference's safety rails: bulk
+  * operations above a confirmation threshold refuse to run unless
+  * forced (cli.py:36-37 — retry_threshold=20, backfill_threshold=100).
+  *
+  * Each planner returns the DELTA rows to feed [[StateStore.upsert]] —
+  * planning is pure and inspectable (the reference's dry-run contract)
+  * and the ledger mutation stays in one place.
+  */
+object ControlPlane {
+
+  val RetryThreshold = 20
+  val BackfillThreshold = 100
+
+  final case class ThresholdExceeded(op: String, count: Long, threshold: Int)
+      extends RuntimeException(
+        s"$op would touch $count partitions (> $threshold); pass force=true to proceed")
+
+  private def rail(op: String, df: DataFrame, threshold: Int, force: Boolean): DataFrame = {
+    if (!force) {
+      val n = df.count()
+      if (n > threshold) throw ThresholdExceeded(op, n, threshold)
+    }
+    df
+  }
+
+  /** Retry sweep (cli.py:138-232 + docs/retry_daemon.md:22): failed,
+    * NON-terminal partitions under the attempt cap flip back to
+    * pending with attempt_count+1. Optional equality filters mirror
+    * the CLI's.
+    */
+  def retryPlan(
+      states: DataFrame,
+      maxAttempts: Long,
+      updatedAt: java.sql.Timestamp,
+      customerId: Option[String] = None,
+      queryName: Option[String] = None,
+      force: Boolean = false,
+  ): DataFrame = {
+    var df = states
+      .where(col("status") === PartitionState.Failed)
+      .where(!EtlFunctions.isTerminal(col("error_message")))
+      .where(col("attempt_count") < maxAttempts)
+    customerId.foreach(v => df = df.where(col("customer_id") === v))
+    queryName.foreach(v => df = df.where(col("query_name") === v))
+    val delta = df
+      .withColumn("status", lit(PartitionState.Pending))
+      .withColumn("attempt_count", col("attempt_count") + 1)
+      .withColumn("updated_at", lit(updatedAt))
+    rail("retry", delta, RetryThreshold, force)
+  }
+
+  /** Mark-terminal sweep (cli.py:493-577): stamp the `[terminal]`
+    * marker (idempotently, X6) on failed partitions matching the
+    * filters so the retry daemon skips them permanently.
+    */
+  def markTerminalPlan(
+      states: DataFrame,
+      updatedAt: java.sql.Timestamp,
+      minAttempts: Long = 0L,
+      force: Boolean = false,
+  ): DataFrame = {
+    val delta = states
+      .where(col("status") === PartitionState.Failed)
+      .where(col("attempt_count") >= minAttempts)
+      .where(!EtlFunctions.isTerminal(col("error_message")))
+      .withColumn("error_message",
+        EtlFunctions.markTerminal(coalesce(col("error_message"), lit("marked by control plane"))))
+      .withColumn("updated_at", lit(updatedAt))
+    rail("mark-terminal", delta, RetryThreshold, force)
+  }
+
+  /** Backfill planner (cli.py:580-664): enumerate missing dates per
+    * combo (E2, via [[StateStore.observe.backfillPlan]]) and emit
+    * pending ledger rows, rail-checked at the backfill threshold.
+    */
+  def backfillPendingRows(
+      states: DataFrame,
+      combos: DataFrame,
+      since: java.sql.Date,
+      until: java.sql.Date,
+      updatedAt: java.sql.Timestamp,
+      force: Boolean = false,
+  ): DataFrame = {
+    val missing = StateStore.observe.backfillPlan(states, combos, since, until)
+    val delta = missing.select(
+      col("source"), col("customer_id"), col("query_name"), col("logical_date"),
+      lit(PartitionState.Pending).as("status"),
+      lit(null).cast("string").as("current_run_id"),
+      lit("v1").as("schema_version"),
+      lit(0L).as("record_count"),
+      lit(updatedAt).as("updated_at"),
+      lit(null).cast("string").as("error_message"),
+      lit(0L).as("attempt_count"),
+    )
+    rail("backfill", delta, BackfillThreshold, force)
+  }
+
+  /** T3: oldest / newest failed partition (cli.py:326-336,476-488). */
+  def oldestNewestFailed(states: DataFrame): DataFrame = {
+    val failed = states.where(col("status") === PartitionState.Failed)
+    failed.orderBy(asc("updated_at")).limit(1).withColumn("which", lit("oldest"))
+      .unionByName(failed.orderBy(desc("updated_at")).limit(1).withColumn("which", lit("newest")))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.warehouse
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.state.ControlPlane
+
+class FactTablesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("campaignDaily: PK dedup keeps newest run, re-aggregates grain, micros→currency") {
+    val payload = Seq(
+      // duplicate grain across runs: r2 must win
+      ("c1", 100L, Date.valueOf("2024-01-01"), 10L, 2L, 1.5, 2500000L, "r1"),
+      ("c1", 100L, Date.valueOf("2024-01-01"), 99L, 9L, 9.9, 9900000L, "r2"),
+      ("c1", 200L, Date.valueOf("2024-01-01"), 5L, 1L, 0.5, 1000000L, "r1"),
+    ).toDF("customer_id", "campaign_id", "date", "impressions", "clicks",
+      "conversions", "cost_micros", "run_id")
+    val fact = FactTables.campaignDaily(payload)
+    val rows = fact.orderBy("campaign_id")
+      .select("campaign_id", "impressions", "cost")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue()))
+    assert(rows.toSeq == Seq((100L, 99L, 9.9), (200L, 5L, 1.0)))
+    // PK holds: one row per grain
+    assert(fact.groupBy(FactTables.CampaignGrain.map(col): _*).count()
+      .where(col("count") > 1).count() == 0)
+  }
+
+  test("bucketed fact⋈fact join on customer_id plans with NO shuffle exchange") {
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      def fact(n: Int): DataFrame =
+        (1 to n).map(i => (s"c${i % 7}", i.toLong, Date.valueOf("2024-01-01"), i.toLong))
+          .toDF("customer_id", "campaign_id", "date", "impressions")
+      FactTables.writeBucketed(fact(500), "fact_a", buckets = 4)
+      FactTables.writeBucketed(fact(300), "fact_b", buckets = 4)
+      val joined = FactTables.bucketedJoin(spark, "fact_a", "fact_b")
+      joined.count() // force planning through AQE
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeLike => s
+      }
+      assert(shuffles.isEmpty, s"expected shuffle-free bucketed join, got:\n${joined.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS fact_a")
+      spark.sql("DROP TABLE IF EXISTS fact_b")
+    }
+  }
+}
+
+class ControlPlaneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ts = Timestamp.valueOf("2024-03-01 00:00:00")
+
+  private def failedStates(n: Int, terminal: Boolean = false, attempts: Long = 2L): DataFrame =
+    (1 to n).map { i =>
+      ("s", s"c$i", "q", Date.valueOf("2024-01-01"), "failed", s"r$i", "v1", 1L,
+        Timestamp.valueOf(f"2024-02-01 ${i % 24}%02d:00:00"),
+        if (terminal) "[terminal] dead" else "boom", attempts)
+    }.toDF("source", "customer_id", "query_name", "logical_date", "status",
+      "current_run_id", "schema_version", "record_count", "updated_at",
+      "error_message", "attempt_count")
+
+  test("retryPlan flips non-terminal failed to pending, bumps attempts, respects cap") {
+    val plan = ControlPlane.retryPlan(failedStates(3), maxAttempts = 5, updatedAt = ts)
+    val rows = plan.select("status", "attempt_count").as[(String, Long)].collect()
+    assert(rows.length == 3 && rows.forall(_ == ("pending", 3L)))
+    // terminal rows excluded
+    assert(ControlPlane.retryPlan(failedStates(3, terminal = true), 5, ts).count() == 0)
+    // attempt cap excludes
+    assert(ControlPlane.retryPlan(failedStates(3, attempts = 9L), 5, ts).count() == 0)
+  }
+
+  test("safety rails: bulk ops above threshold refuse unless forced (cli.py:36-37)") {
+    val big = failedStates(ControlPlane.RetryThreshold + 5)
+    val e = intercept[ControlPlane.ThresholdExceeded](
+      ControlPlane.retryPlan(big, 5, ts))
+    assert(e.getMessage.contains("force=true"))
+    assert(ControlPlane.retryPlan(big, 5, ts, force = true).count() == 25)
+  }
+
+  test("markTerminalPlan stamps idempotent marker on matching failed rows") {
+    val plan = ControlPlane.markTerminalPlan(failedStates(4), ts, minAttempts = 2)
+    val msgs = plan.select("error_message").as[String].collect()
+    assert(msgs.length == 4 && msgs.forall(_ == "[terminal] boom"))
+    // already-terminal rows are not re-marked
+    assert(ControlPlane.markTerminalPlan(failedStates(4, terminal = true), ts).count() == 0)
+  }
+
+  test("backfillPendingRows enumerates missing dates as pending rows with rails") {
+    val states = failedStates(1) // occupies 2024-01-01 for c1
+    val combos = Seq(("s", "c1", "q")).toDF("source", "customer_id", "query_name")
+    val plan = ControlPlane.backfillPendingRows(
+      states, combos, Date.valueOf("2024-01-01"), Date.valueOf("2024-01-05"), ts)
+    val dates = plan.select("logical_date").as[Date].collect().map(_.toString).sorted.toSeq
+    assert(dates == Seq("2024-01-02", "2024-01-03", "2024-01-04", "2024-01-05"))
+    assert(plan.select("status").distinct().as[String].collect().toSeq == Seq("pending"))
+  }
+
+  test("oldestNewestFailed returns the two extremes") {
+    val got = ControlPlane.oldestNewestFailed(failedStates(5))
+      .select("which", "customer_id").as[(String, String)].collect().toMap
+    assert(got.keySet == Set("oldest", "newest"))
+  }
+}
