@@ -35,6 +35,16 @@ object StreamingOps {
         col("sum_value"),
       )
 
+  /** D1/D2 streaming twin: exactly-once-per-key dedup within the
+    * watermark horizon (`dropDuplicatesWithinWatermark`). This is the
+    * reference's run-fence supersession viewed as a stream: replayed /
+    * duplicate extraction rows inside the lookback window collapse to
+    * one; state for a key is dropped once the watermark passes it, so
+    * dedup state is bounded by the horizon, not the stream length.
+    */
+  def dedupWithinHorizon(events: DataFrame, idCols: Seq[String], lateness: String = "2 days"): DataFrame =
+    events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(idCols)
+
   /** q27 twin: session windows with a 30-minute gap per user —
     * `session_window` keeps per-user open-session state and emits when
     * the watermark passes the gap.
