@@ -48,7 +48,10 @@ object TextPipeline {
     * [[minHashSignatures]]+[[bandKeys]] candidates at scale.
     */
   def exactJaccardPairs(docs: DataFrame, k: Int, threshold: Double): DataFrame = {
+    // Referenced on both sides of the self-join; persist so the
+    // shingling lineage (explode + window + distinct) runs once.
     val sh = withDocCounts(docShingles(docs, k))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(

@@ -153,6 +153,22 @@ final class RawSink(spark: SparkSession, root: String) {
     readAll().join(gate, PartitionKey.columns :+ "run_id", "left_semi")
   }
 
+  /** Consumer preview (reference §3.3: consumer_preview.py:28-43 +
+    * docs/consumer_contract.md): the state-gated view sampled to the
+    * first `sampleRows` rows per logical partition, ordered by
+    * `orderCol`. The whole read path in one expression: gate (J3) →
+    * per-partition head-N (T4).
+    */
+  def preview(states: DataFrame, sampleRows: Int, orderCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(PartitionKey.columns.map(col): _*)
+      .orderBy(orderCol)
+    authoritativeRows(states)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= sampleRows)
+      .drop("__rn")
+  }
+
   /** All sealed (key, run_id) tuples as a DataFrame (driver-listed;
     * one row per sealed physical partition).
     */

@@ -67,6 +67,36 @@ class RawSinkSpec extends SparkSpec {
     assert(sink.readAll().count() == 2) // the 7 unsealed rows don't exist yet
   }
 
+  test("partition pruning: date filters on the sink become PartitionFilters in the scan") {
+    val root = freshRoot()
+    val sink = new RawSink(spark, root)
+    sink.writeRun(payload("2024-01-01", 3).unionByName(payload("2024-01-02", 4)), "r1")
+    val filtered = spark.read.option("basePath", root).parquet(root)
+      .where(col("logical_date") === "2024-01-01")
+    filtered.count()
+    val scan = filtered.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PartitionFilters") && scan.contains("logical_date"),
+      s"expected partition pruning in scan:\n$scan")
+    assert(filtered.count() == 3)
+  }
+
+  test("preview: gate + head-N per partition (consumer contract)") {
+    val root = freshRoot()
+    val sink = new RawSink(spark, root)
+    sink.writeRun(payload("2024-01-01", 10).unionByName(payload("2024-01-02", 2)), "r1")
+    val states = Seq(
+      ("google_ads", "c1", "campaign_daily", Date.valueOf("2024-01-01"),
+        PartitionState.Success, "r1"),
+      ("google_ads", "c1", "campaign_daily", Date.valueOf("2024-01-02"),
+        PartitionState.Success, "r1"),
+    ).toDF("source", "customer_id", "query_name", "logical_date", "status", "current_run_id")
+    val sample = sink.preview(states, sampleRows = 3, orderCol = "metric")
+    assert(sample.count() == 5) // min(10,3) + min(2,3)
+    val firstPartition = sample.where(col("logical_date") === "2024-01-01")
+      .select("metric").as[Long].collect().sorted.toSeq
+    assert(firstPartition == Seq(1L, 2L, 3L))
+  }
+
   test("authoritativeRows: consumer gate exposes only the state-approved run") {
     val root = freshRoot()
     val sink = new RawSink(spark, root)
