@@ -49,7 +49,11 @@ object TextPipeline {
     */
   def exactJaccardPairs(docs: DataFrame, k: Int, threshold: Double): DataFrame = {
     // Referenced on both sides of the self-join; persist so the
-    // shingling lineage (explode + window + distinct) runs once.
+    // shingling lineage (explode + window + distinct) runs once. The
+    // cache is session-scoped with no unpersist handle, but Spark's
+    // CacheManager dedups by logical plan, so repeated calls over the
+    // same input reuse one cached copy — accumulation is bounded by
+    // the number of distinct inputs, and LRU eviction reclaims it.
     val sh = withDocCounts(docShingles(docs, k))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.as("a")

@@ -134,7 +134,7 @@ object Multimodal {
     */
   def byByteBudget(media: DataFrame, bytesPerPartition: Long): DataFrame = {
     val total = media
-      .agg(sum(length(col("bytes")))).head().getLong(0)
+      .agg(coalesce(sum(length(col("bytes"))), lit(0L))).head().getLong(0)
     val parts = math.max(1, math.ceil(total.toDouble / bytesPerPartition).toInt)
     media.repartition(parts)
   }

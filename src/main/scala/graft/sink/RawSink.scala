@@ -135,8 +135,28 @@ final class RawSink(spark: SparkSession, root: String) {
     * contract (an unsealed partial write is never observable).
     */
   def readAll(): DataFrame = {
-    val df = spark.read.option("basePath", root).parquet(root)
-    df.join(sealedRunsDf(), PartitionKey.columns :+ "run_id", "left_semi")
+    // An unwritten sink reads as empty (key columns only) rather than
+    // throwing — mirrors listRuns' missing-directory behavior.
+    if (!fs.exists(new Path(root)) || !fs.listFiles(new Path(root), true).hasNext)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), RawSink.Tuple5Row.schema)
+    // Partition-column type inference would read a numeric-looking
+    // customer_id dir as long — and a post-hoc cast back to string is
+    // LOSSY ("007" → 7 → "7", breaking the seal join). Disable
+    // inference for this read so directory strings survive verbatim,
+    // then cast only logical_date (string→date is lossless for the
+    // contract's ISO dates).
+    val confKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "false")
+    val df =
+      try spark.read.option("basePath", root).parquet(root)
+      finally prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    df.withColumn("logical_date", col("logical_date").cast("date"))
+      .join(sealedRunsDf(), PartitionKey.columns :+ "run_id", "left_semi")
   }
 
   /** J3: the consumer gate — only rows whose (key, run_id) is the
@@ -159,10 +179,13 @@ final class RawSink(spark: SparkSession, root: String) {
     * `orderCol`. The whole read path in one expression: gate (J3) →
     * per-partition head-N (T4).
     */
-  def preview(states: DataFrame, sampleRows: Int, orderCol: String): DataFrame = {
+  def preview(states: DataFrame, sampleRows: Int, orderCols: String*): DataFrame = {
+    require(orderCols.nonEmpty,
+      "preview needs an ordering; pass columns forming a total order " +
+        "within a partition (e.g. an event id) or sampling is nondeterministic")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(PartitionKey.columns.map(col): _*)
-      .orderBy(orderCol)
+      .orderBy(orderCols.map(col): _*)
     authoritativeRows(states)
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= sampleRows)

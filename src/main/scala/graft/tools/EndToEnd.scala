@@ -116,11 +116,7 @@ object EndToEnd {
     //      rows per partition.
     val gated = sink.authoritativeRows(ledger.snapshot())
     val runsVisible = gated.select("run_id").distinct().as[String].collect().sorted.toSeq
-    import org.apache.spark.sql.expressions.Window
-    val sample = gated
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(PartitionKey.columns.map(col): _*).orderBy("event_id")))
-      .where(col("rn") <= 3)
+    val sample = sink.preview(ledger.snapshot(), 3, "event_id")
     println(s"""{"stage":"consume","visible_rows":${gated.count()},"sampled":${sample.count()},"runs":"${runsVisible.mkString(",")}"}""")
     require(runsVisible.contains(run2.runId), "superseding run must be visible")
 

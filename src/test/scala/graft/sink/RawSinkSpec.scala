@@ -67,6 +67,25 @@ class RawSinkSpec extends SparkSpec {
     assert(sink.readAll().count() == 2) // the 7 unsealed rows don't exist yet
   }
 
+  test("numeric-looking partition values survive verbatim (no lossy type inference)") {
+    val root = freshRoot()
+    val sink = new RawSink(spark, root)
+    sink.writeRun(payload("2024-01-01", 3, customer = "007"), "r1")
+    val visible = sink.readAll()
+    assert(visible.count() == 3)
+    assert(visible.select("customer_id").distinct().as[String].collect().toSeq == Seq("007"))
+    assert(sink.authoritativeRows(Seq(
+      ("google_ads", "007", "campaign_daily", Date.valueOf("2024-01-01"),
+        PartitionState.Success, "r1"),
+    ).toDF("source", "customer_id", "query_name", "logical_date", "status", "current_run_id"))
+      .count() == 3)
+  }
+
+  test("readAll on an unwritten sink is empty, not an error") {
+    val sink = new RawSink(spark, freshRoot())
+    assert(sink.readAll().count() == 0)
+  }
+
   test("partition pruning: date filters on the sink become PartitionFilters in the scan") {
     val root = freshRoot()
     val sink = new RawSink(spark, root)
@@ -90,7 +109,7 @@ class RawSinkSpec extends SparkSpec {
       ("google_ads", "c1", "campaign_daily", Date.valueOf("2024-01-02"),
         PartitionState.Success, "r1"),
     ).toDF("source", "customer_id", "query_name", "logical_date", "status", "current_run_id")
-    val sample = sink.preview(states, sampleRows = 3, orderCol = "metric")
+    val sample = sink.preview(states, 3, "metric")
     assert(sample.count() == 5) // min(10,3) + min(2,3)
     val firstPartition = sample.where(col("logical_date") === "2024-01-01")
       .select("metric").as[Long].collect().sorted.toSeq
