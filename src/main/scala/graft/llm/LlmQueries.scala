@@ -313,6 +313,29 @@ object LlmQueries {
     ),
   )
 
+  // q40 — exact dedup, materialized form: the kept representative
+  // (lowest doc_id) per content hash plus its duplicate count — the
+  // actual output a dedup pipeline ships downstream (q25 reports the
+  // rates). Hash-groupBy: uniform md5 keys, no skew at any scale.
+  val q40: QuerySpec = QuerySpec(
+    "q40_dedup_keep_first",
+    (s, d) =>
+      documents(s, d)
+        .select(md5(col("text")).as("h"), col("doc_id"), col("lang"))
+        .groupBy("h")
+        .agg(
+          min("doc_id").as("kept_doc_id"),
+          count(lit(1)).as("n_copies"),
+          min("lang").as("lang"),
+        )
+        .select("kept_doc_id", "n_copies", "lang")
+        .orderBy("kept_doc_id"),
+    Some(
+      "SELECT min(doc_id) AS kept_doc_id, count(*) AS n_copies, min(lang) AS lang " +
+        "FROM documents GROUP BY md5(text) ORDER BY kept_doc_id"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
+    Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
 }
