@@ -101,6 +101,38 @@ object Multimodal {
     }
   }
 
+  /** Resize plumbing: re-encode image rows to a bounded max dimension.
+    * The transcode itself is stubbed (no codec libs here — the stub
+    * deterministically truncates payload bytes proportionally to the
+    * area ratio); the Spark shape is the real part: one decoder/encoder
+    * per partition, metadata columns updated in the same pass, non-image
+    * rows passed through untouched.
+    */
+  def resizeImages(
+      media: Dataset[MediaRecord],
+      maxDim: Int,
+      mkDecoder: () => MediaDecoder,
+  ): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val decoder = mkDecoder()
+      it.map { r =>
+        if (r.kind != "image") r
+        else {
+          val (w, h, _, _) = decoder.decode(r.kind, r.format, r.bytes)
+          if (math.max(w, h) <= maxDim) r.copy(width = w, height = h)
+          else {
+            val scale = maxDim.toDouble / math.max(w, h)
+            val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+            // STUB re-encode: deterministic byte truncation in area ratio
+            val nBytes = math.max(1, (r.bytes.length * scale * scale).toInt)
+            r.copy(width = nw, height = nh, bytes = r.bytes.take(nBytes))
+          }
+        }
+      }
+    }
+  }
+
   /** Frame-sample plumbing for video rows: emit one row per sampled
     * frame index (decode stubbed; the flatMap shape — one input row,
     * many output rows, still one decoder per partition — is the real

@@ -58,6 +58,20 @@ class MultimodalSpec extends SparkSpec {
     assert(stats.count() == 3) // image/png, audio/bin, video/bin
   }
 
+  test("resizeImages bounds image dims, passes non-images through, deterministic") {
+    val ds = spark.createDataset(fixture(30))
+    val resized = resizeImages(ds, maxDim = 64, () => MediaDecoder.deterministicStub(4))
+    val rows = resized.collect()
+    assert(rows.length == 30)
+    val images = rows.filter(_.kind == "image")
+    assert(images.nonEmpty && images.forall(r => math.max(r.width, r.height) <= 64))
+    // non-image rows untouched (width still the source-declared 0)
+    assert(rows.filter(_.kind != "image").forall(r => r.width == 0))
+    val again = resizeImages(ds, 64, () => MediaDecoder.deterministicStub(4)).collect()
+    assert(rows.map(r => (r.media_id, r.width, r.height, r.bytes.length)).toSeq ==
+      again.map(r => (r.media_id, r.width, r.height, r.bytes.length)).toSeq)
+  }
+
   test("real decoder is an explicit stub") {
     intercept[NotImplementedError](MediaDecoder.real)
   }
