@@ -19,11 +19,16 @@ object EtlFunctions {
   def csvSplitTrim(csv: Column): Column =
     filter(transform(split(csv, ","), trim(_)), _ =!= "")
 
-  /** X4 — ISO-8601 UTC millisecond format, `+00:00`→`Z`
-    * (run_context.py:8-15).
+  /** X4 — ISO-8601 millisecond format with a REAL offset designator
+    * (run_context.py:8-15). `XXX` renders `Z` for a UTC session and the
+    * actual offset otherwise — a hardcoded `'Z'` would mislabel
+    * non-UTC-session renderings as UTC instants. The engine pins the
+    * session timezone to UTC everywhere, where this yields exactly the
+    * reference's `…SSSZ` shape whose lexicographic order is
+    * chronological.
     */
   def isoMillis(ts: Column): Column =
-    date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
 
   /** X4 — parse the reference's ISO strings back to timestamps. */
   def parseIso(s: Column): Column = to_timestamp(s)

@@ -20,13 +20,18 @@ import org.apache.spark.sql.functions._
 object MinHash {
 
   /** k-function MinHash signature of a string-set column.
-    * `minhash_i(S) = min over s∈S of xxhash64(i, s)`; empty set → empty
-    * signature (caller filters).
+    * `minhash_i(S) = min over s∈S of xxhash64(i, s)`; an empty set
+    * yields an EMPTY array (not k nulls — `array_min([])` is null, and
+    * k-null signatures would silently band-collide every empty doc
+    * with every other), so `size(sig) > 0` filters work as documented.
     */
   def signature(shingles: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s)))
-    }: _*)
+    when(
+      size(shingles) > 0,
+      array((0 until k).map { i =>
+        array_min(transform(shingles, s => xxhash64(lit(i), s)))
+      }: _*),
+    ).otherwise(array().cast("array<bigint>"))
 
   /** LSH band keys: the signature split into `bands` rows-per-band
     * groups, each band hashed to one long. Two docs share a band key

@@ -35,8 +35,10 @@ object ControlPlane {
 
   /** Retry sweep (cli.py:138-232 + docs/retry_daemon.md:22): failed,
     * NON-terminal partitions under the attempt cap flip back to
-    * pending with attempt_count+1. Optional equality filters mirror
-    * the CLI's.
+    * pending. attempt_count is PRESERVED — the validator increments it
+    * when the re-attempt is actually processed (validator.py:83);
+    * incrementing here too would double-count attempts and inflate the
+    * exponential backoff.
     */
   def retryPlan(
       states: DataFrame,
@@ -54,7 +56,6 @@ object ControlPlane {
     queryName.foreach(v => df = df.where(col("query_name") === v))
     val delta = df
       .withColumn("status", lit(PartitionState.Pending))
-      .withColumn("attempt_count", col("attempt_count") + 1)
       .withColumn("updated_at", lit(updatedAt))
     rail("retry", delta, RetryThreshold, force)
   }

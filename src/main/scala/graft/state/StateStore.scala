@@ -63,36 +63,47 @@ final class StateStore(spark: SparkSession, root: String) {
   private def versionDir(v: Int): String = f"$root/v$v%05d"
 
   /** D1+D2: merge `delta` into the ledger. Winner per key: greatest
-    * (updated_at, current_run_id); attempt_count is taken from the
-    * winning row (callers increment it, validator.py:83).
+    * run_id FIRST (max-run_id authority, validator.py:64-70 — an older
+    * run that merely finishes validating later must NOT regress
+    * authority), then greatest updated_at as the tie-break for
+    * same-run control-plane transitions (retry/mark-terminal preserve
+    * current_run_id). Null run_ids (pending placeholders) lose to any
+    * run. This ordering is what makes upsert order-independent
+    * (GraftProperties).
     */
   def upsert(delta: DataFrame): Unit = {
     val next = currentVersion().map(_ + 1).getOrElse(1)
     val w = Window
       .partitionBy(PartitionKey.columns.map(col): _*)
-      .orderBy(desc("updated_at"), desc_nulls_last("current_run_id"))
+      .orderBy(desc_nulls_last("current_run_id"), desc("updated_at"))
     val merged = snapshot()
       .unionByName(delta.select(Schemas.partitionState.fieldNames.map(col): _*))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .drop("__rn")
-    merged.write.mode("errorifexists").parquet(versionDir(next))
+    // A version dir not referenced by _CURRENT is an orphan from a
+    // crashed upsert (written but never committed) — safe to replace.
+    merged.write.mode("overwrite").parquet(versionDir(next))
     commit(next)
   }
 
-  /** Atomic commit: write pointer to a temp file, rename over _CURRENT.
-    * Rename is atomic on posix filesystems and HDFS; on object stores
-    * the PUT of the pointer object is itself atomic.
+  /** Atomic commit: write pointer to a temp file, rename-with-OVERWRITE
+    * over _CURRENT (FileContext rename is atomic-replace on posix and
+    * HDFS; a delete-then-rename would leave a window where the ledger
+    * reads as empty). On object stores the PUT of the pointer object is
+    * itself atomic.
     */
   private def commit(v: Int): Unit = {
     val tmp = new Path(root, s"$CurrentFile.tmp")
     val out = fs.create(tmp, true)
     try out.write(f"v$v%05d".getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    val cur = new Path(root, CurrentFile)
-    fs.delete(cur, false)
-    if (!fs.rename(tmp, cur))
-      throw new IllegalStateException(s"ledger commit failed for v$v")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(new Path(root).toUri, hadoopConf)
+    fc.rename(
+      fs.makeQualified(tmp),
+      fs.makeQualified(new Path(root, CurrentFile)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE,
+    )
   }
 
   /** S7/F2/F3/T1: filtered, ordered, limited listing
@@ -154,19 +165,28 @@ object StateStore {
         .agg(min("logical_date").as("earliest"), max("logical_date").as("latest"))
         .orderBy("source", "query_name")
 
-    /** A4: attempt histogram buckets 1-2/3-5/6-10/10+ (cli.py:439-456). */
+    /** A4: attempt histogram buckets 1-2/3-5/6-10/10+ (cli.py:439-456),
+      * ordered by bucket lower bound (lexicographic label order would
+      * put "10+" second).
+      */
     def attemptHistogram(states: DataFrame): DataFrame =
       states
         .select(
-          when(col("attempt_count") <= 2, "1-2")
-            .when(col("attempt_count") <= 5, "3-5")
-            .when(col("attempt_count") <= 10, "6-10")
-            .otherwise("10+")
-            .as("bucket")
+          when(col("attempt_count") <= 2, 0)
+            .when(col("attempt_count") <= 5, 1)
+            .when(col("attempt_count") <= 10, 2)
+            .otherwise(3)
+            .as("idx")
         )
-        .groupBy("bucket")
+        .groupBy("idx")
         .agg(count(lit(1)).as("cnt"))
-        .orderBy("bucket")
+        .select(
+          element_at(lit(Array("1-2", "3-5", "6-10", "10+")), col("idx") + 1).as("bucket"),
+          col("cnt"),
+          col("idx"),
+        )
+        .orderBy("idx")
+        .drop("idx")
 
     /** T2: worst failed partitions (cli.py:308-318), terminal split per
       * F4.

@@ -19,15 +19,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StatefulSessionizer {
 
   final case class Event(user_id: Long, event_id: Long, ts_us: Long)
+
+  /** Streaming input row: event time as a real timestamp column so the
+    * watermark (and therefore the event-time timeout) applies.
+    */
+  final case class TsEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
   final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
   final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
-  /** Close out sessions separated by > gapUs; cap any session at
-    * maxSessionUs (a policy session_window cannot express).
+  private def micros(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  /** Streaming sessionization: close sessions separated by > gapUs, cap
+    * any session at maxSessionUs. Uses EventTimeTimeout so a user who
+    * goes quiet still EMITS their final session (and frees their state)
+    * once the watermark passes lastEvent+gap — without this, state
+    * would grow with every user ever seen and last sessions would never
+    * appear.
     */
   def sessionize(
-      events: Dataset[Event],
+      events: Dataset[TsEvent],
       gapUs: Long,
+      lateness: String = "2 days",
       maxSessionUs: Long = Long.MaxValue,
   ): Dataset[Session] = {
     implicit val se: org.apache.spark.sql.Encoder[Session] = Encoders.product[Session]
@@ -35,31 +50,41 @@ object StatefulSessionizer {
     implicit val oe: org.apache.spark.sql.Encoder[OpenSession] = Encoders.product[OpenSession]
 
     events
+      .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, Session](
         OutputMode.Append(),
-        GroupStateTimeout.NoTimeout(),
-      ) { (userId: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
-        val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
-        var open = state.getOption
-        val closed = scala.collection.mutable.ArrayBuffer[Session]()
-        sorted.foreach { e =>
-          open match {
-            case None =>
-              open = Some(OpenSession(e.ts_us, e.ts_us, 1))
-            case Some(o) =>
-              val gapExceeded = e.ts_us - o.lastUs > gapUs
-              val capExceeded = e.ts_us - o.startUs > maxSessionUs
-              if (gapExceeded || capExceeded) {
-                closed += Session(userId, o.startUs, o.lastUs, o.n)
-                open = Some(OpenSession(e.ts_us, e.ts_us, 1))
-              } else {
-                open = Some(o.copy(lastUs = e.ts_us, n = o.n + 1))
-              }
+        GroupStateTimeout.EventTimeTimeout(),
+      ) { (userId: Long, it: Iterator[TsEvent], state: GroupState[OpenSession]) =>
+        if (state.hasTimedOut) {
+          // watermark passed lastUs+gap: no in-horizon event can extend
+          // this session — emit and evict.
+          val o = state.get
+          state.remove()
+          Iterator.single(Session(userId, o.startUs, o.lastUs, o.n))
+        } else {
+          val sorted = it.toSeq.map(e => (micros(e.ts), e.event_id)).sorted
+          var open = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer[Session]()
+          sorted.foreach { case (tsUs, _) =>
+            open match {
+              case None =>
+                open = Some(OpenSession(tsUs, tsUs, 1))
+              case Some(o) =>
+                if (tsUs - o.lastUs > gapUs || tsUs - o.startUs > maxSessionUs) {
+                  closed += Session(userId, o.startUs, o.lastUs, o.n)
+                  open = Some(OpenSession(tsUs, tsUs, 1))
+                } else {
+                  open = Some(o.copy(lastUs = tsUs, n = o.n + 1))
+                }
+            }
           }
+          open.foreach { o =>
+            state.update(o)
+            state.setTimeoutTimestamp(o.lastUs / 1000L + gapUs / 1000L)
+          }
+          closed.iterator
         }
-        open.foreach(state.update)
-        closed.iterator
       }
   }
 

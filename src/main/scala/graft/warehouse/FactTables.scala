@@ -31,8 +31,15 @@ object FactTables {
     * (A7: replace/re-extract overlap may land duplicate grain rows),
     * then PK-dedups keeping the newest run.
     */
-  def campaignDaily(payload: DataFrame): DataFrame =
-    Warehouse.enforcePrimaryKey(payload, CampaignGrain, "run_id")
+  def campaignDaily(payload: DataFrame): DataFrame = {
+    // Authority first, at run granularity: keep ALL rows of the newest
+    // run per grain (a max-run filter, not a row dedup — a run may
+    // legitimately land several rows per grain from split extraction
+    // files), then re-aggregate those rows to the grain.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(CampaignGrain.map(col): _*)
+    payload
+      .withColumn("__max_run", max("run_id").over(w))
+      .where(col("run_id") === col("__max_run"))
       .groupBy(CampaignGrain.map(col): _*)
       .agg(
         sum("impressions").as("impressions"),
@@ -41,6 +48,7 @@ object FactTables {
         sum("cost_micros").as("cost_micros"),
       )
       .withColumn("cost", EtlFunctions.microsToCurrency(col("cost_micros")))
+  }
 
   /** Write a fact table bucketed on customer_id (co-located joins). */
   def writeBucketed(df: DataFrame, tableName: String, buckets: Int = 16): Unit =

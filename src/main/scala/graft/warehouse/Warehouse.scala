@@ -68,7 +68,10 @@ object Warehouse {
     val targets = plan
       .where(col("action").isin(Action.Load, Action.Replace))
       .select(PartitionKey.columns.map(col) :+ col("state_run_id").as("run_id"): _*)
-    val toWrite = rawRows.join(broadcast(targets), PartitionKey.columns :+ "run_id", "left_semi")
+    // No broadcast hint: an initial load's target set is the whole
+    // ledger (millions of rows at scale) — let Spark/AQE pick; the
+    // 5-column semi join is cheap either way.
+    val toWrite = rawRows.join(targets, PartitionKey.columns :+ "run_id", "left_semi")
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try

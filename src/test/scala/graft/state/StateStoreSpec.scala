@@ -55,6 +55,15 @@ class StateStoreSpec extends SparkSpec {
       .where($"logical_date" === Date.valueOf("2024-01-02"))
       .select("current_run_id").as[String].collect().toSeq
     assert(row2 == Seq("r2"))
+    // D2 regression: an OLDER run that finishes validating LATER must
+    // not regress authority (validator.py:64-70 'retain existing')
+    store.upsert(toDf(Seq(
+      stateRow("2024-01-02", "success", Some("r1"), "2024-01-05 00:00:00"),
+    )))
+    val row3 = store.list(status = Some("success"))
+      .where($"logical_date" === Date.valueOf("2024-01-02"))
+      .select("current_run_id").as[String].collect().toSeq
+    assert(row3 == Seq("r2"), "older run validating later must not win")
   }
 
   test("upsert is idempotent: reapplying the same delta changes nothing") {

@@ -39,18 +39,32 @@ class StatefulSessionizerSpec extends SparkSpec {
     assert(viaState == viaWindow)
   }
 
-  test("streaming: sessions emit as later events close them; state is per-user") {
+  test("streaming: a later event closes a session; a QUIET user's session emits by timeout") {
     implicit val ctx = spark.sqlContext
-    val in = MemoryStream[Event]
-    val q = sessionize(in.toDS(), gapUs = 30 * m)
+    // base in 2024: an event at exactly the initial watermark (epoch 0)
+    // would be dropped as late before reaching the stateful operator
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val baseUs = base.getEpochSecond * 1000000L
+    def ts(us: Long) = java.sql.Timestamp.from(base.plusNanos(us * 1000))
+    val in = MemoryStream[TsEvent]
+    val q = sessionize(in.toDS(), gapUs = 30 * m, lateness = "1 minute")
       .writeStream.format("memory").queryName("stateful_sessions").outputMode("append").start()
-    in.addData(Event(1L, 1L, 0L), Event(1L, 2L, 10 * m))
+    in.addData(TsEvent(1L, 1L, ts(0L)), TsEvent(1L, 2L, ts(10 * m)))
     q.processAllAvailable()
     assert(spark.table("stateful_sessions").count() == 0) // still open
-    in.addData(Event(1L, 3L, 100 * m)) // closes the first session
+    in.addData(TsEvent(1L, 3L, ts(100 * m))) // closes user 1's first session
     q.processAllAvailable()
-    val closed = spark.table("stateful_sessions").as[Session].collect().toSeq
-    assert(closed == Seq(Session(1L, 0L, 10 * m, 2)))
+    assert(spark.table("stateful_sessions").as[Session].collect().toSeq ==
+      Seq(Session(1L, baseUs, baseUs + 10 * m, 2)))
+    // user 1 goes quiet; another user's events advance the watermark far
+    // past lastUs+gap → user 1's open session must emit via timeout
+    in.addData(TsEvent(9L, 4L, ts(500 * m)))
+    q.processAllAvailable()
+    in.addData(TsEvent(9L, 5L, ts(900 * m)))
+    q.processAllAvailable()
+    val all = spark.table("stateful_sessions").as[Session].collect().toSet
+    assert(all.contains(Session(1L, baseUs + 100 * m, baseUs + 100 * m, 1)),
+      s"timed-out session missing from $all")
     q.stop()
   }
 }

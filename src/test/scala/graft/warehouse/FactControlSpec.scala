@@ -12,11 +12,13 @@ import graft.state.ControlPlane
 class FactTablesSpec extends SparkSpec {
   import spark.implicits._
 
-  test("campaignDaily: PK dedup keeps newest run, re-aggregates grain, micros→currency") {
+  test("campaignDaily: newest run wins per grain, SAME-run rows re-aggregate, micros→currency") {
     val payload = Seq(
-      // duplicate grain across runs: r2 must win
+      // duplicate grain across runs: r2 must win entirely...
       ("c1", 100L, Date.valueOf("2024-01-01"), 10L, 2L, 1.5, 2500000L, "r1"),
-      ("c1", 100L, Date.valueOf("2024-01-01"), 99L, 9L, 9.9, 9900000L, "r2"),
+      // ...and r2's own split rows must SUM, not dedup
+      ("c1", 100L, Date.valueOf("2024-01-01"), 60L, 5L, 6.0, 6000000L, "r2"),
+      ("c1", 100L, Date.valueOf("2024-01-01"), 39L, 4L, 3.9, 3900000L, "r2"),
       ("c1", 200L, Date.valueOf("2024-01-01"), 5L, 1L, 0.5, 1000000L, "r1"),
     ).toDF("customer_id", "campaign_id", "date", "impressions", "clicks",
       "conversions", "cost_micros", "run_id")
@@ -67,10 +69,12 @@ class ControlPlaneSpec extends SparkSpec {
       "current_run_id", "schema_version", "record_count", "updated_at",
       "error_message", "attempt_count")
 
-  test("retryPlan flips non-terminal failed to pending, bumps attempts, respects cap") {
+  test("retryPlan flips non-terminal failed to pending, PRESERVES attempts, respects cap") {
     val plan = ControlPlane.retryPlan(failedStates(3), maxAttempts = 5, updatedAt = ts)
     val rows = plan.select("status", "attempt_count").as[(String, Long)].collect()
-    assert(rows.length == 3 && rows.forall(_ == ("pending", 3L)))
+    // attempt_count unchanged: the validator increments on actual
+    // processing (validator.py:83); requeue must not double-count
+    assert(rows.length == 3 && rows.forall(_ == ("pending", 2L)))
     // terminal rows excluded
     assert(ControlPlane.retryPlan(failedStates(3, terminal = true), 5, ts).count() == 0)
     // attempt cap excludes
