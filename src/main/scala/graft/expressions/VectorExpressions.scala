@@ -64,17 +64,25 @@ case class FloatVecDot(left: Expression, right: Expression)
     s
   }
 
+  // Locals come from ctx.freshName: when both children are
+  // non-nullable, nullSafeCodeGen splices this snippet without an
+  // enclosing block, so two vec_dot instances in one projection would
+  // otherwise declare duplicate Java locals and break janino
+  // compilation (silent interpreted fallback).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  if (!$a.isNullAt(i) && !$b.isNullAt(i)) {
-         |    s += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
          |}
-         |${ev.value} = s;
+         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -108,20 +116,29 @@ case class FloatVecCosine(left: Expression, right: Expression)
     if (denom > 0.0) dot / denom else 0.0
   }
 
+  // freshName'd locals — see FloatVecDot.doGenCode for why.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val denom = ctx.freshName("denom")
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  if (!$a.isNullAt(i) && !$b.isNullAt(i)) {
-         |    double xv = (double) $a.getFloat(i);
-         |    double yv = (double) $b.getFloat(i);
-         |    dot += xv * yv; na += xv * xv; nb += yv * yv;
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    double $xv = (double) $a.getFloat($i);
+         |    double $yv = (double) $b.getFloat($i);
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |  }
          |}
-         |double denom = Math.sqrt(na) * Math.sqrt(nb);
-         |${ev.value} = denom > 0.0 ? dot / denom : 0.0;
+         |double $denom = Math.sqrt($na) * Math.sqrt($nb);
+         |${ev.value} = $denom > 0.0 ? $dot / $denom : 0.0;
        """.stripMargin
     })
 

@@ -114,8 +114,11 @@ object Schemas {
 
   /** Explicit read schema for a query's payload: every declared field as
     * a non-nullable string-ish column plus the injected `__query_name`
-    * (pipeline.py:105-107). FAILFAST reads with this schema reproduce
-    * the reference's crash-on-missing-field behavior (spec.md:42).
+    * (pipeline.py:105-107). The reference's crash-on-missing-field
+    * behavior (spec.md:42) needs FAILFAST *plus* a per-column null
+    * check (PayloadReader.readJsonl): Spark's JSON FAILFAST only
+    * rejects malformed records, and silently null-fills well-formed
+    * records that lack a declared field.
     */
   def payloadSchema(q: QueryDefinition): StructType =
     StructType(

@@ -26,9 +26,12 @@ import graft.model.{PartitionKey, PartitionState, Schemas}
   * `upsert(delta)` = read current ∪ delta → window-dedup keeping the
   * winning row per key → write next version → swap pointer. Writers are
   * last-writer-wins at the row level (D1) with the validator's
-  * authority tie-break (D2): higher `updated_at` wins, then higher
-  * `run_id` (ISO string order == time order), mirroring
-  * validator.py:114-121.
+  * authority ordering (D2): higher `run_id` wins FIRST (ISO string
+  * order == time order; an older run that merely finishes validating
+  * later must not regress authority, validator.py:64-70), then higher
+  * `updated_at`, then a deterministic payload tie-break (status rank,
+  * then remaining columns) so the comparator is a *total* order and
+  * upsert is genuinely order-independent.
   *
   * Scale: the ledger has one row per logical partition — millions of
   * rows at 100 TB of payload, i.e. a *small* table. Snapshot rewrite is
@@ -68,14 +71,37 @@ final class StateStore(spark: SparkSession, root: String) {
     * authority), then greatest updated_at as the tie-break for
     * same-run control-plane transitions (retry/mark-terminal preserve
     * current_run_id). Null run_ids (pending placeholders) lose to any
-    * run. This ordering is what makes upsert order-independent
-    * (GraftProperties).
+    * run.
+    *
+    * Rows tying on BOTH (run_id, updated_at) — e.g. two control-plane
+    * transitions stamped in the same instant — are resolved by a
+    * deterministic payload order: terminal-ness of status
+    * (success > failed > pending: a terminal outcome recorded at the
+    * same instant as a provisional one wins, matching
+    * validator.py:56-62's "terminal states are never silently
+    * demoted"), then attempt_count, record_count, error_message,
+    * schema_version. After all of these, any remaining "tie" is
+    * between byte-identical rows, so row_number's pick is immaterial:
+    * the comparator is total over distinct rows, which is what makes
+    * upsert order-independent (GraftProperties, pinned under multiple
+    * seeds in StateStoreSpec).
     */
   def upsert(delta: DataFrame): Unit = {
     val next = currentVersion().map(_ + 1).getOrElse(1)
+    val statusRank = when(col("status") === PartitionState.Success, 3)
+      .when(col("status") === PartitionState.Failed, 2)
+      .otherwise(1)
     val w = Window
       .partitionBy(PartitionKey.columns.map(col): _*)
-      .orderBy(desc_nulls_last("current_run_id"), desc("updated_at"))
+      .orderBy(
+        desc_nulls_last("current_run_id"),
+        desc("updated_at"),
+        statusRank.desc,
+        desc("attempt_count"),
+        desc("record_count"),
+        desc_nulls_last("error_message"),
+        desc("schema_version"),
+      )
     val merged = snapshot()
       .unionByName(delta.select(Schemas.partitionState.fieldNames.map(col): _*))
       .withColumn("__rn", row_number().over(w))

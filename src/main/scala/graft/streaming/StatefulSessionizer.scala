@@ -75,7 +75,13 @@ object StatefulSessionizer {
                   closed += Session(userId, o.startUs, o.lastUs, o.n)
                   open = Some(OpenSession(tsUs, tsUs, 1))
                 } else {
-                  open = Some(o.copy(lastUs = tsUs, n = o.n + 1))
+                  // min/max merge: an in-watermark out-of-order event
+                  // arriving in a LATER micro-batch (tsUs < lastUs)
+                  // must extend, not regress, the session bounds — a
+                  // plain lastUs = tsUs would move the event-time
+                  // timeout earlier and truncate end_us.
+                  open = Some(OpenSession(
+                    math.min(o.startUs, tsUs), math.max(o.lastUs, tsUs), o.n + 1))
                 }
             }
           }

@@ -21,7 +21,10 @@ object GraftProperties extends Properties("graft") {
 
   // --- upsert commutativity (D1/D2): the final ledger row per key is
   // independent of delta application order, because the winner is the
-  // max of (updated_at, run_id) — an associative+commutative reduction.
+  // max under a TOTAL order (run_id, updated_at, status rank, payload
+  // columns) — an associative+commutative reduction. The generator
+  // deliberately produces (run, hour) ties with differing status to
+  // exercise the payload tie-break.
   private val deltaGen = for {
     n <- Gen.choose(1, 4)
     rows <- Gen.listOfN(n, for {

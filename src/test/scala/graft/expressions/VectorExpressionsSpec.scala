@@ -48,6 +48,28 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(edge(2).getDouble(0) == 32.0)
   }
 
+  test("two instances in one projection codegen-compile (freshName regression)") {
+    // With non-nullable children, nullSafeCodeGen splices the snippet
+    // without an enclosing block; fixed local names would collide when
+    // two instances land in the same generated function and janino
+    // would reject the class (silent interpreted fallback). Generating
+    // the projection directly surfaces that failure as a throw.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val a = BoundReference(0, ArrayType(FloatType, containsNull = false), nullable = false)
+    val b = BoundReference(1, ArrayType(FloatType, containsNull = false), nullable = false)
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      FloatVecCosine(a, b), FloatVecCosine(b, a), FloatVecDot(a, b), FloatVecDot(b, a)))
+    val row = InternalRow(
+      ArrayData.toArrayData(Array(1f, 2f)), ArrayData.toArrayData(Array(3f, 4f)))
+    val out = proj(row)
+    assert(out.getDouble(2) == 11.0 && out.getDouble(3) == 11.0)
+    assert(math.abs(out.getDouble(0) - out.getDouble(1)) < 1e-15)
+  }
+
   test("null array inputs yield null (BinaryExpression null semantics)") {
     val df = Seq((Some(Seq(1f, 2f)), None: Option[Seq[Float]])).toDF("x", "y")
       .select(VectorFunctions.dot(col("x"), col("y")).as("d"))

@@ -67,6 +67,28 @@ class StatefulSessionizerSpec extends SparkSpec {
       s"timed-out session missing from $all")
     q.stop()
   }
+
+  test("streaming: in-watermark out-of-order event in a later micro-batch must not regress session end") {
+    implicit val ctx = spark.sqlContext
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val baseUs = base.getEpochSecond * 1000000L
+    def ts(us: Long) = java.sql.Timestamp.from(base.plusNanos(us * 1000))
+    val in = MemoryStream[TsEvent]
+    val q = sessionize(in.toDS(), gapUs = 30 * m, lateness = "20 minutes")
+      .writeStream.format("memory").queryName("ooo_sessions").outputMode("append").start()
+    in.addData(TsEvent(1L, 1L, ts(0L)), TsEvent(1L, 2L, ts(10 * m)))
+    q.processAllAvailable()
+    // out-of-order but within the 20-minute watermark: must merge
+    // without moving end_us back to 5m (which would also move the
+    // event-time timeout earlier)
+    in.addData(TsEvent(1L, 3L, ts(5 * m)))
+    q.processAllAvailable()
+    in.addData(TsEvent(1L, 4L, ts(100 * m))) // closes the session
+    q.processAllAvailable()
+    assert(spark.table("ooo_sessions").as[Session].collect().toSeq ==
+      Seq(Session(1L, baseUs, baseUs + 10 * m, 3)))
+    q.stop()
+  }
 }
 
 class PayloadReaderSpec extends SparkSpec {
@@ -85,6 +107,21 @@ class PayloadReaderSpec extends SparkSpec {
     java.nio.file.Files.writeString(dir.resolve("bad.jsonl"), "{not json}\n")
     val e = intercept[Exception](graft.sink.PayloadReader.readJsonl(spark, q, dir.toString).count())
     assert(e.getMessage.contains("FAILFAST") || e.getCause != null)
+  }
+
+  test("well-formed record MISSING a declared field also crashes (not silently null-filled)") {
+    val q = graft.model.QueryDefinition("q", "campaign", "date", Seq("campaign.id", "clicks"))
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_missing")
+    // valid JSON, but no "clicks" key: Spark's FAILFAST alone would
+    // null-fill it; the reference crashes (spec.md:42)
+    java.nio.file.Files.writeString(dir.resolve("payload.jsonl"),
+      """{"campaign_id":"1","__query_name":"q"}
+        |""".stripMargin)
+    val e = intercept[Exception](
+      graft.sink.PayloadReader.readJsonl(spark, q, dir.toString).count())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("clicks")), s"expected missing-field error, got $e")
   }
 
   test("sink factory requires RAW_SINK_ROOT (K6)") {
