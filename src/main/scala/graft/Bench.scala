@@ -26,6 +26,15 @@ object Bench {
     // warm — a fixed cost that on a long-lived cluster is paid once,
     // not per query).
     spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 7)").collect()
+    // Warm the collation-aware string path: Spark 4 routes lower()
+    // through ICU for non-ASCII input, whose class init costs ~1.8s
+    // cold — and worse when 32 task threads race the init locks
+    // (JFR-profiled: UCaseProps.getCaseLocale dominating an entire
+    // query's runtime, intermittently, in whichever query first
+    // touched non-ASCII case conversion).
+    spark.range(32).repartition(32)
+      .selectExpr("sum(length(lower(concat('ÅßΓ中文Q', id))))", "sum(length(upper(concat('é', id))))")
+      .collect()
     import graft.ops.Tables
     Seq[(org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
       Tables.lineitem, Tables.orders, Tables.customer, Tables.supplier,
@@ -41,8 +50,10 @@ object Bench {
     }
     // Deterministic name order (Map iteration order is hash-order):
     // timings stay attributable run-to-run.
+    val benchT0 = System.nanoTime()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
+      System.err.println(f"[bench-trace] $name start at ${(t0 - benchT0) / 1e9}%.2f")
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }

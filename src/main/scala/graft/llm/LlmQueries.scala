@@ -260,31 +260,36 @@ object LlmQueries {
   )
 
   // q37 — IVF approximate nearest neighbors: 5 query vectors, top-3
-  // same-cell neighbors each (the label column stands in for the coarse
-  // quantizer assignment). Rows-only check (float scores);
-  // SimilarityPipelineSpec pins recall vs brute force.
+  // neighbors each under the data-scaled sign-LSH coarse quantizer
+  // (cells ∝ N / target occupancy) with hamming-≤1 multiprobe.
+  // Rows-only check (float scores); SimilarityPipelineSpec pins recall
+  // vs brute force.
   val q37: QuerySpec = QuerySpec(
     "q37_ann_ivf",
     (s, d) => {
       val emb = embeddings(s, d)
+      val bits = SimilarityPipeline.cellBits(emb.count())
       SimilarityPipeline
-        .ivfTopK(emb, emb.where(col("vec_id") < 5), k = 3)
+        .annTopK(emb, emb.where(col("vec_id") < 5), k = 3, bits = bits)
         .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "vec_id")
     },
     None,
   )
 
-  // q38 — embedding-cosine near-dup pairs, IVF-bucketed, exact cosine
-  // verified relationally (codegen'd component join, no N² cross
-  // product). Rows-only check.
+  // q38 — embedding-cosine near-dup pairs under the same quantizer:
+  // banded hamming-≤1 candidates, exact cosine verified relationally
+  // (codegen'd, no N² cross product). Rows-only check.
   val q38: QuerySpec = QuerySpec(
     "q38_embed_near_dup",
-    (s, d) =>
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val bits = SimilarityPipeline.cellBits(emb.count())
       SimilarityPipeline
-        .ivfNearDupPairs(embeddings(s, d), threshold = 0.4)
+        .annNearDupPairs(emb, threshold = 0.4, bits = bits)
         .select(col("va"), col("vb"), round(col("cos"), 4).as("cos"))
-        .orderBy("va", "vb"),
+        .orderBy("va", "vb")
+    },
     None,
   )
 
@@ -336,6 +341,25 @@ object LlmQueries {
     ),
   )
 
+  // q41 — the COMPOSED dedup cascade (the registered 100 TB pipeline):
+  // MinHash-LSH candidates → exact Jaccard verify on candidates only.
+  // Oracle: identical SQL to q30's full exact pairs — any pair passing
+  // exact-verify ≥ 0.5 is by construction in the full exact output, and
+  // 32 bands × 2 rows gives collision probability ≈ 0.99999 at
+  // jaccard = 0.5, so recall on the corpus is exact (a hash-matched
+  // CORRECTNESS row proves it each round, which is the point: the
+  // scalable plan must reproduce the exact plan's answer).
+  val q41: QuerySpec = QuerySpec(
+    "q41_dedup_cascade",
+    (s, d) =>
+      TextPipeline
+        .dedupCascade(documents(s, d).select("doc_id", "text"),
+          shingleK = 3, k = 64, bands = 32, rowsPerBand = 2, threshold = 0.5)
+        .select(col("da"), col("db"), round(col("jac"), 4).as("jaccard"))
+        .orderBy("da", "db"),
+    q30.oracle,
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
+    Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
 }

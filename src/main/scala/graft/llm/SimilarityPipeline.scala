@@ -11,13 +11,13 @@ import graft.functions.VectorFunctions
   *  1. [[bruteForceTopK]] — exact cosine against a handful of anchors
   *     (broadcast the anchors, one scan, per-partition heap). The
   *     baseline and the correctness oracle for the approximate tiers.
-  *  2. [[ivfTopK]] / [[ivfNearDupPairs]] — IVF-style: a coarse
-  *     quantizer assigns each vector to a cell (here the embeddings
-  *     table's `label` column stands in for a k-means assignment);
-  *     search touches only same-cell candidates. Recall is bounded by
-  *     the quantizer (cross-cell neighbors are missed — the standard
-  *     IVF nprobe=1 tradeoff); cost drops from O(N·Q) to
-  *     O(N·Q / cells).
+  *  2. [[annTopK]] / [[annNearDupPairs]] — IVF with a data-scaled
+  *     sign-LSH coarse quantizer ([[cellBits]]/[[withCells]]): cells
+  *     grow with the corpus so per-cell work stays flat, and
+  *     hamming-≤1 multiprobe recovers cross-cell recall (the nprobe
+  *     analog). [[ivfTopK]] / [[ivfNearDupPairs]] are the
+  *     bring-your-own-quantizer forms for corpora that already carry a
+  *     cluster assignment column.
   *  3. [[VectorFunctions.signBucket]] LSH — for high-similarity
   *     near-dup (cosine ≳ 0.9) where random-hyperplane collision
   *     probability is useful; exercised in VectorFunctionsSpec.
@@ -78,6 +78,87 @@ object SimilarityPipeline {
         col("b.vec_id").as("vb"),
         VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("cos"),
       )
+      .where(col("cos") >= threshold)
+  }
+
+  // ------------------------------------------------------------------
+  // Data-scaled coarse quantizer (the real IVF path; the cellCol
+  // variants above remain for corpora that already carry a clustering).
+  //
+  // Cells are sign-LSH buckets of `bits` seeded random hyperplanes
+  // (VectorFunctions.signBucket — deterministic, no fit pass, no
+  // driver state). `cellBits` picks bits so the expected cell
+  // occupancy stays ~`targetOccupancy` regardless of corpus size:
+  // cells ∝ N, so per-cell candidate-pair counts stay FLAT as the
+  // corpus grows — the property that makes the join cost O(N·occ)
+  // instead of quadratic-in-the-hottest-cell (the fixed-10-cell
+  // version this replaces grew per-cell pairs quadratically).
+  //
+  // Recall across a cell boundary is recovered by hamming-≤1
+  // multiprobe (standard IVF nprobe analog): queries probe their own
+  // cell plus every 1-bit-flip neighbor; the pair join bands on each
+  // bit-masked key. Cost multiplier is (bits+1), still linear in N.
+  // ------------------------------------------------------------------
+
+  /** Hyperplane count for ~`targetOccupancy` vectors per cell
+    * (cells = 2^bits ≈ n / targetOccupancy, clamped to [1, 16] bits).
+    */
+  def cellBits(n: Long, targetOccupancy: Int = 64): Int = {
+    val cells = math.max(1.0, n.toDouble / targetOccupancy)
+    math.min(16, math.max(1, (math.log(cells) / math.log(2.0)).round.toInt))
+  }
+
+  /** Adds the quantizer assignment as a `cell` column. */
+  def withCells(corpus: DataFrame, bits: Int, dim: Int = 64, seed: Long = 42L): DataFrame =
+    corpus.withColumn("cell", VectorFunctions.signBucket(col("embedding"), dim, bits, seed))
+
+  /** ANN top-k with the sign-LSH quantizer and hamming-≤1 multiprobe:
+    * each (broadcast) query scores candidates from bits+1 cells; exact
+    * cosine ranks them. One scan of the corpus, no N² anywhere.
+    */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int, dim: Int = 64): DataFrame = {
+    val c = withCells(corpus, bits, dim)
+    val probes = array(
+      col("cell") +: (0 until bits).map(b => col("cell").bitwiseXOR(lit(1L << b))): _*)
+    val q = withCells(queries, bits, dim)
+      .select(
+        col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(probes).as("probe"))
+    val scored = c
+      .join(broadcast(q), col("cell") === col("probe") && col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        VectorFunctions.cosine(col("embedding"), col("q_emb")).as("score"),
+      )
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
+  }
+
+  /** Near-dup pairs under the sign-LSH quantizer: candidates = pairs
+    * whose cells agree on all bits or differ in exactly one (banded
+    * join on each bit-masked key), then exact cosine ≥ `threshold`
+    * verifies candidates only — same candidates-then-verify shape as
+    * [[TextPipeline.dedupCascade]].
+    */
+  def annNearDupPairs(corpus: DataFrame, threshold: Double, bits: Int, dim: Int = 64): DataFrame = {
+    val e = withCells(corpus, bits, dim).select(col("vec_id"), col("cell"), col("embedding"))
+    val banded = e.select(
+      col("vec_id"),
+      explode(array((0 until bits).map(b =>
+        struct(lit(b).as("m"), col("cell").bitwiseAND(lit(~(1L << b))).as("key"))): _*)).as("bk"))
+      .select(col("vec_id"), col("bk.m").as("m"), col("bk.key").as("key"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.m") === col("b.m") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct() // same-cell pairs collide on every masked key
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    cand
+      .join(emb.select(col("vec_id").as("va"), col("embedding").as("ea")), Seq("va"))
+      .join(emb.select(col("vec_id").as("vb"), col("embedding").as("eb")), Seq("vb"))
+      .select(col("va"), col("vb"), VectorFunctions.cosine(col("ea"), col("eb")).as("cos"))
       .where(col("cos") >= threshold)
   }
 }

@@ -42,30 +42,48 @@ object TextPipeline {
   def withDocCounts(shingles: DataFrame): DataFrame =
     shingles.withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
 
-  /** Exact Jaccard-similar pairs above `threshold` via a shingle
-    * inverted-index self-join. Exact but O(pairs-sharing-a-shingle) —
-    * the verification stage of the dedup cascade; pair it with
-    * [[minHashSignatures]]+[[bandKeys]] candidates at scale.
+  /** Runs `body` with a persisted DataFrame, eagerly materializing the
+    * result via `localCheckpoint` so the intermediate cache can be
+    * released before returning. The returned frame reads the
+    * checkpointed blocks (freed by the ContextCleaner when it is
+    * GC'd), and nothing remains registered in the session CacheManager
+    * — callers own no cleanup (asserted in TextPipelineCacheSpec).
     */
-  def exactJaccardPairs(docs: DataFrame, k: Int, threshold: Double): DataFrame = {
-    // Referenced on both sides of the self-join; persist so the
-    // shingling lineage (explode + window + distinct) runs once. The
-    // cache is session-scoped with no unpersist handle, but Spark's
-    // CacheManager dedups by logical plan, so repeated calls over the
-    // same input reuse one cached copy — accumulation is bounded by
-    // the number of distinct inputs, and LRU eviction reclaims it.
-    val sh = withDocCounts(docShingles(docs, k))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(
-        col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.n").as("na"), col("b.n").as("nb"),
-      )
+  private def withPersisted(df: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try body(cached).localCheckpoint(eager = true)
+    finally cached.unpersist(blocking = false)
+  }
+
+  /** The exact-Jaccard aggregation over a pre-shingled frame: count
+    * common shingles per doc pair from `pairsBase` (rows of
+    * (da, db, na, nb), one per common shingle), then filter by the
+    * inclusion-exclusion Jaccard.
+    */
+  private def jaccardFromCommon(pairsBase: DataFrame, threshold: Double): DataFrame =
+    pairsBase
+      .groupBy("da", "db", "na", "nb")
       .agg(count(lit(1)).as("common"))
       .withColumn("jac", col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .where(col("jac") >= threshold)
-  }
+
+  /** Exact Jaccard-similar pairs above `threshold` via a shingle
+    * inverted-index self-join. Exact but O(pairs-sharing-a-shingle) —
+    * the verification stage of the dedup cascade; [[dedupCascade]] is
+    * the composed scale path (LSH candidates, exact verify on
+    * candidates only).
+    */
+  def exactJaccardPairs(docs: DataFrame, k: Int, threshold: Double): DataFrame =
+    withPersisted(withDocCounts(docShingles(docs, k))) { sh =>
+      jaccardFromCommon(
+        sh.as("a")
+          .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .select(
+            col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            col("a.n").as("na"), col("b.n").as("nb"),
+          ),
+        threshold)
+    }
 
   /** MinHash signatures as k wide columns `m0..m{k-1}`:
     * shingle → one string xxhash64, then k cheap per-function rehashes
@@ -102,30 +120,75 @@ object TextPipeline {
     * Jaccard attached. Scalable end-to-end: shuffles are O(docs·bands),
     * and only candidate pairs (not all pairs) ever materialize.
     */
-  def lshCandidates(docs: DataFrame, shingleK: Int, k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    require(bands * rowsPerBand <= k)
-    // The signature table is referenced three times below (both sides of
-    // the band self-join + the estimate lookup); it is tiny (one
-    // k-column row per doc) while its lineage (shingling + k hashes) is
-    // the expensive part — persist so the lineage runs once.
-    val sigWide = minHashSignatures(docShingles(docs, shingleK), k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Band-collision candidate pairs from a wide signature frame. */
+  private def bandCandidates(sigWide: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val banded = bandKeys(sigWide, bands, rowsPerBand)
-    val cand = banded.as("a")
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    val sig = signatureArray(sigWide, k)
-    cand
-      .join(sig.withColumnRenamed("doc_id", "da").withColumnRenamed("sig", "sa"), "da")
-      .join(sig.withColumnRenamed("doc_id", "db").withColumnRenamed("sig", "sb"), "db")
-      .withColumn(
-        "est_jaccard",
-        size(filter(zip_with(col("sa"), col("sb"), (a, b) => a === b), x => x)).cast("double") / k,
-      )
-      .select("da", "db", "est_jaccard")
+  }
+
+  def lshCandidates(docs: DataFrame, shingleK: Int, k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    require(bands * rowsPerBand <= k)
+    // The signature table is referenced three times below (both sides of
+    // the band self-join + the estimate lookup); it is tiny (one
+    // k-column row per doc) while its lineage (shingling + k hashes) is
+    // the expensive part — persist (owned by withPersisted) so the
+    // lineage runs once.
+    withPersisted(minHashSignatures(docShingles(docs, shingleK), k)) { sigWide =>
+      val cand = bandCandidates(sigWide, bands, rowsPerBand)
+      val sig = signatureArray(sigWide, k)
+      cand
+        .join(sig.withColumnRenamed("doc_id", "da").withColumnRenamed("sig", "sa"), "da")
+        .join(sig.withColumnRenamed("doc_id", "db").withColumnRenamed("sig", "sb"), "db")
+        .withColumn(
+          "est_jaccard",
+          size(filter(zip_with(col("sa"), col("sb"), (a, b) => a === b), x => x)).cast("double") / k,
+        )
+        .select("da", "db", "est_jaccard")
+    }
+  }
+
+  /** The composed near-dup pipeline — THE shape that survives 100 TB:
+    * MinHash-LSH banding narrows the corpus to candidate pairs
+    * (O(docs·bands) shuffle, no all-pairs anywhere), then exact
+    * Jaccard verifies ONLY those candidates (each candidate costs
+    * O(shingles-per-doc), versus the inverted-index self-join whose
+    * shared-shingle pair count grows super-linearly with corpus size).
+    *
+    * Output equals `exactJaccardPairs` whenever banding recall is 1.0
+    * over the true ≥-threshold pairs; with bands×rows = 32×2 the
+    * collision probability at jaccard 0.5 is 1-(1-0.5²)³² ≈ 0.99999 —
+    * recall on the test corpus is exact (oracle-checked as q41 against
+    * the same SQL as q30). For higher thresholds prefer fewer, longer
+    * bands (e.g. 8×8 at 0.9) — fewer false candidates to verify.
+    */
+  def dedupCascade(
+      docs: DataFrame,
+      shingleK: Int = 3,
+      k: Int = 64,
+      bands: Int = 32,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.5,
+  ): DataFrame = {
+    require(bands * rowsPerBand <= k)
+    withPersisted(withDocCounts(docShingles(docs, shingleK))) { sh =>
+      val cand = bandCandidates(minHashSignatures(sh, k), bands, rowsPerBand)
+      // exact verify over candidates only: explode each candidate pair
+      // by the left doc's shingles, keep the ones the right doc shares,
+      // count → inclusion-exclusion Jaccard. Both joins are equijoins
+      // on uniformly-distributed keys.
+      val common = cand
+        .join(
+          sh.select(col("doc_id").as("da"), col("s"), col("n").as("na")), Seq("da"))
+        .join(
+          sh.select(col("doc_id").as("db"), col("s"), col("n").as("nb")), Seq("db", "s"))
+        .select("da", "db", "na", "nb")
+      jaccardFromCommon(common, threshold)
+    }
   }
 
   /** SimHash per doc, relational form: per-token hash, per-bit ±1 vote

@@ -54,4 +54,75 @@ class SimilarityPipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("annTopK (sign-LSH quantizer + multiprobe): exact scores, pinned recall vs brute force") {
+    val queries = emb.where(col("vec_id") < 5)
+    val bits = SimilarityPipeline.cellBits(emb.count())
+    val ann = SimilarityPipeline.annTopK(emb, queries, 3, bits)
+      .as[(Long, Long, Double)].collect()
+    assert(ann.nonEmpty && ann.forall { case (q, v, _) => q != v })
+    // scores are exact cosines (approximation is only in candidate
+    // selection, never in scoring)
+    val bf = SimilarityPipeline.bruteForceTopK(emb, queries, emb.count().toInt)
+      .as[(Long, Long, Double)].collect()
+    val bfMap = bf.map { case (q, v, s) => (q, v) -> s }.toMap
+    assert(ann.forall { case (q, v, s) => math.abs(bfMap((q, v)) - s) < 1e-9 })
+    // recall@3: fraction of true top-3 recovered. Deterministic (seeded
+    // planes); floor pinned empirically on this corpus.
+    val trueTop = bf.groupBy(_._1).map { case (q, g) =>
+      q -> g.sortBy(r => (-r._3, r._2)).take(3).map(_._2).toSet
+    }
+    val annTop = ann.groupBy(_._1).map { case (q, g) => q -> g.map(_._2).toSet }
+    val recall = trueTop.map { case (q, t) =>
+      (t intersect annTop.getOrElse(q, Set.empty)).size.toDouble / t.size
+    }.sum / trueTop.size
+    assert(recall >= 0.4, s"recall@3 dropped to $recall")
+  }
+
+  test("annNearDupPairs: only exact-cosine-verified pairs, subset of brute force, pinned recall") {
+    val bits = SimilarityPipeline.cellBits(emb.count())
+    val ann = SimilarityPipeline.annNearDupPairs(emb, 0.4, bits)
+      .as[(Long, Long, Double)].collect()
+    assert(ann.forall(_._3 >= 0.4))
+    assert(ann.map(p => (p._1, p._2)).distinct.length == ann.length, "banding must dedupe pairs")
+    // brute-force truth over all pairs ≥ 0.4
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val all = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        graft.functions.VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .where(col("c") >= 0.4)
+      .as[(Long, Long, Double)].collect()
+    val truth = all.map(p => (p._1, p._2)).toSet
+    val found = ann.map(p => (p._1, p._2)).toSet
+    assert(found.subsetOf(truth), s"false positives: ${found -- truth}")
+    if (truth.nonEmpty) {
+      val recall = (found intersect truth).size.toDouble / truth.size
+      assert(recall >= 0.4, s"near-dup recall dropped to $recall (truth=${truth.size})")
+    }
+  }
+
+  test("quantizer scale probe: per-cell pair counts stay roughly flat across corpus sizes") {
+    // cells ∝ N at fixed target occupancy ⇒ Σ c_i·(c_i−1)/2 / cells
+    // (the same-cell candidate-pair load) must not grow with N — the
+    // property the fixed-label quantizer lacked.
+    val loads = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").map { dir =>
+      val corpus = graft.ops.Tables.embeddings(spark, dir)
+      val n = corpus.count()
+      val bits = SimilarityPipeline.cellBits(n)
+      val perCell = SimilarityPipeline.withCells(corpus, bits)
+        .groupBy("cell").agg(count(lit(1)).as("c"))
+        .select(sum(col("c") * (col("c") - 1) / 2).as("pairs"), count(lit(1)).as("cells"))
+        .as[(Double, Long)].head()
+      val load = perCell._1 / (1L << bits)
+      (n, bits, load)
+    }
+    val (nSmall, _, loadSmall) = loads.head
+    val (nBig, _, loadBig) = loads.last
+    assert(nBig > nSmall)
+    // allow slack for LSH imbalance over the clustered corpus, but the
+    // 4× corpus must not produce ≳4× per-cell load (that would mean the
+    // quantizer stopped scaling cells with N)
+    assert(loadBig <= loadSmall * 3.0,
+      s"per-cell pair load grew ${loadBig / loadSmall}× for a ${nBig / nSmall}× corpus")
+  }
 }

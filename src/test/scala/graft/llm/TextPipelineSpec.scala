@@ -66,4 +66,22 @@ class TextPipelineSpec extends SparkSpec {
     // every strongly-duplicated pair must surface as an LSH candidate
     assert(exact.subsetOf(found), s"missing: ${exact -- found}")
   }
+
+  test("dedupCascade ≡ exactJaccardPairs on the corpus (q41 contract)") {
+    def norm(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select(col("da"), col("db"), round(col("jac"), 4).as("j"))
+        .as[(Long, Long, Double)].collect().toSet
+    val exact = norm(TextPipeline.exactJaccardPairs(docs, 3, 0.5))
+    val cascade = norm(TextPipeline.dedupCascade(docs, 3, 64, 32, 2, 0.5))
+    assert(cascade == exact,
+      s"cascade missed ${exact -- cascade}, extra ${cascade -- exact}")
+  }
+
+  test("pipeline queries leave no session-lifetime caches (unpersist discipline)") {
+    TextPipeline.exactJaccardPairs(docs, 3, 0.5).count()
+    TextPipeline.lshCandidates(docs, 3, 64, 16, 4).count()
+    TextPipeline.dedupCascade(docs).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "CacheManager must be empty after pipeline queries complete")
+  }
 }
