@@ -45,4 +45,30 @@ object Extraction {
     val start = Date.valueOf(target.toLocalDate.minusDays(lookbackDays.toLong))
     (start, target)
   }
+
+  /** S1 through the DataSource V2 connector
+    * ([[graft.sources.JsonlPartitionSource]]): open the reference-layout
+    * JSONL sink as a DataFrame. Filters on the partition-key columns
+    * applied downstream (e.g. by [[compileSink]]) push into the scan
+    * and prune whole directories.
+    */
+  def readSink(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
+    spark.read
+      .format(classOf[graft.sources.JsonlPartitionSource].getName)
+      .option("path", root)
+      .load()
+
+  /** [[compile]]'s counterpart over the sink connector, where payload
+    * fields are already flattened snake_case (raw_sink_contract.md:30)
+    * and the date window binds to the `logical_date` partition column —
+    * so the BETWEEN prunes directories rather than rows.
+    */
+  def compileSink(sink: DataFrame, q: QueryDefinition, start: Date, end: Date): DataFrame = {
+    val projected: Seq[Column] =
+      q.fields.map(f => col(QueryDefinition.snakeCase(f))) :+ col("__query_name")
+    sink
+      .where(col("logical_date").between(lit(start), lit(end)))
+      .where(col("query_name") === q.name) // partition column ⇒ directory pruning
+      .select(projected: _*)
+  }
 }

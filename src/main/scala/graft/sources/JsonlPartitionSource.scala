@@ -1,0 +1,290 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for the reference's raw-sink layout (S1):
+  * JSONL payload files under the hive-partitioned key scheme
+  *
+  * {{{
+  * <root>/source=<s>/customer_id=<c>/query_name=<q>/logical_date=<d>/run_id=<r>/
+  *     *.jsonl       # payload rows (raw_sink_contract.md:15-31)
+  *     _SEAL.json    # metadata-last seal — unsealed runs are INVISIBLE
+  * }}}
+  *
+  * This is the Spark-native analog of the reference's streaming source
+  * (pipeline.py:80-107): where the reference embeds the projection and
+  * date predicate in a GAQL string shipped to the server, here Catalyst
+  * pushes them into this scan —
+  *
+  *  - filters on the five partition-key columns prune entire
+  *    DIRECTORIES at planning time (`planInputPartitions` never lists
+  *    a pruned date/customer), the moral equivalent of the reference
+  *    server never reading the excluded date range;
+  *  - column pruning ([[SupportsPushDownRequiredColumns]]) means a
+  *    2-column projection parses 2 fields per JSON record, not all;
+  *  - the `_SEAL.json` read gate (K2) is enforced during listing, so a
+  *    crashed writer's partial output is never observable.
+  *
+  * Usage:
+  * {{{
+  * spark.read.format("graft.sources.JsonlPartitionSource")
+  *   .option("path", root).load()
+  * }}}
+  *
+  * Schema: payload fields are inferred from the first record of one
+  * sealed file (all strings, per the payload contract) or supplied
+  * explicitly via `.schema(...)`; the five partition-key columns are
+  * always appended (logical_date typed as DATE).
+  *
+  * Scale notes: listing walks the directory tree on the driver — the
+  * same cost class as Spark's built-in `InMemoryFileIndex` — and each
+  * sealed file becomes one input partition processed executor-side.
+  * Readers open files with a fresh Hadoop `Configuration`, so schemes
+  * needing session credentials (s3a) should instead be read through the
+  * parquet sink path.
+  */
+class JsonlPartitionSource extends TableProvider {
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    JsonlPartitionSource.inferred(JsonlPartitionSource.rootOf(options))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String],
+  ): Table =
+    new JsonlTable(schema, properties.get("path"))
+}
+
+object JsonlPartitionSource {
+  val PartitionCols: Seq[String] =
+    Seq("source", "customer_id", "query_name", "logical_date", "run_id")
+  val SealFile = "_SEAL.json"
+
+  private[sources] def rootOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft jsonl source requires option(\"path\", ...)")
+    p
+  }
+
+  private[sources] def partitionSchema: Seq[StructField] =
+    PartitionCols.map {
+      case "logical_date" => StructField("logical_date", DateType, nullable = false)
+      case c => StructField(c, StringType, nullable = false)
+    }
+
+  /** Payload fields (strings, first-record keys) + partition columns. */
+  private[sources] def inferred(root: String): StructType = {
+    val files = listSealed(root, Array.empty)
+    require(files.nonEmpty, s"no sealed jsonl partitions under $root")
+    val fs = new Path(root).getFileSystem(hadoopConf())
+    val in = fs.open(new Path(files.head.file))
+    val firstLine =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next()
+      finally in.close()
+    val keys = new ObjectMapper().readTree(firstLine).fieldNames().asScala.toSeq
+    StructType(
+      keys.filterNot(PartitionCols.contains).map(StructField(_, StringType, nullable = true)) ++
+        partitionSchema)
+  }
+
+  private def hadoopConf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  /** Walk the partition tree, pruning directories that contradict any
+    * pushed filter on a partition column, and admit only SEALED run
+    * dirs (K2). Returns one entry per payload file.
+    */
+  private[sources] def listSealed(root: String, filters: Array[Filter]): Seq[JsonlFilePartition] = {
+    val fs = new Path(root).getFileSystem(hadoopConf())
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) return Seq.empty
+
+    def walk(dir: Path, values: Map[String, String], depth: Int): Seq[JsonlFilePartition] = {
+      if (depth == PartitionCols.length) {
+        if (!fs.exists(new Path(dir, SealFile))) Seq.empty // unsealed ⇒ invisible
+        else
+          fs.listStatus(dir)
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".jsonl"))
+            .map(st => JsonlFilePartition(st.getPath.toString, values))
+            .toSeq
+      } else {
+        val colName = PartitionCols(depth)
+        val prefix = s"$colName="
+        fs.listStatus(dir)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+          .map(st => (st.getPath, st.getPath.getName.stripPrefix(prefix)))
+          .filter { case (_, v) => filters.forall(partitionFilterAdmits(_, colName, v)) }
+          .flatMap { case (p, v) => walk(p, values + (colName -> v), depth + 1) }
+          .toSeq
+      }
+    }
+    walk(rootPath, Map.empty, 0)
+  }
+
+  /** Can this filter be pruned against directory values (i.e. does it
+    * reference only partition columns)?
+    */
+  private[sources] def isPartitionFilter(f: Filter): Boolean =
+    f.references.nonEmpty && f.references.forall(PartitionCols.contains)
+
+  /** Conservative directory admission: a directory is pruned only when
+    * the filter provably excludes its value. Comparisons are
+    * lexicographic on the directory string, which matches the
+    * contract's encodings (ISO dates and ISO-timestamp run ids order
+    * lexicographically == chronologically, T5).
+    */
+  private[sources] def partitionFilterAdmits(f: Filter, colName: String, value: String): Boolean = {
+    def str(a: Any): String = a match {
+      case d: java.sql.Date => d.toString
+      case d: java.time.LocalDate => d.toString
+      case other => String.valueOf(other)
+    }
+    f match {
+      case EqualTo(c, v) if c == colName => value == str(v)
+      case GreaterThan(c, v) if c == colName => value > str(v)
+      case GreaterThanOrEqual(c, v) if c == colName => value >= str(v)
+      case LessThan(c, v) if c == colName => value < str(v)
+      case LessThanOrEqual(c, v) if c == colName => value <= str(v)
+      case In(c, vs) if c == colName => vs.map(str).contains(value)
+      case IsNotNull(c) if c == colName => true // dir value is never null
+      case And(l, r) =>
+        partitionFilterAdmits(l, colName, value) && partitionFilterAdmits(r, colName, value)
+      // Or/Not over a single partition column could prune too, but the
+      // conservative answer (keep the directory) is always correct:
+      // Spark re-applies every filter post-scan.
+      case _ => true
+    }
+  }
+}
+
+final case class JsonlFilePartition(file: String, values: Map[String, String])
+    extends InputPartition
+
+class JsonlTable(tableSchema: StructType, path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft_jsonl(`$path`)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new JsonlScanBuilder(tableSchema, path)
+}
+
+class JsonlScanBuilder(fullSchema: StructType, path: String)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  /** Accept partition-column filters (they prune directories exactly);
+    * everything else is returned for Spark to evaluate post-scan.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (part, rest) = filters.partition(JsonlPartitionSource.isPartitionFilter)
+    pushed = part
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve this source's field order (payload fields then keys)
+    val keep = requiredSchema.fieldNames.toSet
+    required = StructType(fullSchema.fields.filter(f => keep.contains(f.name)))
+  }
+
+  override def build(): Scan = new JsonlScan(path, required, pushed)
+}
+
+class JsonlScan(path: String, requiredSchema: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_jsonl $path, PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    JsonlPartitionSource.listSealed(path, pushed).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JsonlReaderFactory(requiredSchema)
+}
+
+class JsonlReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new JsonlReader(partition.asInstanceOf[JsonlFilePartition], schema)
+}
+
+/** Executor-side line reader: Jackson-parse each JSONL record,
+  * projecting only the required payload fields; partition-column values
+  * come from the directory path (logical_date as epoch days).
+  */
+class JsonlReader(p: JsonlFilePartition, schema: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val fs = new Path(p.file).getFileSystem(new Configuration())
+  private val in = fs.open(new Path(p.file))
+  private val lines = scala.io.Source.fromInputStream(in, StandardCharsets.UTF_8.name()).getLines()
+  private var current: InternalRow = _
+
+  private val fieldPlans: Array[Either[Int, String]] = schema.fields.map { f =>
+    if (JsonlPartitionSource.PartitionCols.contains(f.name)) Left(daysOrString(f))
+    else Right(f.name)
+  }
+  // partition values precomputed once per file: Left(index into this)
+  private val partValues: Array[Any] = schema.fields.collect {
+    case f if JsonlPartitionSource.PartitionCols.contains(f.name) =>
+      val raw = p.values(f.name)
+      if (f.dataType == DateType) java.time.LocalDate.parse(raw).toEpochDay.toInt
+      else UTF8String.fromString(raw)
+  }
+  private def daysOrString(f: StructField): Int =
+    schema.fields.filter(x => JsonlPartitionSource.PartitionCols.contains(x.name))
+      .indexWhere(_.name == f.name)
+
+  override def next(): Boolean = {
+    if (!lines.hasNext) return false
+    val node = mapper.readTree(lines.next())
+    val vals = new Array[Any](schema.length)
+    var i = 0
+    while (i < fieldPlans.length) {
+      fieldPlans(i) match {
+        case Left(pi) => vals(i) = partValues(pi)
+        case Right(name) =>
+          val n = node.get(name)
+          vals(i) = if (n == null || n.isNull) null else UTF8String.fromString(n.asText())
+      }
+      i += 1
+    }
+    current = new GenericInternalRow(vals)
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}

@@ -1,6 +1,6 @@
 package graft.state
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.EtlFunctions
@@ -21,6 +21,45 @@ object ControlPlane {
   val RetryThreshold = 20
   val BackfillThreshold = 100
 
+  /** Backoff policy (docs/retry_daemon.md:14-18): base 5 min doubling
+    * per attempt, capped at 6 h, ±30 s jitter.
+    */
+  val BackoffBaseSeconds = 5L * 60L
+  val BackoffCapSeconds = 6L * 3600L
+  val BackoffJitterSeconds = 30L
+
+  /** delay_for(attempt_count) = min(base · 2^(n−1), cap), in seconds.
+    * Computed in double so huge attempt counts saturate at the cap
+    * instead of overflowing.
+    */
+  def backoffDelaySeconds(attemptCount: Column): Column =
+    least(
+      lit(BackoffCapSeconds.toDouble),
+      lit(BackoffBaseSeconds.toDouble) *
+        pow(lit(2.0), greatest(attemptCount.cast("double") - 1.0, lit(0.0))),
+    ).cast("long")
+
+  /** Earliest instant the next retry may run:
+    * `updated_at + delay_for(attempt_count) + jitter`, where jitter is
+    * a DETERMINISTIC hash of the partition key in
+    * [−BackoffJitterSeconds, +BackoffJitterSeconds] — the thundering-
+    * herd spread the spec wants, without `rand()` (a retry-safe task
+    * must compute the same schedule on every evaluation; cf. the same
+    * rule in [[graft.ops.Skew]] salting).
+    */
+  def nextAttemptAt(states: DataFrame): DataFrame = {
+    val span = 2 * BackoffJitterSeconds + 1
+    val jitter = pmod(
+      xxhash64(col("source"), col("customer_id"), col("query_name"), col("logical_date")),
+      lit(span)) - BackoffJitterSeconds
+    states.withColumn(
+      "next_attempt_at",
+      timestamp_micros(
+        unix_micros(col("updated_at")) +
+          (backoffDelaySeconds(col("attempt_count")) + jitter) * 1000000L),
+    )
+  }
+
   final case class ThresholdExceeded(op: String, count: Long, threshold: Int)
       extends RuntimeException(
         s"$op would touch $count partitions (> $threshold); pass force=true to proceed")
@@ -34,11 +73,15 @@ object ControlPlane {
   }
 
   /** Retry sweep (cli.py:138-232 + docs/retry_daemon.md:22): failed,
-    * NON-terminal partitions under the attempt cap flip back to
-    * pending. attempt_count is PRESERVED — the validator increments it
-    * when the re-attempt is actually processed (validator.py:83);
-    * incrementing here too would double-count attempts and inflate the
-    * exponential backoff.
+    * NON-terminal partitions under the attempt cap whose backoff
+    * window has elapsed (`updatedAt >= next_attempt_at`, i.e. the
+    * spec's `now - updated_at >= delay_for(attempt_count)` with the
+    * deterministic jitter folded in) flip back to pending.
+    * attempt_count is PRESERVED — the validator increments it when the
+    * re-attempt is actually processed (validator.py:83); incrementing
+    * here too would double-count attempts and inflate the exponential
+    * backoff. Pass `respectBackoff = false` for the CLI-style manual
+    * retry that ignores the schedule.
     */
   def retryPlan(
       states: DataFrame,
@@ -47,6 +90,7 @@ object ControlPlane {
       customerId: Option[String] = None,
       queryName: Option[String] = None,
       force: Boolean = false,
+      respectBackoff: Boolean = true,
   ): DataFrame = {
     var df = states
       .where(col("status") === PartitionState.Failed)
@@ -54,6 +98,8 @@ object ControlPlane {
       .where(col("attempt_count") < maxAttempts)
     customerId.foreach(v => df = df.where(col("customer_id") === v))
     queryName.foreach(v => df = df.where(col("query_name") === v))
+    if (respectBackoff)
+      df = nextAttemptAt(df).where(lit(updatedAt) >= col("next_attempt_at")).drop("next_attempt_at")
     val delta = df
       .withColumn("status", lit(PartitionState.Pending))
       .withColumn("updated_at", lit(updatedAt))

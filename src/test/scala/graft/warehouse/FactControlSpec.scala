@@ -81,6 +81,49 @@ class ControlPlaneSpec extends SparkSpec {
     assert(ControlPlane.retryPlan(failedStates(3, attempts = 9L), 5, ts).count() == 0)
   }
 
+  test("backoff schedule golden: min(5min·2^(n−1), 6h) for attempts 1..10") {
+    val df = (1L to 10L).map(n => Tuple1(n)).toSeq.toDF("attempt_count")
+    val got = df
+      .select(col("attempt_count"), ControlPlane.backoffDelaySeconds(col("attempt_count")).as("d"))
+      .as[(Long, Long)].collect().toMap
+    val want = Map(
+      1L -> 300L, 2L -> 600L, 3L -> 1200L, 4L -> 2400L, 5L -> 4800L,
+      6L -> 9600L, 7L -> 19200L, 8L -> 21600L, 9L -> 21600L, 10L -> 21600L,
+    )
+    assert(got == want)
+    // attempt_count 0 (never attempted) gets the base delay, and a
+    // pathological huge count saturates at the cap instead of overflowing
+    val edge = Seq(0L, 500L).toDF("attempt_count")
+      .select(ControlPlane.backoffDelaySeconds(col("attempt_count"))).as[Long].collect().toSeq
+    assert(edge == Seq(300L, 21600L))
+  }
+
+  test("nextAttemptAt: deterministic jitter within ±30s of updated_at + delay") {
+    val states = failedStates(10, attempts = 3L) // delay = 1200s
+    val out = ControlPlane.nextAttemptAt(states)
+      .select("updated_at", "next_attempt_at").as[(Timestamp, Timestamp)].collect()
+    out.foreach { case (u, n) =>
+      val deltaS = (n.getTime - u.getTime) / 1000L
+      assert(deltaS >= 1200L - 30L && deltaS <= 1200L + 30L, s"delta $deltaS out of window")
+    }
+    // deterministic: same input, same schedule
+    val again = ControlPlane.nextAttemptAt(states)
+      .select("next_attempt_at").as[Timestamp].collect().toSeq
+    assert(again == out.map(_._2).toSeq)
+  }
+
+  test("retryPlan respects the backoff window (docs/retry_daemon.md eligibility)") {
+    val states = failedStates(3, attempts = 5L) // delay 4800s from 2024-02-01 ~0x:00
+    // a sweep 1 minute after the failure: nothing is eligible yet
+    val early = ControlPlane.retryPlan(states, 9, Timestamp.valueOf("2024-02-01 00:01:00"))
+    assert(early.count() == 0)
+    // a sweep a month later: everything is eligible
+    assert(ControlPlane.retryPlan(states, 9, ts).count() == 3)
+    // manual CLI-style retry ignores the schedule
+    assert(ControlPlane.retryPlan(states, 9, Timestamp.valueOf("2024-02-01 00:01:00"),
+      respectBackoff = false).count() == 3)
+  }
+
   test("safety rails: bulk ops above threshold refuse unless forced (cli.py:36-37)") {
     val big = failedStates(ControlPlane.RetryThreshold + 5)
     val e = intercept[ControlPlane.ThresholdExceeded](
