@@ -32,8 +32,15 @@ import graft.model.PartitionKey
   * Scale: the payload write is one distributed `partitionBy` job (all
   * logical partitions of a run in a single pass — no per-partition
   * driver loop like the reference's nested query×customer iteration,
-  * SURVEY §3.1). Seals are written from per-partition counts computed
-  * distributedly and collected — one small row per logical partition.
+  * SURVEY §3.1). Seals are written EXECUTOR-SIDE from the distributed
+  * per-partition counts (no driver collect in the write path), and a
+  * seal MANIFEST table at `<root>/_manifest` indexes every sealed
+  * (key, run_id) so the read side joins one small parquet table
+  * instead of recursively listing millions of directories. A sink
+  * written without a manifest (e.g. by the reference) still reads —
+  * [[sealedRuns]] falls back to listing — and [[repairManifest]]
+  * reconciles the index from the directory tree after a crash between
+  * seal and manifest append.
   */
 final class RawSink(spark: SparkSession, root: String) {
   import RawSink._
@@ -54,29 +61,39 @@ final class RawSink(spark: SparkSession, root: String) {
     * `run_id`, then seal each. `df` must carry the four key columns
     * plus payload columns. Throws if any targeted (key, run_id) is
     * already sealed (K3) — checked before any byte is written.
+    *
+    * Every per-partition step runs on executors: the K3 pre-check, the
+    * seal writes (metadata-last, after the payload job completes), and
+    * the manifest append. The returned Seq is a convenience collect of
+    * the run's own seal rows (one per logical partition of THIS run) —
+    * callers working at million-partition scale should use
+    * [[sealedRuns]] instead.
     */
   def writeRun(df: DataFrame, runId: String, schemaVersion: String = "v1"): Seq[SealedPartition] = {
-    // Distinct logical partitions + record counts, computed distributedly.
-    val counts = df
+    import spark.implicits._
+    // Distinct logical partitions + record counts, computed
+    // distributedly; checkpointed so the three small jobs below reuse
+    // the aggregation instead of re-scanning the payload.
+    val seals = df
       .groupBy(PartitionKey.columns.map(col): _*)
       .agg(count(lit(1)).as("record_count"))
-      .collect()
-      .map { r =>
-        val key = PartitionKey(
-          r.getAs[String]("source"),
-          r.getAs[String]("customer_id"),
-          r.getAs[String]("query_name"),
-          r.getAs[java.sql.Date]("logical_date"),
-        )
-        key -> r.getAs[Long]("record_count")
-      }
+      .withColumn("run_id", lit(runId))
+      .withColumn("schema_version", lit(schemaVersion))
+      .as[SealRow]
+      .localCheckpoint(true)
 
-    counts.foreach { case (key, _) =>
-      if (isSealed(key, runId))
-        throw new IllegalStateException(
-          s"refusing overwrite: partition $key run_id=$runId is sealed (raw_sink_contract)"
-        )
-    }
+    // K3, distributedly: any targeted (key, run_id) already sealed?
+    val confFactory = org.apache.spark.sql.graftshim.ConfShim.confFactory(hadoopConf)
+    val rootStr = root
+    val clash = seals
+      .mapPartitions { it =>
+        val conf = confFactory()
+        it.filter(s => RawSink.sealExists(conf, rootStr, s))
+      }
+      .take(1)
+    if (clash.nonEmpty)
+      throw new IllegalStateException(
+        s"refusing overwrite: partition ${clash.head} is sealed (raw_sink_contract)")
 
     // One distributed write for the whole run (fenced by run_id dir).
     df.withColumn("run_id", lit(runId))
@@ -85,23 +102,22 @@ final class RawSink(spark: SparkSession, root: String) {
       .mode("append") // append is safe: the run_id dir is exclusively ours
       .parquet(root)
 
-    // Metadata-last seal per partition.
-    counts.map { case (key, n) =>
-      val seal = SealedPartition(key, runId, schemaVersion, n)
-      writeSeal(seal)
-      seal
-    }.toSeq
+    // Metadata-last seals, executor-side. create(overwrite=false) makes
+    // each seal an atomic claim; a task RETRY hitting its own seal is
+    // idempotent (identical deterministic content), while foreign seals
+    // were excluded by the K3 check above.
+    seals.foreachPartition { (it: Iterator[SealRow]) =>
+      val conf = confFactory()
+      it.foreach(s => RawSink.writeSealFile(conf, rootStr, s))
+    }
+
+    // Index the new seals in the manifest (one small distributed append).
+    seals.toDF().write.mode("append").parquet(manifestDir)
+
+    seals.collect().map(_.toSealedPartition).toSeq
   }
 
-  private def writeSeal(s: SealedPartition): Unit = {
-    val dir = runDir(s.key, s.runId)
-    val json =
-      s"""{"record_count":${s.recordCount},"schema_version":"${s.schemaVersion}",""" +
-        s""""run_id":"${s.runId}","sealed":true}"""
-    val out = fs.create(new Path(dir, SealFile), false) // no overwrite: seal is immutable
-    try out.write(json.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  private def manifestDir: String = s"$root/$ManifestDir"
 
   /** S5: read one seal back (driver-side; seals are tiny). */
   def readSeal(key: PartitionKey, runId: String): Option[String] = {
@@ -192,40 +208,107 @@ final class RawSink(spark: SparkSession, root: String) {
       .drop("__rn")
   }
 
-  /** All sealed (key, run_id) tuples as a DataFrame (driver-listed;
-    * one row per sealed physical partition).
+  /** All sealed (key, run_id) tuples as a DataFrame. Reads the
+    * `_manifest` parquet index when present (one small columnar scan,
+    * regardless of partition count); falls back to a recursive
+    * directory listing for manifest-less sinks (reference-written
+    * trees, or pre-manifest layouts).
     */
-  private def sealedRunsDf(): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val it = fs.listFiles(new Path(root), true)
-    val rows = Iterator
-      .continually(it)
-      .takeWhile(_.hasNext)
-      .map(_.next())
-      .filter(_.getPath.getName == SealFile)
-      .map { st =>
-        val dir = st.getPath.getParent
-        def part(p: Path, prefix: String): String = {
-          var cur = p
-          while (cur != null && !cur.getName.startsWith(prefix)) cur = cur.getParent
-          require(cur != null, s"missing $prefix in ${st.getPath}")
-          cur.getName.stripPrefix(prefix)
+  def sealedRuns(): DataFrame =
+    manifestFiles() match {
+      case Some(files) =>
+        spark.read.parquet(files: _*).select(Tuple5Row.schema.fieldNames.map(col): _*)
+      case None => listedSealedRuns()
+    }
+
+  /** Manifest part files, if the index exists and is non-empty. Listed
+    * explicitly because the `_`-prefixed manifest dir is (by design)
+    * hidden from Spark's data-file discovery — the same convention that
+    * keeps it out of [[readAll]]'s recursive payload read.
+    */
+  private def manifestFiles(): Option[Seq[String]] = {
+    val dir = new Path(manifestDir)
+    if (!fs.exists(dir)) None
+    else {
+      val parts = fs.listStatus(dir)
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(_.getPath.toString).toSeq
+      if (parts.isEmpty) None else Some(parts)
+    }
+  }
+
+  private def sealedRunsDf(): DataFrame = sealedRuns()
+
+  /** Reconcile the manifest with the directory tree: any sealed run dir
+    * missing from the index (crash between seal write and manifest
+    * append) is re-appended. Idempotent; returns the number of repaired
+    * rows. The listing path is the expensive O(directories) walk — this
+    * is a recovery tool, not a hot path.
+    */
+  def repairManifest(): Long = {
+    val listed = listedSealedRuns()
+    val known = manifestFiles() match {
+      case Some(files) =>
+        spark.read.parquet(files: _*).select(Tuple5Row.schema.fieldNames.map(col): _*)
+      case None => listed.limit(0)
+    }
+    val missing = listed.join(known, Tuple5Row.schema.fieldNames.toSeq, "left_anti")
+    val n = missing.count()
+    if (n > 0) {
+      // seal JSON carries record_count/schema_version; re-read executor-side
+      val confFactory = org.apache.spark.sql.graftshim.ConfShim.confFactory(hadoopConf)
+      val rootStr = root
+      import spark.implicits._
+      missing
+        .as[Tuple5RowCase]
+        .mapPartitions { it =>
+          val conf = confFactory()
+          it.map(t => RawSink.readSealRow(conf, rootStr, t))
         }
-        (
-          part(dir, "source="),
-          part(dir, "customer_id="),
-          part(dir, "query_name="),
-          java.sql.Date.valueOf(part(dir, "logical_date=")),
-          part(dir, "run_id="),
-        )
+        .toDF()
+        .write.mode("append").parquet(manifestDir)
+    }
+    n
+  }
+
+  /** Driver-side recursive listing of sealed runs (fallback/repair path). */
+  private def listedSealedRuns(): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows =
+      if (!fs.exists(new Path(root))) Seq.empty
+      else {
+        val it = fs.listFiles(new Path(root), true)
+        Iterator
+          .continually(it)
+          .takeWhile(_.hasNext)
+          .map(_.next())
+          .filter(_.getPath.getName == SealFile)
+          .filterNot(_.getPath.toString.contains(s"/$ManifestDir/"))
+          .map { st =>
+            val dir = st.getPath.getParent
+            def part(p: Path, prefix: String): String = {
+              var cur = p
+              while (cur != null && !cur.getName.startsWith(prefix)) cur = cur.getParent
+              require(cur != null, s"missing $prefix in ${st.getPath}")
+              cur.getName.stripPrefix(prefix)
+            }
+            (
+              part(dir, "source="),
+              part(dir, "customer_id="),
+              part(dir, "query_name="),
+              java.sql.Date.valueOf(part(dir, "logical_date=")),
+              part(dir, "run_id="),
+            )
+          }
+          .toSeq
       }
-      .toSeq
     spark.createDataFrame(rows.map(Tuple5Row.tupled).asJava, Tuple5Row.schema)
   }
 }
 
 object RawSink {
   val SealFile = "_SEAL.json"
+  val ManifestDir = "_manifest"
 
   final case class SealedPartition(
       key: PartitionKey,
@@ -233,6 +316,83 @@ object RawSink {
       schemaVersion: String,
       recordCount: Long,
   )
+
+  /** Flat executor-side seal row (also the manifest schema). */
+  final case class SealRow(
+      source: String,
+      customer_id: String,
+      query_name: String,
+      logical_date: java.sql.Date,
+      record_count: Long,
+      run_id: String,
+      schema_version: String,
+  ) {
+    def toSealedPartition: SealedPartition =
+      SealedPartition(
+        PartitionKey(source, customer_id, query_name, logical_date),
+        run_id, schema_version, record_count)
+  }
+
+  private[sink] case class Tuple5RowCase(
+      source: String,
+      customer_id: String,
+      query_name: String,
+      logical_date: java.sql.Date,
+      run_id: String,
+  )
+
+  private[sink] def runDirPath(root: String, s: SealRow): Path =
+    new Path(
+      s"$root/source=${s.source}/customer_id=${s.customer_id}" +
+        s"/query_name=${s.query_name}/logical_date=${s.logical_date}/run_id=${s.run_id}")
+
+  private[sink] def sealExists(
+      conf: org.apache.hadoop.conf.Configuration, root: String, s: SealRow): Boolean = {
+    val p = new Path(runDirPath(root, s), SealFile)
+    p.getFileSystem(conf).exists(p)
+  }
+
+  /** Executor-side metadata-last seal write. `overwrite = false` makes
+    * the create an atomic claim; an already-present seal is tolerated
+    * (task retry re-claiming its own deterministic content — foreign
+    * runs were rejected by the pre-write K3 check).
+    */
+  private[sink] def writeSealFile(
+      conf: org.apache.hadoop.conf.Configuration, root: String, s: SealRow): Unit = {
+    val dir = runDirPath(root, s)
+    val fs = dir.getFileSystem(conf)
+    val json =
+      s"""{"record_count":${s.record_count},"schema_version":"${s.schema_version}",""" +
+        s""""run_id":"${s.run_id}","sealed":true}"""
+    try {
+      val out = fs.create(new Path(dir, SealFile), false)
+      try out.write(json.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => () // idempotent retry
+      case e: java.io.IOException if e.getMessage != null && e.getMessage.contains("exist") => ()
+    }
+  }
+
+  /** Executor-side seal read for manifest repair: parse record_count /
+    * schema_version back out of the seal JSON (tiny, one per dir).
+    */
+  private[sink] def readSealRow(
+      conf: org.apache.hadoop.conf.Configuration, root: String, t: Tuple5RowCase): SealRow = {
+    val dir = new Path(
+      s"$root/source=${t.source}/customer_id=${t.customer_id}" +
+        s"/query_name=${t.query_name}/logical_date=${t.logical_date}/run_id=${t.run_id}")
+    val p = new Path(dir, SealFile)
+    val in = p.getFileSystem(conf).open(p)
+    val json =
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    def field(name: String): String =
+      json.split(s""""$name":""")(1).split("[,}]")(0).trim.stripPrefix("\"").stripSuffix("\"")
+    SealRow(
+      t.source, t.customer_id, t.query_name, t.logical_date,
+      field("record_count").toLong, t.run_id, field("schema_version"))
+  }
 
   private[sink] case class Tuple5Row(
       source: String,

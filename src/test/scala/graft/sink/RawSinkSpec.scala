@@ -129,4 +129,40 @@ class RawSinkSpec extends SparkSpec {
     assert(visible.count() == 3)
     assert(visible.select("run_id").distinct().as[String].collect().toSeq == Seq("r2"))
   }
+
+  test("seal manifest: writeRun indexes seals; sealedRuns reads the index, not the tree") {
+    val root = freshRoot()
+    val sink = new RawSink(spark, root)
+    sink.writeRun(payload("2024-01-01", 3).unionByName(payload("2024-01-02", 2)), "r1")
+    sink.writeRun(payload("2024-01-01", 4), "r2")
+    val manifest = spark.read.parquet(s"$root/${RawSink.ManifestDir}")
+    assert(manifest.count() == 3)
+    assert(manifest.columns.toSet ==
+      Set("source", "customer_id", "query_name", "logical_date", "record_count", "run_id", "schema_version"))
+    val runs = sink.sealedRuns().select("logical_date", "run_id")
+      .as[(Date, String)].collect().toSet
+    assert(runs == Set(
+      (Date.valueOf("2024-01-01"), "r1"), (Date.valueOf("2024-01-02"), "r1"),
+      (Date.valueOf("2024-01-01"), "r2")))
+  }
+
+  test("repairManifest reconciles a lost index from the directory tree") {
+    val root = freshRoot()
+    val sink = new RawSink(spark, root)
+    sink.writeRun(payload("2024-01-01", 3), "r1")
+    sink.writeRun(payload("2024-01-02", 2), "r2")
+    // crash simulation: the manifest vanishes entirely
+    val manifestPath = java.nio.file.Paths.get(root, RawSink.ManifestDir)
+    org.apache.commons.io.FileUtils.deleteDirectory(manifestPath.toFile)
+    // fallback listing still sees both runs (reference-layout interop)
+    assert(sink.sealedRuns().count() == 2)
+    assert(sink.readAll().count() == 5)
+    // repair rebuilds the index with the original counts from the seals
+    assert(sink.repairManifest() == 2)
+    val m = spark.read.parquet(manifestPath.toString)
+      .select("logical_date", "record_count").as[(Date, Long)].collect().toSet
+    assert(m == Set((Date.valueOf("2024-01-01"), 3L), (Date.valueOf("2024-01-02"), 2L)))
+    // idempotent
+    assert(sink.repairManifest() == 0)
+  }
 }
