@@ -47,6 +47,38 @@ object ConfigLoader {
   def splitCustomerIds(csv: String): Seq[String] =
     csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** `.env` file loading (reference env.py:1-17, which proxies
+    * python-dotenv): `KEY=VALUE` lines, `#` comments, optional
+    * `export ` prefix, optional single/double quotes around the value.
+    * Returns the parsed map; [[envWithFile]] applies dotenv's default
+    * merge rule (the real environment wins over the file).
+    */
+  def loadEnvFile(path: java.nio.file.Path): Map[String, String] = {
+    require(java.nio.file.Files.exists(path), s".env file not found: $path")
+    scala.jdk.CollectionConverters.IteratorHasAsScala(
+      java.nio.file.Files.lines(path).iterator()).asScala
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains("="))
+      .map { l =>
+        val noExport = l.stripPrefix("export ").trim
+        val Array(k, v) = noExport.split("=", 2)
+        val unquoted = v.trim match {
+          case q if q.length >= 2 && (q.startsWith("\"") && q.endsWith("\"") ||
+            q.startsWith("'") && q.endsWith("'")) => q.substring(1, q.length - 1)
+          case other => other
+        }
+        k.trim -> unquoted
+      }
+      .toMap
+  }
+
+  /** Environment for interpolation: file values overlaid by the real
+    * environment (dotenv `override=False` semantics — an exported
+    * variable beats the file).
+    */
+  def envWithFile(path: java.nio.file.Path, base: Map[String, String] = sys.env): Map[String, String] =
+    loadEnvFile(path) ++ base
+
   /** Parse the minimal YAML subset:
     * {{{
     * source: google_ads
