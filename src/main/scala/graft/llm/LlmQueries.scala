@@ -360,6 +360,70 @@ object LlmQueries {
     q30.oracle,
   )
 
+  // q42 — ANN under the spherical k-means quantizer (index built in
+  // DataFrame ops, nprobe=2). The adaptive-quantizer counterpart of
+  // q37's sign-LSH cells: better recall on clustered corpora for a
+  // once-per-corpus build cost. Rows-only (floats); recall and
+  // determinism pinned in SimilarityPipelineSpec.
+  val q42: QuerySpec = QuerySpec(
+    "q42_ann_kmeans",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val cells = math.max(2, math.sqrt(emb.count().toDouble).toInt / 2)
+      SimilarityPipeline
+        .kmeansTopK(emb, emb.where(col("vec_id") < 5), k = 3, cells = cells, iters = 2, nprobe = 2)
+        .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "vec_id")
+    },
+    None,
+  )
+
+  // q43 — vocabulary building: corpus-wide token frequencies, top 50.
+  // The statistics pass every tokenizer/vocab pipeline runs; one
+  // explode + hash-groupBy (uniform token keys), TakeOrdered for the
+  // head. Oracle-checked.
+  val q43: QuerySpec = QuerySpec(
+    "q43_vocab_topk",
+    (s, d) =>
+      documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("w"))
+        .limit(50),
+    Some(
+      "SELECT w, count(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS w " +
+        "FROM documents) WHERE w <> '' GROUP BY 1 ORDER BY cnt DESC, w LIMIT 50"
+    ),
+  )
+
+  // q44 — the composed C4-style cleaning pipeline (dedup keep-first →
+  // token-length gate → stopword-mass gate) as one oracle-checked
+  // query: the end-to-end "make training data" pass, not just its
+  // stages.
+  val q44: QuerySpec = QuerySpec(
+    "q44_clean_pipeline",
+    (s, d) =>
+      TextPipeline
+        .cleanCorpus(documents(s, d), stopwords = Seq("the", "a", "of", "and", "to", "in", "is"),
+          minTokens = 20, maxTokens = 500, minStopwordRatio = 0.01)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("stopword_ratio"))
+        .orderBy("doc_id"),
+    Some(
+      "WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), " +
+        "scored AS (SELECT d.doc_id, d.lang, " +
+        "CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens, " +
+        "round(CAST(len(list_filter(string_split(d.text, ' '), " +
+        "w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE) " +
+        "/ len(string_split(d.text, ' ')), 4) AS stopword_ratio " +
+        "FROM documents d JOIN keep k ON d.doc_id = k.doc_id) " +
+        "SELECT doc_id, lang, n_tokens, stopword_ratio FROM scored " +
+        "WHERE n_tokens BETWEEN 20 AND 500 AND stopword_ratio >= 0.01 ORDER BY doc_id"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
+    Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
+      q41, q42, q43, q44)
 }

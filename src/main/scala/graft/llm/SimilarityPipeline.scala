@@ -135,6 +135,117 @@ object SimilarityPipeline {
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
   }
 
+  // ------------------------------------------------------------------
+  // Spherical k-means coarse quantizer — entirely DataFrame ops, no
+  // driver-side math. Where sign-LSH cells are data-independent,
+  // k-means cells ADAPT to the corpus (a natural cluster maps to its
+  // own cell even when it straddles a hyperplane), at the cost of a
+  // few extra passes at index-build time. Standard IVF practice:
+  // build once, reuse for many queries.
+  // ------------------------------------------------------------------
+
+  /** `iters` Lloyd iterations with cosine assignment (spherical
+    * k-means). Returns the final centroids as (cell, centroid) — one
+    * row per cell, array<float> centroid.
+    *
+    * Every step is relational and executor-side:
+    *  - init: k deterministic seeds (best-spread not attempted; the
+    *    xxhash64 order is stable run-to-run, which matters more here —
+    *    a retry must build the same index);
+    *  - assign: corpus ⋈ broadcast(centroids), argmax cosine per
+    *    vector via the native codegen'd [[VectorFunctions.cosine]];
+    *  - update: posexplode the assigned embeddings → per-(cell, dim)
+    *    mean → re-assemble arrays with `array_sort(collect_list)`.
+    * Centroids are localCheckpoint'ed per iteration (k tiny rows) so
+    * the lineage does not stack across iterations.
+    */
+  def kmeansCentroids(corpus: DataFrame, cells: Int, iters: Int = 3): DataFrame = {
+    require(cells > 0 && iters >= 1)
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    // init needs no checkpoint: consumed exactly once (iteration 1's
+    // assignment); every later iteration starts from a checkpointed
+    // centroid table.
+    var centroids = emb
+      .withColumn("__h", xxhash64(col("vec_id")))
+      .orderBy("__h")
+      .limit(cells)
+      .select(
+        (row_number().over(Window.orderBy("__h")) - 1).as("cell"),
+        col("embedding").as("centroid"))
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(emb, centroids)
+      val updated = assigned
+        .join(emb, "vec_id")
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("v")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(
+          col("cell"),
+          transform(col("pm"), x => x.getField("m").cast("float")).as("centroid"))
+      // a cell can lose all members; its centroid simply drops out
+      // (fewer live cells — harmless, assignment is argmax over live)
+      centroids = updated.localCheckpoint(true)
+    }
+    centroids
+  }
+
+  /** Argmax-cosine cell assignment of `emb` (vec_id, embedding) against
+    * `centroids` (cell, centroid): one broadcast join + one
+    * partial-aggregable max (map-side combined — cheaper than a window
+    * sort, which cannot partial-aggregate). Deterministic tie-break on
+    * lowest cell id via the negated-cell struct component.
+    */
+  def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame =
+    emb
+      .join(broadcast(centroids))
+      .select(
+        col("vec_id"),
+        struct(
+          VectorFunctions.cosine(col("embedding"), col("centroid")).as("cos"),
+          (-col("cell")).as("negCell")).as("sc"))
+      .groupBy("vec_id")
+      .agg(max(col("sc")).as("best"))
+      .select(col("vec_id"), (-col("best.negCell")).cast("int").as("cell"))
+
+  /** IVF top-k under the k-means quantizer with nprobe > 1: each query
+    * searches its `nprobe` nearest cells. Index build
+    * ([[kmeansCentroids]]) is the expensive once-per-corpus step; the
+    * query path is a broadcast of (query × probes) against the
+    * cell-partitioned corpus — identical join shape to [[annTopK]].
+    */
+  def kmeansTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      cells: Int,
+      iters: Int = 3,
+      nprobe: Int = 2,
+  ): DataFrame = {
+    val centroids = kmeansCentroids(corpus, cells, iters)
+    val c = corpus.join(assignCells(corpus.select(col("vec_id"), col("embedding")), centroids), "vec_id")
+    val qScored = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .join(broadcast(centroids))
+      .select(
+        col("query_id"), col("q_emb"), col("cell"),
+        VectorFunctions.cosine(col("q_emb"), col("centroid")).as("ccos"))
+    val wq = Window.partitionBy("query_id").orderBy(desc("ccos"), asc("cell"))
+    val probes = qScored
+      .withColumn("__rn", row_number().over(wq))
+      .where(col("__rn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    val scored = c
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id"),
+        VectorFunctions.cosine(col("embedding"), col("q_emb")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
+  }
+
   /** Near-dup pairs under the sign-LSH quantizer: candidates = pairs
     * whose cells agree on all bits or differ in exactly one (banded
     * join on each bit-masked key), then exact cosine ≥ `threshold`

@@ -191,6 +191,42 @@ object TextPipeline {
     }
   }
 
+  /** C4/Gopher-style corpus cleaning as ONE composed declarative
+    * pipeline — the shape an LLM-training data pass actually ships:
+    *
+    *  1. exact dedup, keep-first: the lowest doc_id survives per
+    *     `md5(text)` (hash-groupBy + semi join; uniform keys, no skew);
+    *  2. length gate: whitespace token count in [minTokens, maxTokens];
+    *  3. prose gate: stopword ratio ≥ minStopwordRatio (keyword spam
+    *     and boilerplate score near zero).
+    *
+    * Entirely built-in expressions ⇒ every predicate is codegen'd and
+    * the whole pipeline is one scan + one small dedup shuffle. At
+    * 100 TB each gate drops data BEFORE the next pays for it: Catalyst
+    * collapses the filters into the scan, and only the dedup keeps a
+    * (hash → min doc_id) table.
+    */
+  def cleanCorpus(
+      docs: DataFrame,
+      stopwords: Seq[String],
+      minTokens: Int,
+      maxTokens: Int,
+      minStopwordRatio: Double,
+  ): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val keepers = docs
+      .select(md5(col("text")).as("__h"), col("doc_id"))
+      .groupBy("__h")
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    docs
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .withColumn("n_tokens", TF.tokenCountWs(col("text")))
+      .withColumn("stopword_ratio", TF.stopwordRatio(col("text"), stopwords))
+      .where(col("n_tokens").between(minTokens, maxTokens) &&
+        col("stopword_ratio") >= minStopwordRatio)
+  }
+
   /** SimHash per doc, relational form: per-token hash, per-bit ±1 vote
     * sums in one 64-column aggregate, sign → bit. Matches
     * [[graft.functions.MinHash.simHash]] bit-for-bit (parity-tested).

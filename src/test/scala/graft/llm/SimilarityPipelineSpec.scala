@@ -101,6 +101,58 @@ class SimilarityPipelineSpec extends SparkSpec {
     }
   }
 
+  test("kmeansCentroids: deterministic, adapts to the labeled clusters, assignment improves with iterations") {
+    val cells = 10
+    val c1 = SimilarityPipeline.kmeansCentroids(emb, cells, iters = 1)
+    val c3 = SimilarityPipeline.kmeansCentroids(emb, cells, iters = 3)
+    assert(c3.count() <= cells && c3.count() >= 2)
+    assert(c3.select(size(col("centroid"))).distinct().as[Int].collect().toSeq == Seq(64))
+    // deterministic build (retry-safe index)
+    val again = SimilarityPipeline.kmeansCentroids(emb, cells, iters = 3)
+      .orderBy("cell").collect().map(_.toString)
+    assert(again.toSeq == c3.orderBy("cell").collect().map(_.toString).toSeq)
+    // Lloyd objective: mean best-cosine must not degrade with iterations
+    def objective(cent: org.apache.spark.sql.DataFrame): Double = {
+      val e = emb.select(col("vec_id"), col("embedding"))
+      e.join(broadcast(cent))
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.cosine(col("embedding"), col("centroid")).as("cos"))
+        .groupBy("vec_id").agg(max("cos").as("best"))
+        .agg(avg("best")).as[Double].head()
+    }
+    assert(objective(c3) >= objective(c1) - 1e-9,
+      s"objective degraded: iter1=${objective(c1)} iter3=${objective(c3)}")
+  }
+
+  test("kmeansTopK: exact scores, recall at least matches sign-LSH at equal probe fraction") {
+    val queries = emb.where(col("vec_id") < 5)
+    val n = emb.count()
+    // sign-LSH multiprobe visits (bits+1) of 2^bits cells; give k-means
+    // the same probe fraction so the quantizers compare fairly
+    // (bits=3 ⇒ 4/8 = 50%: cells=8, nprobe=4)
+    val km = SimilarityPipeline.kmeansTopK(emb, queries, 3, cells = 8, iters = 2, nprobe = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(km.nonEmpty && km.forall { case (q, v, _) => q != v })
+    val bf = SimilarityPipeline.bruteForceTopK(emb, queries, n.toInt)
+      .as[(Long, Long, Double)].collect()
+    val bfMap = bf.map { case (q, v, s) => (q, v) -> s }.toMap
+    assert(km.forall { case (q, v, s) => math.abs(bfMap((q, v)) - s) < 1e-9 })
+    def recall(found: Array[(Long, Long, Double)]): Double = {
+      val trueTop = bf.groupBy(_._1).map { case (q, g) =>
+        q -> g.sortBy(r => (-r._3, r._2)).take(3).map(_._2).toSet
+      }
+      val got = found.groupBy(_._1).map { case (q, g) => q -> g.map(_._2).toSet }
+      trueTop.map { case (q, t) =>
+        (t intersect got.getOrElse(q, Set.empty)).size.toDouble / t.size
+      }.sum / trueTop.size
+    }
+    val bits = SimilarityPipeline.cellBits(n)
+    val lsh = SimilarityPipeline.annTopK(emb, queries, 3, bits).as[(Long, Long, Double)].collect()
+    assert(recall(km) >= recall(lsh) - 1e-9,
+      s"kmeans recall ${recall(km)} < sign-LSH recall ${recall(lsh)}")
+    assert(recall(km) >= 0.5, s"kmeans recall@3 = ${recall(km)}")
+  }
+
   test("quantizer scale probe: per-cell pair counts stay roughly flat across corpus sizes") {
     // cells ∝ N at fixed target occupancy ⇒ Σ c_i·(c_i−1)/2 / cells
     // (the same-cell candidate-pair load) must not grow with N — the
