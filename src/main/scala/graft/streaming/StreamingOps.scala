@@ -45,6 +45,36 @@ object StreamingOps {
   def dedupWithinHorizon(events: DataFrame, idCols: Seq[String], lateness: String = "2 days"): DataFrame =
     events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(idCols)
 
+  /** q44 twin: the C4-style cleaning pipeline on an unbounded document
+    * stream. The quality gates (token-length, stopword mass) are
+    * stateless filters — identical expressions to the batch
+    * [[graft.llm.TextPipeline.cleanCorpus]] — and the exact-dedup
+    * stage becomes first-SEEN-wins within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` on the content hash; the batch
+    * form's min-doc_id winner needs a global order no stream has).
+    * State = one hash per surviving doc inside the horizon, evicted at
+    * watermark passage — bounded for an unbounded stream.
+    */
+  def cleanStream(
+      docs: DataFrame, // doc_id, text, ts
+      stopwords: Seq[String],
+      minTokens: Int,
+      maxTokens: Int,
+      minStopwordRatio: Double,
+      lateness: String = "2 days",
+  ): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    docs
+      .withColumn("n_tokens", TF.tokenCountWs(col("text")))
+      .withColumn("stopword_ratio", TF.stopwordRatio(col("text"), stopwords))
+      .where(col("n_tokens").between(minTokens, maxTokens) &&
+        col("stopword_ratio") >= minStopwordRatio)
+      .withColumn("__h", md5(col("text")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(Seq("__h"))
+      .drop("__h")
+  }
+
   /** q27 twin: session windows with a 30-minute gap per user —
     * `session_window` keeps per-user open-session state and emits when
     * the watermark passes the gap.

@@ -72,6 +72,37 @@ class StreamingOpsSpec extends SparkSpec {
     assert(sessions == Seq(1L, 2L))
   }
 
+  test("cleanStream: quality gates match batch cleanCorpus; duplicates collapse first-seen within horizon") {
+    implicit val ctx = spark.sqlContext
+    case class Doc(doc_id: Long, text: String, ts: Timestamp)
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val good = ("w " * 19).trim + " the" // 20 tokens, 1 stopword ⇒ passes both gates
+    val short = "too few tokens the"     // fails length gate
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val stream = in.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingOps
+      .cleanStream(stream, stop, minTokens = 20, maxTokens = 500, minStopwordRatio = 0.01)
+      .writeStream.format("memory").queryName("clean_t").outputMode("append").start()
+    in.addData(
+      (1L, good, ts("2024-01-01 10:00:00")),
+      (2L, short, ts("2024-01-01 10:00:01")),
+      (3L, good, ts("2024-01-01 10:00:02")), // exact duplicate of 1 ⇒ dropped
+    )
+    q.processAllAvailable()
+    val kept = spark.table("clean_t").select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(1L), s"got $kept")
+    // batch parity of the gate semantics (dedup winner differs by design:
+    // batch = min doc_id, stream = first seen)
+    val batchDf = Seq((1L, good, "en", "s", good.length.toLong),
+      (2L, short, "en", "s", short.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batchKept = graft.llm.TextPipeline
+      .cleanCorpus(batchDf, stop, 20, 500, 0.01)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(batchKept == Seq(1L))
+    q.stop()
+  }
+
   test("batch parity: streaming transforms applied to a batch frame match q28 shape") {
     val batch = Seq(
       Ev(ts("2024-01-01 10:05:00"), 1L, 1.5),
