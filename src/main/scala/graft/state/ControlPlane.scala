@@ -108,18 +108,34 @@ object ControlPlane {
 
   /** Mark-terminal sweep (cli.py:493-577): stamp the `[terminal]`
     * marker (idempotently, X6) on failed partitions matching the
-    * filters so the retry daemon skips them permanently.
+    * filters so the retry daemon skips them permanently. Mirrors the
+    * reference's rails: refusing a fully-unfiltered sweep without
+    * `force` (cli.py:523-525), plus the bulk threshold.
     */
   def markTerminalPlan(
       states: DataFrame,
       updatedAt: java.sql.Timestamp,
       minAttempts: Long = 0L,
+      customerId: Option[String] = None,
+      queryName: Option[String] = None,
+      since: Option[java.sql.Date] = None,
+      until: Option[java.sql.Date] = None,
       force: Boolean = false,
   ): DataFrame = {
-    val delta = states
+    if (customerId.isEmpty && queryName.isEmpty && since.isEmpty && until.isEmpty &&
+      minAttempts == 0L && !force)
+      throw new IllegalArgumentException(
+        "refusing to mark ALL failed partitions terminal without filters; " +
+          "provide a filter or pass force=true (cli.py:523-525)")
+    var df = states
       .where(col("status") === PartitionState.Failed)
       .where(col("attempt_count") >= minAttempts)
       .where(!EtlFunctions.isTerminal(col("error_message")))
+    customerId.foreach(v => df = df.where(col("customer_id") === v))
+    queryName.foreach(v => df = df.where(col("query_name") === v))
+    since.foreach(v => df = df.where(col("logical_date") >= v))
+    until.foreach(v => df = df.where(col("logical_date") <= v))
+    val delta = df
       .withColumn("error_message",
         EtlFunctions.markTerminal(coalesce(col("error_message"), lit("marked by control plane"))))
       .withColumn("updated_at", lit(updatedAt))

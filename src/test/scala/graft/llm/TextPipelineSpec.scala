@@ -72,7 +72,7 @@ class TextPipelineSpec extends SparkSpec {
       df.select(col("da"), col("db"), round(col("jac"), 4).as("j"))
         .as[(Long, Long, Double)].collect().toSet
     val exact = norm(TextPipeline.exactJaccardPairs(docs, 3, 0.5))
-    val cascade = norm(TextPipeline.dedupCascade(docs, 3, 64, 32, 2, 0.5))
+    val cascade = norm(TextPipeline.dedupCascade(docs, 3, 64, 16, 4, 0.5))
     assert(cascade == exact,
       s"cascade missed ${exact -- cascade}, extra ${cascade -- exact}")
   }

@@ -137,7 +137,20 @@ class ControlPlaneSpec extends SparkSpec {
     val msgs = plan.select("error_message").as[String].collect()
     assert(msgs.length == 4 && msgs.forall(_ == "[terminal] boom"))
     // already-terminal rows are not re-marked
-    assert(ControlPlane.markTerminalPlan(failedStates(4, terminal = true), ts).count() == 0)
+    assert(ControlPlane.markTerminalPlan(failedStates(4, terminal = true), ts,
+      minAttempts = 1).count() == 0)
+    // customer / query / date filters narrow the sweep (cli.py:495-517)
+    assert(ControlPlane.markTerminalPlan(failedStates(4), ts,
+      customerId = Some("c2")).count() == 1)
+    assert(ControlPlane.markTerminalPlan(failedStates(4), ts,
+      queryName = Some("nope")).count() == 0)
+    assert(ControlPlane.markTerminalPlan(failedStates(4), ts,
+      since = Some(Date.valueOf("2024-01-01")), until = Some(Date.valueOf("2024-01-01"))).count() == 4)
+    // unfiltered sweep refuses without force (cli.py:523-525)
+    val e = intercept[IllegalArgumentException](
+      ControlPlane.markTerminalPlan(failedStates(2), ts))
+    assert(e.getMessage.contains("force"))
+    assert(ControlPlane.markTerminalPlan(failedStates(2), ts, force = true).count() == 2)
   }
 
   test("backfillPendingRows enumerates missing dates as pending rows with rails") {
