@@ -79,6 +79,24 @@ object ConfigLoader {
   def envWithFile(path: java.nio.file.Path, base: Map[String, String] = sys.env): Map[String, String] =
     loadEnvFile(path) ++ base
 
+  /** Credential-block validation (google_ads_client.py:11-49): gather
+    * `<PREFIX>_<FIELD>` for every required field, reporting ALL missing
+    * keys in one actionable error rather than failing on the first —
+    * the reference's operator-experience contract for client setup.
+    */
+  def requiredEnv(
+      prefix: String,
+      fields: Seq[String],
+      env: Map[String, String] = sys.env,
+  ): Map[String, String] = {
+    val keyed = fields.map(f => f -> s"${prefix.toUpperCase}_$f")
+    val missing = keyed.collect { case (_, k) if env.get(k).forall(_.isEmpty) => k }
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Missing environment variables: ${missing.sorted.mkString(", ")}")
+    keyed.map { case (f, k) => f -> env(k) }.toMap
+  }
+
   /** Parse the minimal YAML subset:
     * {{{
     * source: google_ads

@@ -37,6 +37,17 @@ class EnvInspectSpec extends SparkSpec {
     assert(e.getMessage.contains(".env"))
   }
 
+  test("requiredEnv reports ALL missing prefixed keys in one error (client setup contract)") {
+    val env = Map("GOOGLE_ADS_DEVELOPER_TOKEN" -> "t", "GOOGLE_ADS_CLIENT_ID" -> "id")
+    val fields = Seq("DEVELOPER_TOKEN", "CLIENT_ID", "CLIENT_SECRET", "REFRESH_TOKEN")
+    val e = intercept[IllegalArgumentException](
+      ConfigLoader.requiredEnv("google_ads", fields, env))
+    assert(e.getMessage.contains("GOOGLE_ADS_CLIENT_SECRET") &&
+      e.getMessage.contains("GOOGLE_ADS_REFRESH_TOKEN"))
+    val ok = ConfigLoader.requiredEnv("google_ads", Seq("DEVELOPER_TOKEN"), env)
+    assert(ok == Map("DEVELOPER_TOKEN" -> "t"))
+  }
+
   private def states = Seq(
     ("google_ads", "c1", "campaign_daily", Date.valueOf("2024-01-01"), "success",
       "r1", "v1", 42L, Timestamp.valueOf("2024-01-02 03:04:05"), null: String, 1L),
