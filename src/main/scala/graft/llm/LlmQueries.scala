@@ -425,7 +425,70 @@ object LlmQueries {
     ),
   )
 
+  // q45 — multimodal metadata pass through graft.multimodal.mediaStats:
+  // a media table is derived deterministically from documents (text
+  // bytes as the opaque blob, kind/format from doc_id, dimensions from
+  // n_chars) so the metadata path is ORACLE-checked — the decode path
+  // stays ScalaTest-only (no codec libs in the container). The plan
+  // must never touch the binary column: mediaStats groups on declared
+  // metadata only, and column pruning drops `bytes` from the scan.
+  val q45: QuerySpec = QuerySpec(
+    "q45_media_stats",
+    (s, d) => {
+      val kinds = array(lit("image"), lit("audio"), lit("video"))
+      val formats = array(lit("png"), lit("wav"), lit("mp4"))
+      val idx = (col("doc_id") % 3 + 1).cast("int")
+      val media = documents(s, d).select(
+        col("doc_id"),
+        element_at(kinds, idx).as("kind"),
+        element_at(formats, idx).as("format"),
+        (col("n_chars") % 1920).cast("int").as("width"),
+        ((col("n_chars") * 3) % 1080).cast("int").as("height"),
+        col("text").cast("binary").as("bytes"),
+      )
+      graft.multimodal.Multimodal.mediaStats(media)
+        .select(col("kind"), col("format"), col("n"),
+          col("max_w").cast("long").as("max_w"), col("max_h").cast("long").as("max_h"))
+    },
+    Some(
+      "SELECT kind, format, count(*) AS n, CAST(max(width) AS BIGINT) AS max_w, " +
+        "CAST(max(height) AS BIGINT) AS max_h FROM (" +
+        "SELECT (['image','audio','video'])[(doc_id % 3) + 1] AS kind, " +
+        "(['png','wav','mp4'])[(doc_id % 3) + 1] AS format, " +
+        "n_chars % 1920 AS width, (n_chars * 3) % 1080 AS height FROM documents) " +
+        "GROUP BY 1, 2 ORDER BY kind, format"
+    ),
+  )
+
+  // q46 — skew-salted join, oracle-proven: the deterministic salting in
+  // graft.ops.Skew must be INVISIBLE in the result (same rows as the
+  // plain join, which is exactly what the unsalted oracle SQL
+  // computes), while spreading each hot key over `salts` reducer
+  // partitions. event_type has 5 values over 10k+ events — a genuinely
+  // skewed join key.
+  val q46: QuerySpec = QuerySpec(
+    "q46_skew_salted_join",
+    (s, d) => {
+      val ev = events(s, d).select(col("event_type"), col("value"))
+      val dim = ev.select(col("event_type")).distinct()
+        .withColumn("weight", length(col("event_type")).cast("long"))
+      graft.ops.Skew.saltedInnerJoin(ev, dim, Seq("event_type"), salts = 8)
+        .groupBy("event_type", "weight")
+        .agg(count(lit(1)).as("n"), dsum("value").as("sum_value"))
+        .select(col("event_type"), col("weight"), col("n"),
+          round(col("sum_value") * col("weight"), 2).as("weighted"))
+        .orderBy("event_type")
+    },
+    Some(
+      "WITH dim AS (SELECT DISTINCT event_type, CAST(length(event_type) AS BIGINT) AS weight FROM events) " +
+        "SELECT e.event_type, d.weight, count(*) AS n, " +
+        s"round(${dsumSql("e.value")} * d.weight, 2) AS weighted " +
+        "FROM events e JOIN dim d ON e.event_type = d.event_type " +
+        "GROUP BY 1, 2 ORDER BY e.event_type"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42, q43, q44)
+      q41, q42, q43, q44, q45, q46)
 }
