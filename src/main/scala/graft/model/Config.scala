@@ -55,8 +55,11 @@ object ConfigLoader {
     */
   def loadEnvFile(path: java.nio.file.Path): Map[String, String] = {
     require(java.nio.file.Files.exists(path), s".env file not found: $path")
-    scala.jdk.CollectionConverters.IteratorHasAsScala(
-      java.nio.file.Files.lines(path).iterator()).asScala
+    // readAllLines (not Files.lines): the stream variant holds the file
+    // descriptor until close(), which a drained iterator never calls
+    scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(path)).asScala
+      .iterator
       .map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains("="))
       .map { l =>

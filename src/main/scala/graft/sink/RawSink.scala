@@ -213,6 +213,13 @@ final class RawSink(spark: SparkSession, root: String) {
     * regardless of partition count); falls back to a recursive
     * directory listing for manifest-less sinks (reference-written
     * trees, or pre-manifest layouts).
+    *
+    * Once a manifest exists it is authoritative: a MANIFEST-UNAWARE
+    * writer (the reference Python sink) sealing runs into the same
+    * root afterwards leaves them unindexed — run [[repairManifest]]
+    * after any foreign write to reconcile. Mixed-writer roots are an
+    * interop scenario, not the normal deployment (graft's own
+    * `writeRun` always appends the index).
     */
   def sealedRuns(): DataFrame =
     manifestFiles() match {
@@ -353,24 +360,49 @@ object RawSink {
   }
 
   /** Executor-side metadata-last seal write. `overwrite = false` makes
-    * the create an atomic claim; an already-present seal is tolerated
-    * (task retry re-claiming its own deterministic content — foreign
-    * runs were rejected by the pre-write K3 check).
+    * the create an atomic claim. An already-present seal is tolerated
+    * ONLY when its content is byte-identical to what this task would
+    * write — that is a task retry re-claiming its own deterministic
+    * output. A differing seal (another writer's run with the same
+    * run_id but different counts — outside the run-fence contract,
+    * where run ids are minted uniquely per attempt) throws instead of
+    * silently double-writing. Narrow catch: only already-exists
+    * failures are inspected; unrelated IO errors (missing parent dir,
+    * permissions) propagate and fail the write job before the manifest
+    * is appended.
     */
   private[sink] def writeSealFile(
       conf: org.apache.hadoop.conf.Configuration, root: String, s: SealRow): Unit = {
     val dir = runDirPath(root, s)
     val fs = dir.getFileSystem(conf)
+    val sealPath = new Path(dir, SealFile)
     val json =
       s"""{"record_count":${s.record_count},"schema_version":"${s.schema_version}",""" +
         s""""run_id":"${s.run_id}","sealed":true}"""
+    def existingMatches(): Boolean = {
+      val in = fs.open(sealPath)
+      val existing =
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      existing == json
+    }
+    def verifyOrThrow(): Unit =
+      if (!existingMatches())
+        throw new IllegalStateException(
+          s"seal conflict at $sealPath: existing seal differs from this run's " +
+            "(concurrent writers sharing a run_id violate the run-fence contract)")
     try {
-      val out = fs.create(new Path(dir, SealFile), false)
+      val out = fs.create(sealPath, false)
       try out.write(json.getBytes(StandardCharsets.UTF_8))
       finally out.close()
     } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => () // idempotent retry
-      case e: java.io.IOException if e.getMessage != null && e.getMessage.contains("exist") => ()
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => verifyOrThrow()
+      case e: java.io.IOException
+          if e.getMessage != null &&
+            e.getMessage.toLowerCase.contains("already exists") && fs.exists(sealPath) =>
+        // RawLocalFileSystem signals an existing file with a generic
+        // IOException; confirm and apply the same content check
+        verifyOrThrow()
     }
   }
 

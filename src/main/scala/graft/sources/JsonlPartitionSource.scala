@@ -55,10 +55,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Scale notes: listing walks the directory tree on the driver — the
   * same cost class as Spark's built-in `InMemoryFileIndex` — and each
-  * sealed file becomes one input partition processed executor-side.
-  * Readers open files with a fresh Hadoop `Configuration`, so schemes
-  * needing session credentials (s3a) should instead be read through the
-  * parquet sink path.
+  * sealed file becomes one input partition processed executor-side,
+  * opened with the session's Hadoop configuration (shipped via
+  * [[org.apache.spark.sql.graftshim.ConfShim]], so credentialed
+  * schemes like s3a work).
   */
 class JsonlPartitionSource extends TableProvider {
 
@@ -92,15 +92,25 @@ object JsonlPartitionSource {
       case c => StructField(c, StringType, nullable = false)
     }
 
-  /** Payload fields (strings, first-record keys) + partition columns. */
+  /** Payload fields (strings, first-record keys) + partition columns.
+    * Skips empty payload files (a sealed zero-record run is legal);
+    * errors actionably when no sealed file holds a record.
+    */
   private[sources] def inferred(root: String): StructType = {
     val files = listSealed(root, Array.empty)
     require(files.nonEmpty, s"no sealed jsonl partitions under $root")
     val fs = new Path(root).getFileSystem(hadoopConf())
-    val in = fs.open(new Path(files.head.file))
-    val firstLine =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next()
-      finally in.close()
+    val firstLine = files.iterator
+      .map { f =>
+        val in = fs.open(new Path(f.file))
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .find(_.trim.nonEmpty)
+        finally in.close()
+      }
+      .collectFirst { case Some(line) => line }
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot infer schema: every sealed payload under $root is empty; " +
+          "pass an explicit schema via .schema(...)"))
     val keys = new ObjectMapper().readTree(firstLine).fieldNames().asScala.toSeq
     StructType(
       keys.filterNot(PartitionCols.contains).map(StructField(_, StringType, nullable = true)) ++
@@ -143,11 +153,24 @@ object JsonlPartitionSource {
     walk(rootPath, Map.empty, 0)
   }
 
-  /** Can this filter be pruned against directory values (i.e. does it
-    * reference only partition columns)?
+  /** Can this filter be claimed as fully pushed? Only when EVERY node
+    * is a shape [[partitionFilterAdmits]] evaluates exactly against
+    * directory values. Claiming anything looser (Or/Not/StartsWith over
+    * partition columns) would be a correctness bug: Spark removes
+    * claimed filters from the post-scan plan, and the conservative
+    * `admit` fallback would return unfiltered rows as if they matched.
     */
-  private[sources] def isPartitionFilter(f: Filter): Boolean =
-    f.references.nonEmpty && f.references.forall(PartitionCols.contains)
+  private[sources] def isPartitionFilter(f: Filter): Boolean = f match {
+    case EqualTo(c, _) => PartitionCols.contains(c)
+    case GreaterThan(c, _) => PartitionCols.contains(c)
+    case GreaterThanOrEqual(c, _) => PartitionCols.contains(c)
+    case LessThan(c, _) => PartitionCols.contains(c)
+    case LessThanOrEqual(c, _) => PartitionCols.contains(c)
+    case In(c, _) => PartitionCols.contains(c)
+    case IsNotNull(c) => PartitionCols.contains(c)
+    case And(l, r) => isPartitionFilter(l) && isPartitionFilter(r)
+    case _ => false
+  }
 
   /** Conservative directory admission: a directory is pruned only when
     * the filter provably excludes its value. Comparisons are
@@ -171,9 +194,9 @@ object JsonlPartitionSource {
       case IsNotNull(c) if c == colName => true // dir value is never null
       case And(l, r) =>
         partitionFilterAdmits(l, colName, value) && partitionFilterAdmits(r, colName, value)
-      // Or/Not over a single partition column could prune too, but the
-      // conservative answer (keep the directory) is always correct:
-      // Spark re-applies every filter post-scan.
+      // Anything else (incl. Or/Not over partition columns) is NOT
+      // claimed by isPartitionFilter, so Spark re-applies it post-scan;
+      // admitting the directory here is therefore always correct.
       case _ => true
     }
   }
@@ -230,24 +253,30 @@ class JsonlScan(path: String, requiredSchema: StructType, pushed: Array[Filter])
   override def planInputPartitions(): Array[InputPartition] =
     JsonlPartitionSource.listSealed(path, pushed).toArray
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new JsonlReaderFactory(requiredSchema)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // capture the session Hadoop conf driver-side so executor readers
+    // open files with the session's credentials/fs settings
+    val confFactory = org.apache.spark.sql.graftshim.ConfShim.confFactory(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    new JsonlReaderFactory(requiredSchema, confFactory)
+  }
 }
 
-class JsonlReaderFactory(schema: StructType) extends PartitionReaderFactory {
+class JsonlReaderFactory(schema: StructType, confFactory: () => Configuration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new JsonlReader(partition.asInstanceOf[JsonlFilePartition], schema)
+    new JsonlReader(partition.asInstanceOf[JsonlFilePartition], schema, confFactory())
 }
 
 /** Executor-side line reader: Jackson-parse each JSONL record,
   * projecting only the required payload fields; partition-column values
   * come from the directory path (logical_date as epoch days).
   */
-class JsonlReader(p: JsonlFilePartition, schema: StructType)
+class JsonlReader(p: JsonlFilePartition, schema: StructType, conf: Configuration)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val fs = new Path(p.file).getFileSystem(new Configuration())
+  private val fs = new Path(p.file).getFileSystem(conf)
   private val in = fs.open(new Path(p.file))
   private val lines = scala.io.Source.fromInputStream(in, StandardCharsets.UTF_8.name()).getLines()
   private var current: InternalRow = _

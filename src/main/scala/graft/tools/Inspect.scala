@@ -23,22 +23,30 @@ object Inspect {
     * "json".
     */
   def formatStates(states: DataFrame, format: String = "table", limit: Int = 1000): String = {
-    val cols = Seq("source", "customer_id", "query_name", "logical_date",
-      "status", "current_run_id", "record_count", "updated_at")
-    val rows = states
-      .select(
-        col("source"), col("customer_id"), col("query_name"),
-        col("logical_date").cast("string"),
-        col("status"),
-        coalesce(col("current_run_id"), lit("-")),
-        col("record_count").cast("string"),
-        date_format(col("updated_at"), "yyyy-MM-dd'T'HH:mm:ss").as("updated_at"),
-      )
-      .limit(limit)
-      .collect()
-    if (rows.isEmpty) "No partition state records found."
-    else if (format == "json") toJsonArray(states.limit(limit))
-    else plainTable(cols, rows)
+    // One collect per call: the limit() subset of an unordered frame is
+    // not deterministic across evaluations, so the emptiness check and
+    // the rendered rows must come from the SAME job.
+    if (format == "json") {
+      val rows = states.limit(limit).toJSON.collect()
+      if (rows.isEmpty) "No partition state records found."
+      else rows.mkString("[", ",", "]")
+    } else {
+      val cols = Seq("source", "customer_id", "query_name", "logical_date",
+        "status", "current_run_id", "record_count", "updated_at")
+      val rows = states
+        .select(
+          col("source"), col("customer_id"), col("query_name"),
+          col("logical_date").cast("string"),
+          col("status"),
+          coalesce(col("current_run_id"), lit("-")),
+          col("record_count").cast("string"),
+          date_format(col("updated_at"), "yyyy-MM-dd'T'HH:mm:ss").as("updated_at"),
+        )
+        .limit(limit)
+        .collect()
+      if (rows.isEmpty) "No partition state records found."
+      else plainTable(cols, rows)
+    }
   }
 
   /** Render a consumer preview (consumer_preview.py:55-102): a summary
@@ -52,6 +60,11 @@ object Inspect {
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("sample_rows"))
       .orderBy(keyCols.map(col): _*)
+    if (format == "json") {
+      val rows = summaryDf.toJSON.collect()
+      return if (rows.isEmpty) "No authoritative partitions found."
+      else rows.mkString("[", ",", "]")
+    }
     val summary = summaryDf
       .select(
         col("source"), col("customer_id"), col("query_name"),
@@ -60,7 +73,6 @@ object Inspect {
       )
       .collect()
     if (summary.isEmpty) "No authoritative partitions found."
-    else if (format == "json") toJsonArray(summaryDf)
     else {
       val head = plainTable(
         Seq("source", "customer_id", "query_name", "logical_date", "run_id", "sample_rows"),
@@ -79,12 +91,6 @@ object Inspect {
       s"$head\n\n$samples"
     }
   }
-
-  /** Spark's per-row toJSON joined into a single indent-free array —
-    * machine surface, field order = column order.
-    */
-  private def toJsonArray(df: DataFrame): String =
-    df.toJSON.collect().mkString("[", ",", "]")
 
   private def plainTable(headers: Seq[String], rows: Array[Row]): String = {
     val cells: Seq[Seq[String]] =

@@ -146,6 +146,19 @@ class RawSinkSpec extends SparkSpec {
       (Date.valueOf("2024-01-01"), "r2")))
   }
 
+  test("seal re-claim: identical content tolerated (task retry), differing content throws") {
+    val root = freshRoot()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val row = RawSink.SealRow("s", "c", "q", Date.valueOf("2024-01-01"), 5L, "r1", "v1")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(RawSink.runDirPath(root, row).toString))
+    RawSink.writeSealFile(conf, root, row)
+    RawSink.writeSealFile(conf, root, row) // identical retry: no throw
+    val conflicting = row.copy(record_count = 99L)
+    val e = intercept[IllegalStateException](RawSink.writeSealFile(conf, root, conflicting))
+    assert(e.getMessage.contains("seal conflict"))
+  }
+
   test("repairManifest reconciles a lost index from the directory tree") {
     val root = freshRoot()
     val sink = new RawSink(spark, root)

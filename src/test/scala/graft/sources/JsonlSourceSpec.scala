@@ -87,6 +87,38 @@ class JsonlSourceSpec extends SparkSpec {
     assert(scanned.distinct().count() == 12)
   }
 
+  test("unpushable partition-column filters (Not/Or) still evaluate correctly post-scan") {
+    // Not(EqualTo) over a partition column must NOT be claimed as
+    // pushed: the lister admits every directory for it and Spark has to
+    // re-apply the filter to rows — claiming it would silently return
+    // non-matching rows (round-2 review regression).
+    val ne = sinkDf.where(col("customer_id") =!= "c1")
+    assert(ne.count() == 6)
+    assert(ne.select("customer_id").distinct().as[String].collect().toSeq == Seq("c2"))
+    val or = sinkDf.where(col("logical_date") === "2024-01-01" || col("customer_id") === "c2")
+    assert(or.count() == 8) // 4 (both customers 01-01) + 6 (c2 all) − 2 overlap
+    import org.apache.spark.sql.sources.Not
+    assert(!JsonlPartitionSource.isPartitionFilter(
+      Not(EqualTo("customer_id", "c1"))), "Not must not be claimed")
+  }
+
+  test("schema inference skips empty sealed payload files") {
+    val r = Files.createTempDirectory("jsonl_empty")
+    def runDir(d: String) = r.resolve(
+      s"source=g/customer_id=c/query_name=q/logical_date=$d/run_id=r1")
+    // first-listed partition: sealed but EMPTY payload (0 records)
+    Files.createDirectories(runDir("2024-01-01"))
+    Files.writeString(runDir("2024-01-01").resolve("payload.jsonl"), "")
+    Files.writeString(runDir("2024-01-01").resolve("_SEAL.json"), """{"sealed":true}""")
+    Files.createDirectories(runDir("2024-01-02"))
+    Files.writeString(runDir("2024-01-02").resolve("payload.jsonl"),
+      """{"x":"1","__query_name":"q"}""" + "\n")
+    Files.writeString(runDir("2024-01-02").resolve("_SEAL.json"), """{"sealed":true}""")
+    val df = graft.ops.Extraction.readSink(spark, r.toString)
+    assert(df.columns.contains("x"))
+    assert(df.count() == 1)
+  }
+
   test("compileSink: declared fields + date window through the connector (S1+S2)") {
     val q = graft.model.QueryDefinition(
       "campaign_daily", "campaign", "segments.date", Seq("campaign.id", "clicks"))
