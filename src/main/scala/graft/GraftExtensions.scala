@@ -30,5 +30,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FloatVecCosine(children.head, children(1))
       },
     ))
+    // Column-composition functions surfaced to SQL: the builder wraps
+    // child expressions as Columns, applies the library composition,
+    // and unwraps — so SQL users get the exact same expression trees
+    // as the Scala API (ColumnShim round-trip, no UDFs anywhere).
+    def injectComposed(name: String, arity: Int)(build: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(getClass.getName, name),
+        (children: Seq[Expression]) => {
+          require(children.size == arity, s"$name takes exactly $arity argument(s)")
+          org.apache.spark.sql.graftshim.ColumnShim.expression(
+            build(children.map(org.apache.spark.sql.graftshim.ColumnShim.column)))
+        },
+      ))
+    import graft.functions.{TextFunctions => TF}
+    injectComposed("graft_token_count", 1)(cs => TF.tokenCountWs(cs.head))
+    injectComposed("graft_quality_score", 1)(cs =>
+      TF.qualityScore(cs.head, Seq("the", "a", "of", "and", "to", "in", "is")))
+    injectComposed("graft_lang_id", 1)(cs => TF.langId(cs.head))
+    injectComposed("graft_doc_fingerprint", 1)(cs => TF.prefixFingerprint(cs.head, 8))
   }
 }

@@ -12,5 +12,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
   */
 object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
-  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Column → Expression via the classic converter, which recursively
+    * rewrites the Column-node tree into catalyst expressions
+    * (functions become `UnresolvedFunction`s the analyzer resolves).
+    * `ExpressionUtils.expression`'s lazy `ColumnNodeExpression` wrapper
+    * only converts on Dataset API paths — handed to other surfaces
+    * (e.g. a SQL FunctionBuilder) it reaches codegen unconverted and
+    * throws `Unevaluable`.
+    */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

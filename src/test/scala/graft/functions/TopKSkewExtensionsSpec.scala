@@ -84,6 +84,17 @@ class GraftExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       val err = intercept[Exception](spark.sql("SELECT vec_dot(a) FROM v").collect())
       assert(err.getMessage.toLowerCase.contains("two arguments") ||
         err.getMessage.toLowerCase.contains("vec_dot"))
+      // composed text functions reach SQL with the same trees as the
+      // Column API
+      Seq(Tuple1("the cat sat on the mat and it was happy"))
+        .toDF("text").createOrReplaceTempView("t")
+      val tr = spark.sql(
+        "SELECT graft_token_count(text) AS n, graft_lang_id(text) AS l, " +
+          "graft_quality_score(text) AS q, graft_doc_fingerprint(text) AS fp FROM t").head()
+      assert(tr.getLong(0) == 10L)
+      assert(tr.getString(1) == "en")
+      assert(tr.getDouble(2) >= 0.0 && tr.getDouble(2) <= 1.0)
+      assert(tr.getString(3).length == 32) // md5 hex
     } finally {
       spark.catalog.dropTempView("v")
       SparkSession.setDefaultSession(shared)
