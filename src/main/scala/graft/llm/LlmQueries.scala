@@ -488,7 +488,38 @@ object LlmQueries {
     ),
   )
 
+  // q47 — as-of join (graft.ops.AsOf): each click event looks up the
+  // user's latest purchase at-or-before its timestamp. Union-tag + one
+  // window pass (single shuffle on user_id, no range explosion) —
+  // oracle-checked against DuckDB's native ASOF JOIN, which pins the
+  // tie/inclusivity semantics exactly.
+  val q47: QuerySpec = QuerySpec(
+    "q47_asof_join",
+    (s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("ts")).as("purchase_us"), round(col("value"), 4).as("purchase_value"))
+      graft.ops.AsOf.asOfJoin(
+        clicks, purchases,
+        keys = Seq("user_id"), tsCol = "ts_us",
+        rightValueCols = Seq("purchase_us", "purchase_value"))
+        .select("event_id", "user_id", "ts_us", "purchase_us", "purchase_value")
+        .orderBy("event_id")
+    },
+    Some(
+      "WITH a AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'), " +
+        "b AS (SELECT user_id, epoch_us(ts) AS purchase_us, round(value, 4) AS purchase_value " +
+        "FROM events WHERE event_type = 'purchase') " +
+        "SELECT a.event_id, a.user_id, a.ts_us, b.purchase_us, b.purchase_value " +
+        "FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts_us >= b.purchase_us " +
+        "ORDER BY a.event_id"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42, q43, q44, q45, q46)
+      q41, q42, q43, q44, q45, q46, q47)
 }

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val left = Seq(
+    (1L, 100L, "l1"), (1L, 200L, "l2"), (1L, 300L, "l3"),
+    (2L, 150L, "l4"), // user with no matching right rows before 150
+    (3L, 50L, "l5"), // user with no right rows at all
+  ).toDF("user_id", "ts", "tag")
+
+  private val right = Seq(
+    (1L, 100L, 10.0, 1000L), // equal-ts: visible to l1 inclusively
+    (1L, 250L, 20.0, 1001L),
+    (2L, 400L, 30.0, 1002L), // after l4 — never visible to it
+  ).toDF("user_id", "ts", "price", "rid")
+
+  test("inclusive as-of: latest right row at-or-before each left ts; nulls when none") {
+    val out = AsOf.asOfJoin(left, right, Seq("user_id"), "ts",
+      rightValueCols = Seq("price"), rightTieBreak = Some("rid"))
+      .select("tag", "price").as[(String, Option[Double])].collect().toMap
+    assert(out == Map(
+      "l1" -> Some(10.0), // equal ts matches
+      "l2" -> Some(10.0),
+      "l3" -> Some(20.0),
+      "l4" -> None,
+      "l5" -> None,
+    ))
+  }
+
+  test("strict as-of: equal-ts right row is NOT visible") {
+    val out = AsOf.asOfJoin(left, right, Seq("user_id"), "ts",
+      rightValueCols = Seq("price"), rightTieBreak = Some("rid"), strict = true)
+      .select("tag", "price").as[(String, Option[Double])].collect().toMap
+    assert(out("l1").isEmpty) // ts=100 right row excluded under <
+    assert(out("l2") == Some(10.0))
+  }
+
+  test("right-side ties at one ts resolve deterministically to the max tiebreak") {
+    val tied = Seq((1L, 100L, 1.0, 7L), (1L, 100L, 2.0, 9L), (1L, 100L, 3.0, 8L))
+      .toDF("user_id", "ts", "price", "rid")
+    val probe = Seq((1L, 100L, "p")).toDF("user_id", "ts", "tag")
+    val out = AsOf.asOfJoin(probe, tied, Seq("user_id"), "ts",
+      rightValueCols = Seq("price"), rightTieBreak = Some("rid"))
+      .select("price").as[Double].collect().toSeq
+    assert(out == Seq(2.0)) // rid 9 wins
+  }
+
+  test("plans as one shuffle on the key (no range join, no cartesian)") {
+    val out = AsOf.asOfJoin(left, right, Seq("user_id"), "ts",
+      rightValueCols = Seq("price"), rightTieBreak = Some("rid"))
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not plan a product join:\n$plan")
+    val shuffles = out.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+    }
+    assert(shuffles.size <= 2, s"expected union+window shuffle shape, got ${shuffles.size}")
+  }
+}
