@@ -519,7 +519,41 @@ object LlmQueries {
     ),
   )
 
+  // q48 — range join (graft.ops.RangeJoin): every click inside the
+  // one-hour attribution window after any purchase by the same user.
+  // Bucketed equijoin (intervals explode into covered 1h buckets, join
+  // on (user, bucket), exact containment filter) instead of the
+  // BroadcastNestedLoopJoin Spark would plan for the raw range
+  // predicate. Oracle: the plain BETWEEN join in DuckDB.
+  val q48: QuerySpec = QuerySpec(
+    "q48_range_join",
+    (s, d) => {
+      val hourUs = 3600L * 1000000L
+      val ev = events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), unix_micros(col("ts")).as("ts_us"))
+      val windows = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts")) + hourUs).as("end_us"))
+      graft.ops.RangeJoin.bucketedRangeJoin(
+        clicks, windows, keys = Seq("user_id"),
+        pointCol = "ts_us", startCol = "start_us", endCol = "end_us",
+        bucketWidth = hourUs)
+        .select("user_id", "click_id", "purchase_id", "ts_us", "start_us")
+        .orderBy("click_id", "purchase_id")
+    },
+    Some(
+      "WITH a AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'), " +
+        "b AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS start_us, " +
+        "epoch_us(ts) + 3600000000 AS end_us FROM events WHERE event_type = 'purchase') " +
+        "SELECT a.user_id, a.click_id, b.purchase_id, a.ts_us, b.start_us " +
+        "FROM a JOIN b ON a.user_id = b.user_id AND a.ts_us >= b.start_us AND a.ts_us < b.end_us " +
+        "ORDER BY a.click_id, b.purchase_id"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42, q43, q44, q45, q46, q47)
+      q41, q42, q43, q44, q45, q46, q47, q48)
 }
