@@ -49,8 +49,14 @@ object AsOf {
     // side order at equal ts: inclusive ⇒ right sorts BEFORE left (its
     // values are visible); strict ⇒ right sorts AFTER left.
     val (rightSide, leftSide) = if (strict) (1, 0) else (0, 1)
+    // All right values travel in ONE struct: a single last(ignoreNulls)
+    // then cannot tear a match across columns when an individual right
+    // value is legitimately null (per-column fills could pair one
+    // row's timestamp with an older row's value). Also keeps the plan
+    // at exactly one window expression regardless of value-col count.
     val r = right.select(
-      (keys :+ tsCol).map(col) ++ rightValueCols.map(col) :+
+      (keys :+ tsCol).map(col) :+
+        struct(rightValueCols.map(col): _*).as("__rv") :+
         lit(rightSide).as("__side") :+
         rightTieBreak.map(col).getOrElse(lit(0L)).cast("long").as("__rtb"): _*)
     val l = left.withColumn("__side", lit(leftSide))
@@ -61,11 +67,12 @@ object AsOf {
       .partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc, col("__rtb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightValueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val filled = unioned.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+    val unpacked = rightValueCols.foldLeft(filled) { (df, c) =>
+      df.withColumn(c, col("__rv").getField(c))
     }
-    filled
+    unpacked
       .where(col("__side") === leftSide)
-      .drop("__side", "__rtb")
+      .drop("__side", "__rtb", "__rv")
   }
 }

@@ -50,6 +50,21 @@ class AsOfSpec extends SparkSpec {
     assert(out == Seq(2.0)) // rid 9 wins
   }
 
+  test("a null right value must not tear the match across columns") {
+    // right row at ts=200 has a NULL price but a valid note: the probe
+    // at 250 must see (null, "n2") — NOT price 5.0 from ts=100 paired
+    // with note "n2" from ts=200.
+    val r = Seq(
+      (1L, 100L, Some(5.0), "n1", 1L),
+      (1L, 200L, None: Option[Double], "n2", 2L),
+    ).toDF("user_id", "ts", "price", "note", "rid")
+    val probe = Seq((1L, 250L, "p")).toDF("user_id", "ts", "tag")
+    val out = AsOf.asOfJoin(probe, r, Seq("user_id"), "ts",
+      rightValueCols = Seq("price", "note"), rightTieBreak = Some("rid"))
+      .select("price", "note").as[(Option[Double], String)].collect().toSeq
+    assert(out == Seq((None, "n2")), s"torn match: $out")
+  }
+
   test("plans as one shuffle on the key (no range join, no cartesian)") {
     val out = AsOf.asOfJoin(left, right, Seq("user_id"), "ts",
       rightValueCols = Seq("price"), rightTieBreak = Some("rid"))
