@@ -46,9 +46,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ))
     import graft.functions.{TextFunctions => TF}
     injectComposed("graft_token_count", 1)(cs => TF.tokenCountWs(cs.head))
-    injectComposed("graft_quality_score", 1)(cs =>
-      TF.qualityScore(cs.head, Seq("the", "a", "of", "and", "to", "in", "is")))
     injectComposed("graft_lang_id", 1)(cs => TF.langId(cs.head))
     injectComposed("graft_doc_fingerprint", 1)(cs => TF.prefixFingerprint(cs.head, 8))
+    // quality score: stopwords are a corpus-specific choice, so SQL
+    // users pass them too — graft_quality_score(text, array('le','la')).
+    // The array must be a foldable literal (evaluated once at plan
+    // time); a 1-arg form with the conventional English closed-class
+    // list is kept for convenience.
+    val defaultStops = Seq("the", "a", "of", "and", "to", "in", "is")
+    ext.injectFunction((
+      new FunctionIdentifier("graft_quality_score"),
+      new ExpressionInfo(getClass.getName, "graft_quality_score"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1 || children.size == 2,
+          "graft_quality_score(text[, stopwords_array]) takes 1 or 2 arguments")
+        val stops = if (children.size == 1) defaultStops
+        else {
+          val e = children(1)
+          require(e.foldable, "stopwords must be a literal array")
+          e.eval() match {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+              a.toObjectArray(org.apache.spark.sql.types.StringType).toSeq.map(_.toString)
+            case other => throw new IllegalArgumentException(
+              s"stopwords must be an array of strings, got $other")
+          }
+        }
+        org.apache.spark.sql.graftshim.ColumnShim.expression(
+          TF.qualityScore(
+            org.apache.spark.sql.graftshim.ColumnShim.column(children.head), stops))
+      },
+    ))
   }
 }

@@ -500,12 +500,17 @@ object LlmQueries {
       val clicks = ev.where(col("event_type") === "click")
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
       val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("ts_us"),
           unix_micros(col("ts")).as("purchase_us"), round(col("value"), 4).as("purchase_value"))
+      // (user_id, ts) is unique in the corpus so ties cannot occur, but
+      // the deterministic tie-break costs nothing and guards a future
+      // corpus regeneration
       graft.ops.AsOf.asOfJoin(
         clicks, purchases,
         keys = Seq("user_id"), tsCol = "ts_us",
-        rightValueCols = Seq("purchase_us", "purchase_value"))
+        rightValueCols = Seq("purchase_us", "purchase_value"),
+        rightTieBreak = Some("purchase_id"))
         .select("event_id", "user_id", "ts_us", "purchase_us", "purchase_value")
         .orderBy("event_id")
     },

@@ -172,16 +172,38 @@ object TextPipeline {
     * the same SQL as q30, and measured exact on every test corpus up
     * to a 16× replica (4,096/4,096 pairs recovered).
     *
-    * Banding geometry is the scale knob: a band of `r` rows admits a
-    * random (non-dup) pair with probability jᵣᵃⁿᵈᵒᵐ^r per band, so
-    * SHORT bands flood the verify stage as the corpus grows — measured
-    * at 16× (80k docs): 32×2 banding yields 65,903 candidates where
-    * 16×4 yields 4,101 for identical recall at the 0.5 threshold.
-    * Rule: pick the largest `r` whose collision probability at the
-    * TARGET threshold stays ≈1 over `bands` tries (r=4 for 0.5 here;
-    * 8×8 for ≥0.9), and verify recall against the exact operator on a
-    * sample — the spec pins exactly that.
+    * Banding geometry is a RECALL-vs-CANDIDATE-ECONOMY dial, and the
+    * honest math matters: P(candidate | jaccard = j) = 1 − (1 − j^r)^b.
+    * The 16×4 default gives 0.9998 at j = 0.8 — the regime real
+    * near-duplicates live in, and where this corpus's dups sit
+    * (measured j ∈ [0.8, 1.0]) — but only ~0.64 at j = 0.5. Economy is
+    * why: a 2-row band admits RANDOM pairs with probability j₂^2, and
+    * measured at 16× (80k docs) 32×2 floods exact-verify with 65,903
+    * candidates where 16×4 sends 4,101. If you need guaranteed recall
+    * down AT the verify threshold itself (pairs at j ≈ threshold are
+    * must-keeps), compute the geometry with [[bandingFor]] — e.g.
+    * bandingFor(0.5) → 32×2 — and pay the verify bill; q30's full
+    * exact operator remains the uncompromising reference.
     */
+  /** Most-selective banding geometry (largest rows-per-band, so random
+    * collisions ≈ j^r stay low) that still achieves `minRecall` for
+    * pairs at jaccard `jTarget`: returns (bands, rowsPerBand) with
+    * bands·rows ≤ k. bandingFor(0.8) = (16, 4); bandingFor(0.5) =
+    * (32, 2); bandingFor(0.9, minRecall = 0.99) = (9, 7).
+    */
+  def bandingFor(jTarget: Double, k: Int = 64, minRecall: Double = 0.999): (Int, Int) = {
+    require(jTarget > 0 && jTarget < 1 && minRecall > 0 && minRecall < 1)
+    (k to 1 by -1).view
+      .map(r => (k / r, r))
+      .collectFirst {
+        case (b, r) if b >= 1 && 1.0 - math.pow(1.0 - math.pow(jTarget, r), b) >= minRecall =>
+          (b, r)
+      }
+      .getOrElse(throw new IllegalArgumentException(
+        s"no (bands, rows) within $k hashes reaches recall $minRecall at jaccard $jTarget; " +
+          "raise k or lower minRecall"))
+  }
+
   def dedupCascade(
       docs: DataFrame,
       shingleK: Int = 3,

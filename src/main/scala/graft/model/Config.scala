@@ -92,7 +92,8 @@ object ConfigLoader {
       fields: Seq[String],
       env: Map[String, String] = sys.env,
   ): Map[String, String] = {
-    val keyed = fields.map(f => f -> s"${prefix.toUpperCase}_$f")
+    val keyed = fields.map(f =>
+      f -> s"${prefix.toUpperCase(java.util.Locale.ROOT)}_$f")
     val missing = keyed.collect { case (_, k) if env.get(k).forall(_.isEmpty) => k }
     if (missing.nonEmpty)
       throw new IllegalArgumentException(

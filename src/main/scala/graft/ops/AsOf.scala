@@ -49,12 +49,20 @@ object AsOf {
     // side order at equal ts: inclusive ⇒ right sorts BEFORE left (its
     // values are visible); strict ⇒ right sorts AFTER left.
     val (rightSide, leftSide) = if (strict) (1, 0) else (0, 1)
+    // SQL join-key semantics: a right row with a null key or null
+    // timestamp can never satisfy `l.key = r.key AND l.ts >= r.ts` —
+    // drop it up front. (Without this, the window's partitionBy would
+    // group null keys together, and asc-nulls-first ordering would make
+    // a null-ts right row the "earliest" match for everything.) Left
+    // rows always pass through with null fills, as in a left join.
+    val rightUsable = right.where(
+      (keys :+ tsCol).map(col(_).isNotNull).reduce(_ && _))
     // All right values travel in ONE struct: a single last(ignoreNulls)
     // then cannot tear a match across columns when an individual right
     // value is legitimately null (per-column fills could pair one
     // row's timestamp with an older row's value). Also keeps the plan
     // at exactly one window expression regardless of value-col count.
-    val r = right.select(
+    val r = rightUsable.select(
       (keys :+ tsCol).map(col) :+
         struct(rightValueCols.map(col): _*).as("__rv") :+
         lit(rightSide).as("__side") :+

@@ -31,14 +31,25 @@ object RangeJoin {
       bucketWidth: Long,
   ): DataFrame = {
     require(bucketWidth > 0)
-    def bucketOf(c: Column): Column = floor(c / bucketWidth).cast("long")
+    // Integer bucket math via decimal division: Column `/` computes in
+    // double, whose 53-bit mantissa mis-buckets values above ~9e15
+    // (e.g. nanosecond epochs) and silently drops boundary matches.
+    def bucketOf(c: Column): Column =
+      floor(c.cast("decimal(38,0)") / lit(bucketWidth).cast("decimal(38,0)")).cast("long")
     val l = left.withColumn("__bucket", bucketOf(col(pointCol)))
-    // one row per bucket the interval overlaps; end is EXCLUSIVE so an
+    // One row per bucket the interval overlaps; end is EXCLUSIVE so an
     // interval ending exactly on a bucket boundary does not spill into
-    // the next bucket
-    val r = right.withColumn(
-      "__bucket",
-      explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol) - 1))))
+    // the next bucket. Empty/inverted intervals (end <= start) yield NO
+    // bucket rows — without the guard, sequence() would generate a
+    // DESCENDING range and replicate garbage intervals across it.
+    val r = right
+      .withColumn(
+        "__buckets",
+        when(col(endCol) > col(startCol),
+          sequence(bucketOf(col(startCol)), bucketOf(col(endCol) - 1)))
+          .otherwise(array().cast("array<long>")))
+      .withColumn("__bucket", explode(col("__buckets")))
+      .drop("__buckets")
     l.join(r, keys :+ "__bucket")
       .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bucket")

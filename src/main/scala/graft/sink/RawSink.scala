@@ -391,18 +391,22 @@ object RawSink {
         throw new IllegalStateException(
           s"seal conflict at $sealPath: existing seal differs from this run's " +
             "(concurrent writers sharing a run_id violate the run-fence contract)")
+    // Write-temp-then-rename: a bare create-then-write would let a task
+    // that died mid-write leave a PARTIAL seal which every retry then
+    // misreads as a foreign conflict. The rename publishes the complete
+    // file atomically; if a seal already exists the rename loses and we
+    // content-check it (complete by construction — only whole files are
+    // ever renamed in).
+    val tmp = new Path(dir, s"$SealFile.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
     try {
-      val out = fs.create(sealPath, false)
-      try out.write(json.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
+      if (!fs.rename(tmp, sealPath)) verifyOrThrow()
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => verifyOrThrow()
-      case e: java.io.IOException
-          if e.getMessage != null &&
-            e.getMessage.toLowerCase.contains("already exists") && fs.exists(sealPath) =>
-        // RawLocalFileSystem signals an existing file with a generic
-        // IOException; confirm and apply the same content check
-        verifyOrThrow()
+    } finally {
+      if (fs.exists(tmp)) fs.delete(tmp, false)
     }
   }
 

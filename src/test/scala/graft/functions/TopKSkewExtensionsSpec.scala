@@ -95,6 +95,14 @@ class GraftExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(tr.getString(1) == "en")
       assert(tr.getDouble(2) >= 0.0 && tr.getDouble(2) <= 1.0)
       assert(tr.getString(3).length == 32) // md5 hex
+      // 2-arg form: caller-supplied stopword array
+      val q2 = spark.sql(
+        "SELECT graft_quality_score(text, array('cat', 'mat')) AS q FROM t").head().getDouble(0)
+      assert(q2 >= 0.0 && q2 <= 1.0)
+      val errQ = intercept[Exception](
+        spark.sql("SELECT graft_quality_score(text, text) FROM t").collect())
+      assert(errQ.getMessage.toLowerCase.contains("literal") ||
+        errQ.getMessage.toLowerCase.contains("stopwords"))
     } finally {
       spark.catalog.dropTempView("v")
       SparkSession.setDefaultSession(shared)

@@ -77,6 +77,16 @@ class TextPipelineSpec extends SparkSpec {
       s"cascade missed ${exact -- cascade}, extra ${cascade -- exact}")
   }
 
+  test("bandingFor: most-selective geometry meeting the recall target") {
+    import TextPipeline.bandingFor
+    assert(bandingFor(0.8) == (16, 4))
+    assert(bandingFor(0.5) == (32, 2))
+    val (b9, r9) = bandingFor(0.9, minRecall = 0.99)
+    assert(b9 * r9 <= 64 && 1.0 - math.pow(1.0 - math.pow(0.9, r9), b9) >= 0.99)
+    assert(r9 >= 4, s"0.9-target should allow a selective geometry, got ${(b9, r9)}")
+    intercept[IllegalArgumentException](bandingFor(0.05, k = 4))
+  }
+
   test("pipeline queries leave no session-lifetime caches (unpersist discipline)") {
     TextPipeline.exactJaccardPairs(docs, 3, 0.5).count()
     TextPipeline.lshCandidates(docs, 3, 64, 16, 4).count()

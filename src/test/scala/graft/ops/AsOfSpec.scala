@@ -65,6 +65,23 @@ class AsOfSpec extends SparkSpec {
     assert(out == Seq((None, "n2")), s"torn match: $out")
   }
 
+  test("null right keys / timestamps never match (SQL join-key semantics)") {
+    val r = Seq(
+      (Some(1L), Some(100L), 5.0, 1L),
+      (None: Option[Long], Some(50L), 6.0, 2L), // null key: matches nothing
+      (Some(1L), None: Option[Long], 7.0, 3L), // null ts: matches nothing
+    ).toDF("user_id", "ts", "price", "rid")
+    val l = Seq((Some(1L), 200L, "a"), (None: Option[Long], 200L, "b"))
+      .toDF("user_id", "ts", "tag")
+    val out = AsOf.asOfJoin(l, r, Seq("user_id"), "ts",
+      rightValueCols = Seq("price"), rightTieBreak = Some("rid"))
+      .select("tag", "price").as[(String, Option[Double])].collect().toMap
+    assert(out == Map(
+      "a" -> Some(5.0), // only the non-null (1, 100) row matches
+      "b" -> None, // null left key never pairs with the null right key
+    ))
+  }
+
   test("plans as one shuffle on the key (no range join, no cartesian)") {
     val out = AsOf.asOfJoin(left, right, Seq("user_id"), "ts",
       rightValueCols = Seq("price"), rightTieBreak = Some("rid"))

@@ -33,6 +33,27 @@ class RangeJoinSpec extends SparkSpec {
     assert(out.toSet == Set(("p100", "iA"), ("p199", "iA"), ("p199", "iB"), ("p200", "iB")))
   }
 
+  test("empty and inverted intervals produce no pairs (and no descending bucket explosion)") {
+    val bad = Seq(
+      (1L, 100L, 100L, "empty"), // [t, t)
+      (1L, 500L, 0L, "inverted"), // end << start
+    ).toDF("user_id", "start", "end", "iv")
+    val out = RangeJoin.bucketedRangeJoin(
+      points, bad, Seq("user_id"), "ts", "start", "end", bucketWidth = 10L)
+    assert(out.count() == 0)
+  }
+
+  test("bucket math is exact beyond double precision (nanosecond-epoch magnitudes)") {
+    // 2^53-scale values: double division would mis-bucket by ±256ns
+    val base = 1700000000000000000L // ~1.7e18
+    val pts = Seq((1L, base + 999L, "p")).toDF("user_id", "ts", "tag")
+    val ivs = Seq((1L, base + 990L, base + 1000L, "i")).toDF("user_id", "start", "end", "iv")
+    val out = RangeJoin.bucketedRangeJoin(
+      pts, ivs, Seq("user_id"), "ts", "start", "end", bucketWidth = 1000L)
+      .select("tag", "iv").as[(String, String)].collect().toSeq
+    assert(out == Seq(("p", "i")))
+  }
+
   test("plans as an equijoin, not a nested-loop/cartesian product") {
     val out = RangeJoin.bucketedRangeJoin(
       points, intervals, Seq("user_id"), "ts", "start", "end", bucketWidth = 100L)
