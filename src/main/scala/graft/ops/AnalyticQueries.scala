@@ -1,0 +1,275 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** q49–q54: classic OLAP surface the round-1/2 inventory did not yet
+  * cover as first-class, oracle-checked operators — distribution
+  * statistics (exact percentiles), multi-grain grouping (CUBE), pivot
+  * (long→wide), ordered-window analytics (moving/cumulative frames,
+  * ranking), and hopping event-time windows (the batch twin of a
+  * sliding streaming aggregation).
+  *
+  * The reference has no counterpart for any of these (its aggregation
+  * surface stops at GROUP BY + count/min/max/avg — SURVEY.md §2.2); they
+  * are extensions in the same spirit as q39–q48: operators any analytics
+  * engine at this data scale must provide, expressed as declarative
+  * single-pass Spark plans and hash-checked against DuckDB.
+  *
+  * Scale notes are per query below. The common rules from q01–q24 hold
+  * throughout: money/metric sums accumulate in exact decimals
+  * ([[Exact]]), every result ends in a total ORDER BY, and no query
+  * collects to the driver.
+  */
+object AnalyticQueries {
+  import Tables._
+  import Exact._
+
+  // ---------------------------------------------------------------------
+  // q49 — exact per-group percentiles (distribution profiling). Spark's
+  // `percentile` is the exact sorted-interpolation aggregate, the same
+  // linear-interpolation semantics as DuckDB's quantile_cont; both sides
+  // round to 6dp to absorb last-bit fp differences in the interpolation.
+  //
+  // Scale: exact percentile buffers the per-group value multiset — memory
+  // ∝ distinct values per group, fine for profiling runs and bounded
+  // groups, wrong for arbitrary 100 TB groups. The production path at
+  // scale is `ApproxOps.percentiles` (GK-sketch `percentile_approx`,
+  // mergeable, bounded memory); this query is its exact twin and the
+  // oracle anchor the approx spec tests error bounds against.
+  val q49: QuerySpec = QuerySpec(
+    "q49_percentiles_exact",
+    (s, d) =>
+      events(s, d)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.25)"), 6).as("p25"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.75)"), 6).as("p75"),
+          dsum("value").as("sum_value"),
+        )
+        .orderBy("event_type"),
+    Some(
+      "SELECT event_type, count(*) AS n, " +
+        "round(quantile_cont(value, 0.25), 6) AS p25, " +
+        "round(quantile_cont(value, 0.5), 6) AS p50, " +
+        "round(quantile_cont(value, 0.75), 6) AS p75, " +
+        s"${dsumSql("value")} AS sum_value " +
+        "FROM events GROUP BY 1 ORDER BY event_type"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q50 — CUBE: all four grains of (status, year) in one pass, with
+  // grouping() folded into 'ALL' labels so the result is null-free and
+  // totally ordered (Spark and DuckDB disagree on default NULL sort
+  // order; labels sidestep it).
+  //
+  // Scale: Spark plans CUBE as a single Expand (4 grouping sets) feeding
+  // one partially-aggregated shuffle — input is read once; shuffle volume
+  // is Σ per-grain group cardinalities, independent of fact rows. The
+  // alternative (4 separate group-bys unioned) scans the fact 4×.
+  val q50: QuerySpec = QuerySpec(
+    "q50_cube_grains",
+    (s, d) => {
+      val o = orders(s, d)
+        .select(col("o_orderstatus"), year(col("o_orderdate")).as("yr"), col("o_totalprice"))
+      o.cube(col("o_orderstatus"), col("yr"))
+        .agg(
+          dsum("o_totalprice").as("total_price"),
+          count(lit(1)).as("n_orders"),
+          // grouping() resolves only inside the Cube aggregate itself
+          grouping(col("o_orderstatus")).as("g_status"),
+          grouping(col("yr")).as("g_yr"),
+        )
+        .select(
+          when(col("g_status") === 1, lit("ALL"))
+            .otherwise(col("o_orderstatus")).as("status_lbl"),
+          when(col("g_yr") === 1, lit("ALL"))
+            .otherwise(col("yr").cast("string")).as("yr_lbl"),
+          col("total_price"),
+          col("n_orders"),
+        )
+        .orderBy("status_lbl", "yr_lbl")
+    },
+    Some(
+      "SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status_lbl, " +
+        "CASE WHEN GROUPING(yr) = 1 THEN 'ALL' ELSE CAST(yr AS VARCHAR) END AS yr_lbl, " +
+        s"${dsumSql("o_totalprice")} AS total_price, count(*) AS n_orders " +
+        "FROM (SELECT o_orderstatus, year(o_orderdate) AS yr, o_totalprice FROM orders) " +
+        "GROUP BY CUBE (o_orderstatus, yr) ORDER BY status_lbl, yr_lbl"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q51 — pivot (long→wide): order totals per year, one column per
+  // status. Explicit value list (F/O/P) — with it, Spark skips the
+  // distinct-values pre-query and plans a single conditional-aggregate
+  // pass, exactly the `sum(x) FILTER (WHERE …)` form the oracle runs.
+  //
+  // Scale: one scan + one group-by-year shuffle; wide columns are
+  // conditional partial aggregates, so cost is rows × pivot-arity on the
+  // map side and group-cardinality rows on the wire. Never pivot on an
+  // unbounded-cardinality key (column count = key count); that is a
+  // reshape job, not an aggregation.
+  val q51: QuerySpec = QuerySpec(
+    "q51_pivot_status",
+    (s, d) =>
+      orders(s, d)
+        .select(
+          year(col("o_orderdate")).as("yr"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("p"),
+        )
+        .groupBy("yr")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("p")).cast("double"))
+        .orderBy("yr"),
+    Some(
+      "SELECT year(o_orderdate) AS yr, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DOUBLE) AS F, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'O') AS DOUBLE) AS O, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P') AS DOUBLE) AS P " +
+        "FROM orders GROUP BY 1 ORDER BY yr"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q52 — ordered-window analytics over a rolled-up daily series:
+  // 7-row trailing moving average + running cumulative revenue per
+  // customer bucket. The frame sums stay in exact decimal (decimal
+  // window sums are order-exact) and only surface doubles at the end;
+  // the moving average divides the two exact frame aggregates rather
+  // than using avg() (whose decimal widening rules differ between
+  // engines).
+  //
+  // Scale: the rollup shrinks the fact to group cardinality BEFORE the
+  // window (never window over raw facts when a pre-aggregation gives the
+  // same answer); the window then shuffles once on the partition key and
+  // sorts within partitions — per-key series length is bounded by the
+  // date range, not fact rows.
+  val q52: QuerySpec = QuerySpec(
+    "q52_moving_window",
+    (s, d) => {
+      val daily = lineitem(s, d)
+        .groupBy(
+          (col("l_orderkey") % 10).as("cust"),
+          col("l_shipdate").cast("date").as("day"),
+        )
+        .agg(
+          sum(
+            col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4)))
+          ).as("rev")
+        )
+      val w = Window.partitionBy("cust").orderBy("day")
+      val w7 = w.rowsBetween(-6, 0)
+      daily
+        .select(
+          col("cust"),
+          col("day"),
+          col("rev").cast("double").as("revenue"),
+          round(sum(col("rev")).over(w7).cast("double") / count(lit(1)).over(w7), 6).as("ma7"),
+          sum(col("rev")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double").as("cum_revenue"),
+        )
+        .orderBy("cust", "day")
+    },
+    Some(
+      "WITH daily AS (SELECT l_orderkey % 10 AS cust, CAST(l_shipdate AS DATE) AS day, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev " +
+        "FROM lineitem GROUP BY 1, 2) " +
+        "SELECT cust, day, CAST(rev AS DOUBLE) AS revenue, " +
+        "round(CAST(sum(rev) OVER w7 AS DOUBLE) / count(*) OVER w7, 6) AS ma7, " +
+        "CAST(sum(rev) OVER (PARTITION BY cust ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue " +
+        "FROM daily WINDOW w7 AS (PARTITION BY cust ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY cust, day"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q53 — ranking functions: top-5 purchases per user-decile by value,
+  // with rank / dense_rank / quartile. The ordering key includes the
+  // unique event_id tie-break, so every ranking function is
+  // deterministic (rank()-over-nonunique-keys is the classic
+  // nondeterminism trap — both engines would be "correct" with
+  // different answers).
+  //
+  // Scale: single window shuffle on the partition key; the top-5 filter
+  // on row_number means downstream carries 5·partitions rows. (For
+  // rank-free top-N per group, q39's bounded TopK aggregate is cheaper —
+  // O(k) buffers, no full sort; this query exists for the ranking
+  // semantics themselves.)
+  val q53: QuerySpec = QuerySpec(
+    "q53_ranking",
+    (s, d) => {
+      val purchases = events(s, d)
+        .where(col("event_type") === "purchase")
+        .select((col("user_id") % 10).as("bucket"), col("event_id"), col("value"))
+      val w = Window.partitionBy("bucket").orderBy(col("value").desc, col("event_id"))
+      purchases
+        .select(
+          col("bucket"),
+          col("event_id"),
+          col("value"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"),
+          ntile(4).over(w).as("quartile"),
+        )
+        .where(col("rn") <= 5)
+        .orderBy("bucket", "rn")
+    },
+    Some(
+      "SELECT * FROM (SELECT user_id % 10 AS bucket, event_id, value, " +
+        "row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk, " +
+        "ntile(4) OVER w AS quartile " +
+        "FROM events WHERE event_type = 'purchase' " +
+        "WINDOW w AS (PARTITION BY user_id % 10 ORDER BY value DESC, event_id)) " +
+        "WHERE rn <= 5 ORDER BY bucket, rn"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q54 — hopping event-time window (size 10 min, slide 5 min): the
+  // batch twin of a sliding streaming aggregation, as q28 is for
+  // tumbling. Spark's window() assigns each event to size/slide = 2
+  // overlapping windows; the oracle reproduces that assignment
+  // explicitly (time_bucket at slide granularity, shifted by each
+  // multiple of the slide, containment-filtered) — pinning the
+  // window-assignment semantics, not just the sums.
+  //
+  // Scale: window() is a deterministic 2-row explode + tumbling-style
+  // hash aggregate — shuffle carries (windows × groups) partials, with
+  // map-side combine. In streaming the same expression runs under a
+  // watermark with state eviction (graft.streaming twins).
+  val q54: QuerySpec = QuerySpec(
+    "q54_hopping_window",
+    (s, d) =>
+      events(s, d)
+        .groupBy(
+          window(col("ts"), "10 minutes", "5 minutes"),
+          col("event_type"),
+        )
+        .agg(count(lit(1)).as("n_events"), dsum("value").as("sum_value"))
+        .select(
+          unix_seconds(col("window.start")).as("win_start_epoch"),
+          col("event_type"),
+          col("n_events"),
+          col("sum_value"),
+        )
+        .orderBy("win_start_epoch", "event_type"),
+    Some(
+      "SELECT epoch_us(win_start) // 1000000 AS win_start_epoch, event_type, " +
+        s"count(*) AS n_events, ${dsumSql("value")} AS sum_value " +
+        "FROM (SELECT time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) - i * INTERVAL 5 MINUTE AS win_start, " +
+        "ts, event_type, value FROM events CROSS JOIN (VALUES (0), (1)) AS shifts(i)) " +
+        "WHERE CAST(ts AS TIMESTAMP) >= win_start AND CAST(ts AS TIMESTAMP) < win_start + INTERVAL 10 MINUTE " +
+        "GROUP BY 1, 2 ORDER BY win_start_epoch, event_type"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q49, q50, q51, q52, q53, q54)
+}

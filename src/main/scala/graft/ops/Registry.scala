@@ -8,7 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `SparkEntry` (the driver contract) is a thin view over this.
   */
 object Registry {
-  val all: Seq[QuerySpec] = RelationalQueries.all ++ graft.llm.LlmQueries.all
+  val all: Seq[QuerySpec] =
+    RelationalQueries.all ++ graft.llm.LlmQueries.all ++ AnalyticQueries.all
 
   val byName: Map[String, QuerySpec] = ListMap(all.map(q => q.name -> q): _*)
 

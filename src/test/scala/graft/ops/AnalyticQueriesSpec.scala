@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic invariants for q49–q54 (the DuckDB oracle pins exact values;
+  * these pin the *meaning*, so a future refactor that stays hash-equal
+  * by accident still can't drift semantically).
+  */
+class AnalyticQueriesSpec extends SparkSpec {
+
+  test("q49: percentiles are ordered within every group") {
+    val rows = AnalyticQueries.q49.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p25, p50, p75) =
+        (r.getAs[Double]("p25"), r.getAs[Double]("p50"), r.getAs[Double]("p75"))
+      assert(p25 <= p50 && p50 <= p75, s"unordered percentiles in $r")
+    }
+  }
+
+  test("q50: cube emits every grain and the ALL/ALL row is the grand total") {
+    val df = AnalyticQueries.q50.run(spark, sfDir)
+    val rows = df.collect()
+    val statuses = rows.map(_.getAs[String]("status_lbl")).distinct
+    val years = rows.map(_.getAs[String]("yr_lbl")).distinct
+    assert(statuses.contains("ALL") && years.contains("ALL"))
+    // 4 grains: (s,y), (s,ALL), (ALL,y), (ALL,ALL)
+    val nS = statuses.count(_ != "ALL")
+    val nY = years.count(_ != "ALL")
+    assert(rows.length == (nS + 1) * (nY + 1),
+      s"expected full cube lattice, got ${rows.length} rows for $nS statuses × $nY years")
+    val grand = rows.filter(r =>
+      r.getAs[String]("status_lbl") == "ALL" && r.getAs[String]("yr_lbl") == "ALL")
+    assert(grand.length == 1)
+    val leafCount = rows
+      .filter(r => r.getAs[String]("status_lbl") != "ALL" && r.getAs[String]("yr_lbl") != "ALL")
+      .map(_.getAs[Long]("n_orders")).sum
+    assert(grand.head.getAs[Long]("n_orders") == leafCount)
+  }
+
+  test("q51: pivot columns partition the yearly total") {
+    val wide = AnalyticQueries.q51.run(spark, sfDir)
+    assert(wide.columns.toSeq == Seq("yr", "F", "O", "P"))
+    // Row-wise F+O+P must equal the unpivoted yearly total (null = no
+    // orders in that status-year).
+    val totals = graft.ops.Tables.orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(Exact.dsum("o_totalprice").as("total"))
+    val joined = wide
+      .select(col("yr"),
+        (coalesce(col("F"), lit(0d)) + coalesce(col("O"), lit(0d)) + coalesce(col("P"), lit(0d)))
+          .as("wide_total"))
+      .join(totals, "yr")
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(math.abs(r.getAs[Double]("wide_total") - r.getAs[Double]("total")) < 1e-6, r.toString)
+    }
+  }
+
+  test("q52: window frames — first-row ma7 equals revenue, cum_revenue runs monotone") {
+    val rows = AnalyticQueries.q52.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byCust = rows.groupBy(_.getAs[Long]("cust"))
+    byCust.foreach { case (_, rs) =>
+      // rows arrive ordered (cust, day) from the query's total ORDER BY
+      val first = rs.head
+      assert(math.abs(first.getAs[Double]("ma7") - first.getAs[Double]("revenue")) < 1e-6)
+      val cums = rs.map(_.getAs[Double]("cum_revenue"))
+      assert(cums.zip(cums.tail).forall { case (a, b) => b >= a },
+        "cum_revenue must be nondecreasing (revenue is nonnegative)")
+    }
+  }
+
+  test("q53: rankings are deterministic and mutually consistent") {
+    val rows = AnalyticQueries.q53.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("bucket")).foreach { case (_, rs) =>
+      val rns = rs.map(_.getAs[Int]("rn")).sorted.toSeq
+      assert(rns == (1 to rns.length), s"row_number must be dense 1..n, got $rns")
+      rs.foreach { r =>
+        assert(r.getAs[Int]("rk") <= r.getAs[Int]("rn"), "rank <= row_number")
+        assert(r.getAs[Int]("drk") <= r.getAs[Int]("rk"), "dense_rank <= rank")
+        assert((1 to 4).contains(r.getAs[Int]("quartile")))
+      }
+    }
+  }
+
+  test("q54: hopping 10m/5m assigns every event to exactly 2 windows") {
+    val winEvents = AnalyticQueries.q54.run(spark, sfDir)
+      .agg(sum("n_events")).head.getLong(0)
+    val events = Tables.events(spark, sfDir).count()
+    assert(winEvents == 2 * events,
+      s"size/slide=2 overlapping windows: $winEvents != 2×$events")
+  }
+}
