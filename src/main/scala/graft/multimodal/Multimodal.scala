@@ -158,6 +158,72 @@ object Multimodal {
       .toDF("media_id", "frame_idx", "width", "height")
   }
 
+  /** Audio chunking: split audio payloads into fixed-size windows with a
+    * hop (overlap) — the framing step every audio feature pipeline
+    * (spectrogram, ASR, audio-embedding) starts with. One row in, many
+    * chunk rows out, one decoder per partition, chunks emitted lazily —
+    * the flatMap shape is the real part. Duration and per-chunk byte
+    * ranges come from the stub's bytes≈ms model (a real decoder reads
+    * the container header; same signature).
+    *
+    * Scale: chunk count = duration/hop per row — output size is bounded
+    * by audio hours, not corpus rows; each chunk row carries only its
+    * byte slice, so downstream shuffles move chunk-sized payloads, never
+    * whole recordings.
+    */
+  def chunkAudio(
+      media: Dataset[MediaRecord],
+      chunkMs: Int,
+      hopMs: Int,
+      mkDecoder: () => MediaDecoder,
+  ): DataFrame = {
+    require(hopMs > 0 && chunkMs >= hopMs, "need hopMs > 0 and chunkMs >= hopMs")
+    import media.sparkSession.implicits._
+    media
+      .mapPartitions { it =>
+        val decoder = mkDecoder()
+        it.flatMap { r =>
+          if (r.kind != "audio") Iterator.empty
+          else {
+            decoder.decode(r.kind, r.format, r.bytes) // real decoder: header parse
+            val durMs = r.bytes.length // STUB duration model: 1 byte ≈ 1 ms
+            val starts = (0 until math.max(durMs, 1) by hopMs).iterator
+            starts.zipWithIndex.map { case (start, idx) =>
+              val end = math.min(start + chunkMs, durMs)
+              (r.media_id, idx, start, end - start,
+                r.bytes.slice(start, end)) // STUB slice ≙ sample-range extract
+            }
+          }
+        }
+      }
+      .toDF("media_id", "chunk_idx", "start_ms", "dur_ms", "chunk_bytes")
+  }
+
+  /** Composed pipeline: media near-duplicate pairs via decoded
+    * embeddings — decode/feature-extract (one decoder per partition),
+    * then the ANN candidates-then-verify cascade from
+    * [[graft.llm.SimilarityPipeline.annNearDupPairs]] (sign-LSH cells
+    * sized to the corpus, banded hamming-≤1 candidate join, exact
+    * cosine verify on candidates only). This is image/audio dedup as a
+    * training-data pipeline runs it at 100 TB: payload bytes are
+    * dropped after feature extraction, and no stage compares all pairs.
+    */
+  def mediaNearDupPairs(
+      media: Dataset[MediaRecord],
+      threshold: Double,
+      mkDecoder: () => MediaDecoder,
+      embeddingDim: Int = 8,
+  ): DataFrame = {
+    import graft.llm.SimilarityPipeline
+    val emb = decodeFeatures(media, mkDecoder)
+      .select(col("media_id").as("vec_id"), col("embedding"))
+    val n = emb.count() // index sizing (same driver action as q37/q38)
+    SimilarityPipeline
+      .annNearDupPairs(emb, threshold, SimilarityPipeline.cellBits(n), embeddingDim)
+      .withColumnRenamed("va", "media_a")
+      .withColumnRenamed("vb", "media_b")
+  }
+
   /** Repartition media by cumulative byte budget instead of row count:
     * with multi-MB blobs, row-count partitioning yields wildly skewed
     * task sizes. Approximation: partitions = ceil(total_bytes /

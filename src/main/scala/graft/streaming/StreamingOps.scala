@@ -35,6 +35,30 @@ object StreamingOps {
         col("sum_value"),
       )
 
+  /** q54 twin: hopping (sliding) windows — size/slide overlapping
+    * windows per event, the same `window(ts, size, slide)` expression as
+    * the batch q54, under a watermark. State is (window × group) keyed;
+    * each event updates size/slide window aggregates (2 for 10m/5m) and
+    * a window's state is evicted once the watermark passes its end — so
+    * overlap multiplies state by a constant factor, not by history.
+    */
+  def hoppingCounts(
+      events: DataFrame,
+      size: String = "10 minutes",
+      slide: String = "5 minutes",
+      lateness: String = "2 days",
+  ): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), size, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(
+        col("w.start").as("win_start"),
+        col("event_type"),
+        col("n_events"),
+        col("sum_value"),
+      )
+
   /** D1/D2 streaming twin: exactly-once-per-key dedup within the
     * watermark horizon (`dropDuplicatesWithinWatermark`). This is the
     * reference's run-fence supersession viewed as a stream: replayed /

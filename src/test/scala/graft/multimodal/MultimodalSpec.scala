@@ -76,6 +76,55 @@ class MultimodalSpec extends SparkSpec {
     intercept[NotImplementedError](MediaDecoder.real)
   }
 
+  test("chunkAudio: hop-overlapping chunks cover the full duration, audio rows only") {
+    val ds = spark.createDataset(fixture(30)).repartition(3)
+    val chunks = chunkAudio(ds, chunkMs = 40, hopMs = 20, () => MediaDecoder.deterministicStub(4))
+      .collect()
+    val audio = fixture(30).filter(_.kind == "audio")
+    assert(chunks.map(_.getAs[Long]("media_id")).toSet ==
+      audio.map(_.media_id).toSet, "only audio rows chunk")
+    audio.foreach { a =>
+      val mine = chunks.filter(_.getAs[Long]("media_id") == a.media_id)
+        .sortBy(_.getAs[Int]("chunk_idx"))
+      val durMs = a.bytes.length // stub duration model
+      assert(mine.length == math.ceil(durMs.toDouble / 20).toInt, s"chunk count for $durMs ms")
+      // full coverage: chunk starts advance by hop; last chunk reaches the end
+      mine.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getAs[Int]("start_ms") == i * 20)
+        assert(c.getAs[Int]("dur_ms") ==
+          math.min(c.getAs[Int]("start_ms") + 40, durMs) - c.getAs[Int]("start_ms"))
+        assert(c.getAs[Array[Byte]]("chunk_bytes").length == c.getAs[Int]("dur_ms"))
+      }
+      assert(mine.last.getAs[Int]("start_ms") + mine.last.getAs[Int]("dur_ms") == durMs)
+    }
+    // consecutive 40/20 chunks overlap by 20ms — the framing property
+    val full = chunks.filter(c => c.getAs[Int]("dur_ms") == 40)
+      .groupBy(_.getAs[Long]("media_id"))
+    full.foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_.getAs[Int]("start_ms"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Int]("start_ms") - a.getAs[Int]("start_ms") == 20)
+        case _ => ()
+      }
+    }
+  }
+
+  test("mediaNearDupPairs: exact payload copies are found, all pairs verified above threshold") {
+    // two byte-identical pairs planted among distinct payloads
+    val base = fixture(24)
+    val dup1 = base(1).copy(media_id = 100L) // audio copy
+    val dup2 = base(3).copy(media_id = 101L) // image copy
+    val ds = spark.createDataset(base ++ Seq(dup1, dup2)).repartition(3)
+    val pairs = mediaNearDupPairs(ds, threshold = 0.999,
+      () => MediaDecoder.deterministicStub(8)).collect()
+    val found = pairs.map(r =>
+      (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    assert(found.contains((1L, 100L)), s"planted audio dup not found in $found")
+    assert(found.contains((3L, 101L)), s"planted image dup not found in $found")
+    assert(pairs.forall(_.getAs[Double]("cos") >= 0.999))
+  }
+
   test("metadata-only queries prune the binary column from the scan") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString
     spark.createDataset(fixture(30)).write.mode("overwrite").parquet(dir)

@@ -51,6 +51,35 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.contains((2L, ts("2024-01-01 11:00:00"), 1L, 3.0)))
   }
 
+  test("hoppingCounts: each event lands in size/slide overlapping windows, finalized at watermark") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val out = StreamingOps.hoppingCounts(
+      in.toDF().toDF("ts", "event_type", "value"),
+      size = "10 minutes", slide = "5 minutes", lateness = "1 hour")
+    val q = out.writeStream.format("memory").queryName("hopping_t").outputMode("append").start()
+
+    in.addData(
+      (ts("2024-01-01 10:02:00"), "click", 1.0), // windows [09:55,10:05) and [10:00,10:10)
+      (ts("2024-01-01 10:07:00"), "click", 2.0), // windows [10:00,10:10) and [10:05,10:15)
+    )
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 14:00:00"), "view", 0.0)) // advance watermark → finalize
+    runToCompletion(q)
+
+    val rows = spark.table("hopping_t")
+      .select("win_start", "event_type", "n_events", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect()
+    val clicks = rows.filter(_._2 == "click").map(r => (r._1, r._3, r._4)).toSet
+    assert(clicks == Set(
+      (ts("2024-01-01 09:55:00"), 1L, 1.0),
+      (ts("2024-01-01 10:00:00"), 2L, 3.0), // both events overlap here
+      (ts("2024-01-01 10:05:00"), 1L, 2.0),
+    ))
+    // overlap invariant: total window-event assignments = 2 × events
+    assert(rows.filter(_._2 == "click").map(_._3).sum == 4L)
+  }
+
   test("sessionize: 30-minute gap splits sessions per user") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
