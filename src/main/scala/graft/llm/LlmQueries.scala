@@ -558,7 +558,27 @@ object LlmQueries {
     ),
   )
 
+  // q55 — fuzzy record linkage: blocking on the first-2-words key, then
+  // levenshtein verify over 60-char heads on candidates only (the
+  // edit-distance member of the candidates-then-verify family: q41 sets,
+  // q38 vectors, q55 strings). Spark and DuckDB agree on levenshtein
+  // (unit-cost edit distance), so this one IS oracle-checkable.
+  val q55: QuerySpec = QuerySpec(
+    "q55_fuzzy_blocked",
+    (s, d) =>
+      TextPipeline
+        .fuzzyBlockedPairs(documents(s, d).select("doc_id", "text"))
+        .orderBy("da", "db"),
+    Some(
+      "WITH t AS (SELECT doc_id, lower(substr(text, 1, 60)) AS head, " +
+        "md5(lower(array_to_string(string_split(text, ' ')[1:2], ' '))) AS blk FROM documents) " +
+        "SELECT a.doc_id AS da, b.doc_id AS db, levenshtein(a.head, b.head) AS dist " +
+        "FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+        "WHERE levenshtein(a.head, b.head) <= 15 ORDER BY da, db"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42, q43, q44, q45, q46, q47, q48)
+      q41, q42, q43, q44, q45, q46, q47, q48, q55)
 }

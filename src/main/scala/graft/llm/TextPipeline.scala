@@ -318,4 +318,44 @@ object TextPipeline {
       when(best._2 > 0, best._1).otherwise(lit("und")).as("pred_lang"),
     )
   }
+
+  /** Entity-resolution-style fuzzy match: BLOCKING (equijoin on a cheap
+    * deterministic key — here the lowercased first `blockWords` words)
+    * then edit-distance VERIFY (`levenshtein`, a codegen'd native
+    * expression) on the candidates only. The third
+    * candidates-then-verify instance in the engine, beside
+    * [[dedupCascade]] (set similarity) and
+    * [[graft.llm.SimilarityPipeline.annNearDupPairs]] (vector
+    * similarity) — edit distance covers the typo/near-copy record
+    * linkage case the other two miss.
+    *
+    * Scale: the join is an equijoin on the block key, so shuffle volume
+    * is O(N) and per-block work is |block|² — the block key must keep
+    * blocks small (first-words + a vocabulary: blocks here max out at 4
+    * for 500 docs). Verify cost is bounded by `headLen`² per candidate
+    * pair, never evaluated all-pairs. Recall is blocking-limited BY
+    * DESIGN (pairs differing in their first words are never compared) —
+    * the standard ER trade; run multiple blocking passes with different
+    * keys to raise recall.
+    */
+  def fuzzyBlockedPairs(
+      docs: DataFrame,
+      headLen: Int = 60,
+      blockWords: Int = 2,
+      maxDist: Int = 15,
+  ): DataFrame = {
+    val t = docs.select(
+      col("doc_id"),
+      lower(substring(col("text"), 1, headLen)).as("head"),
+      md5(lower(concat_ws(" ", slice(split(col("text"), " "), 1, blockWords)))).as("blk"),
+    )
+    t.as("a")
+      .join(t.as("b"), col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("da"),
+        col("b.doc_id").as("db"),
+        levenshtein(col("a.head"), col("b.head")).cast("bigint").as("dist"),
+      )
+      .where(col("dist") <= maxDist)
+  }
 }

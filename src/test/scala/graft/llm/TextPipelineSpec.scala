@@ -94,4 +94,23 @@ class TextPipelineSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty,
       "CacheManager must be empty after pipeline queries complete")
   }
+
+  test("fuzzyBlockedPairs: blocking + levenshtein verify semantics") {
+    val fixture = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilonX"), // 1 edit from doc 1, same block
+      (3L, "alpha beta totally different tail words here"), // same block, far head
+      (4L, "zeta beta gamma delta epsilon"), // near doc 1 but different first word → never compared
+      (5L, "ALPHA BETA gamma delta epsilon"), // case-folded into doc 1's block, dist 0
+    ).toDF("doc_id", "text")
+    val pairs = TextPipeline.fuzzyBlockedPairs(fixture, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((1L, 2L, 1L)), s"1-edit pair must verify, got $pairs")
+    assert(pairs.contains((1L, 5L, 0L)), "case folding applies to block AND head")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "blocking-limited recall: different first word is never a candidate (by design)")
+    assert(!pairs.exists(p => (p._1, p._2) == ((1L, 3L))), "far head fails verify")
+    // canonical ordering: da < db always
+    assert(pairs.forall(p => p._1 < p._2))
+  }
 }
