@@ -75,8 +75,16 @@ object Multimodal {
         val ht = 16 + math.floorMod(h >> 8, 240).toInt
         val frames = if (kind == "video") 1 + math.floorMod(h >> 16, 32).toInt else 1
         val emb = Array.tabulate(embeddingDim) { i =>
-          val z = h ^ (0x9e3779b97f4a7c15L * (i + 1))
-          ((z >>> 11).toDouble / (1L << 53).toDouble).toFloat
+          // fmix64 avalanche: without it the components inherit the
+          // fold's structure and similar payloads come out near-parallel
+          var z = h ^ (0x9e3779b97f4a7c15L * (i + 1))
+          z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+          z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+          z ^= z >>> 33
+          // signed components in (-1, 1): real feature embeddings are
+          // signed — an all-positive fake crowds the positive orthant
+          // and makes unrelated payloads near-parallel (cos ≈ 0.999)
+          ((z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
         }
         (w, ht, frames, emb)
       }
@@ -187,7 +195,8 @@ object Multimodal {
           else {
             decoder.decode(r.kind, r.format, r.bytes) // real decoder: header parse
             val durMs = r.bytes.length // STUB duration model: 1 byte ≈ 1 ms
-            val starts = (0 until math.max(durMs, 1) by hopMs).iterator
+            // empty/corrupt payload → zero chunks (not one phantom 0-ms chunk)
+            val starts = (0 until durMs by hopMs).iterator
             starts.zipWithIndex.map { case (start, idx) =>
               val end = math.min(start + chunkMs, durMs)
               (r.media_id, idx, start, end - start,
@@ -215,9 +224,16 @@ object Multimodal {
       embeddingDim: Int = 8,
   ): DataFrame = {
     import graft.llm.SimilarityPipeline
+    // Eagerly materialize the decoded features: the banded self-join +
+    // two verify joins would otherwise re-run the decode ~5×, and a
+    // non-bit-deterministic real decoder (GPU/ONNX reductions) would
+    // tear candidates vs verify across independent evaluations.
+    // localCheckpoint = the repo's standard one-materialization barrier;
+    // blocks are freed by the ContextCleaner when the result is GC'd.
     val emb = decodeFeatures(media, mkDecoder)
       .select(col("media_id").as("vec_id"), col("embedding"))
-    val n = emb.count() // index sizing (same driver action as q37/q38)
+      .localCheckpoint(eager = true)
+    val n = emb.count() // index sizing over the checkpoint (same driver action as q37/q38)
     SimilarityPipeline
       .annNearDupPairs(emb, threshold, SimilarityPipeline.cellBits(n), embeddingDim)
       .withColumnRenamed("va", "media_a")

@@ -158,12 +158,7 @@ object AnalyticQueries {
           (col("l_orderkey") % 10).as("cust"),
           col("l_shipdate").cast("date").as("day"),
         )
-        .agg(
-          sum(
-            col("l_extendedprice").cast(DecimalType(18, 2)) *
-              (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4)))
-          ).as("rev")
-        )
+        .agg(revenueDecimal.as("rev"))
       val w = Window.partitionBy("cust").orderBy("day")
       val w7 = w.rowsBetween(-6, 0)
       daily
@@ -179,7 +174,7 @@ object AnalyticQueries {
     },
     Some(
       "WITH daily AS (SELECT l_orderkey % 10 AS cust, CAST(l_shipdate AS DATE) AS day, " +
-        "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev " +
+        s"$revenueDecimalSql AS rev " +
         "FROM lineitem GROUP BY 1, 2) " +
         "SELECT cust, day, CAST(rev AS DOUBLE) AS revenue, " +
         "round(CAST(sum(rev) OVER w7 AS DOUBLE) / count(*) OVER w7, 6) AS ma7, " +

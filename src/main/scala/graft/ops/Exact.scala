@@ -23,14 +23,21 @@ object Exact {
 
   /** TPC-H style revenue: sum(extendedprice * (1 - discount)) in exact
     * decimal arithmetic (decimal*decimal and decimal-sum are exact).
+    * The decimal-returning form is the single source of truth for the
+    * precision-sensitive expression; keep window-frame consumers (q52)
+    * and the final-double form below derived from it.
     */
-  def revenueExpr: Column =
+  def revenueDecimal: Column =
     sum(
       col("l_extendedprice").cast(DecimalType(18, 2)) *
         (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4)))
-    ).cast("double")
+    )
 
-  val revenueSql: String =
-    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
-      "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)"
+  val revenueDecimalSql: String =
+    "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))"
+
+  def revenueExpr: Column = revenueDecimal.cast("double")
+
+  val revenueSql: String = s"CAST($revenueDecimalSql AS DOUBLE)"
 }

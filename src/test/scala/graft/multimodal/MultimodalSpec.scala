@@ -97,6 +97,10 @@ class MultimodalSpec extends SparkSpec {
       }
       assert(mine.last.getAs[Int]("start_ms") + mine.last.getAs[Int]("dur_ms") == durMs)
     }
+    // empty/corrupt payload → zero chunks, not one phantom 0-ms chunk
+    val empty = spark.createDataset(Seq(
+      MediaRecord(99L, "audio", "bin", 0, 0, Array.empty[Byte])))
+    assert(chunkAudio(empty, 40, 20, () => MediaDecoder.deterministicStub(4)).count() == 0)
     // consecutive 40/20 chunks overlap by 20ms — the framing property
     val full = chunks.filter(c => c.getAs[Int]("dur_ms") == 40)
       .groupBy(_.getAs[Long]("media_id"))
@@ -120,8 +124,10 @@ class MultimodalSpec extends SparkSpec {
       () => MediaDecoder.deterministicStub(8)).collect()
     val found = pairs.map(r =>
       (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
-    assert(found.contains((1L, 100L)), s"planted audio dup not found in $found")
-    assert(found.contains((3L, 101L)), s"planted image dup not found in $found")
+    // exactly the planted pairs: finds both copies, AND no false positive
+    // among the 24 distinct payloads (a broken banding key matching
+    // everything would fail here; cos >= threshold alone is tautological)
+    assert(found == Set((1L, 100L), (3L, 101L)), s"expected only planted dups, got $found")
     assert(pairs.forall(_.getAs[Double]("cos") >= 0.999))
   }
 

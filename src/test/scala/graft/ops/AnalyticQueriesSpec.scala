@@ -26,11 +26,15 @@ class AnalyticQueriesSpec extends SparkSpec {
     val statuses = rows.map(_.getAs[String]("status_lbl")).distinct
     val years = rows.map(_.getAs[String]("yr_lbl")).distinct
     assert(statuses.contains("ALL") && years.contains("ALL"))
-    // 4 grains: (s,y), (s,ALL), (ALL,y), (ALL,ALL)
+    // 4 grains: (s,y), (s,ALL), (ALL,y), (ALL,ALL). CUBE only emits
+    // groups present in the data, so count leaves actually present
+    // instead of assuming a full nS × nY cross product.
     val nS = statuses.count(_ != "ALL")
     val nY = years.count(_ != "ALL")
-    assert(rows.length == (nS + 1) * (nY + 1),
-      s"expected full cube lattice, got ${rows.length} rows for $nS statuses × $nY years")
+    val nLeaves = rows.count(r =>
+      r.getAs[String]("status_lbl") != "ALL" && r.getAs[String]("yr_lbl") != "ALL")
+    assert(rows.length == nLeaves + nS + nY + 1,
+      s"expected cube lattice ($nLeaves leaves + $nS + $nY + 1), got ${rows.length} rows")
     val grand = rows.filter(r =>
       r.getAs[String]("status_lbl") == "ALL" && r.getAs[String]("yr_lbl") == "ALL")
     assert(grand.length == 1)
