@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -266,5 +267,116 @@ object AnalyticQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q49, q50, q51, q52, q53, q54)
+  // ---------------------------------------------------------------------
+  // q56 — funnel analysis: how far each user progresses through the
+  // ordered sequence view → click → purchase (each later step must
+  // occur strictly after, and within 2 hours of, the user's earliest
+  // completion of the prior step — the conversion-window form every
+  // funnel product uses). Three stage-aggregations, each a filter + min-per-user —
+  // the declarative form of sequence matching; no window over the raw
+  // event stream.
+  //
+  // Scale: each stage is a key-partitioned aggregate on user_id; after
+  // the first shuffle the stage joins are co-partitioned on the same
+  // key (no re-shuffle under AQE), and every intermediate is one row
+  // per qualifying user, monotonically shrinking down the funnel. The
+  // final histogram is group-cardinality (4 rows).
+  /** Per-user funnel depth (0..steps.length) over an events frame with
+    * (user_id, event_type, ts): step i+1 counts only if it occurs
+    * strictly after, and within `window` of, the user's earliest
+    * qualifying completion of step i.
+    */
+  def funnelDepths(ev: DataFrame, steps: Seq[String], window: String): DataFrame = {
+    val stageTimes = steps.zipWithIndex.foldLeft(List.empty[(Int, DataFrame)]) {
+      case (acc, (step, i)) =>
+        val base = ev.where(col("event_type") === step)
+        val gated = acc.headOption match {
+          case None => base
+          case Some((_, prev)) =>
+            base
+              .join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
+              .where(col("ts") > col("t_prev") &&
+                col("ts") <= col("t_prev") + expr(s"INTERVAL $window"))
+        }
+        (i, gated.groupBy("user_id").agg(min("ts").as("t"))) :: acc
+    }
+    stageTimes.reverse.foldLeft(ev.select("user_id").distinct()) {
+      case (acc, (i, st)) =>
+        acc.join(st.select(col("user_id"), lit(1).as(s"d$i")), Seq("user_id"), "left_outer")
+    }.select(
+      col("user_id"),
+      steps.indices.map(i => coalesce(col(s"d$i"), lit(0))).reduce(_ + _).as("depth"),
+    )
+  }
+
+  val q56: QuerySpec = QuerySpec(
+    "q56_funnel",
+    (s, d) =>
+      funnelDepths(
+        events(s, d).select("user_id", "event_type", "ts"),
+        Seq("view", "click", "purchase"), "2 HOURS")
+        .groupBy("depth").agg(count(lit(1)).as("n_users")).orderBy("depth"),
+    Some(
+      "WITH v AS (SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e JOIN v ON e.user_id = v.user_id " +
+        "WHERE e.event_type = 'click' AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 2 HOUR GROUP BY 1), " +
+        "p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e JOIN c ON e.user_id = c.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 2 HOUR GROUP BY 1), " +
+        "depth AS (SELECT u.user_id, " +
+        "(CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END + " +
+        "CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS depth " +
+        "FROM (SELECT DISTINCT user_id FROM events) u " +
+        "LEFT JOIN v ON u.user_id = v.user_id LEFT JOIN c ON u.user_id = c.user_id " +
+        "LEFT JOIN p ON u.user_id = p.user_id) " +
+        "SELECT depth, count(*) AS n_users FROM depth GROUP BY 1 ORDER BY depth"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q57 — cohort retention: users grouped by first-active ISO week
+  // (the cohort), distinct actives per (cohort, weeks-since). Both
+  // engines truncate weeks to ISO Monday, so the cohort keys agree;
+  // output keys are epoch seconds (the determinism rule for
+  // timestamps).
+  //
+  // Scale: one min-per-user aggregate (the cohort map), one equijoin
+  // back on user_id (co-partitioned after the first shuffle), one
+  // count-distinct on (cohort, offset) — distinct-aggregation shuffles
+  // (key, user) pairs, bounded by active users × weeks, not raw
+  // events. At extreme user counts, countDistinct swaps for an HLL
+  // sketch (ApproxOps) with the same plan shape.
+  val q57: QuerySpec = QuerySpec(
+    "q57_cohort_retention",
+    (s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("ts").cast("date").as("day"))
+      val cohorts = ev.groupBy("user_id")
+        .agg(date_trunc("week", min("day")).cast("date").as("cohort_week"))
+      ev.join(cohorts, "user_id")
+        .select(
+          col("user_id"),
+          col("cohort_week"),
+          (datediff(date_trunc("week", col("day")).cast("date"), col("cohort_week")) / 7)
+            .cast("bigint").as("weeks_since"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(countDistinct("user_id").as("n_active"))
+        .select(
+          unix_date(col("cohort_week")).cast("bigint").as("cohort_epoch_day"),
+          col("weeks_since"),
+          col("n_active"),
+        )
+        .orderBy("cohort_epoch_day", "weeks_since")
+    },
+    Some(
+      "WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "cohorts AS (SELECT user_id, CAST(date_trunc('week', min(day)) AS DATE) AS cohort_week FROM ev GROUP BY 1) " +
+        "SELECT CAST(cohort_week - DATE '1970-01-01' AS BIGINT) AS cohort_epoch_day, " +
+        "CAST((CAST(date_trunc('week', day) AS DATE) - cohort_week) / 7 AS BIGINT) AS weeks_since, " +
+        "count(DISTINCT ev.user_id) AS n_active " +
+        "FROM ev JOIN cohorts ON ev.user_id = cohorts.user_id " +
+        "GROUP BY 1, 2 ORDER BY cohort_epoch_day, weeks_since"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q49, q50, q51, q52, q53, q54, q56, q57)
 }

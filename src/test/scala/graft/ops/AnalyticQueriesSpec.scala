@@ -92,6 +92,51 @@ class AnalyticQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q56: funnel gating — strict order AND conversion window, per constructed fixture") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: full funnel inside windows → depth 3
+      (1L, "view", t("2024-01-01 10:00:00")),
+      (1L, "click", t("2024-01-01 11:00:00")),
+      (1L, "purchase", t("2024-01-01 12:30:00")),
+      // user 2: click BEFORE first view → not a conversion → depth 1
+      (2L, "click", t("2024-01-01 09:00:00")),
+      (2L, "view", t("2024-01-01 10:00:00")),
+      // user 3: click outside the 2h window → depth 1
+      (3L, "view", t("2024-01-01 10:00:00")),
+      (3L, "click", t("2024-01-01 12:00:01")),
+      // user 4: no view at all (error events only) → depth 0
+      (4L, "error", t("2024-01-01 10:00:00")),
+      // user 5: purchase without click → depth 1 (sequence, not set)
+      (5L, "view", t("2024-01-01 10:00:00")),
+      (5L, "purchase", t("2024-01-01 10:30:00")),
+      // user 6: SECOND view opens no new window (earliest-completion
+      // gating) — click is 1h after view#2 but 3h after view#1 → depth 1
+      (6L, "view", t("2024-01-01 10:00:00")),
+      (6L, "view", t("2024-01-01 12:00:00")),
+      (6L, "click", t("2024-01-01 13:00:00")),
+    ).toDF("user_id", "event_type", "ts")
+    val depths = AnalyticQueries
+      .funnelDepths(ev, Seq("view", "click", "purchase"), "2 HOURS")
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("depth")).toMap
+    assert(depths == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 1, 6L -> 1))
+  }
+
+  test("q57: cohort offsets are whole weeks and week 0 covers every cohort") {
+    val rows = AnalyticQueries.q57.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[Long]("cohort_epoch_day"))
+    byCohort.foreach { case (_, rs) =>
+      val offsets = rs.map(_.getAs[Long]("weeks_since"))
+      assert(offsets.contains(0L), "a user's first-active week is always active")
+      assert(offsets.forall(_ >= 0L))
+    }
+    // cohort keys are Mondays (ISO week truncation): epoch day 0 was a Thursday
+    byCohort.keys.foreach(d => assert(math.floorMod(d + 3, 7) == 0, s"epoch day $d is not a Monday"))
+  }
+
   test("q54: hopping 10m/5m assigns every event to exactly 2 windows") {
     val winEvents = AnalyticQueries.q54.run(spark, sfDir)
       .agg(sum("n_events")).head.getLong(0)
