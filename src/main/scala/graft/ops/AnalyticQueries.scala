@@ -378,5 +378,49 @@ object AnalyticQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q49, q50, q51, q52, q53, q54, q56, q57)
+  // ---------------------------------------------------------------------
+  // q58 — gaps-and-islands: longest streak of consecutive active days
+  // per user (the complement of q13's gap detection). The classic
+  // island id — day minus row_number is constant within a consecutive
+  // run — turns streak detection into two ordinary aggregations; no
+  // self-join, no iteration.
+  //
+  // Scale: distinct (user, day) first (shrinks events to active-days),
+  // then one window partitioned by user (series bounded by the date
+  // range), then two hash aggregates. All shuffles are on user_id —
+  // one partitioning reused end-to-end.
+  val q58: QuerySpec = QuerySpec(
+    "q58_streaks",
+    (s, d) => {
+      val days = events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val runs = days
+        .withColumn("island", date_sub(col("day"), row_number().over(w)))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("len"), min("day").as("streak_start"))
+      val best = Window.partitionBy("user_id")
+        .orderBy(col("len").desc, col("streak_start").desc)
+      runs
+        .withColumn("rn", row_number().over(best))
+        .where(col("rn") === 1)
+        .select(
+          col("user_id"),
+          col("len").as("longest_streak"),
+          col("streak_start").as("best_streak_start"),
+        )
+        .orderBy("user_id")
+    },
+    Some(
+      "WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "islands AS (SELECT user_id, day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS island, day FROM days), " +
+        "runs AS (SELECT user_id, island, count(*) AS len, min(day) AS streak_start FROM islands GROUP BY 1, 2) " +
+        "SELECT user_id, len AS longest_streak, streak_start AS best_streak_start FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY len DESC, streak_start DESC) AS rn FROM runs) " +
+        "WHERE rn = 1 ORDER BY user_id"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q49, q50, q51, q52, q53, q54, q56, q57, q58)
 }

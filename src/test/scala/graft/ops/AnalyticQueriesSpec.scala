@@ -137,6 +137,26 @@ class AnalyticQueriesSpec extends SparkSpec {
     byCohort.keys.foreach(d => assert(math.floorMod(d + 3, 7) == 0, s"epoch day $d is not a Monday"))
   }
 
+  test("q58: streaks on the real table agree with a brute-force per-user recomputation") {
+    val rows = AnalyticQueries.q58.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // brute-force oracle: longest run of consecutive days from the raw table
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getAs[java.sql.Date]("day").toLocalDate)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val uid = r.getLong(0)
+      val ds = days(uid)
+      var best = 1L; var cur = 1L
+      ds.sliding(2).filter(_.length == 2).foreach { p =>
+        cur = if (p(1) == p(0).plusDays(1)) cur + 1 else 1
+        best = math.max(best, cur)
+      }
+      assert(r.getAs[Long]("longest_streak") == best, s"user $uid")
+    }
+  }
+
   test("q54: hopping 10m/5m assigns every event to exactly 2 windows") {
     val winEvents = AnalyticQueries.q54.run(spark, sfDir)
       .agg(sum("n_events")).head.getLong(0)
