@@ -286,7 +286,11 @@ object AnalyticQueries {
     * strictly after, and within `window` of, the user's earliest
     * qualifying completion of step i.
     */
-  def funnelDepths(ev: DataFrame, steps: Seq[String], window: String): DataFrame = {
+  def funnelDepths(events: DataFrame, steps: Seq[String], window: String): DataFrame = {
+    require(steps.nonEmpty, "funnelDepths needs at least one step")
+    // project to the contract columns: extra caller columns would
+    // collide with the internal d<i>/t/t_prev working names
+    val ev = events.select("user_id", "event_type", "ts")
     val stageTimes = steps.zipWithIndex.foldLeft(List.empty[(Int, DataFrame)]) {
       case (acc, (step, i)) =>
         val base = ev.where(col("event_type") === step)
