@@ -426,5 +426,122 @@ object AnalyticQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q49, q50, q51, q52, q53, q54, q56, q57, q58)
+  // ---------------------------------------------------------------------
+  // q59 — semi-structured columns: extract a typed field from the JSON
+  // `props` payload and aggregate it. `get_json_object` is a codegen'd
+  // path expression evaluated streaming per row — no UDF, no
+  // whole-document parse into a struct when one field is needed. (For
+  // repeated multi-field access at scale, parse ONCE with from_json to
+  // a struct column and prune from there; for one field, the path
+  // expression is cheaper.)
+  //
+  // Scale: scan + partial agg, identical shape to q06; the JSON parse
+  // cost is per-row CPU inside WholeStageCodegen, pipelined with the
+  // scan.
+  val q59: QuerySpec = QuerySpec(
+    "q59_json_extract",
+    (s, d) =>
+      events(s, d)
+        .select(
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("k").as("sum_k"), // integral — exact in int64
+          min("k").as("min_k"),
+          max("k").as("max_k"),
+        )
+        .orderBy("event_type"),
+    Some(
+      "SELECT event_type, count(*) AS n, " +
+        "sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, " +
+        "min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k, " +
+        "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k " +
+        "FROM events GROUP BY 1 ORDER BY event_type"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q60 — ordered string aggregation (LISTAGG/string_agg): the
+  // reporting-layer reshape. Deterministic by construction:
+  // collect_set → array_sort → array_join ≡ DuckDB
+  // string_agg(DISTINCT … ORDER BY …); an unordered listagg would be
+  // schedule-dependent and could never hash-match.
+  //
+  // Scale: collect_set buffers distinct members per group in the agg —
+  // memory ∝ group's distinct cardinality. Right for bounded-cardinality
+  // reporting groups (users-per-type here); for unbounded groups use
+  // q39's bounded TopK or a sketch, not listagg.
+  val q60: QuerySpec = QuerySpec(
+    "q60_string_agg",
+    (s, d) =>
+      events(s, d)
+        .groupBy("event_type")
+        .agg(
+          array_join(array_sort(collect_set(col("user_id").cast("string"))), ",")
+            .as("users_csv"),
+          countDistinct("user_id").as("n_users"),
+        )
+        .orderBy("event_type"),
+    Some(
+      "SELECT event_type, " +
+        "string_agg(DISTINCT CAST(user_id AS VARCHAR), ',' ORDER BY CAST(user_id AS VARCHAR)) AS users_csv, " +
+        "count(DISTINCT user_id) AS n_users " +
+        "FROM events GROUP BY 1 ORDER BY event_type"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q61 — correlation via exact co-moments: corr(quantity, price) per
+  // returnflag, accumulated as six DECIMAL sums (n, Σx, Σy, Σx², Σy²,
+  // Σxy — all order-independent) with the Pearson formula applied once
+  // in double at the end. Spark's built-in corr() streams double
+  // co-moments whose low bits depend on task order — fine statistically,
+  // but not reproducible run-to-run; this form is bit-stable under any
+  // schedule (the engine's exactness rule applied to second moments).
+  //
+  // Scale: one partial-aggregated pass, six decimal accumulators per
+  // group — same cost class as q07's min/max/avg.
+  val q61: QuerySpec = QuerySpec(
+    "q61_corr_exact",
+    (s, d) => {
+      val x = col("l_quantity").cast(DecimalType(18, 2))
+      val y = col("l_extendedprice").cast(DecimalType(18, 2))
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(x).cast("double").as("s1"),
+          sum(y).cast("double").as("s2"),
+          sum(x * x).cast("double").as("s11"),
+          sum(y * y).cast("double").as("s22"),
+          sum(x * y).cast("double").as("s12"),
+        )
+        .select(
+          col("l_returnflag"),
+          round(
+            (col("n") * col("s12") - col("s1") * col("s2")) /
+              sqrt((col("n") * col("s11") - col("s1") * col("s1")) *
+                (col("n") * col("s22") - col("s2") * col("s2"))),
+            6,
+          ).as("corr_qty_price"),
+        )
+        .orderBy("l_returnflag")
+    },
+    Some(
+      "SELECT l_returnflag, round((n*s12 - s1*s2) / sqrt((n*s11 - s1*s1)*(n*s22 - s2*s2)), 6) AS corr_qty_price FROM (" +
+        "SELECT l_returnflag, CAST(count(*) AS DOUBLE) n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) s1, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) s2, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) s11, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) s22, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) s12 " +
+        "FROM lineitem GROUP BY 1) ORDER BY l_returnflag"
+    ),
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(q49, q50, q51, q52, q53, q54, q56, q57, q58, q59, q60, q61)
 }

@@ -157,6 +157,36 @@ class AnalyticQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q59: JSON field totals cover every event") {
+    val rows = AnalyticQueries.q59.run(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.events(spark, sfDir).count(),
+      "every event parses (no silent null-drop in the JSON path)")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_k") <= r.getAs[Long]("max_k"))
+    }
+  }
+
+  test("q60: users_csv is the sorted distinct membership it claims") {
+    AnalyticQueries.q60.run(spark, sfDir).collect().foreach { r =>
+      val members = r.getAs[String]("users_csv").split(",").toSeq
+      assert(members.length.toLong == r.getAs[Long]("n_users"))
+      assert(members == members.distinct.sorted, "csv must be sorted distinct")
+    }
+  }
+
+  test("q61: exact-co-moment correlation agrees with Spark's streaming corr()") {
+    val exact = AnalyticQueries.q61.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("corr_qty_price")).toMap
+    val streaming = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag").agg(corr("l_quantity", "l_extendedprice").as("c"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("c")).toMap
+    assert(exact.keySet == streaming.keySet)
+    exact.foreach { case (k, v) =>
+      assert(math.abs(v - streaming(k)) < 1e-6, s"flag $k: $v vs ${streaming(k)}")
+      assert(math.abs(v) <= 1.0)
+    }
+  }
+
   test("q54: hopping 10m/5m assigns every event to exactly 2 windows") {
     val winEvents = AnalyticQueries.q54.run(spark, sfDir)
       .agg(sum("n_events")).head.getLong(0)
