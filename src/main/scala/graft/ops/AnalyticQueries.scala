@@ -542,6 +542,67 @@ object AnalyticQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q62 — unpivot (wide→long), the inverse of q51: melt the per-status
+  // yearly totals back into (yr, status, total) rows. Spark's native
+  // `unpivot` plans an Expand (row → arity copies, nulls dropped) — no
+  // join, no union of re-scans.
+  //
+  // Scale: Expand multiplies rows by pivot arity BEFORE the shuffle but
+  // carries only (id, name, value) — reshape of an already-aggregated
+  // frame is cheap; never unpivot raw facts when the long form can be
+  // aggregated directly.
+  val q62: QuerySpec = QuerySpec(
+    "q62_unpivot",
+    (s, d) =>
+      q51.run(s, d) // the wide frame: yr, F, O, P
+        .unpivot(
+          Array(col("yr")),
+          Array(col("F"), col("O"), col("P")),
+          "status",
+          "total",
+        )
+        .where(col("total").isNotNull)
+        .orderBy("yr", "status"),
+    Some(
+      // oracle: the long form directly (what unpivot must reconstruct)
+      "SELECT year(o_orderdate) AS yr, o_orderstatus AS status, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+        "FROM orders GROUP BY 1, 2 ORDER BY yr, status"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q63 — heavy-hitter detection: keys holding more than a share
+  // threshold of a table's rows — the diagnostic run BEFORE a big join
+  // to decide whether to salt it (q46) or isolate hot keys. Exact form:
+  // one partial-aggregated count + a total-count broadcast join.
+  //
+  // Scale: the groupBy shuffles one row per key per mapper; the total
+  // is a 1-row broadcast. For cardinalities where even key-counts are
+  // too big, the sketch path (ApproxOps / freqItems) finds the same
+  // hitters with bounded memory; this exact form is its anchor.
+  val q63: QuerySpec = QuerySpec(
+    "q63_heavy_hitters",
+    (s, d) => {
+      val ev = events(s, d)
+      val total = ev.agg(count(lit(1)).as("total"))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .withColumn("share", round(col("cnt").cast("double") / col("total"), 6))
+        .where(col("share") > 0.15)
+        .select("event_type", "cnt", "share")
+        .orderBy("event_type")
+    },
+    Some(
+      "SELECT event_type, cnt, share FROM (" +
+        "SELECT event_type, count(*) AS cnt, " +
+        "round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM events), 6) AS share " +
+        "FROM events GROUP BY 1) WHERE share > 0.15 ORDER BY event_type"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q49, q50, q51, q52, q53, q54, q56, q57, q58, q59, q60, q61)
+    Seq(q49, q50, q51, q52, q53, q54, q56, q57, q58, q59, q60, q61, q62, q63)
 }

@@ -187,6 +187,31 @@ class AnalyticQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q62: unpivot is the exact inverse of the q51 pivot (round trip)") {
+    val wide = AnalyticQueries.q51.run(spark, sfDir).collect()
+    val long = AnalyticQueries.q62.run(spark, sfDir).collect()
+    val nonNullCells = wide.map(r =>
+      Seq("F", "O", "P").count(c => !r.isNullAt(r.fieldIndex(c)))).sum
+    assert(long.length == nonNullCells, "one long row per non-null wide cell")
+    // every long row equals its wide cell
+    val wideMap = wide.map(r => r.getAs[Int]("yr") -> r).toMap
+    long.foreach { r =>
+      val cell = wideMap(r.getAs[Int]("yr")).getAs[Double](r.getAs[String]("status"))
+      assert(cell == r.getAs[Double]("total"))
+    }
+  }
+
+  test("q63: heavy-hitter shares are consistent fractions of the table") {
+    val total = Tables.events(spark, sfDir).count().toDouble
+    val rows = AnalyticQueries.q63.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("share") > 0.15)
+      assert(math.abs(r.getAs[Double]("share") - r.getAs[Long]("cnt") / total) < 1e-6)
+    }
+    assert(rows.map(_.getAs[Double]("share")).sum <= 1.0 + 1e-9)
+  }
+
   test("q54: hopping 10m/5m assigns every event to exactly 2 windows") {
     val winEvents = AnalyticQueries.q54.run(spark, sfDir)
       .agg(sum("n_events")).head.getLong(0)
