@@ -449,14 +449,17 @@ object AnalyticQueries {
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n"),
+          count(col("k")).as("n_parsed"), // counts only non-null extractions
           sum("k").as("sum_k"), // integral — exact in int64
           min("k").as("min_k"),
           max("k").as("max_k"),
         )
         .orderBy("event_type"),
     Some(
+      // DuckDB widens sum(BIGINT) to HUGEINT — cast back so the types agree
       "SELECT event_type, count(*) AS n, " +
-        "sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, " +
+        "count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_parsed, " +
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
         "min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k, " +
         "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k " +
         "FROM events GROUP BY 1 ORDER BY event_type"
@@ -585,12 +588,16 @@ object AnalyticQueries {
   val q63: QuerySpec = QuerySpec(
     "q63_heavy_hitters",
     (s, d) => {
-      val ev = events(s, d)
-      val total = ev.agg(count(lit(1)).as("total"))
-      ev.groupBy("event_type")
+      // ONE fact scan: the total derives from the group-cardinality
+      // counts via an unpartitioned window (tiny frame), not a second
+      // aggregate subplan over the table (Spark does not dedupe common
+      // scan subplans).
+      events(s, d)
+        .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"))
-        .crossJoin(broadcast(total))
-        .withColumn("share", round(col("cnt").cast("double") / col("total"), 6))
+        .withColumn("share",
+          round(col("cnt").cast("double") /
+            sum("cnt").over(Window.partitionBy()), 6))
         .where(col("share") > 0.15)
         .select("event_type", "cnt", "share")
         .orderBy("event_type")

@@ -159,9 +159,12 @@ class AnalyticQueriesSpec extends SparkSpec {
 
   test("q59: JSON field totals cover every event") {
     val rows = AnalyticQueries.q59.run(spark, sfDir).collect()
-    assert(rows.map(_.getAs[Long]("n")).sum == Tables.events(spark, sfDir).count(),
-      "every event parses (no silent null-drop in the JSON path)")
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.events(spark, sfDir).count())
     rows.foreach { r =>
+      // n_parsed counts non-null extractions — a typo'd JSON path would
+      // fail HERE (count(*) alone cannot detect silent null-drop)
+      assert(r.getAs[Long]("n_parsed") == r.getAs[Long]("n"),
+        "every event's props must parse to a non-null k")
       assert(r.getAs[Long]("min_k") <= r.getAs[Long]("max_k"))
     }
   }
@@ -209,7 +212,8 @@ class AnalyticQueriesSpec extends SparkSpec {
       assert(r.getAs[Double]("share") > 0.15)
       assert(math.abs(r.getAs[Double]("share") - r.getAs[Long]("cnt") / total) < 1e-6)
     }
-    assert(rows.map(_.getAs[Double]("share")).sum <= 1.0 + 1e-9)
+    // each share is rounded to 6dp (±5e-7), so the sum's bound is n·5e-7
+    assert(rows.map(_.getAs[Double]("share")).sum <= 1.0 + rows.length * 5e-7)
   }
 
   test("q54: hopping 10m/5m assigns every event to exactly 2 windows") {
