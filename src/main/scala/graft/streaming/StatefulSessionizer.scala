@@ -27,10 +27,7 @@ object StatefulSessionizer {
   final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
   final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
-  private def micros(t: java.sql.Timestamp): Long = {
-    val i = t.toInstant
-    i.getEpochSecond * 1000000L + i.getNano / 1000L
-  }
+  private def micros(t: java.sql.Timestamp): Long = StreamTime.micros(t)
 
   /** Streaming sessionization: close sessions separated by > gapUs, cap
     * any session at maxSessionUs. Uses EventTimeTimeout so a user who

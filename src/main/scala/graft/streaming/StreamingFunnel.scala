@@ -5,42 +5,49 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** Streaming twin of the batch funnel (`graft.ops.AnalyticQueries.
   * funnelDepths`, q56): per-user conversion depth through an ordered
-  * step sequence, each step gated to `windowUs` after the user's
+  * step sequence, each later step gated to `windowUs` after the user's
   * earliest completion of the prior step — computed over an unbounded,
   * out-of-order stream.
   *
-  * Semantics identical to the batch form (earliest-anchor greedy:
-  * anchors are min-ts and only ever move earlier as late events
-  * arrive), restricted to users with at least one step event (a stream
-  * has no "all users" universe to left-join against).
+  * Contract: one `Conversion` row per FUNNEL EPISODE. An episode
+  * finalizes — emits and clears state — when the watermark passes the
+  * point where its outcome can no longer change:
   *
-  * Finalization: a user's depth is emitted ONCE, when the event-time
-  * timeout fires at lastSeen + steps·window. At that point the
-  * watermark exceeds every open stage deadline (t_i ≤ lastSeen +
-  * i·window), so no admissible late event can deepen the funnel or
-  * move an anchor earlier — the emission is final, and state is
-  * evicted. State per user is the buffered step-event timestamps
-  * inside the watermark horizon (the same bound class as
-  * `dropDuplicatesWithinWatermark`), distinct-ts pruned.
+  *  - depth == steps.length: past the last anchor (admissible events
+  *    all carry ts ≥ watermark > every anchor, so no re-anchoring);
+  *  - 0 < depth < steps.length: past `last anchor + window` (the first
+  *    unresolved stage's deadline; also > every anchor);
+  *  - depth == 0 (only later-step events buffered): past
+  *    `max buffered ts + window` (a future step-0 event at ts ≥
+  *    watermark could only convert with a later step in
+  *    (ts, ts+window], and every buffered event is older than that).
+  *
+  * A user active AFTER finalization opens a NEW episode (their next
+  * funnel attempt) — this is what bounds state for continuously-active
+  * users: an episode's buffer spans at most the episode's own event
+  * range, and the deadline rule finalizes it `window` past its last
+  * anchor regardless of how busy the user stays afterwards. Batch
+  * parity (`funnelDepths` = one global earliest-anchor pass) therefore
+  * holds exactly for inputs whose per-user step events fall within one
+  * episode — the spec pins both that case and the multi-episode case.
+  *
+  * In-horizon late data re-anchors correctly before finalization:
+  * anchors are min-ts and recomputed from the buffered timestamps on
+  * every batch.
   */
 object StreamingFunnel {
 
   final case class StepEvent(user_id: Long, event_type: String, ts: java.sql.Timestamp)
 
-  /** Per-step sorted distinct buffered timestamps + max ts seen. */
-  final case class FunnelBuf(stepTs: Seq[Seq[Long]], maxSeenUs: Long)
+  /** Per-step sorted distinct buffered timestamps (one episode's). */
+  final case class FunnelBuf(stepTs: Seq[Seq[Long]])
 
   final case class Conversion(user_id: Long, depth: Int, last_anchor_us: Long)
 
-  private def micros(t: java.sql.Timestamp): Long = {
-    val i = t.toInstant
-    i.getEpochSecond * 1000000L + i.getNano / 1000L
-  }
-
   /** Greedy earliest-anchor depth over the buffered step timestamps —
     * the same decision function as the batch funnelDepths aggregation.
-    * Returns (depth, anchor of the deepest completed stage; the first
-    * step's min ts for depth ≥ 1, 0 if no step-0 event buffered).
+    * Returns (depth, anchor of the deepest completed stage; 0 if no
+    * step-0 event buffered).
     */
   private[streaming] def resolve(stepTs: Seq[Seq[Long]], windowUs: Long): (Int, Long) = {
     var depth = 0
@@ -59,6 +66,16 @@ object StreamingFunnel {
     (depth, anchor)
   }
 
+  /** The episode's finalization deadline (µs): the earliest event time
+    * the watermark must pass for the outcome to be immutable.
+    */
+  private[streaming] def deadlineUs(stepTs: Seq[Seq[Long]], windowUs: Long, nSteps: Int): Long = {
+    val (depth, anchor) = resolve(stepTs, windowUs)
+    if (depth == nSteps) anchor
+    else if (depth > 0) anchor + windowUs
+    else stepTs.iterator.flatMap(_.lastOption).foldLeft(0L)(math.max) + windowUs
+  }
+
   def funnelStream(
       events: Dataset[StepEvent],
       steps: Seq[String],
@@ -66,11 +83,13 @@ object StreamingFunnel {
       lateness: String = "2 days",
   ): Dataset[Conversion] = {
     require(steps.nonEmpty, "funnelStream needs at least one step")
+    require(steps.distinct.size == steps.size,
+      "funnelStream steps must be distinct (a repeated event_type would be bucketed ambiguously)")
     implicit val ce: org.apache.spark.sql.Encoder[Conversion] = Encoders.product[Conversion]
     implicit val le: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
     implicit val be: org.apache.spark.sql.Encoder[FunnelBuf] = Encoders.product[FunnelBuf]
     val stepIdx = steps.zipWithIndex.toMap
-    val spanUs = steps.length * windowUs
+    val nSteps = steps.length
 
     events
       .withWatermark("ts", lateness)
@@ -81,25 +100,30 @@ object StreamingFunnel {
         GroupStateTimeout.EventTimeTimeout(),
       ) { (userId: Long, it: Iterator[StepEvent], state: GroupState[FunnelBuf]) =>
         if (state.hasTimedOut) {
-          // watermark > lastSeen + span: every open stage deadline has
-          // passed and anchors can no longer move — final.
           val buf = state.get
           state.remove()
           val (depth, anchor) = resolve(buf.stepTs, windowUs)
           Iterator.single(Conversion(userId, depth, anchor))
         } else {
           val prev = state.getOption.getOrElse(
-            FunnelBuf(Seq.fill(steps.length)(Vector.empty[Long]), 0L))
-          val incoming = it.toSeq.map(e => (stepIdx(e.event_type), micros(e.ts)))
+            FunnelBuf(Seq.fill(nSteps)(Vector.empty[Long])))
+          val incoming = it.toSeq
+            .map(e => (stepIdx(e.event_type), StreamTime.micros(e.ts)))
+            .groupBy(_._1) // one pass over the batch, not one per step
           val merged = prev.stepTs.zipWithIndex.map { case (old, i) =>
-            val add = incoming.collect { case (s, ts) if s == i => ts }
-            if (add.isEmpty) old else (old ++ add).distinct.sorted
+            incoming.get(i) match {
+              case None => old
+              case Some(add) => (old ++ add.map(_._2)).distinct.sorted
+            }
           }
-          val maxSeen =
-            if (incoming.isEmpty) prev.maxSeenUs
-            else math.max(prev.maxSeenUs, incoming.map(_._2).max)
-          state.update(FunnelBuf(merged, maxSeen))
-          state.setTimeoutTimestamp((maxSeen + spanUs) / 1000L)
+          state.update(FunnelBuf(merged))
+          // Fire once the watermark passes the episode deadline; clamp
+          // above the current watermark (Spark rejects a timeout at or
+          // before it — possible when this batch's data already lands
+          // inside an expired window).
+          val deadlineMs = deadlineUs(merged, windowUs, nSteps) / 1000L
+          state.setTimeoutTimestamp(
+            math.max(deadlineMs, state.getCurrentWatermarkMs() + 1L))
           Iterator.empty
         }
       }

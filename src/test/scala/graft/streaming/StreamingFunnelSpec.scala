@@ -76,6 +76,47 @@ class StreamingFunnelSpec extends SparkSpec {
     Seq(1L, 2L, 3L).foreach(u => assert(got(u) == batch(u), s"stream/batch parity for user $u"))
   }
 
+  test("returning user opens a NEW episode after finalization (bounded state, one row per attempt)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[StepEvent]
+    val out = funnelStream(in.toDS(), Seq("view", "click"),
+      windowUs = 1 * HOUR_US, lateness = "1 hour")
+    val q = out.writeStream.format("memory").queryName("funnel_ep").outputMode("append").start()
+
+    in.addData(StepEvent(7L, "view", ts("2024-01-01 10:00:00"))) // episode 1: view only
+    q.processAllAvailable()
+    // watermark past 11:00 deadline (anchor+window) → episode 1 finalizes at depth 1
+    in.addData(StepEvent(99L, "view", ts("2024-01-01 13:00:00")))
+    q.processAllAvailable()
+    // user 7 returns: full funnel = episode 2
+    in.addData(
+      StepEvent(7L, "view", ts("2024-01-02 09:00:00")),
+      StepEvent(7L, "click", ts("2024-01-02 09:30:00")),
+    )
+    q.processAllAvailable()
+    in.addData(StepEvent(98L, "view", ts("2024-01-03 13:00:00"))) // flush everything
+    q.processAllAvailable()
+    q.stop()
+
+    val eps = spark.table("funnel_ep").as[Conversion].collect()
+      .filter(_.user_id == 7L).sortBy(_.last_anchor_us).map(_.depth).toSeq
+    assert(eps == Seq(1, 2), s"two episodes with their own depths, got $eps")
+  }
+
+  test("repeated step names are rejected (ambiguous bucketing)") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      funnelStream(spark.emptyDataset[StepEvent], Seq("view", "click", "view"), HOUR_US)
+    }
+  }
+
+  test("deadlineUs: full depth → last anchor; partial → anchor+window; no step-0 → maxBuf+window") {
+    val w = 100L
+    assert(deadlineUs(Seq(Vector(10L), Vector(50L)), w, 2) == 50L) // full
+    assert(deadlineUs(Seq(Vector(10L), Vector.empty), w, 2) == 110L) // partial
+    assert(deadlineUs(Seq(Vector.empty, Vector(70L)), w, 2) == 170L) // headless buffer
+  }
+
   test("resolve: greedy earliest-anchor over buffered timestamps") {
     val w = 100L
     // step0 min anchors; step1 must be in (anchor, anchor+w]
