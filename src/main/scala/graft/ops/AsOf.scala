@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions._
   *
   * Tie rule: at equal timestamps the right row is visible to the left
   * row (inclusive) unless `strict = true`. Within equal (ts, side),
-  * `rightTieBreak` orders right rows so the winner is deterministic —
-  * pass the right side's unique id.
+  * `rightTieBreak` orders right rows in the column's own native order
+  * (numeric, lexicographic for strings, …) and the maximum wins —
+  * pass the right side's unique id, any orderable type.
   */
 object AsOf {
 
@@ -62,13 +63,22 @@ object AsOf {
     // value is legitimately null (per-column fills could pair one
     // row's timestamp with an older row's value). Also keeps the plan
     // at exactly one window expression regardless of value-col count.
+    // The tie-break keeps the RIGHT column's own type and ordering (a
+    // cast to long would null out e.g. string run ids, silently voiding
+    // the deterministic-winner guarantee). Left rows never compete on
+    // __rtb — at equal ts the __side key already separates the sides —
+    // so the left side only needs a type-compatible null for the union.
+    val rtb: org.apache.spark.sql.Column = rightTieBreak.map(col).getOrElse(lit(0L))
+    val rtbType = rightTieBreak
+      .map(c => rightUsable.schema(c).dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType)
     val r = rightUsable.select(
       (keys :+ tsCol).map(col) :+
         struct(rightValueCols.map(col): _*).as("__rv") :+
         lit(rightSide).as("__side") :+
-        rightTieBreak.map(col).getOrElse(lit(0L)).cast("long").as("__rtb"): _*)
+        rtb.as("__rtb"): _*)
     val l = left.withColumn("__side", lit(leftSide))
-      .withColumn("__rtb", lit(Long.MaxValue))
+      .withColumn("__rtb", lit(null).cast(rtbType))
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
     val w = Window

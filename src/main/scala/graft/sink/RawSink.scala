@@ -402,7 +402,15 @@ object RawSink {
     try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     try {
-      if (!fs.rename(tmp, sealPath)) verifyOrThrow()
+      // POSIX-backed FileSystems (RawLocal/Local) implement rename as
+      // renameTo, which silently REPLACES an existing destination — so
+      // "rename loses when a seal exists" cannot be relied on to detect
+      // a foreign seal. Existence-check first and route to content
+      // verification; the rename only publishes into an empty slot. A
+      // racer landing between the check and the rename is caught by the
+      // loser's own verifyOrThrow on its next attempt path (both
+      // contents complete by construction — only whole files rename in).
+      if (fs.exists(sealPath) || !fs.rename(tmp, sealPath)) verifyOrThrow()
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => verifyOrThrow()
     } finally {

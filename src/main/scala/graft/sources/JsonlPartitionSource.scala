@@ -297,8 +297,16 @@ class JsonlReader(p: JsonlFilePartition, schema: StructType, conf: Configuration
       .indexWhere(_.name == f.name)
 
   override def next(): Boolean = {
-    if (!lines.hasNext) return false
-    val node = mapper.readTree(lines.next())
+    // skip blank/whitespace-only lines, matching schema inference's
+    // find(_.trim.nonEmpty) tolerance — read and infer must agree on
+    // the same file
+    var line: String = null
+    while (line == null && lines.hasNext) {
+      val candidate = lines.next()
+      if (candidate.trim.nonEmpty) line = candidate
+    }
+    if (line == null) return false
+    val node = mapper.readTree(line)
     val vals = new Array[Any](schema.length)
     var i = 0
     while (i < fieldPlans.length) {

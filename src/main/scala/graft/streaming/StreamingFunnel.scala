@@ -26,7 +26,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * funnel attempt) — this is what bounds state for continuously-active
   * users: an episode's buffer spans at most the episode's own event
   * range, and the deadline rule finalizes it `window` past its last
-  * anchor regardless of how busy the user stays afterwards. Batch
+  * anchor regardless of how busy the user stays afterwards. Two paths
+  * enforce this: the event-time timeout (quiet keys), and an inline
+  * drain in the data branch (keys with data in the trigger where the
+  * deadline passes — Spark never fires timeouts for those). Buffered
+  * events BEYOND a finalized episode's deadline (early arrivals for
+  * the user's next attempt — the window gate proves they couldn't
+  * have joined the old episode) are carried over as the next
+  * episode's seed rather than swallowed. Batch
   * parity (`funnelDepths` = one global earliest-anchor pass) therefore
   * holds exactly for inputs whose per-user step events fall within one
   * episode — the spec pins both that case and the multi-episode case.
@@ -76,6 +83,37 @@ object StreamingFunnel {
     else stepTs.iterator.flatMap(_.lastOption).foldLeft(0L)(math.max) + windowUs
   }
 
+  /** Finalize every episode whose deadline the watermark has passed.
+    * Buffered events beyond a finalized episode's deadline cannot have
+    * influenced its outcome (the window gate excludes them from every
+    * admissible chain), so they carry over as the START of the next
+    * episode — which may itself already be expired (watermark jumps),
+    * hence the loop. Returns (finalized (depth, anchor) pairs in
+    * episode order, the still-open remainder).
+    *
+    * Strict `<` mirrors Spark's event-time timeout condition
+    * (`timeoutTimestamp < watermark`), so the inline data-branch drain
+    * and the timeout branch finalize at the same watermark.
+    */
+  private[streaming] def drainExpired(
+      stepTs: Seq[Seq[Long]],
+      wmMs: Long,
+      windowUs: Long,
+      nSteps: Int,
+  ): (List[(Int, Long)], Seq[Seq[Long]]) = {
+    val out = List.newBuilder[(Int, Long)]
+    var cur = stepTs
+    var open = false
+    while (!open && cur.exists(_.nonEmpty)) {
+      val dl = deadlineUs(cur, windowUs, nSteps)
+      if (dl / 1000L < wmMs) {
+        out += resolve(cur, windowUs)
+        cur = cur.map(_.filter(_ > dl)) // next episode's seed
+      } else open = true
+    }
+    (out.result(), cur)
+  }
+
   def funnelStream(
       events: Dataset[StepEvent],
       steps: Seq[String],
@@ -99,18 +137,31 @@ object StreamingFunnel {
         OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout(),
       ) { (userId: Long, it: Iterator[StepEvent], state: GroupState[FunnelBuf]) =>
+        val wmMs = state.getCurrentWatermarkMs()
         if (state.hasTimedOut) {
-          val buf = state.get
-          state.remove()
-          val (depth, anchor) = resolve(buf.stepTs, windowUs)
-          Iterator.single(Conversion(userId, depth, anchor))
+          val (eps, rest) = drainExpired(state.get.stepTs, wmMs, windowUs, nSteps)
+          if (rest.exists(_.nonEmpty)) {
+            // events beyond the drained deadlines: the next episode,
+            // still open — re-arm for its own deadline.
+            state.update(FunnelBuf(rest))
+            state.setTimeoutTimestamp(
+              math.max(deadlineUs(rest, windowUs, nSteps) / 1000L, wmMs + 1L))
+          } else state.remove()
+          eps.iterator.map { case (d, a) => Conversion(userId, d, a) }
         } else {
-          val prev = state.getOption.getOrElse(
-            FunnelBuf(Seq.fill(nSteps)(Vector.empty[Long])))
+          // EventTimeTimeout only fires for keys with NO data in a
+          // trigger, so an active key must finalize expired episodes
+          // inline before merging: this batch's events (admissible ⇒
+          // ts ≥ watermark > deadline) open the NEXT episode rather
+          // than merging into a stale one.
+          val (eps, rest) = drainExpired(
+            state.getOption.map(_.stepTs)
+              .getOrElse(Seq.fill(nSteps)(Vector.empty[Long])),
+            wmMs, windowUs, nSteps)
           val incoming = it.toSeq
             .map(e => (stepIdx(e.event_type), StreamTime.micros(e.ts)))
             .groupBy(_._1) // one pass over the batch, not one per step
-          val merged = prev.stepTs.zipWithIndex.map { case (old, i) =>
+          val merged = rest.zipWithIndex.map { case (old, i) =>
             incoming.get(i) match {
               case None => old
               case Some(add) => (old ++ add.map(_._2)).distinct.sorted
@@ -122,9 +173,8 @@ object StreamingFunnel {
           // before it — possible when this batch's data already lands
           // inside an expired window).
           val deadlineMs = deadlineUs(merged, windowUs, nSteps) / 1000L
-          state.setTimeoutTimestamp(
-            math.max(deadlineMs, state.getCurrentWatermarkMs() + 1L))
-          Iterator.empty
+          state.setTimeoutTimestamp(math.max(deadlineMs, wmMs + 1L))
+          eps.iterator.map { case (d, a) => Conversion(userId, d, a) }
         }
       }
   }

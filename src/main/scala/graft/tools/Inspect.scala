@@ -55,7 +55,10 @@ object Inspect {
     */
   def renderPreview(preview: DataFrame, format: String = "table", limit: Int = 1000): String = {
     val keyCols = PartitionKey.columns :+ "run_id"
-    val bounded = preview.limit(limit)
+    // limit() on an unordered frame is nondeterministic across
+    // evaluations: materialize the bounded subset ONCE so the summary
+    // counts and the rendered samples below describe the same rows.
+    val bounded = preview.limit(limit).localCheckpoint(true)
     val summaryDf = bounded
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("sample_rows"))

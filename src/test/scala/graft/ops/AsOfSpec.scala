@@ -50,6 +50,18 @@ class AsOfSpec extends SparkSpec {
     assert(out == Seq(2.0)) // rid 9 wins
   }
 
+  test("a STRING tie-break keeps its native ordering (no silent cast-to-null)") {
+    // regression: __rtb was cast("long"), so string run ids became null
+    // for every row and the "deterministic winner" was arbitrary.
+    val tied = Seq((1L, 100L, 1.0, "run-a"), (1L, 100L, 2.0, "run-c"), (1L, 100L, 3.0, "run-b"))
+      .toDF("user_id", "ts", "price", "run_id")
+    val probe = Seq((1L, 100L, "p")).toDF("user_id", "ts", "tag")
+    val out = AsOf.asOfJoin(probe, tied, Seq("user_id"), "ts",
+      rightValueCols = Seq("price"), rightTieBreak = Some("run_id"))
+      .select("price").as[Double].collect().toSeq
+    assert(out == Seq(2.0), s"lexicographic max run-c must win, got $out")
+  }
+
   test("a null right value must not tear the match across columns") {
     // right row at ts=200 has a NULL price but a valid note: the probe
     // at 250 must see (null, "n2") — NOT price 5.0 from ts=100 paired

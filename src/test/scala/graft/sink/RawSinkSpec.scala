@@ -157,6 +157,12 @@ class RawSinkSpec extends SparkSpec {
     val conflicting = row.copy(record_count = 99L)
     val e = intercept[IllegalStateException](RawSink.writeSealFile(conf, root, conflicting))
     assert(e.getMessage.contains("seal conflict"))
+    // the loser must not have clobbered the existing seal on the way
+    // out (POSIX renameTo silently replaces — the writer must
+    // existence-check, not trust the rename's return value)
+    val surviving = RawSink.readSealRow(conf, root,
+      RawSink.Tuple5RowCase("s", "c", "q", Date.valueOf("2024-01-01"), "r1"))
+    assert(surviving.record_count == 5L, "original seal content must survive a conflicting claim")
   }
 
   test("repairManifest reconciles a lost index from the directory tree") {

@@ -102,6 +102,20 @@ class JsonlSourceSpec extends SparkSpec {
       Not(EqualTo("customer_id", "c1"))), "Not must not be claimed")
   }
 
+  test("blank lines in a payload file are skipped on read, matching inference's tolerance") {
+    val r = Files.createTempDirectory("jsonl_blank")
+    val dir = r.resolve(
+      "source=gads/customer_id=c1/query_name=q/logical_date=2024-01-01/run_id=r1")
+    Files.createDirectories(dir)
+    // trailing newline + interior blank + whitespace-only line
+    Files.writeString(dir.resolve("payload.jsonl"),
+      "{\"campaign_id\":\"a\",\"clicks\":\"1\"}\n\n   \n{\"campaign_id\":\"b\",\"clicks\":\"2\"}\n\n")
+    Files.writeString(dir.resolve("_SEAL.json"), """{"sealed":true}""")
+    val df = graft.ops.Extraction.readSink(spark, r.toString)
+    assert(df.count() == 2, "blank lines must not fail or produce rows")
+    assert(df.select("campaign_id").as[String].collect().sorted.toSeq == Seq("a", "b"))
+  }
+
   test("schema inference skips empty sealed payload files") {
     val r = Files.createTempDirectory("jsonl_empty")
     def runDir(d: String) = r.resolve(

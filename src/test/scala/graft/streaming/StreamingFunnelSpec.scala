@@ -50,17 +50,20 @@ class StreamingFunnelSpec extends SparkSpec {
     q.stop()
 
     val got = spark.table("funnel_t").as[Conversion].collect()
-      .map(c => c.user_id -> c.depth).toMap
-    assert(got(1L) == 3)
-    assert(got(2L) == 2, "late in-horizon view must re-anchor user 2's funnel")
-    assert(got(3L) == 1, "outside-window click must not convert")
+      .groupBy(_.user_id).view.mapValues(_.map(_.depth).sorted.toSeq).toMap
+    assert(got(1L) == Seq(3))
+    assert(got(2L) == Seq(2), "late in-horizon view must re-anchor user 2's funnel")
+    // user 3's click is past episode 1's deadline (10:00 + 2h): it must
+    // not convert episode 1 (depth stays 1) and instead seeds a second,
+    // headless episode (depth 0) — it could still have converted had a
+    // view arrived above the watermark, so it can't just be swallowed.
+    assert(got(3L) == Seq(0, 1), "outside-window click must not convert")
     assert(got.contains(99L), "quiet users finalize by timeout, not by more data")
-    // exactly one emission per finalized user
-    val emissions = spark.table("funnel_t").as[Conversion].collect().map(_.user_id)
-    assert(emissions.length == emissions.distinct.length)
+    assert(got.values.forall(_.size <= 2), "no duplicate episode emissions")
 
-    // batch parity: same events through the batch operator (restricted
-    // to users with step events, as the stream is)
+    // batch parity on single-episode users (the documented contract;
+    // user 3's input is two streaming episodes, which batch's one
+    // global pass cannot represent)
     val batch = graft.ops.AnalyticQueries.funnelDepths(
       Seq(
         (1L, "view", ts("2024-01-01 10:00:00")),
@@ -73,7 +76,8 @@ class StreamingFunnelSpec extends SparkSpec {
       ).toDF("user_id", "event_type", "ts"),
       Seq("view", "click", "purchase"), "2 HOURS",
     ).collect().map(r => r.getLong(0) -> r.getAs[Int]("depth")).toMap
-    Seq(1L, 2L, 3L).foreach(u => assert(got(u) == batch(u), s"stream/batch parity for user $u"))
+    Seq(1L, 2L).foreach(u => assert(got(u) == Seq(batch(u)), s"stream/batch parity for user $u"))
+    assert(batch(3L) == 1, "batch's single-episode view of user 3")
   }
 
   test("returning user opens a NEW episode after finalization (bounded state, one row per attempt)") {
@@ -101,6 +105,79 @@ class StreamingFunnelSpec extends SparkSpec {
     val eps = spark.table("funnel_ep").as[Conversion].collect()
       .filter(_.user_id == 7L).sortBy(_.last_anchor_us).map(_.depth).toSeq
     assert(eps == Seq(1, 2), s"two episodes with their own depths, got $eps")
+  }
+
+  test("active key finalizes an expired episode inline (timeouts never fire for keys with data)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[StepEvent]
+    val out = funnelStream(in.toDS(), Seq("view", "click"),
+      windowUs = 1 * HOUR_US, lateness = "1 hour")
+    val q = out.writeStream.format("memory").queryName("funnel_inline").outputMode("append").start()
+
+    // Batch 1: episode 1 (view only) AND the watermark advancer together,
+    // so at the end of batch 1 wm = 12:00 — already past the 11:00
+    // deadline (anchor 10:00 + 1h window).
+    in.addData(
+      StepEvent(7L, "view", ts("2024-01-01 10:00:00")),
+      StepEvent(99L, "view", ts("2024-01-01 13:00:00")),
+    )
+    q.processAllAvailable()
+    // User 7 stays continuously active: every subsequent trigger carries
+    // data for them, so the EventTimeTimeout path alone would never
+    // finalize episode 1 — the data branch must drain it inline.
+    in.addData(
+      StepEvent(7L, "view", ts("2024-01-01 12:30:00")),
+      StepEvent(7L, "click", ts("2024-01-01 12:45:00")),
+    )
+    q.processAllAvailable()
+    in.addData(StepEvent(98L, "view", ts("2024-01-02 13:00:00"))) // flush episode 2
+    q.processAllAvailable()
+    q.stop()
+
+    val eps = spark.table("funnel_inline").as[Conversion].collect()
+      .filter(_.user_id == 7L).sortBy(_.last_anchor_us).map(_.depth).toSeq
+    assert(eps == Seq(1, 2),
+      s"episode 1 (depth 1) must finalize inline, episode 2 (view→click = depth 2) separately; got $eps")
+  }
+
+  test("early arrivals beyond the deadline are carried to the next episode, not swallowed") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[StepEvent]
+    val out = funnelStream(in.toDS(), Seq("view", "click"),
+      windowUs = 1 * HOUR_US, lateness = "1 hour")
+    val q = out.writeStream.format("memory").queryName("funnel_carry").outputMode("append").start()
+
+    // One batch, low watermark: episode 1's view AND the next attempt's
+    // events land in the same buffer. 12:30/12:45 are past episode 1's
+    // 11:00 deadline, so when the watermark eventually passes they must
+    // seed episode 2 — one finalization emitting both episodes in order.
+    in.addData(
+      StepEvent(7L, "view", ts("2024-01-01 10:00:00")),
+      StepEvent(7L, "view", ts("2024-01-01 12:30:00")),
+      StepEvent(7L, "click", ts("2024-01-01 12:45:00")),
+    )
+    q.processAllAvailable()
+    in.addData(StepEvent(99L, "view", ts("2024-01-02 13:00:00"))) // wm past everything
+    q.processAllAvailable()
+    q.stop()
+
+    val eps = spark.table("funnel_carry").as[Conversion].collect()
+      .filter(_.user_id == 7L).sortBy(_.last_anchor_us).map(_.depth).toSeq
+    assert(eps == Seq(1, 2), s"buffer must split at the episode-1 deadline; got $eps")
+  }
+
+  test("drainExpired: splits at deadlines, cascades across a watermark jump, keeps the open tail") {
+    val w = 100L // µs window; wm in ms
+    // events 10 (ep1, deadline 110µs=0ms... use bigger numbers for ms math
+    val US = 1000L // 1ms in µs
+    // ep1: step0@10ms → deadline 110ms; ep2: step0@200ms,step1@250ms → deadline 250ms; open: step0@400ms
+    val buf = Seq(Vector(10 * US, 200 * US, 400 * US), Vector(250 * US))
+    val (eps, rest) = drainExpired(buf, wmMs = 300L, windowUs = 100 * US, nSteps = 2)
+    assert(eps == List((1, 10 * US), (2, 250 * US)), s"got $eps")
+    assert(rest == Seq(Vector(400 * US), Vector.empty), s"got $rest")
+    // nothing expired → untouched
+    val (none, same) = drainExpired(buf, wmMs = 100L, windowUs = 100 * US, nSteps = 2)
+    assert(none.isEmpty && same == buf)
   }
 
   test("repeated step names are rejected (ambiguous bucketing)") {
