@@ -1,0 +1,222 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.ops.QuerySpec
+import graft.ops.Tables._
+
+/** q65–q70: dataset-assembly operators for training-data pipelines —
+  * deterministic splits, mixture weighting, redaction, context-window
+  * chunking, and sequence packing. These are the steps between "corpus
+  * is clean" (q25–q44) and "batches reach the trainer".
+  *
+  * Determinism is the design center: every sampling decision derives
+  * from a salted md5 of the row's stable id, never from `rand()` — so
+  * a re-run, a task retry, or an incremental backfill makes the exact
+  * same keep/drop decision (the q46 salting lesson applied to
+  * sampling). Hash-derived decisions also need no global state: no
+  * count pass, no broadcast of sampled ids, each row decides locally —
+  * the only property that survives 100 TB.
+  *
+  * Split/mix thresholds compare the first two hex chars of the digest
+  * lexicographically ('cd' ⇒ 205/256 ≈ 80.1%): hex-prefix ranges are
+  * portable across every engine that can md5 a string, which is what
+  * makes these rules oracle-checkable and, in production, auditable
+  * from any SQL engine over the same table.
+  */
+object TrainingDataQueries {
+
+  /** First two hex chars of a salted content-id digest — a uniform
+    * draw in {00..ff} that any engine reproduces bit-for-bit.
+    */
+  private def hexDraw(salt: String, id: Column): Column =
+    substring(md5(concat(lit(salt), id.cast("string"))), 1, 2)
+
+  private def hexDrawSql(salt: String, id: String): String =
+    s"substring(md5('$salt' || CAST($id AS VARCHAR)), 1, 2)"
+
+  // ---------------------------------------------------------------------
+  // q65 — deterministic train/val/test split. train ≈ 80.1% (< 'cd' =
+  // 205/256), val ≈ 10.2% ('cd'..'e5' = 26/256), test the rest. A doc's
+  // split is a pure function of its id: adding data never reshuffles
+  // existing assignments, and val/test never leak into train across
+  // pipeline re-runs.
+  //
+  // Scale: embarrassingly parallel map + one aggregation; no shuffle
+  // beyond the groupBy's map-side-combined 3 keys.
+  val q65: QuerySpec = QuerySpec(
+    "q65_hash_split",
+    (s, d) => {
+      val h = hexDraw("graft-split:", col("doc_id"))
+      documents(s, d)
+        .withColumn("split",
+          when(h < "cd", "train").when(h < "e6", "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .orderBy("split")
+    },
+    Some {
+      val h = hexDrawSql("graft-split:", "doc_id")
+      s"SELECT CASE WHEN $h < 'cd' THEN 'train' WHEN $h < 'e6' THEN 'val' ELSE 'test' END AS split, " +
+        "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars " +
+        "FROM documents GROUP BY 1 ORDER BY split"
+    },
+  )
+
+  // ---------------------------------------------------------------------
+  // q66 — mixture weighting (domain mixing): per-source sampling rates
+  // applied by hash threshold — low-priority sources keep ~10%
+  // (< '1a' = 26/256), mid-priority ~50% (< '80' = 128/256), the rest
+  // 100%. This is how corpus mixing ratios (à la the public LLM data
+  // recipes) are enforced reproducibly: the rate rides on the row id,
+  // not on a sampler's RNG state.
+  //
+  // Scale: same as q65 — stateless per-row decision, tiny aggregation.
+  // Changing the mix only reprocesses the downsampled sources.
+  val low = Seq("src0", "src1", "src2", "src3", "src4")
+  val mid = Seq("src5", "src6", "src7", "src8", "src9")
+  val q66: QuerySpec = QuerySpec(
+    "q66_domain_mix",
+    (s, d) => {
+      val h = hexDraw("graft-mix:", col("doc_id"))
+      val keep = when(col("source").isin(low: _*), h < "1a")
+        .when(col("source").isin(mid: _*), h < "80")
+        .otherwise(lit(true))
+      documents(s, d)
+        .where(keep)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("n_chars"))
+        .orderBy("source")
+    },
+    Some {
+      val h = hexDrawSql("graft-mix:", "doc_id")
+      val lowIn = low.map("'" + _ + "'").mkString(", ")
+      val midIn = mid.map("'" + _ + "'").mkString(", ")
+      s"SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS n_chars FROM documents " +
+        s"WHERE CASE WHEN source IN ($lowIn) THEN $h < '1a' " +
+        s"WHEN source IN ($midIn) THEN $h < '80' ELSE true END " +
+        "GROUP BY 1 ORDER BY source"
+    },
+  )
+
+  // ---------------------------------------------------------------------
+  // q68 — redaction pass: scrub digit runs from the events payload
+  // (the PII-scrub shape: the pattern set extends to emails/phones/ids;
+  // digits are what this synthetic corpus actually contains). Reports
+  // per event type how many payloads were touched and how many
+  // characters the redaction removed — the audit numbers a scrub job
+  // must emit so downstream can bound information loss.
+  //
+  // Scale: pure codegen'd regexp work per row, no shuffle before the
+  // tiny aggregation. regexp_replace replaces ALL matches in Spark;
+  // DuckDB needs the explicit 'g' flag — the oracle carries it.
+  val q68: QuerySpec = QuerySpec(
+    "q68_redact_numbers",
+    (s, d) => {
+      val red = regexp_replace(col("props"), "[0-9]+", "<NUM>")
+      events(s, d)
+        .select(
+          col("event_type"),
+          (red =!= col("props")).cast("long").as("touched"),
+          (length(col("props")) - length(regexp_replace(col("props"), "[0-9]", "")))
+            .cast("long").as("digits"),
+        )
+        .groupBy("event_type")
+        .agg(
+          sum(col("touched")).as("n_redacted"),
+          sum(col("digits")).as("n_digit_chars"),
+          count(lit(1)).as("n_events"),
+        )
+        .orderBy("event_type")
+    },
+    Some(
+      "SELECT event_type, " +
+        "CAST(sum(CASE WHEN regexp_replace(props, '[0-9]+', '<NUM>', 'g') <> props THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted, " +
+        "CAST(sum(length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))) AS BIGINT) AS n_digit_chars, " +
+        "count(*) AS n_events " +
+        "FROM events GROUP BY 1 ORDER BY event_type"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q69 — context-window chunking: fixed 64-token windows over each
+  // document at stride 48 (16-token overlap), the standard long-document
+  // treatment before tokenized training. Emits one row per chunk with
+  // its md5, so the oracle hash-checks the chunk CONTENT, not just the
+  // counts. Tail chunks are the natural short remainder (`slice` clamps
+  // at the end of the array in both engines).
+  //
+  // Scale: explode fans each doc into ⌈tokens/stride⌉ rows on the
+  // executor that already holds the doc — no shuffle at all until a
+  // downstream consumer groups; memory is bounded by one doc's tokens
+  // times one batch.
+  val ChunkTokens = 64
+  val ChunkStride = 48
+  val q69: QuerySpec = QuerySpec(
+    "q69_chunk_stride",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), TF.words(col("text")).as("toks"))
+        .select(
+          col("doc_id"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")), lit(ChunkStride))).as("start"),
+        )
+        .select(
+          col("doc_id"),
+          col("start").cast("long").as("start"),
+          size(slice(col("toks"), col("start"), lit(ChunkTokens))).cast("long").as("chunk_tokens"),
+          md5(concat_ws(" ", slice(col("toks"), col("start"), lit(ChunkTokens)))).as("chunk_md5"),
+        )
+        .orderBy("doc_id", "start"),
+    Some(
+      "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), " + ChunkStride + ")) AS start FROM t) " +
+        "SELECT doc_id, CAST(start AS BIGINT) AS start, " +
+        s"CAST(len(list_slice(toks, start, start + ${ChunkTokens - 1})) AS BIGINT) AS chunk_tokens, " +
+        s"md5(array_to_string(list_slice(toks, start, start + ${ChunkTokens - 1}), ' ')) AS chunk_md5 " +
+        "FROM s ORDER BY doc_id, start"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q70 — sequence packing: concatenate each source's docs (in stable
+  // doc_id order) into a token stream and cut it into 2048-token packs;
+  // a doc belongs to the pack where it STARTS. One window cumsum and an
+  // integer divide — no greedy bin-packing loop, no driver state — at
+  // the cost of packs overrunning the budget by at most one document,
+  // the standard streaming-packing trade.
+  //
+  // Scale: one shuffle on `source` for the window; the running sum is a
+  // single ordered pass per partition. Pack ids derive from the cumsum,
+  // so they are stable under re-runs and appends (new docs only extend
+  // the tail packs of their source).
+  val PackBudget = 2048L
+  val q70: QuerySpec = QuerySpec(
+    "q70_pack_sequences",
+    (s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      documents(s, d)
+        .select(col("source"), col("doc_id"), TF.tokenCountWs(col("text")).as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("pack_id",
+          floor((col("cum") - col("n_tok")) / lit(PackBudget.toDouble)).cast("long"))
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tokens"))
+        .orderBy("source", "pack_id")
+    },
+    Some(
+      "WITH t AS (SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+        "c AS (SELECT source, doc_id, n_tok, sum(n_tok) OVER (" +
+        "PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) " +
+        s"SELECT source, CAST(floor((cum - n_tok) / $PackBudget.0) AS BIGINT) AS pack_id, " +
+        "count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens " +
+        "FROM c GROUP BY 1, 2 ORDER BY source, pack_id"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q65, q66, q68, q69, q70)
+}

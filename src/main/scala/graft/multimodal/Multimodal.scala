@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video as opaque `binary` payloads
@@ -164,6 +165,78 @@ object Multimodal {
         }
       }
       .toDF("media_id", "frame_idx", "width", "height")
+  }
+
+  /** Per-frame scalar signatures for video rows: one output row per
+    * decoded frame, one decoder per partition. STUB signature model:
+    * the mean byte value of the frame's byte slice, normalized to
+    * [0,1] — a real decoder computes a perceptual hash or pooled
+    * feature per frame, same signature and shape. Frames of one video
+    * never leave the row's executor; output size is bounded by total
+    * video frames, not corpus rows.
+    */
+  def frameSignatures(
+      media: Dataset[MediaRecord],
+      mkDecoder: () => MediaDecoder,
+  ): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .mapPartitions { it =>
+        val decoder = mkDecoder()
+        it.flatMap { r =>
+          if (r.kind != "video" || r.bytes.isEmpty) Iterator.empty
+          else {
+            val (_, _, frames, _) = decoder.decode(r.kind, r.format, r.bytes)
+            if (frames <= 0) Iterator.empty
+            else {
+              val span = math.max(1, r.bytes.length / frames)
+              (0 until frames).iterator.map { f =>
+                val lo = math.min(f * span, r.bytes.length - 1)
+                val hi =
+                  if (f == frames - 1) r.bytes.length
+                  else math.min((f + 1) * span, r.bytes.length)
+                val slice = r.bytes.slice(lo, hi)
+                val sig =
+                  if (slice.isEmpty) 0.0
+                  else slice.map(b => (b & 0xff).toDouble).sum / slice.length / 255.0
+                (r.media_id, f, sig)
+              }
+            }
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "sig")
+  }
+
+  /** Video scene split: cut where the inter-frame signature distance
+    * exceeds `threshold`, then report one row per scene with its frame
+    * range. The segmentation is fully declarative — lag() marks cuts, a
+    * running sum of cuts numbers the scenes, a groupBy summarizes them —
+    * so Catalyst plans it as one shuffle on media_id with two window
+    * passes over each video's (small) frame list. This is the shape
+    * scene detection keeps at 100 TB: decode fan-out is executor-local,
+    * and everything after the signatures is ordinary relational work.
+    */
+  def sceneSplit(
+      media: Dataset[MediaRecord],
+      threshold: Double,
+      mkDecoder: () => MediaDecoder,
+  ): DataFrame = {
+    val w = Window.partitionBy("media_id").orderBy("frame_idx")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("sig"), 1).over(w)
+    frameSignatures(media, mkDecoder)
+      .withColumn("cut",
+        when(prev.isNull || abs(col("sig") - prev) > threshold, 1L).otherwise(0L))
+      .withColumn("scene_id", sum(col("cut")).over(run) - 1L)
+      .groupBy("media_id", "scene_id")
+      .agg(
+        min("frame_idx").as("start_frame"),
+        max("frame_idx").as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        round(avg("sig"), 6).as("mean_sig"),
+      )
+      .orderBy("media_id", "scene_id")
   }
 
   /** Audio chunking: split audio payloads into fixed-size windows with a

@@ -610,6 +610,87 @@ object AnalyticQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q64 — relative-standing ranks: percent_rank + cume_dist of customer
+  // account balance within each nation. Both are rank-arithmetic over a
+  // per-group sort — (rank-1)/(n-1) and rows≤current/n — so the values
+  // are exact integer-derived doubles: bit-identical across engines, no
+  // interpolation involved (contrast q49's quantile values).
+  //
+  // Scale: one shuffle on the partition key + per-group sort, same cost
+  // class as q53's ranking family; no added state beyond the sort.
+  val q64: QuerySpec = QuerySpec(
+    "q64_percent_rank",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"))
+      customer(s, d)
+        .select(
+          col("c_nationkey"), col("c_custkey"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+        )
+        .orderBy("c_nationkey", "c_custkey")
+    },
+    Some(
+      "SELECT c_nationkey, c_custkey, " +
+        "round(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal), 6) AS pr, " +
+        "round(cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal), 6) AS cd " +
+        "FROM customer ORDER BY c_nationkey, c_custkey"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q67 — robust central tendency: per-group trimmed mean (drop the
+  // bottom and top 1% BY RANK, average the rest). Rank-based trimming
+  // rather than clamping to interpolated percentile VALUES on purpose:
+  // engines interpolate quantiles with different arithmetic (q49 needs
+  // 6dp rounding to agree), and a value sitting exactly on a clamp
+  // threshold would then be included on one side and excluded on the
+  // other. percent_rank is integer-derived ⇒ the keep/drop decision is
+  // bit-exact everywhere, and the kept values are the raw 2-dp prices,
+  // which [[Exact.dsum]] accumulates exactly.
+  //
+  // Scale: a naive `percent_rank() OVER (PARTITION BY l_returnflag)`
+  // sorts the FULL table in as many tasks as there are groups (3) —
+  // measured 5.3× at the 16× probe, the classic few-groups window
+  // bottleneck. This form instead ranks over the DISTINCT (group,
+  // value) count frame: percent_rank of a row = rows-strictly-below /
+  // (n-1), and all of a value's ties share it — so the 60M-row pass is
+  // a parallel map-side-combined groupBy, and the per-group sort only
+  // touches distinct values (bounded by the 2-dp price domain, ~10⁵
+  // regardless of row count). Same numbers, scalable plan.
+  val q67: QuerySpec = QuerySpec(
+    "q67_trimmed_mean",
+    (s, d) => {
+      val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("below", sum(col("c")).over(wCum) - col("c"))
+        .withColumn("pr", col("below") / (sum(col("c")).over(wAll) - 1L))
+        .where(col("pr") >= 0.01 && col("pr") <= 0.99)
+        .groupBy("l_returnflag")
+        .agg(
+          round(
+            sum(col("l_extendedprice").cast(DecimalType(18, 2)) * col("c")).cast("double") /
+              sum(col("c")), 6).as("trimmed_avg"),
+          sum(col("c")).as("n_kept"),
+        )
+        .orderBy("l_returnflag")
+    },
+    Some(
+      "WITH r AS (SELECT l_returnflag, l_extendedprice, " +
+        "percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS pr " +
+        "FROM lineitem) " +
+        "SELECT l_returnflag, " +
+        s"round(${Exact.dsumSql("l_extendedprice")} / count(*), 6) AS trimmed_avg, " +
+        "count(*) AS n_kept " +
+        "FROM r WHERE pr >= 0.01 AND pr <= 0.99 GROUP BY 1 ORDER BY l_returnflag"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q49, q50, q51, q52, q53, q54, q56, q57, q58, q59, q60, q61, q62, q63)
+    Seq(q49, q50, q51, q52, q53, q54, q56, q57, q58, q59, q60, q61, q62, q63, q64, q67)
 }

@@ -1,0 +1,81 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** q71–q72: format-interop round-trips. A pipeline at this scale never
+  * owns all its inputs — landing zones arrive as CSV dumps, ORC from
+  * legacy Hive warehouses, JSONL from services (the dedicated DSv2
+  * connector in [[graft.sources.JsonlPartitionSource]]). These queries
+  * prove the interop path end to end: write the canonical table OUT in
+  * the foreign format, read it back, and hash-match an aggregate
+  * against the parquet original via the oracle — any type coercion,
+  * precision loss, or quoting bug breaks the hash.
+  *
+  * Both run with an EXPLICIT read schema (`src.schema`): schema-on-read
+  * inference is a correctness hazard for CSV (a numeric-looking string
+  * column silently becomes a bigint) and a full extra pass at scale —
+  * the same rule the JSONL connector enforces with its FAILFAST reads.
+  *
+  * Scale: the round-trip is a distributed write + distributed read —
+  * no driver materialization; at 100 TB the identical code writes N
+  * part-files per partition. CSV is row-oriented with no pushdown (the
+  * read is a full scan by design — migrate INTO columnar, don't query
+  * CSV in place); ORC keeps column pruning, which the plan check in the
+  * spec pins.
+  */
+object InteropQueries {
+
+  /** Aggregate used on both sides of each round-trip: per order status,
+    * row count + exact-decimal total (any dropped row, shifted date, or
+    * reparsed double shows up here).
+    */
+  private def ordersDigest(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        Exact.dsum("o_totalprice").as("total"),
+        max(col("o_orderdate").cast("date")).as("last_date"),
+      )
+      .orderBy("o_orderstatus")
+
+  private val ordersDigestSql: String =
+    "SELECT o_orderstatus, count(*) AS n, " +
+      s"${Exact.dsumSql("o_totalprice")} AS total, " +
+      "CAST(max(o_orderdate) AS DATE) AS last_date " +
+      "FROM orders GROUP BY 1 ORDER BY o_orderstatus"
+
+  // q71 — CSV round-trip: header on, explicit schema back in. Timestamps
+  // survive because Spark's writer emits full ISO instants and the
+  // declared TimestampType parses them back; doubles survive because
+  // the writer emits shortest-round-trip representations.
+  val q71: QuerySpec = QuerySpec(
+    "q71_csv_roundtrip",
+    (s, d) => {
+      val src = Tables.orders(s, d)
+      val dir = Files.createTempDirectory("graft_csv_rt").toString
+      src.write.mode("overwrite").option("header", "true").csv(dir)
+      ordersDigest(s.read.schema(src.schema).option("header", "true").csv(dir))
+    },
+    Some(ordersDigestSql),
+  )
+
+  // q72 — ORC round-trip: the columnar interop path (Hive-era lakes).
+  // Types carry natively; the spec additionally pins that column
+  // pruning reaches the ORC scan, which is the property that makes
+  // "query it where it lands" acceptable for ORC but not CSV.
+  val q72: QuerySpec = QuerySpec(
+    "q72_orc_roundtrip",
+    (s, d) => {
+      val src = Tables.orders(s, d)
+      val dir = Files.createTempDirectory("graft_orc_rt").toString
+      src.write.mode("overwrite").orc(dir)
+      ordersDigest(s.read.schema(src.schema).orc(dir))
+    },
+    Some(ordersDigestSql),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q71, q72)
+}

@@ -9,7 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Registry {
   val all: Seq[QuerySpec] =
-    RelationalQueries.all ++ graft.llm.LlmQueries.all ++ AnalyticQueries.all
+    RelationalQueries.all ++ graft.llm.LlmQueries.all ++ AnalyticQueries.all ++
+      graft.llm.TrainingDataQueries.all ++ InteropQueries.all
 
   val byName: Map[String, QuerySpec] = ListMap(all.map(q => q.name -> q): _*)
 

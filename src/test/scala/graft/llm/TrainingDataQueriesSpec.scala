@@ -1,0 +1,116 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions => TF}
+import graft.ops.Tables
+
+/** Semantic invariants for the dataset-assembly operators q65–q70 (the
+  * DuckDB oracle pins exact values; these pin the meaning).
+  */
+class TrainingDataQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val nDocs = Tables.documents(spark, sfDir).count()
+
+  test("q65: splits partition the corpus, shares near 80/10/10, assignment deterministic") {
+    val rows = TrainingDataQueries.q65.run(spark, sfDir).collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    assert(rows.keySet == Set("train", "val", "test"))
+    assert(rows.values.sum == nDocs, "splits must partition the corpus exactly")
+    val train = rows("train").toDouble / nDocs
+    // binomial(500, .801) → σ ≈ 0.018; ±5σ keeps this deterministic-data safe
+    assert(train > 0.71 && train < 0.89, s"train share $train far from 80.1%")
+    // same id ⇒ same split on a re-run (no RNG state anywhere)
+    val again = TrainingDataQueries.q65.run(spark, sfDir).collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    assert(again == rows)
+  }
+
+  test("q66: full-rate sources keep everything, downsampled sources keep a real subset") {
+    val perSource = Tables.documents(spark, sfDir)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val kept = TrainingDataQueries.q66.run(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_kept")).toMap
+    val full = perSource.keySet -- TrainingDataQueries.low -- TrainingDataQueries.mid
+    full.foreach(src =>
+      assert(kept.get(src).contains(perSource(src)), s"full-rate $src must keep all docs"))
+    val lowKept = TrainingDataQueries.low.map(kept.getOrElse(_, 0L)).sum.toDouble
+    val lowTotal = TrainingDataQueries.low.map(perSource(_)).sum.toDouble
+    val midKept = TrainingDataQueries.mid.map(kept.getOrElse(_, 0L)).sum.toDouble
+    val midTotal = TrainingDataQueries.mid.map(perSource(_)).sum.toDouble
+    assert(lowKept / lowTotal < midKept / midTotal,
+      s"10% tier (${lowKept / lowTotal}) must keep less than 50% tier (${midKept / midTotal})")
+    assert(lowKept > 0 || lowTotal < 20, "a ~10% draw over ≥20 docs should keep something")
+  }
+
+  test("q68: digit counts agree with a direct recomputation; redacted ⊆ events") {
+    val rows = TrainingDataQueries.q68.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_redacted") <= r.getAs[Long]("n_events"))
+    }
+    val total = rows.map(_.getAs[Long]("n_digit_chars")).sum
+    val direct = Tables.events(spark, sfDir)
+      .select(sum(length(col("props")) -
+        length(regexp_replace(col("props"), "[0-9]", ""))).cast("long"))
+      .as[Long].head()
+    assert(total == direct && total > 0L, s"digit chars $total vs direct $direct")
+  }
+
+  test("q69: chunks tile every document — strides anchored, sizes capped, tail exact") {
+    val chunks = TrainingDataQueries.q69.run(spark, sfDir)
+    val perDoc = chunks.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"),
+      max(col("start") + col("chunk_tokens") - 1L).as("covered"),
+      max("chunk_tokens").as("max_ct"),
+      min("start").as("first_start"),
+    )
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TF.tokenCountWs(col("text")).as("n_tok"))
+    val joined = perDoc.join(toks, "doc_id").collect()
+    assert(joined.length == nDocs, "every document must produce chunks")
+    joined.foreach { r =>
+      val (n, covered, maxCt, first, nTok) = (
+        r.getAs[Long]("n_chunks"), r.getAs[Long]("covered"),
+        r.getAs[Long]("max_ct"), r.getAs[Long]("first_start"), r.getAs[Long]("n_tok"))
+      assert(first == 1L, "chunking must anchor at token 1")
+      assert(maxCt <= TrainingDataQueries.ChunkTokens)
+      assert(covered == nTok, s"last chunk must end exactly at the last token: $r")
+      val expected = (nTok - 1) / TrainingDataQueries.ChunkStride + 1
+      assert(n == expected, s"⌈n/stride⌉ chunk count: got $n want $expected for $nTok tokens")
+    }
+    // content pin: recompute one doc's first chunk by hand
+    val doc = Tables.documents(spark, sfDir).orderBy("doc_id")
+      .select("doc_id", "text").as[(Long, String)].head()
+    val hand = java.security.MessageDigest.getInstance("MD5")
+      .digest(doc._2.split(" ", -1).take(TrainingDataQueries.ChunkTokens).mkString(" ")
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = chunks.where(col("doc_id") === doc._1 && col("start") === 1)
+      .select("chunk_md5").as[String].head()
+    assert(got == hand, "first chunk content must be the first 64 tokens verbatim")
+  }
+
+  test("q70: packs conserve tokens and docs; pack ids are contiguous from 0") {
+    val packs = TrainingDataQueries.q70.run(spark, sfDir).collect()
+    val bySource = packs.groupBy(_.getAs[String]("source"))
+    val truth = Tables.documents(spark, sfDir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(TF.tokenCountWs(col("text"))).as("tok"))
+      .collect().map(r =>
+        r.getAs[String]("source") -> (r.getAs[Long]("n"), r.getAs[Long]("tok"))).toMap
+    bySource.foreach { case (src, rows) =>
+      val ids = rows.map(_.getAs[Long]("pack_id")).sorted.toSeq
+      assert(ids == (0L until ids.length).toSeq, s"$src pack ids not contiguous: $ids")
+      assert(rows.map(_.getAs[Long]("n_docs")).sum == truth(src)._1, s"$src doc conservation")
+      assert(rows.map(_.getAs[Long]("pack_tokens")).sum == truth(src)._2, s"$src token conservation")
+      // every pack but the last must reach the budget before cutting
+      // (a doc is assigned where it STARTS, so a pack only closes once
+      // its cumulative stream passed the boundary)
+      rows.sortBy(_.getAs[Long]("pack_id")).dropRight(1).zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("pack_tokens") > 0L, s"$src pack $i empty")
+      }
+    }
+  }
+}

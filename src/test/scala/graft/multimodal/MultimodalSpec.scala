@@ -114,6 +114,43 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("sceneSplit: cuts exactly at signature jumps, scenes tile the frame range") {
+    import MultimodalSpec.fixedFrames
+    // 8 frames × 10 bytes: frames 0-2 dark (0x10), 3-5 bright (0xf0),
+    // 6-7 dark again → three scenes [0,2][3,5][6,7]
+    val bytes = Array.tabulate(80) { j =>
+      val f = j / 10
+      (if (f >= 3 && f <= 5) 0xf0 else 0x10).toByte
+    }
+    val vids = Seq(
+      MediaRecord(1L, "video", "mp4", 0, 0, bytes),
+      MediaRecord(2L, "video", "mp4", 0, 0, Array.fill(80)(0x40.toByte)), // flat: 1 scene
+      MediaRecord(3L, "image", "png", 0, 0, bytes), // non-video: ignored
+    )
+    val out = sceneSplit(spark.createDataset(vids).repartition(2), 0.5, () => fixedFrames(8))
+      .collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("scene_id"),
+        r.getAs[Long]("start_frame"), r.getAs[Long]("end_frame"), r.getAs[Long]("n_frames")))
+    assert(out.filter(_._1 == 1L).toSeq ==
+      Seq((1L, 0L, 0L, 2L, 3L), (1L, 1L, 3L, 5L, 3L), (1L, 2L, 6L, 7L, 2L)),
+      s"scene structure: ${out.toSeq}")
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 7L, 8L)), "flat video = one scene")
+    assert(!out.exists(_._1 == 3L), "non-video rows must not reach scene analysis")
+  }
+
+  test("frameSignatures: one row per frame, signatures in [0,1], deterministic") {
+    val vids = fixture(12).filter(_.kind == "video")
+    val ds = spark.createDataset(vids).repartition(3)
+    val sigs = frameSignatures(ds, () => MediaDecoder.deterministicStub(8)).collect()
+    assert(sigs.nonEmpty)
+    assert(sigs.forall { r =>
+      val s = r.getAs[Double]("sig"); s >= 0.0 && s <= 1.0
+    })
+    val again = frameSignatures(ds, () => MediaDecoder.deterministicStub(8)).collect()
+    assert(sigs.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(t => (t._1, t._2)).toSeq ==
+      again.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("mediaNearDupPairs: exact payload copies are found, all pairs verified above threshold") {
     // two byte-identical pairs planted among distinct payloads
     val base = fixture(24)
@@ -139,5 +176,19 @@ class MultimodalSpec extends SparkSpec {
       .map(_.toString).mkString
     assert(scanSchema.contains("kind"))
     assert(!scanSchema.contains("bytes"), "binary column must not be read for metadata-only query")
+  }
+}
+
+/** Serializable test decoders (defined outside the suite so closures
+  * don't capture the non-serializable ScalaTest engine).
+  */
+object MultimodalSpec {
+
+  /** Decoder reporting a fixed frame count — lets tests control the
+    * frame→byte-slice mapping and therefore the scene structure.
+    */
+  def fixedFrames(n: Int): Multimodal.MediaDecoder = new Multimodal.MediaDecoder {
+    def decode(kind: String, format: String, bytes: Array[Byte]): (Int, Int, Int, Array[Float]) =
+      (16, 16, n, Array.fill(8)(0f))
   }
 }

@@ -216,6 +216,38 @@ class AnalyticQueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("share")).sum <= 1.0 + rows.length * 5e-7)
   }
 
+  test("q64: percent_rank and cume_dist are proper per-group CDFs") {
+    val rows = AnalyticQueries.q64.run(spark, sfDir).collect()
+    val n = Tables.customer(spark, sfDir).count()
+    assert(rows.length == n, "one rank row per customer")
+    val byNation = rows.groupBy(_.getAs[Number]("c_nationkey").longValue)
+    byNation.foreach { case (_, rs) =>
+      rs.foreach { r =>
+        val (pr, cd) = (r.getAs[Double]("pr"), r.getAs[Double]("cd"))
+        assert(pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0)
+        assert(pr <= cd + 1e-9, "percent_rank never exceeds cume_dist")
+      }
+      assert(rs.exists(_.getAs[Double]("pr") == 0.0), "group minimum has pr=0")
+      assert(rs.exists(_.getAs[Double]("cd") == 1.0), "group maximum has cd=1")
+    }
+  }
+
+  test("q67: rank-trimmed mean keeps ~98% and discards both tails") {
+    val got = AnalyticQueries.q67.run(spark, sfDir).collect()
+    val totals = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), min("l_extendedprice").as("lo"),
+        max("l_extendedprice").as("hi"), avg("l_extendedprice").as("plain"))
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    got.foreach { r =>
+      val t = totals(r.getAs[String]("l_returnflag"))
+      val kept = r.getAs[Long]("n_kept").toDouble / t.getAs[Long]("n")
+      assert(kept > 0.955 && kept < 0.995, s"trim fraction $kept not ≈ 98%")
+      val avg = r.getAs[Double]("trimmed_avg")
+      assert(avg > t.getAs[Double]("lo") && avg < t.getAs[Double]("hi"))
+    }
+  }
+
   test("q54: hopping 10m/5m assigns every event to exactly 2 windows") {
     val winEvents = AnalyticQueries.q54.run(spark, sfDir)
       .agg(sum("n_events")).head.getLong(0)
