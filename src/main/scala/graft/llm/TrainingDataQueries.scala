@@ -40,7 +40,8 @@ object TrainingDataQueries {
 
   // ---------------------------------------------------------------------
   // q65 — deterministic train/val/test split. train ≈ 80.1% (< 'cd' =
-  // 205/256), val ≈ 10.2% ('cd'..'e5' = 26/256), test the rest. A doc's
+  // 205/256), val ≈ 9.8% ('cd'..'e5' = 25/256), test ≈ 10.2% (the
+  // remaining 26/256). A doc's
   // split is a pure function of its id: adding data never reshuffles
   // existing assignments, and val/test never leak into train across
   // pipeline re-runs.

@@ -27,6 +27,23 @@ import org.apache.spark.sql.functions._
   */
 object InteropQueries {
 
+  /** One per-JVM scratch root, reused by every round-trip invocation
+    * (the writers run in overwrite mode) and removed on JVM exit —
+    * repeated Bench/Verify runs must not leak a table copy per call.
+    * This default is DRIVER-LOCAL and correct only for local masters
+    * (exactly the driver harness); on a multi-node cluster pass a
+    * shared-filesystem path to [[roundTripDir]] instead — executors
+    * writing file:/tmp on their own machines would tear the read side.
+    */
+  private lazy val scratchBase: String = {
+    val d = Files.createTempDirectory("graft_interop")
+    sys.addShutdownHook(org.apache.commons.io.FileUtils.deleteDirectory(d.toFile))
+    d.toString
+  }
+
+  /** The round-trip target for a format; override point for clusters. */
+  def roundTripDir(format: String): String = s"$scratchBase/$format"
+
   /** Aggregate used on both sides of each round-trip: per order status,
     * row count + exact-decimal total (any dropped row, shifted date, or
     * reparsed double shows up here).
@@ -55,7 +72,7 @@ object InteropQueries {
     "q71_csv_roundtrip",
     (s, d) => {
       val src = Tables.orders(s, d)
-      val dir = Files.createTempDirectory("graft_csv_rt").toString
+      val dir = roundTripDir("csv")
       src.write.mode("overwrite").option("header", "true").csv(dir)
       ordersDigest(s.read.schema(src.schema).option("header", "true").csv(dir))
     },
@@ -70,7 +87,7 @@ object InteropQueries {
     "q72_orc_roundtrip",
     (s, d) => {
       val src = Tables.orders(s, d)
-      val dir = Files.createTempDirectory("graft_orc_rt").toString
+      val dir = roundTripDir("orc")
       src.write.mode("overwrite").orc(dir)
       ordersDigest(s.read.schema(src.schema).orc(dir))
     },

@@ -402,15 +402,25 @@ object RawSink {
     try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     try {
-      // POSIX-backed FileSystems (RawLocal/Local) implement rename as
-      // renameTo, which silently REPLACES an existing destination — so
-      // "rename loses when a seal exists" cannot be relied on to detect
-      // a foreign seal. Existence-check first and route to content
-      // verification; the rename only publishes into an empty slot. A
-      // racer landing between the check and the rename is caught by the
-      // loser's own verifyOrThrow on its next attempt path (both
-      // contents complete by construction — only whole files rename in).
-      if (fs.exists(sealPath) || !fs.rename(tmp, sealPath)) verifyOrThrow()
+      // The publish must be an atomic EXCLUSIVE claim of the final
+      // path. POSIX-backed FileSystems (RawLocal/Local) implement
+      // rename as renameTo, which silently REPLACES an existing
+      // destination — an exists() pre-check alone leaves a TOCTOU
+      // window where two racing writers both see "absent" and the
+      // second clobbers the first without either calling
+      // verifyOrThrow. On file: schemes the claim is therefore
+      // link(2) (createLink fails with EEXIST atomically in the
+      // kernel); HDFS/object-store FileSystems keep the tmp+rename
+      // claim, whose no-replace semantics ARE atomic there (the
+      // NameNode/store rejects an existing destination).
+      val claimed =
+        if (fs.getScheme == "file") {
+          val nioDst = java.nio.file.Paths.get(fs.makeQualified(sealPath).toUri.getPath)
+          val nioTmp = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+          try { java.nio.file.Files.createLink(nioDst, nioTmp); true }
+          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        } else fs.rename(tmp, sealPath)
+      if (!claimed) verifyOrThrow()
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => verifyOrThrow()
     } finally {

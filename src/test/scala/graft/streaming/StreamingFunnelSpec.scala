@@ -58,8 +58,10 @@ class StreamingFunnelSpec extends SparkSpec {
     // headless episode (depth 0) — it could still have converted had a
     // view arrived above the watermark, so it can't just be swallowed.
     assert(got(3L) == Seq(0, 1), "outside-window click must not convert")
-    assert(got.contains(99L), "quiet users finalize by timeout, not by more data")
-    assert(got.values.forall(_.size <= 2), "no duplicate episode emissions")
+    assert(got.get(99L).contains(Seq(1)), "quiet users finalize by timeout, not by more data")
+    // exact per-user episode counts — a double emission anywhere fails
+    assert(got.view.mapValues(_.size).toMap == Map(1L -> 1, 2L -> 1, 3L -> 2, 99L -> 1),
+      s"episode emission counts drifted: $got")
 
     // batch parity on single-episode users (the documented contract;
     // user 3's input is two streaming episodes, which batch's one
