@@ -219,5 +219,101 @@ object TrainingDataQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q65, q66, q68, q69, q70)
+  // ---------------------------------------------------------------------
+  // q75 — split decontamination: how many val/test documents share
+  // content with the train split — exactly (same md5) or by boilerplate
+  // prefix (md5 of the first 16 lowercased words, [[TF.prefixFingerprint]]).
+  // The eval-benchmark-leak check every training-data pipeline runs
+  // after splitting; composes q65's split rule with the dedup family's
+  // content hashing.
+  //
+  // Scale: the train fingerprint sets join on uniformly-distributed
+  // hashes — an equi-shuffle with no skew; nothing is collected or
+  // broadcast (at 100 TB the train hash set is itself huge).
+  val q75: QuerySpec = QuerySpec(
+    "q75_decontaminate",
+    (s, d) => {
+      val h = hexDraw("graft-split:", col("doc_id"))
+      val docs = documents(s, d).select(
+        when(h < "cd", "train").when(h < "e6", "val").otherwise("test").as("split"),
+        md5(col("text")).as("h"),
+        TF.prefixFingerprint(col("text"), 16).as("pf"),
+      )
+      val train = docs.where(col("split") === "train")
+      val hSet = train.select(col("h")).distinct().withColumn("eh", lit(1L))
+      val pSet = train.select(col("pf")).distinct().withColumn("ep", lit(1L))
+      docs.where(col("split") =!= "train")
+        .join(hSet, Seq("h"), "left")
+        .join(pSet, Seq("pf"), "left")
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(coalesce(col("eh"), lit(0L))).as("n_exact_contam"),
+          sum(coalesce(col("ep"), lit(0L))).as("n_prefix_contam"),
+        )
+        .orderBy("split")
+    },
+    Some {
+      val h = hexDrawSql("graft-split:", "doc_id")
+      s"WITH d AS (SELECT CASE WHEN $h < 'cd' THEN 'train' WHEN $h < 'e6' THEN 'val' ELSE 'test' END AS split, " +
+        "md5(text) AS h, " +
+        "md5(array_to_string(list_slice(string_split(lower(text), ' '), 1, 16), ' ')) AS pf " +
+        "FROM documents) " +
+        "SELECT split, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN h IN (SELECT h FROM d WHERE split = 'train') THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_contam, " +
+        "CAST(sum(CASE WHEN pf IN (SELECT pf FROM d WHERE split = 'train') THEN 1 ELSE 0 END) AS BIGINT) AS n_prefix_contam " +
+        "FROM d WHERE split <> 'train' GROUP BY 1 ORDER BY split"
+    },
+  )
+
+  // ---------------------------------------------------------------------
+  // q76 — dedup clusters: connected components over the exact-Jaccard
+  // near-dup pairs (q30's edges), one row per cluster with its size and
+  // representative (= min doc_id, the keep-one-per-cluster rule). This
+  // is the step between "pairs found" and "corpus deduplicated": a
+  // pair list alone can't drive deletion — A~B and B~C must resolve to
+  // ONE survivor for {A,B,C}. The oracle recomputes the components via
+  // DuckDB's recursive CTE — an independent algorithm (transitive
+  // closure) hash-agreeing with the iterative label propagation.
+  //
+  // Scale: edges come from the CASCADE (q41: LSH candidates → exact
+  // verify on candidates only), never from the standalone all-shared-
+  // shingle self-join — the banding is sized so pairs at the 0.5
+  // threshold are recovered with ≥99.9% probability, and the q41
+  // correctness row pins that the cascade's output hash-matches the
+  // full exact pair set (the same bet this oracle makes). Then
+  // [[graft.ops.Components]]: per-round join+groupBy on uniformly-
+  // hashed vertex ids, rounds ≈ cluster diameter (dedup clusters are
+  // shallow), labels localCheckpoint'd per round.
+  val q76: QuerySpec = QuerySpec(
+    "q76_dedup_clusters",
+    (s, d) => {
+      val pairs = TextPipeline
+        .dedupCascade(documents(s, d).select("doc_id", "text"))
+        .select(col("da"), col("db"))
+      graft.ops.Components.connectedComponents(pairs, "da", "db")
+        .groupBy("comp")
+        .agg(count(lit(1)).as("n_docs"), max(col("v")).as("max_doc"))
+        .select(
+          col("comp").as("keep_doc"), col("n_docs"), col("max_doc"))
+        .orderBy("keep_doc")
+    },
+    Some(
+      // same shingle/pair CTEs as q30's oracle, then transitive closure
+      "WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s " +
+        "FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t) WHERE s IS NOT NULL), " +
+        "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), " +
+        "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common FROM sh a " +
+        "JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "p AS (SELECT da, db FROM pairs JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db " +
+        "WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5), " +
+        "e AS (SELECT da AS a, db AS b FROM p UNION ALL SELECT db, da FROM p), " +
+        "reach(v, u) AS (SELECT a, a FROM e UNION SELECT e.b, r.u FROM e JOIN reach r ON e.a = r.v) " +
+        "SELECT comp AS keep_doc, count(*) AS n_docs, max(v) AS max_doc FROM (" +
+        "SELECT v, min(u) AS comp FROM reach GROUP BY 1) GROUP BY 1 ORDER BY keep_doc"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q65, q66, q68, q69, q70, q75, q76)
 }

@@ -691,6 +691,85 @@ object AnalyticQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q73 — SCD2 change intervals: collapse each user's event stream into
+  // type-change rows with [valid_from, valid_to) validity — the
+  // slowly-changing-dimension history build every warehouse needs when
+  // snapshots arrive as event streams. Two window passes: lag() finds
+  // the change points, lead() OVER THE FILTERED frame closes each
+  // interval at the next change (NULL = current). Both engines order by
+  // the same (epoch-µs, event_id) key, so tie behavior cannot diverge
+  // on the ns-vs-µs timestamp dialect difference.
+  //
+  // Scale: one shuffle on user_id, both windows reuse the partitioning
+  // (q56/q58 rule); state per task = one row of lookback/lookahead.
+  val q73: QuerySpec = QuerySpec(
+    "q73_scd2_intervals",
+    (s, d) => {
+      val w1 = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      events(s, d)
+        .select(
+          col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w1))
+        .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .select(
+          col("user_id"), col("event_id"), col("event_type"),
+          col("ts_us").as("valid_from_us"),
+          lead(col("ts_us"), 1)
+            .over(Window.partitionBy(col("user_id"))
+              .orderBy(col("ts_us"), col("event_id"))).as("valid_to_us"),
+        )
+        .orderBy("user_id", "valid_from_us", "event_id")
+    },
+    Some(
+      "WITH o AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type " +
+        "FROM events), " +
+        "c AS (SELECT user_id, event_id, event_type, ts_us FROM o " +
+        "WHERE prev_type IS NULL OR prev_type <> event_type) " +
+        "SELECT user_id, event_id, event_type, ts_us AS valid_from_us, " +
+        "lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us " +
+        "FROM c ORDER BY user_id, valid_from_us, event_id"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q74 — aggregate reuse: monthly revenue computed FROM the daily
+  // rollup (sum of sums), hash-matched against the oracle's direct
+  // monthly aggregation of the fact table. This is the incremental-
+  // aggregation contract — day partitions aggregate once, coarser
+  // grains derive from the stored rollup without rescanning facts —
+  // and it only holds because revenue accumulates in exact decimals
+  // end to end (double partials would drift between the two routes).
+  //
+  // Scale: the reaggregation input is |days| rows, not |facts| — at
+  // 100 TB this is the difference between a month-end report touching
+  // ~30 stored rows per key and re-reading a month of raw data.
+  val q74: QuerySpec = QuerySpec(
+    "q74_reaggregate",
+    (s, d) => {
+      val daily = lineitem(s, d)
+        .groupBy(col("l_shipdate").cast("date").as("day"))
+        .agg(revenueDecimal.as("day_rev"))
+      daily
+        .groupBy(date_trunc("month", col("day")).cast("date").as("month"))
+        .agg(
+          sum(col("day_rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_days"),
+        )
+        .orderBy("month")
+    },
+    Some(
+      "WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day, " +
+        s"$revenueDecimalSql AS day_rev FROM lineitem GROUP BY 1) " +
+        "SELECT CAST(date_trunc('month', day) AS DATE) AS month, " +
+        "CAST(sum(day_rev) AS DOUBLE) AS revenue, count(*) AS n_days " +
+        "FROM daily GROUP BY 1 ORDER BY month"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q49, q50, q51, q52, q53, q54, q56, q57, q58, q59, q60, q61, q62, q63, q64, q67)
+    Seq(q49, q50, q51, q52, q53, q54, q56, q57, q58, q59, q60, q61, q62, q63, q64, q67,
+      q73, q74)
 }

@@ -92,6 +92,23 @@ class TrainingDataQueriesSpec extends SparkSpec {
     assert(got == hand, "first chunk content must be the first 64 tokens verbatim")
   }
 
+  test("q75: exact contamination implies prefix contamination; counts bounded by split size") {
+    val rows = TrainingDataQueries.q75.run(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("split")).sorted.toSeq == Seq("test", "val"))
+    rows.foreach { r =>
+      val (n, ex, pf) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_exact_contam"), r.getAs[Long]("n_prefix_contam"))
+      assert(ex <= pf, "identical text ⇒ identical prefix, so exact ⊆ prefix")
+      assert(pf <= n && ex >= 0)
+    }
+    // the splits seen here must be q65's partition of the corpus
+    val n65 = TrainingDataQueries.q65.run(spark, sfDir).collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_docs") == n65(r.getAs[String]("split")),
+        "q75 must evaluate the same split assignment as q65"))
+  }
+
   test("q70: packs conserve tokens and docs; pack ids are contiguous from 0") {
     val packs = TrainingDataQueries.q70.run(spark, sfDir).collect()
     val bySource = packs.groupBy(_.getAs[String]("source"))

@@ -248,6 +248,35 @@ class AnalyticQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q73: SCD2 intervals are per-user contiguous, open-ended last, type-alternating") {
+    val rows = AnalyticQueries.q73.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("valid_from_us"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to_us") == b.getAs[Long]("valid_from_us"),
+            s"user $u: intervals must chain exactly")
+          assert(a.getAs[String]("event_type") != b.getAs[String]("event_type"),
+            s"user $u: consecutive intervals with the same type were not collapsed")
+        case _ => ()
+      }
+      assert(sorted.last.get(sorted.last.fieldIndex("valid_to_us")) == null,
+        s"user $u: the current interval must be open-ended")
+    }
+  }
+
+  test("q74: monthly reaggregation conserves total revenue and day counts") {
+    val monthly = AnalyticQueries.q74.run(spark, sfDir).collect()
+    val direct = Tables.lineitem(spark, sfDir)
+      .agg(Exact.revenueExpr.as("rev"),
+        countDistinct(col("l_shipdate").cast("date")).as("days"))
+      .head()
+    assert(math.abs(monthly.map(_.getAs[Double]("revenue")).sum - direct.getAs[Double]("rev"))
+      < 1e-4, "sum of monthly == direct total (decimal-exact routes)")
+    assert(monthly.map(_.getAs[Long]("n_days")).sum == direct.getAs[Long]("days"))
+  }
+
   test("q54: hopping 10m/5m assigns every event to exactly 2 windows") {
     val winEvents = AnalyticQueries.q54.run(spark, sfDir)
       .agg(sum("n_events")).head.getLong(0)

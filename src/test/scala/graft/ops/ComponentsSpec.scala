@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)], maxIter: Int = 20): Map[Long, Long] =
+    Components
+      .connectedComponents(edges.toDF("a", "b"), "a", "b", maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("labels every vertex with its component's minimum id") {
+    // {1,2,3,4} chained + {10,11} + self-contained {20}
+    val got = cc(Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (20L, 20L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("converges on a long path (diameter >> 1) and on cycles") {
+    val path = (1L until 12L).map(i => (i, i + 1)) // diameter 11
+    val gotPath = cc(path)
+    assert(gotPath.values.toSet == Set(1L), s"one component expected: $gotPath")
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L), (7L, 8L), (8L, 9L), (9L, 7L))
+    val gotCycle = cc(cycle)
+    assert(gotCycle == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("direction of the input edge list is irrelevant (undirected semantics)") {
+    assert(cc(Seq((5L, 1L))) == cc(Seq((1L, 5L))))
+  }
+
+  test("non-convergence within maxIter is an explicit error, not a wrong answer") {
+    val path = (1L until 30L).map(i => (i, i + 1))
+    intercept[IllegalArgumentException](cc(path, maxIter = 2))
+  }
+
+  test("q76: cluster sizes cover exactly the documents appearing in near-dup pairs") {
+    val pairs = graft.llm.TextPipeline
+      .exactJaccardPairs(
+        Tables.documents(spark, sfDir).select("doc_id", "text"), 3, 0.5)
+      .select("da", "db")
+    val inPairs = pairs.select(explode(array(col("da"), col("db"))).as("d"))
+      .distinct().count()
+    val clusters = graft.llm.TrainingDataQueries.q76.run(spark, sfDir).collect()
+    assert(clusters.map(_.getAs[Long]("n_docs")).sum == inPairs,
+      "every paired doc lands in exactly one cluster")
+    clusters.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 2 || r.getAs[Long]("keep_doc") == r.getAs[Long]("max_doc"))
+      assert(r.getAs[Long]("keep_doc") <= r.getAs[Long]("max_doc"),
+        "representative is the minimum member")
+    }
+  }
+}
