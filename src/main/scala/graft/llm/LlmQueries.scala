@@ -128,6 +128,20 @@ object LlmQueries {
   // scale and oracle-checkable; the 100 TB path swaps the candidate
   // generator for MinHash LSH (q31) and keeps this exact Jaccard as the
   // verification stage over candidates only.
+  /** Shared DuckDB CTE prefix (w/sh/cnt/pairs) computing the 3-gram
+    * shingle sets and common-shingle pair counts — the single source
+    * for every oracle in the exact-Jaccard family (q30 full pairs,
+    * q76's component edges). A tokenizer/k/NULL-handling change here
+    * changes all of them together.
+    */
+  private[llm] val shinglePairsCteSql: String =
+    "w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s " +
+      "FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t) WHERE s IS NOT NULL), " +
+      "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), " +
+      "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common FROM sh a " +
+      "JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+
   val q30: QuerySpec = QuerySpec(
     "q30_near_dup_jaccard",
     (s, d) =>
@@ -136,12 +150,7 @@ object LlmQueries {
         .select(col("da"), col("db"), round(col("jac"), 4).as("jaccard"))
         .orderBy("da", "db"),
     Some(
-      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
-        "sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s " +
-        "FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t) WHERE s IS NOT NULL), " +
-        "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), " +
-        "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common FROM sh a " +
-        "JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      s"WITH $shinglePairsCteSql " +
         "SELECT da, db, round(common * 1.0 / (ca.n + cb.n - common), 4) AS jaccard " +
         "FROM pairs JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db " +
         "WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5 ORDER BY da, db"

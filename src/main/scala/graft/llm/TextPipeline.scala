@@ -57,7 +57,7 @@ object TextPipeline {
     * stages ([[docShingles]], [[minHashSignatures]], [[bandKeys]])
     * and manage their own caching.
     */
-  private def withPersisted(df: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
+  private[llm] def withPersisted(df: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try body(cached).localCheckpoint(eager = true)
     finally cached.unpersist(blocking = false)

@@ -38,6 +38,20 @@ object TrainingDataQueries {
   private def hexDrawSql(salt: String, id: String): String =
     s"substring(md5('$salt' || CAST($id AS VARCHAR)), 1, 2)"
 
+  /** q65's split rule — the SINGLE source for split assignment; q75's
+    * decontamination report must evaluate the same assignment the
+    * pipeline ships, so both build from here (Scala and SQL alike).
+    */
+  def splitCol(id: Column): Column = {
+    val h = hexDraw("graft-split:", id)
+    when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
+  }
+
+  def splitCaseSql(id: String): String = {
+    val h = hexDrawSql("graft-split:", id)
+    s"CASE WHEN $h < 'cd' THEN 'train' WHEN $h < 'e6' THEN 'val' ELSE 'test' END"
+  }
+
   // ---------------------------------------------------------------------
   // q65 — deterministic train/val/test split. train ≈ 80.1% (< 'cd' =
   // 205/256), val ≈ 9.8% ('cd'..'e5' = 25/256), test ≈ 10.2% (the
@@ -50,21 +64,17 @@ object TrainingDataQueries {
   // beyond the groupBy's map-side-combined 3 keys.
   val q65: QuerySpec = QuerySpec(
     "q65_hash_split",
-    (s, d) => {
-      val h = hexDraw("graft-split:", col("doc_id"))
+    (s, d) =>
       documents(s, d)
-        .withColumn("split",
-          when(h < "cd", "train").when(h < "e6", "val").otherwise("test"))
+        .withColumn("split", splitCol(col("doc_id")))
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
-        .orderBy("split")
-    },
-    Some {
-      val h = hexDrawSql("graft-split:", "doc_id")
-      s"SELECT CASE WHEN $h < 'cd' THEN 'train' WHEN $h < 'e6' THEN 'val' ELSE 'test' END AS split, " +
+        .orderBy("split"),
+    Some(
+      s"SELECT ${splitCaseSql("doc_id")} AS split, " +
         "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars " +
         "FROM documents GROUP BY 1 ORDER BY split"
-    },
+    ),
   )
 
   // ---------------------------------------------------------------------
@@ -227,35 +237,46 @@ object TrainingDataQueries {
   // after splitting; composes q65's split rule with the dedup family's
   // content hashing.
   //
-  // Scale: the train fingerprint sets join on uniformly-distributed
-  // hashes — an equi-shuffle with no skew; nothing is collected or
-  // broadcast (at 100 TB the train hash set is itself huge).
+  // Scale: NOT a join against a train fingerprint set — an eval doc is
+  // contaminated iff its fingerprint's group contains a train doc, so
+  // each fingerprint needs exactly one groupBy pass: per hash, flag
+  // train presence and count val/test members, then one total
+  // aggregate. Uniform hash keys ⇒ skew-free shuffle, map-side
+  // combined, nothing distinct'd/joined/broadcast; two passes (exact,
+  // prefix) because the two fingerprints shuffle on different keys.
   val q75: QuerySpec = QuerySpec(
     "q75_decontaminate",
     (s, d) => {
-      val h = hexDraw("graft-split:", col("doc_id"))
-      val docs = documents(s, d).select(
-        when(h < "cd", "train").when(h < "e6", "val").otherwise("test").as("split"),
-        md5(col("text")).as("h"),
-        TF.prefixFingerprint(col("text"), 16).as("pf"),
-      )
-      val train = docs.where(col("split") === "train")
-      val hSet = train.select(col("h")).distinct().withColumn("eh", lit(1L))
-      val pSet = train.select(col("pf")).distinct().withColumn("ep", lit(1L))
-      docs.where(col("split") =!= "train")
-        .join(hSet, Seq("h"), "left")
-        .join(pSet, Seq("pf"), "left")
-        .groupBy("split")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(coalesce(col("eh"), lit(0L))).as("n_exact_contam"),
-          sum(coalesce(col("ep"), lit(0L))).as("n_prefix_contam"),
-        )
+      // (val_docs, test_docs, contaminated_val, contaminated_test)
+      // under fingerprint `key`, as a 1-row frame with `tag`-prefixed
+      // column names.
+      def pass(key: Column, tag: String) =
+        documents(s, d)
+          .select(splitCol(col("doc_id")).as("split"), key.as("k"))
+          .groupBy("k")
+          .agg(
+            max(when(col("split") === "train", 1L).otherwise(0L)).as("in_train"),
+            sum(when(col("split") === "val", 1L).otherwise(0L)).as("nv"),
+            sum(when(col("split") === "test", 1L).otherwise(0L)).as("nt"),
+          )
+          .agg(
+            sum(col("nv")).as(s"${tag}_nv"),
+            sum(col("nt")).as(s"${tag}_nt"),
+            sum(col("nv") * col("in_train")).as(s"${tag}_cv"),
+            sum(col("nt") * col("in_train")).as(s"${tag}_ct"),
+          )
+      val one = pass(md5(col("text")), "e")
+        .crossJoin(pass(TF.prefixFingerprint(col("text"), 16), "p")) // 1×1 rows
+      one.select(
+        lit("test").as("split"), col("e_nt").as("n_docs"),
+        col("e_ct").as("n_exact_contam"), col("p_ct").as("n_prefix_contam"))
+        .unionByName(one.select(
+          lit("val").as("split"), col("e_nv").as("n_docs"),
+          col("e_cv").as("n_exact_contam"), col("p_cv").as("n_prefix_contam")))
         .orderBy("split")
     },
     Some {
-      val h = hexDrawSql("graft-split:", "doc_id")
-      s"WITH d AS (SELECT CASE WHEN $h < 'cd' THEN 'train' WHEN $h < 'e6' THEN 'val' ELSE 'test' END AS split, " +
+      s"WITH d AS (SELECT ${splitCaseSql("doc_id")} AS split, " +
         "md5(text) AS h, " +
         "md5(array_to_string(list_slice(string_split(lower(text), ' '), 1, 16), ' ')) AS pf " +
         "FROM documents) " +
@@ -276,20 +297,23 @@ object TrainingDataQueries {
   // DuckDB's recursive CTE — an independent algorithm (transitive
   // closure) hash-agreeing with the iterative label propagation.
   //
-  // Scale: edges come from the CASCADE (q41: LSH candidates → exact
-  // verify on candidates only), never from the standalone all-shared-
-  // shingle self-join — the banding is sized so pairs at the 0.5
-  // threshold are recovered with ≥99.9% probability, and the q41
-  // correctness row pins that the cascade's output hash-matches the
-  // full exact pair set (the same bet this oracle makes). Then
+  // Scale: edges come from the CASCADE (LSH candidates → exact verify
+  // on candidates only), never from the standalone all-shared-shingle
+  // self-join, with the banding geometry CHOSEN FOR THE THRESHOLD:
+  // `bandingFor(0.5)` = 32 bands × 2 rows, ≥99.9% recall for pairs at
+  // jaccard 0.5 (q41's default 16×4 is sized for the 0.8 dup band and
+  // would miss ~36% of borderline-0.5 pairs — wider bands cost more
+  // candidates, which the exact verify then filters). Then
   // [[graft.ops.Components]]: per-round join+groupBy on uniformly-
   // hashed vertex ids, rounds ≈ cluster diameter (dedup clusters are
   // shallow), labels localCheckpoint'd per round.
   val q76: QuerySpec = QuerySpec(
     "q76_dedup_clusters",
     (s, d) => {
+      val (bands, rowsPerBand) = TextPipeline.bandingFor(0.5)
       val pairs = TextPipeline
-        .dedupCascade(documents(s, d).select("doc_id", "text"))
+        .dedupCascade(documents(s, d).select("doc_id", "text"),
+          bands = bands, rowsPerBand = rowsPerBand)
         .select(col("da"), col("db"))
       graft.ops.Components.connectedComponents(pairs, "da", "db")
         .groupBy("comp")
@@ -299,13 +323,8 @@ object TrainingDataQueries {
         .orderBy("keep_doc")
     },
     Some(
-      // same shingle/pair CTEs as q30's oracle, then transitive closure
-      "WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
-        "sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s " +
-        "FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t) WHERE s IS NOT NULL), " +
-        "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), " +
-        "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common FROM sh a " +
-        "JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      // q30's shared shingle/pair CTEs, then transitive closure
+      s"WITH RECURSIVE ${LlmQueries.shinglePairsCteSql}, " +
         "p AS (SELECT da, db FROM pairs JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db " +
         "WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5), " +
         "e AS (SELECT da AS a, db AS b FROM p UNION ALL SELECT db, da FROM p), " +

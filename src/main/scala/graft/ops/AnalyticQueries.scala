@@ -716,9 +716,7 @@ object AnalyticQueries {
         .select(
           col("user_id"), col("event_id"), col("event_type"),
           col("ts_us").as("valid_from_us"),
-          lead(col("ts_us"), 1)
-            .over(Window.partitionBy(col("user_id"))
-              .orderBy(col("ts_us"), col("event_id"))).as("valid_to_us"),
+          lead(col("ts_us"), 1).over(w1).as("valid_to_us"),
         )
         .orderBy("user_id", "valid_from_us", "event_id")
     },

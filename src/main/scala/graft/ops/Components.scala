@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   *    MINIMUM label seen (one join + one map-side-combined groupBy);
   *  - stop when a round changes nothing.
   *
-  * Rounds needed = the component diameter's log-ish bound — dedup
-  * clusters are short-diameter (near-dup similarity is transitive-ish),
-  * so this converges in a handful of rounds. The driver only runs the
+  * Rounds needed ≈ the min-vertex's eccentricity (~component
+  * diameter: the min label walks one hop per round) — dedup clusters
+  * are short-diameter (near-dup similarity is transitive-ish), so
+  * this converges in a handful of rounds. The driver only runs the
   * loop and a 1-row convergence probe per round; all data stays
   * distributed. Each round `localCheckpoint`s the label frame: without
   * it the plan lineage doubles per iteration and planning time, not
@@ -25,7 +26,8 @@ import org.apache.spark.sql.functions._
   *
   * At larger diameters the classic large-star/small-star alternation
   * (Kiveris et al., "Connected Components in MapReduce and Beyond")
-  * halves round counts; the propagation core below is unchanged.
+  * brings rounds down to O(log² n); the propagation core below is
+  * unchanged.
   */
 object Components {
 

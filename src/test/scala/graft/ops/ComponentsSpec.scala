@@ -36,20 +36,32 @@ class ComponentsSpec extends SparkSpec {
     intercept[IllegalArgumentException](cc(path, maxIter = 2))
   }
 
-  test("q76: cluster sizes cover exactly the documents appearing in near-dup pairs") {
+  test("q76: clusters cover exactly the paired docs; keep_doc IS each cluster's minimum member") {
     val pairs = graft.llm.TextPipeline
       .exactJaccardPairs(
         Tables.documents(spark, sfDir).select("doc_id", "text"), 3, 0.5)
       .select("da", "db")
     val inPairs = pairs.select(explode(array(col("da"), col("db"))).as("d"))
       .distinct().count()
+    // ground truth from the label frame itself: per component, the
+    // true min member (not a tautology over q76's own aggregates)
+    val labels = Components.connectedComponents(pairs, "da", "db")
+    val truth = labels.groupBy("comp")
+      .agg(min("v").as("true_min"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (comp, tmin, n) => comp -> (tmin, n) }.toMap
+    truth.foreach { case (comp, (tmin, _)) =>
+      assert(comp == tmin, s"component label $comp must equal its minimum member $tmin")
+    }
     val clusters = graft.llm.TrainingDataQueries.q76.run(spark, sfDir).collect()
     assert(clusters.map(_.getAs[Long]("n_docs")).sum == inPairs,
       "every paired doc lands in exactly one cluster")
     clusters.foreach { r =>
-      assert(r.getAs[Long]("n_docs") >= 2 || r.getAs[Long]("keep_doc") == r.getAs[Long]("max_doc"))
-      assert(r.getAs[Long]("keep_doc") <= r.getAs[Long]("max_doc"),
-        "representative is the minimum member")
+      val (keep, n) = (r.getAs[Long]("keep_doc"), r.getAs[Long]("n_docs"))
+      assert(truth.get(keep).exists(_._2 == n),
+        s"cluster $keep/$n must match the label frame's component ${truth.get(keep)}")
+      assert(n >= 2, "pair-derived components have at least two members")
     }
+    assert(clusters.length == truth.size, "one output row per component")
   }
 }
