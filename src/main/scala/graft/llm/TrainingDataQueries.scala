@@ -334,5 +334,138 @@ object TrainingDataQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q65, q66, q68, q69, q70, q75, q76)
+  // ---------------------------------------------------------------------
+  // q77 — per-domain document cap: keep at most K docs per source,
+  // selected by salted-hash rank — the "no domain dominates the mix"
+  // curation rule, deterministic like q65/q66 (same doc survives every
+  // re-run; appends can only displace docs below the hash-rank cut).
+  //
+  // Scale: row_number needs a per-source sort of the group, fine while
+  // groups fit a task's spill budget; the 100 TB swap-in is the
+  // bounded-buffer top-k aggregator ([[graft.functions.TopK]], q39)
+  // keyed by the same hash rank — same selection, O(K) memory.
+  val DomainCap = 10
+  val q77: QuerySpec = QuerySpec(
+    "q77_domain_cap",
+    (s, d) => {
+      val rank = md5(concat(lit("graft-cap:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("source")).orderBy(rank, col("doc_id"))
+      documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= DomainCap)
+        .orderBy("source", "rn")
+    },
+    Some(
+      "SELECT source, doc_id, n_chars, CAST(rn AS BIGINT) AS rn FROM (" +
+        "SELECT source, doc_id, n_chars, row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5('graft-cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn " +
+        s"FROM documents) WHERE rn <= $DomainCap ORDER BY source, rn"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q78 — vocabulary coverage curve: how many distinct (lowercased,
+  // whitespace) token types cover 50/90/95/99% of the token stream —
+  // the statistic behind tokenizer vocab sizing and OOV-rate estimates.
+  // One row out: type counts at each coverage level plus corpus totals.
+  //
+  // Scale: the explode+groupBy token count is the q43 shape (uniform
+  // hash keys, map-side combine). The coverage cumsum runs as an
+  // UNPARTITIONED window — a deliberate, documented exception to the
+  // "no global windows" rule: its input is the VOCABULARY (domain-
+  // bounded, ≪ corpus; ~10⁵–10⁸ rows regardless of corpus size), not
+  // the token stream, and it lands after the aggregation shuffles.
+  val q78: QuerySpec = QuerySpec(
+    "q78_vocab_coverage",
+    (s, d) => {
+      val counts = documents(s, d)
+        .select(explode(TF.words(lower(col("text")))).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val ord = Window.orderBy(col("c").desc, col("w"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = counts
+        .withColumn("rn", row_number().over(Window.orderBy(col("c").desc, col("w"))).cast("long"))
+        .withColumn("share", sum(col("c")).over(ord) / sum(col("c")).over(Window.partitionBy()))
+      ranked.agg(
+        min(when(col("share") >= 0.5, col("rn"))).as("types_50"),
+        min(when(col("share") >= 0.9, col("rn"))).as("types_90"),
+        min(when(col("share") >= 0.95, col("rn"))).as("types_95"),
+        min(when(col("share") >= 0.99, col("rn"))).as("types_99"),
+        max(col("rn")).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+      )
+    },
+    Some(
+      "WITH counts AS (SELECT w, count(*) AS c FROM (" +
+        "SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) WHERE w <> '' GROUP BY 1), " +
+        "ranked AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rn, " +
+        "sum(c) OVER (ORDER BY c DESC, w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "/ (SELECT CAST(sum(c) AS DOUBLE) FROM counts) AS share FROM counts) " +
+        "SELECT min(CASE WHEN share >= 0.5 THEN rn END) AS types_50, " +
+        "min(CASE WHEN share >= 0.9 THEN rn END) AS types_90, " +
+        "min(CASE WHEN share >= 0.95 THEN rn END) AS types_95, " +
+        "min(CASE WHEN share >= 0.99 THEN rn END) AS types_99, " +
+        "max(rn) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens FROM ranked"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q79 — collocations by lift: adjacent token pairs occurring far more
+  // often than independence predicts, lift = P(ab) / (P(a)·P(b)) =
+  // n_ab·N_tok / (n_a·n_b) — the phrase-mining / tokenizer-merge
+  // signal. LIFT, not log-PMI, on purpose: every input is an exact
+  // integer count, so the single double division is bit-identical
+  // across engines — `ln` is NOT (libm vs JVM differ in the last ulp),
+  // and a log-scale oracle would flake at rounding boundaries.
+  //
+  // Scale: bigram explode is executor-local (q69's rule); both count
+  // frames shuffle on uniform token keys; the unigram side joins in
+  // twice — each join is a skew-free equijoin (heavy-hitter tokens are
+  // exactly what q63 flags for salting if a corpus needs it).
+  val MinPairCount = 20L
+  val q79: QuerySpec = QuerySpec(
+    "q79_collocations",
+    (s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), TF.words(lower(col("text"))).as("ws"))
+      val bigrams = toks
+        .select(explode(sequence(lit(1), size(col("ws")) - 1)).as("i"), col("ws"))
+        .select(
+          element_at(col("ws"), col("i")).as("a"),
+          element_at(col("ws"), col("i") + 1).as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("nab"))
+      val uni = toks
+        .select(explode(col("ws")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+      val nTok = uni.agg(sum(col("n")).as("ntot"))
+      bigrams
+        .join(uni.select(col("w").as("a"), col("n").as("na")), Seq("a"))
+        .join(uni.select(col("w").as("b"), col("n").as("nb")), Seq("b"))
+        .crossJoin(nTok) // 1-row total
+        .where(col("nab") >= MinPairCount)
+        .select(
+          col("a"), col("b"), col("nab"),
+          round((col("nab") * col("ntot")).cast("double") / (col("na") * col("nb")), 6)
+            .as("lift"),
+        )
+        .where(col("lift") > 1.5)
+        .orderBy("a", "b")
+    },
+    Some(
+      "WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), " +
+        "bi AS (SELECT ws[i] AS a, ws[i+1] AS b, count(*) AS nab FROM toks, " +
+        "LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) t GROUP BY 1, 2), " +
+        "uni AS (SELECT unnest(ws) AS w FROM toks), " +
+        "ucnt AS (SELECT w, count(*) AS n FROM uni GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM ucnt) " +
+        "SELECT a, b, nab, round(CAST(nab * ntot AS DOUBLE) / (ua.n * ub.n), 6) AS lift " +
+        "FROM bi JOIN ucnt ua ON ua.w = a JOIN ucnt ub ON ub.w = b CROSS JOIN tot " +
+        s"WHERE nab >= $MinPairCount " +
+        "AND CAST(nab * ntot AS DOUBLE) / (ua.n * ub.n) > 1.5 ORDER BY a, b"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q65, q66, q68, q69, q70, q75, q76, q77, q78, q79)
 }

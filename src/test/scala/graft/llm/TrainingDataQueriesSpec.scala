@@ -109,6 +109,61 @@ class TrainingDataQueriesSpec extends SparkSpec {
         "q75 must evaluate the same split assignment as q65"))
   }
 
+  test("q77: at most K per source, deterministic selection, ranks contiguous") {
+    val rows = TrainingDataQueries.q77.run(spark, sfDir).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    val totals = Tables.documents(spark, sfDir)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    totals.foreach { case (src, n) =>
+      val kept = bySource.get(src).map(_.length).getOrElse(0)
+      assert(kept == math.min(n, TrainingDataQueries.DomainCap.toLong),
+        s"$src: cap must bind exactly")
+    }
+    bySource.foreach { case (src, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rn")).sorted.toSeq
+      assert(ranks == (1L to ranks.length).toSeq, s"$src ranks not contiguous: $ranks")
+    }
+    val again = TrainingDataQueries.q77.run(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+    assert(again == rows.map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet,
+      "selection must be identical across runs (hash rank, no RNG)")
+  }
+
+  test("q78: coverage thresholds are monotone and bounded by the vocabulary") {
+    val r = TrainingDataQueries.q78.run(spark, sfDir).head()
+    val (t50, t90, t95, t99, nTypes, nTokens) = (
+      r.getAs[Long]("types_50"), r.getAs[Long]("types_90"), r.getAs[Long]("types_95"),
+      r.getAs[Long]("types_99"), r.getAs[Long]("n_types"), r.getAs[Long]("n_tokens"))
+    assert(t50 >= 1 && t50 <= t90 && t90 <= t95 && t95 <= t99 && t99 <= nTypes,
+      s"coverage curve must be monotone: $t50 $t90 $t95 $t99 $nTypes")
+    assert(nTokens >= nTypes, "token stream at least as large as its vocabulary")
+    // cross-check totals against a direct count
+    val direct = Tables.documents(spark, sfDir)
+      .select(explode(TF.words(lower(col("text")))).as("w")).where(col("w") =!= "")
+    assert(direct.count() == nTokens)
+    assert(direct.distinct().count() == nTypes)
+  }
+
+  test("q79: lift agrees with a direct recomputation for every reported pair") {
+    val rows = TrainingDataQueries.q79.run(spark, sfDir).collect()
+    assert(rows.nonEmpty, "the word-salad corpus repeats phrases; expected collocations")
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (_, t) => t.toLowerCase.split(" ", -1).toSeq }
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTok = toks.map(_.size.toLong).sum
+    val bi = toks.flatMap(ws => ws.zip(ws.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      val (a, b, nab, lift) = (r.getAs[String]("a"), r.getAs[String]("b"),
+        r.getAs[Long]("nab"), r.getAs[Double]("lift"))
+      assert(bi((a, b)) == nab, s"pair count for ($a,$b)")
+      val expect = nab.toDouble * nTok / (uni(a) * uni(b))
+      assert(math.abs(lift - expect) < 1e-5, s"lift for ($a,$b): $lift vs $expect")
+      assert(lift > 1.5 && nab >= TrainingDataQueries.MinPairCount)
+    }
+  }
+
   test("q70: packs conserve tokens and docs; pack ids are contiguous from 0") {
     val packs = TrainingDataQueries.q70.run(spark, sfDir).collect()
     val bySource = packs.groupBy(_.getAs[String]("source"))
