@@ -128,4 +128,37 @@ object GraftProperties extends Properties("graft") {
       val out = graft.model.ConfigLoader.interpolate(s"pre ${"$"}{$name} post", Map(name -> value))
       out == s"pre $value post"
     }
+
+  // --- connected components vs a reference union-find: the iterative
+  // min-label propagation must produce exactly the partition a
+  // sequential union-find computes, on arbitrary random graphs
+  // (including self-loops, duplicate and reversed edges).
+  private val edgesGen = for {
+    n <- Gen.choose(1, 25)
+    edges <- Gen.listOfN(n, for {
+      a <- Gen.choose(0L, 14L)
+      b <- Gen.choose(0L, 14L)
+    } yield (a, b))
+  } yield edges
+
+  property("connectedComponents matches sequential union-find") =
+    forAll(edgesGen) { edges =>
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+      val got = graft.ops.Components
+        .connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      // union-find roots are component minima too (we always attach the
+      // larger root under the smaller), so the maps must be identical
+      got == expected
+    }
 }
