@@ -423,7 +423,16 @@ object TrainingDataQueries {
   // Scale: bigram explode is executor-local (q69's rule); both count
   // frames shuffle on uniform token keys; the unigram side joins in
   // twice — each join is a skew-free equijoin (heavy-hitter tokens are
-  // exactly what q63 flags for salting if a corpus needs it).
+  // exactly what q63 flags for salting if a corpus needs it). The lift
+  // arithmetic converts each count to double BEFORE multiplying:
+  // counts < 2^53 convert exactly and IEEE mult/div are deterministic
+  // (so cross-engine parity holds), while long×long products like
+  // na·nb would overflow at trillion-token scale (~1e12² ≫ 2⁶³) —
+  // ANSI Spark would throw, non-ANSI would silently wrap. Single-token
+  // docs contribute no bigrams (size < 2 guard — the wordShingles
+  // inverted-sequence hazard; the oracle's generate_series(1,0) is
+  // empty, Spark's sequence(1,0) DESCENDS and then element_at(ws,0)
+  // throws).
   val MinPairCount = 20L
   val q79: QuerySpec = QuerySpec(
     "q79_collocations",
@@ -431,6 +440,7 @@ object TrainingDataQueries {
       val toks = documents(s, d)
         .select(col("doc_id"), TF.words(lower(col("text"))).as("ws"))
       val bigrams = toks
+        .where(size(col("ws")) >= 2)
         .select(explode(sequence(lit(1), size(col("ws")) - 1)).as("i"), col("ws"))
         .select(
           element_at(col("ws"), col("i")).as("a"),
@@ -440,30 +450,33 @@ object TrainingDataQueries {
         .select(explode(col("ws")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("n"))
       val nTok = uni.agg(sum(col("n")).as("ntot"))
+      val lift = (col("nab").cast("double") * col("ntot").cast("double")) /
+        (col("na").cast("double") * col("nb").cast("double"))
       bigrams
         .join(uni.select(col("w").as("a"), col("n").as("na")), Seq("a"))
         .join(uni.select(col("w").as("b"), col("n").as("nb")), Seq("b"))
         .crossJoin(nTok) // 1-row total
-        .where(col("nab") >= MinPairCount)
-        .select(
-          col("a"), col("b"), col("nab"),
-          round((col("nab") * col("ntot")).cast("double") / (col("na") * col("nb")), 6)
-            .as("lift"),
-        )
-        .where(col("lift") > 1.5)
+        // threshold on the UNROUNDED lift in BOTH engines — filtering
+        // the rounded value would disagree with the oracle on
+        // borderline pairs in (1.5, 1.5000005)
+        .where(col("nab") >= MinPairCount && lift > 1.5)
+        .select(col("a"), col("b"), col("nab"), round(lift, 6).as("lift"))
         .orderBy("a", "b")
     },
     Some(
       "WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), " +
         "bi AS (SELECT ws[i] AS a, ws[i+1] AS b, count(*) AS nab FROM toks, " +
-        "LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) t GROUP BY 1, 2), " +
+        "LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) t " +
+        "WHERE len(ws) >= 2 GROUP BY 1, 2), " +
         "uni AS (SELECT unnest(ws) AS w FROM toks), " +
         "ucnt AS (SELECT w, count(*) AS n FROM uni GROUP BY 1), " +
         "tot AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM ucnt) " +
-        "SELECT a, b, nab, round(CAST(nab * ntot AS DOUBLE) / (ua.n * ub.n), 6) AS lift " +
+        "SELECT a, b, nab, " +
+        "round(CAST(nab AS DOUBLE) * CAST(ntot AS DOUBLE) / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)), 6) AS lift " +
         "FROM bi JOIN ucnt ua ON ua.w = a JOIN ucnt ub ON ub.w = b CROSS JOIN tot " +
         s"WHERE nab >= $MinPairCount " +
-        "AND CAST(nab * ntot AS DOUBLE) / (ua.n * ub.n) > 1.5 ORDER BY a, b"
+        "AND CAST(nab AS DOUBLE) * CAST(ntot AS DOUBLE) / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)) > 1.5 " +
+        "ORDER BY a, b"
     ),
   )
 

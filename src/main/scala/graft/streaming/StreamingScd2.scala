@@ -39,6 +39,30 @@ object StreamingScd2 {
       user_id: Long, event_id: Long, event_type: String,
       valid_from_us: Long, valid_to_us: Long)
 
+  /** The change-detection walk both twins share: fold time-ordered
+    * events into closed intervals, carrying the open interval through.
+    * Same-type runs collapse (SCD2 records CHANGES, not events).
+    */
+  private def foldChanges(
+      userId: Long,
+      sorted: Seq[PendEvent],
+      start: Option[OpenInterval],
+  ): (Vector[Interval], Option[OpenInterval]) = {
+    var open = start
+    val out = Vector.newBuilder[Interval]
+    sorted.foreach { p =>
+      open match {
+        case None =>
+          open = Some(OpenInterval(p.eventType, p.tsUs, p.eventId))
+        case Some(o) if o.eventType != p.eventType =>
+          out += Interval(userId, o.eventId, o.eventType, o.fromUs, p.tsUs)
+          open = Some(OpenInterval(p.eventType, p.tsUs, p.eventId))
+        case Some(_) => () // same type: SCD2 collapses the run
+      }
+    }
+    (out.result(), open)
+  }
+
   def scd2Stream(
       events: Dataset[TypedEvent],
       lateness: String = "2 days",
@@ -63,18 +87,7 @@ object StreamingScd2 {
         // the watermark could still gain same-µs siblings (admissible
         // events have ts ≥ watermark), so it stays pending.
         val (fin, rest) = all.span(_.tsUs / 1000L < wmMs)
-        var open = prev.open
-        val out = Vector.newBuilder[Interval]
-        fin.foreach { p =>
-          open match {
-            case None =>
-              open = Some(OpenInterval(p.eventType, p.tsUs, p.eventId))
-            case Some(o) if o.eventType != p.eventType =>
-              out += Interval(userId, o.eventId, o.eventType, o.fromUs, p.tsUs)
-              open = Some(OpenInterval(p.eventType, p.tsUs, p.eventId))
-            case Some(_) => () // same type: SCD2 collapses the run
-          }
-        }
+        val (closed, open) = foldChanges(userId, fin, prev.open)
         if (rest.isEmpty && open.isEmpty) state.remove()
         else {
           state.update(Scd2Buf(rest, open))
@@ -86,7 +99,7 @@ object StreamingScd2 {
             state.setTimeoutTimestamp(
               math.max(rest.head.tsUs / 1000L + 1L, wmMs + 1L))
         }
-        out.result().iterator
+        closed.iterator
       }
   }
 
@@ -104,19 +117,7 @@ object StreamingScd2 {
         val sorted = it
           .map(e => PendEvent(StreamTime.micros(e.ts), e.event_id, e.event_type)).toVector
           .sortBy(p => (p.tsUs, p.eventId))
-        var open: Option[OpenInterval] = None
-        val out = Vector.newBuilder[Interval]
-        sorted.foreach { p =>
-          open match {
-            case None =>
-              open = Some(OpenInterval(p.eventType, p.tsUs, p.eventId))
-            case Some(o) if o.eventType != p.eventType =>
-              out += Interval(userId, o.eventId, o.eventType, o.fromUs, p.tsUs)
-              open = Some(OpenInterval(p.eventType, p.tsUs, p.eventId))
-            case Some(_) => ()
-          }
-        }
-        out.result().iterator
+        foldChanges(userId, sorted, None)._1.iterator
       }
   }
 }
