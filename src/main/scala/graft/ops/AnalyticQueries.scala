@@ -767,7 +767,38 @@ object AnalyticQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q80 — deterministic per-group mode: each user's most frequent event
+  // type. NOT the built-in `mode()` (Spark's and DuckDB's are both
+  // tie-NONdeterministic — an oracle hash can't survive that); the
+  // explicit count + row_number form pins ties to the lexicographically
+  // smallest type, identically in both engines.
+  //
+  // Scale: the heavy pass is the (user, type) count — map-side
+  // combined, uniform keys; the window then ranks each user's TYPE
+  // COUNTS (rows bounded by type cardinality, not events) — the same
+  // aggregate-before-window shape as q67.
+  val q80: QuerySpec = QuerySpec(
+    "q80_mode_per_group",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("n").desc, col("event_type"))
+      events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+        .orderBy("user_id")
+    },
+    Some(
+      "WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT user_id, event_type, n, row_number() OVER (" +
+        "PARTITION BY user_id ORDER BY n DESC, event_type) AS rn FROM c) " +
+        "SELECT user_id, event_type AS mode_type, n FROM r WHERE rn = 1 ORDER BY user_id"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q49, q50, q51, q52, q53, q54, q56, q57, q58, q59, q60, q61, q62, q63, q64, q67,
-      q73, q74)
+      q73, q74, q80)
 }

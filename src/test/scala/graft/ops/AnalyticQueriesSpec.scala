@@ -277,6 +277,18 @@ class AnalyticQueriesSpec extends SparkSpec {
     assert(monthly.map(_.getAs[Long]("n_days")).sum == direct.getAs[Long]("days"))
   }
 
+  test("q80: one mode row per active user; it really is the max count") {
+    val rows = AnalyticQueries.q80.run(spark, sfDir).collect()
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(rows.length == users, "exactly one mode per user")
+    val maxes = Tables.events(spark, sfDir)
+      .groupBy("user_id", "event_type").count()
+      .groupBy("user_id").agg(max("count").as("mx"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("mx")).toMap
+    rows.foreach(r => assert(r.getAs[Long]("n") == maxes(r.getAs[Long]("user_id")),
+      s"mode count must equal the user's max type count: $r"))
+  }
+
   test("q54: hopping 10m/5m assigns every event to exactly 2 windows") {
     val winEvents = AnalyticQueries.q54.run(spark, sfDir)
       .agg(sum("n_events")).head.getLong(0)
