@@ -798,7 +798,46 @@ object AnalyticQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q81 — explicit GROUPING SETS: exactly the grains a report needs —
+  // (status, priority), (status), () — completing the multi-grain
+  // family (q50 CUBE = all 2ᵏ grains, q23 ROLLUP = the hierarchy
+  // prefix chain). Same physical shape as both: ONE fact scan, one
+  // Expand (3 replicas here, vs CUBE's 4), one partially-aggregated
+  // shuffle — requested grains only, no wasted (priority)-grain pass.
+  val q81: QuerySpec = QuerySpec(
+    "q81_grouping_sets",
+    (s, d) => {
+      val o = orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+      o.groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          dsum("o_totalprice").as("total_price"),
+          count(lit(1)).as("n_orders"),
+          grouping(col("o_orderstatus")).as("g_s"),
+          grouping(col("o_orderpriority")).as("g_p"),
+        )
+        .select(
+          when(col("g_s") === 1, lit("ALL")).otherwise(col("o_orderstatus")).as("status_lbl"),
+          when(col("g_p") === 1, lit("ALL")).otherwise(col("o_orderpriority")).as("prio_lbl"),
+          col("total_price"),
+          col("n_orders"),
+        )
+        .orderBy("status_lbl", "prio_lbl")
+    },
+    Some(
+      "SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status_lbl, " +
+        "CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS prio_lbl, " +
+        s"${dsumSql("o_totalprice")} AS total_price, count(*) AS n_orders " +
+        "FROM orders " +
+        "GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ()) " +
+        "ORDER BY status_lbl, prio_lbl"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q49, q50, q51, q52, q53, q54, q56, q57, q58, q59, q60, q61, q62, q63, q64, q67,
-      q73, q74, q80)
+      q73, q74, q80, q81)
 }

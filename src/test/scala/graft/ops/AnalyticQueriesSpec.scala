@@ -277,6 +277,20 @@ class AnalyticQueriesSpec extends SparkSpec {
     assert(monthly.map(_.getAs[Long]("n_days")).sum == direct.getAs[Long]("days"))
   }
 
+  test("q81: only the requested grains appear, and each grain totals consistently") {
+    val rows = AnalyticQueries.q81.run(spark, sfDir).collect()
+    def isAll(r: org.apache.spark.sql.Row, c: String) = r.getAs[String](c) == "ALL"
+    // requested: (s,p), (s), (); NOT (p) alone
+    assert(!rows.exists(r => isAll(r, "status_lbl") && !isAll(r, "prio_lbl")),
+      "the unrequested (priority)-only grain must not appear")
+    val grand = rows.filter(r => isAll(r, "status_lbl") && isAll(r, "prio_lbl"))
+    assert(grand.length == 1)
+    val leaves = rows.filter(r => !isAll(r, "status_lbl") && !isAll(r, "prio_lbl"))
+    val mids = rows.filter(r => !isAll(r, "status_lbl") && isAll(r, "prio_lbl"))
+    assert(leaves.map(_.getAs[Long]("n_orders")).sum == grand.head.getAs[Long]("n_orders"))
+    assert(mids.map(_.getAs[Long]("n_orders")).sum == grand.head.getAs[Long]("n_orders"))
+  }
+
   test("q80: one mode row per active user; it really is the max count") {
     val rows = AnalyticQueries.q80.run(spark, sfDir).collect()
     val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
