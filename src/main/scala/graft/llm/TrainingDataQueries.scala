@@ -299,21 +299,25 @@ object TrainingDataQueries {
   //
   // Scale: edges come from the CASCADE (LSH candidates → exact verify
   // on candidates only), never from the standalone all-shared-shingle
-  // self-join, with the banding geometry CHOSEN FOR THE THRESHOLD:
-  // `bandingFor(0.5)` = 32 bands × 2 rows, ≥99.9% recall for pairs at
-  // jaccard 0.5 (q41's default 16×4 is sized for the 0.8 dup band and
-  // would miss ~36% of borderline-0.5 pairs — wider bands cost more
-  // candidates, which the exact verify then filters). Then
-  // [[graft.ops.Components]]: per-round join+groupBy on uniformly-
-  // hashed vertex ids, rounds ≈ cluster diameter (dedup clusters are
-  // shallow), labels localCheckpoint'd per round.
+  // self-join. Banding geometry, stated honestly: 16 bands × 4 rows
+  // puts the S-curve MIDPOINT (1/b)^(1/r) exactly at the 0.5
+  // threshold — a pair at j=0.5 is recovered with ~64% probability,
+  // j≥0.65 with ≥99%, and the near-dup clusters this operator exists
+  // for (j≥0.8) with ≥99.98%. The alternative that guarantees 99.9%
+  // at exactly 0.5 (`bandingFor(0.5)` = 32×2) admits RANDOM pairs at
+  // j² per band and measurably floods the verify stage as the corpus
+  // grows (SCALE_NOTES round-2 lesson: 65,903 vs 4,101 candidates at
+  // 16×, identical recall on every tested corpus) — r=2 is not viable
+  // at corpus scale, so the borderline-recall trade is the right one,
+  // and the oracle pins that nothing in the tested corpora is missed.
+  // Then [[graft.ops.Components]]: per-round join+groupBy on
+  // uniformly-hashed vertex ids, rounds ≈ cluster diameter (dedup
+  // clusters are shallow), labels localCheckpoint'd per round.
   val q76: QuerySpec = QuerySpec(
     "q76_dedup_clusters",
     (s, d) => {
-      val (bands, rowsPerBand) = TextPipeline.bandingFor(0.5)
       val pairs = TextPipeline
-        .dedupCascade(documents(s, d).select("doc_id", "text"),
-          bands = bands, rowsPerBand = rowsPerBand)
+        .dedupCascade(documents(s, d).select("doc_id", "text"))
         .select(col("da"), col("db"))
       graft.ops.Components.connectedComponents(pairs, "da", "db")
         .groupBy("comp")
