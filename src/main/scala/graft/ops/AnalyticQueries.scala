@@ -837,7 +837,137 @@ object AnalyticQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q82 — EXACT stratified sample: precisely ⌈20%·n⌉ documents per
+  // source, selected by salted-hash rank. Complements the hash-
+  // threshold family: q66's per-row rate draw is binomial (count
+  // varies run-to-run-sized corpora), this guarantees the exact
+  // per-stratum count — what a fixed-size eval set needs. Still
+  // deterministic: the hash order is a pure function of doc ids.
+  //
+  // Scale: per-stratum row_number sort (q77's bound applies — TopK
+  // bounded buffers are the swap-in for giant strata); the stratum
+  // size comes from a count window over the same partitioning, no
+  // second scan.
+  val q82: QuerySpec = QuerySpec(
+    "q82_stratified_sample",
+    (s, d) => {
+      val rank = md5(concat(lit("graft-strat:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("source")).orderBy(rank, col("doc_id"))
+      val cw = Window.partitionBy(col("source"))
+      documents(s, d)
+        .select(col("source"), col("doc_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n_total", count(lit(1)).over(cw))
+        .where(col("rn") <= ceil(col("n_total") * 0.2))
+        .orderBy("source", "rn")
+    },
+    Some(
+      "SELECT source, doc_id, CAST(rn AS BIGINT) AS rn, n_total FROM (" +
+        "SELECT source, doc_id, " +
+        "row_number() OVER (PARTITION BY source ORDER BY md5('graft-strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn, " +
+        "CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_total " +
+        "FROM documents) WHERE rn <= ceil(n_total * 0.2) ORDER BY source, rn"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q83 — equi-depth histogram: 4 equal-count buckets of extendedprice
+  // per returnflag (ntile over the total order (value, orderkey,
+  // linenumber) — ties broken identically in both engines). Equi-DEPTH
+  // (same rows per bucket), vs q09's equi-width and q49's point
+  // percentiles — the optimizer-statistics histogram shape.
+  //
+  // Scale: NOT a row-level ntile window — with 3 groups that sorts the
+  // whole table in 3 tasks (measured 6× at the 16× probe, the q67
+  // few-groups-window bottleneck again). ntile's bucket boundaries are
+  // pure RANK arithmetic — n rows split into k buckets, the first
+  // n%k of size ⌈n/k⌉ — and a value whose c rows occupy ranks
+  // (below, below+c] contributes overlap(bucket interval, rank
+  // interval) rows to each bucket. Tied rows are interchangeable for
+  // every aggregate here (same price), so computing the overlaps over
+  // the DISTINCT (group, value) count frame reproduces the ntile
+  // aggregates exactly: the table-sized pass is a map-side-combined
+  // groupBy, the window sees only the value domain, and the 4-way
+  // bucket explode is per-distinct-value, executor-local.
+  val q83: QuerySpec = QuerySpec(
+    "q83_equidepth_hist",
+    (s, d) => {
+      val k = 4
+      val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("below", sum(col("c")).over(wCum) - col("c"))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .withColumn("qn", floor(col("n") / k).cast("long"))
+        .withColumn("m", col("n") % k)
+        .withColumn("bucket", explode(array((1 to k).map(b => lit(b.toLong)): _*)))
+        .withColumn("bstart",
+          (col("bucket") - 1) * col("qn") + least(col("bucket") - 1, col("m")) + 1)
+        .withColumn("bend",
+          col("bstart") + col("qn") + when(col("bucket") <= col("m"), 1L).otherwise(0L) - 1)
+        .withColumn("ov",
+          greatest(lit(0L),
+            least(col("bend"), col("below") + col("c")) -
+              greatest(col("bstart"), col("below") + 1) + 1))
+        .where(col("ov") > 0)
+        .groupBy("l_returnflag", "bucket")
+        .agg(
+          sum(col("ov")).as("n"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"),
+          round(
+            sum(col("l_extendedprice").cast(DecimalType(18, 2)) * col("ov")).cast("double") /
+              sum(col("ov")), 6).as("avg_price"),
+        )
+        .orderBy("l_returnflag", "bucket")
+    },
+    Some(
+      "WITH b AS (SELECT l_returnflag, l_extendedprice, " +
+        "ntile(4) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket " +
+        "FROM lineitem) " +
+        "SELECT l_returnflag, CAST(bucket AS BIGINT) AS bucket, count(*) AS n, " +
+        "min(l_extendedprice) AS lo, max(l_extendedprice) AS hi, " +
+        s"round(${dsumSql("l_extendedprice")} / count(*), 6) AS avg_price " +
+        "FROM b GROUP BY 1, 2 ORDER BY l_returnflag, bucket"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q84 — set operators: customers ordering in 1997 but not 1998
+  // (EXCEPT), and in both years (INTERSECT) — the cohort-membership
+  // algebra q22's UNION started. Both compile to aggregate/join plans
+  // (no row-by-row set state): EXCEPT ≡ left-anti on the distinct
+  // frames, INTERSECT ≡ left-semi.
+  val q84: QuerySpec = QuerySpec(
+    "q84_set_ops",
+    (s, d) => {
+      def yr(y: Int) = orders(s, d)
+        .where(year(col("o_orderdate")) === y).select(col("o_custkey")).distinct()
+      val only97 = yr(1997).except(yr(1998))
+      val both = yr(1997).intersect(yr(1998))
+      def digest(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.agg(
+          lit(tag).as("cohort"), count(lit(1)).as("n_customers"),
+          min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"))
+      digest(only97, "only_1997").unionByName(digest(both, "both_years")).orderBy("cohort")
+    },
+    Some(
+      "WITH y97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997), " +
+        "y98 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998), " +
+        "e AS (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y98), " +
+        "i AS (SELECT o_custkey FROM y97 INTERSECT SELECT o_custkey FROM y98) " +
+        "SELECT 'only_1997' AS cohort, count(*) AS n_customers, min(o_custkey) AS min_cust, max(o_custkey) AS max_cust FROM e " +
+        "UNION ALL " +
+        "SELECT 'both_years', count(*), min(o_custkey), max(o_custkey) FROM i " +
+        "ORDER BY cohort"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q49, q50, q51, q52, q53, q54, q56, q57, q58, q59, q60, q61, q62, q63, q64, q67,
-      q73, q74, q80, q81)
+      q73, q74, q80, q81, q82, q83, q84)
 }

@@ -291,6 +291,47 @@ class AnalyticQueriesSpec extends SparkSpec {
     assert(mids.map(_.getAs[Long]("n_orders")).sum == grand.head.getAs[Long]("n_orders"))
   }
 
+  test("q82: exactly ceil(20%) per stratum, deterministic across runs") {
+    val rows = AnalyticQueries.q82.run(spark, sfDir).collect()
+    val totals = Tables.documents(spark, sfDir)
+      .groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val perSource = rows.groupBy(_.getAs[String]("source"))
+    totals.foreach { case (src, n) =>
+      val want = math.ceil(n * 0.2).toLong
+      assert(perSource.get(src).map(_.length.toLong).getOrElse(0L) == want,
+        s"$src must sample exactly ceil(0.2·$n) = $want")
+    }
+    val again = AnalyticQueries.q82.run(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+    assert(again == rows.map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet)
+  }
+
+  test("q83: buckets are equal-depth within 1 and ordered by value range") {
+    val rows = AnalyticQueries.q83.run(spark, sfDir).collect()
+    rows.groupBy(_.getAs[String]("l_returnflag")).foreach { case (f, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("bucket"))
+      assert(sorted.map(_.getAs[Long]("bucket")).toSeq == Seq(1L, 2L, 3L, 4L))
+      val counts = sorted.map(_.getAs[Long]("n"))
+      assert(counts.max - counts.min <= 1, s"$f: equi-depth within 1, got ${counts.toSeq}")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo") + 1e-9,
+            s"$f: bucket ranges must not overlap")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q84: EXCEPT and INTERSECT partition the 1997 cohort") {
+    val rows = AnalyticQueries.q84.run(spark, sfDir).collect()
+      .map(r => r.getAs[String]("cohort") -> r.getAs[Long]("n_customers")).toMap
+    val y97 = Tables.orders(spark, sfDir)
+      .where(year(col("o_orderdate")) === 1997).select("o_custkey").distinct().count()
+    assert(rows("only_1997") + rows("both_years") == y97,
+      "only-1997 ⊎ both-years must partition the 1997 customer set")
+  }
+
   test("q80: one mode row per active user; it really is the max count") {
     val rows = AnalyticQueries.q80.run(spark, sfDir).collect()
     val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
