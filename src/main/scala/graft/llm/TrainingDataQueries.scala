@@ -302,8 +302,9 @@ object TrainingDataQueries {
   // self-join. Banding geometry, stated honestly: 16 bands × 4 rows
   // puts the S-curve MIDPOINT (1/b)^(1/r) exactly at the 0.5
   // threshold — a pair at j=0.5 is recovered with ~64% probability,
-  // j≥0.65 with ≥99%, and the near-dup clusters this operator exists
-  // for (j≥0.8) with ≥99.98%. The alternative that guarantees 99.9%
+  // j=0.65 with ~96%, ≥99% from j≈0.71, and the near-dup clusters
+  // this operator exists for (j≥0.8) with ~99.98%. The alternative
+  // that guarantees 99.9%
   // at exactly 0.5 (`bandingFor(0.5)` = 32×2) admits RANDOM pairs at
   // j² per band and measurably floods the verify stage as the corpus
   // grows (SCALE_NOTES round-2 lesson: 65,903 vs 4,101 candidates at

@@ -659,17 +659,28 @@ object AnalyticQueries {
   // a parallel map-side-combined groupBy, and the per-group sort only
   // touches distinct values (bounded by the 2-dp price domain, ~10⁵
   // regardless of row count). Same numbers, scalable plan.
+  /** The distinct-(group, value) count frame both q67 and q83 rank
+    * over: one row per (l_returnflag, l_extendedprice) with `c` (its
+    * row count), `below` (rows strictly below it in its group), and
+    * `n` (the group total). The table-sized pass is a map-side-
+    * combined groupBy; the windows only ever see the value domain.
+    */
+  private def priceCountFrame(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("below", sum(col("c")).over(wCum) - col("c"))
+      .withColumn("n", sum(col("c")).over(wAll))
+  }
+
   val q67: QuerySpec = QuerySpec(
     "q67_trimmed_mean",
     (s, d) => {
-      val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy(col("l_returnflag"))
-      lineitem(s, d)
-        .groupBy(col("l_returnflag"), col("l_extendedprice"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("below", sum(col("c")).over(wCum) - col("c"))
-        .withColumn("pr", col("below") / (sum(col("c")).over(wAll) - 1L))
+      priceCountFrame(s, d)
+        .withColumn("pr", col("below") / (col("n") - 1L))
         .where(col("pr") >= 0.01 && col("pr") <= 0.99)
         .groupBy("l_returnflag")
         .agg(
@@ -894,14 +905,7 @@ object AnalyticQueries {
     "q83_equidepth_hist",
     (s, d) => {
       val k = 4
-      val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy(col("l_returnflag"))
-      lineitem(s, d)
-        .groupBy(col("l_returnflag"), col("l_extendedprice"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("below", sum(col("c")).over(wCum) - col("c"))
-        .withColumn("n", sum(col("c")).over(wAll))
+      priceCountFrame(s, d)
         .withColumn("qn", floor(col("n") / k).cast("long"))
         .withColumn("m", col("n") % k)
         .withColumn("bucket", explode(array((1 to k).map(b => lit(b.toLong)): _*)))
