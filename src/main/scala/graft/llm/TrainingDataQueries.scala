@@ -485,5 +485,49 @@ object TrainingDataQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q65, q66, q68, q69, q70, q75, q76, q77, q78, q79)
+  // ---------------------------------------------------------------------
+  // q86 — canonical selection: for each near-dup cluster, KEEP the
+  // best document — longest text, ties to the smallest doc_id — the
+  // step after q76's clustering that actually decides what survives
+  // dedup (keep-FIRST is q40's exact-hash rule; near-dup clusters
+  // want keep-BEST, because members differ and one is usually the
+  // superset/original). Edges and components exactly as q76; then one
+  // metadata join + a per-cluster top-1 (clusters are small, the
+  // row_number partition is bounded by cluster size).
+  val q86: QuerySpec = QuerySpec(
+    "q86_keep_best",
+    (s, d) => {
+      val pairs = TextPipeline
+        .dedupCascade(documents(s, d).select("doc_id", "text"))
+        .select(col("da"), col("db"))
+      val comp = graft.ops.Components.connectedComponents(pairs, "da", "db")
+      val w = Window.partitionBy(col("comp")).orderBy(col("n_chars").desc, col("v"))
+      comp
+        .join(documents(s, d).select(col("doc_id").as("v"), col("n_chars")), Seq("v"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("comp"))))
+        .where(col("rk") === 1)
+        .select(
+          col("comp").as("cluster"), col("v").as("keep_doc"),
+          col("n_chars").as("keep_chars"), col("n_docs"))
+        .orderBy("cluster")
+    },
+    Some(
+      // q76's closure, then per-component best by (n_chars desc, id)
+      s"WITH RECURSIVE ${LlmQueries.shinglePairsCteSql}, " +
+        "p AS (SELECT da, db FROM pairs JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db " +
+        "WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5), " +
+        "e AS (SELECT da AS a, db AS b FROM p UNION ALL SELECT db, da FROM p), " +
+        "reach(v, u) AS (SELECT a, a FROM e UNION SELECT e.b, r.u FROM e JOIN reach r ON e.a = r.v), " +
+        "comp AS (SELECT v, min(u) AS comp FROM reach GROUP BY 1), " +
+        "ranked AS (SELECT comp, v, n_chars, " +
+        "row_number() OVER (PARTITION BY comp ORDER BY n_chars DESC, v) AS rk, " +
+        "count(*) OVER (PARTITION BY comp) AS n_docs " +
+        "FROM comp JOIN documents ON doc_id = v) " +
+        "SELECT comp AS cluster, v AS keep_doc, n_chars AS keep_chars, " +
+        "CAST(n_docs AS BIGINT) AS n_docs FROM ranked WHERE rk = 1 ORDER BY cluster"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q65, q66, q68, q69, q70, q75, q76, q77, q78, q79, q86)
 }

@@ -971,7 +971,53 @@ object AnalyticQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q85 — time-weighted average: each reading holds until the next one,
+  // so its weight is the interval it was live — THE metric for sampled
+  // gauges (a value that held for 6 hours must count 360× one that
+  // held a minute). Weighted over the integer `props.k` field (q59's
+  // proven extraction) with integer µs durations: the k·dt products
+  // accumulate in DECIMAL(38,0), exactly — a raw double·dt sum would
+  // be task-order-dependent, breaking the §7.0 determinism rule. The
+  // last reading per user has no successor ⇒ contributes no interval
+  // (standard TWA convention).
+  //
+  // Scale: one shuffle on user_id; lead() is the only window, frame
+  // state O(1).
+  val q85: QuerySpec = QuerySpec(
+    "q85_time_weighted_avg",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      events(s, d)
+        .select(
+          col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .withColumn("dt", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+        .where(col("dt").isNotNull)
+        .groupBy("user_id")
+        .agg(
+          round(
+            sum((col("k") * col("dt")).cast(DecimalType(38, 0))).cast("double") /
+              sum(col("dt")), 6).as("twa_k"),
+          sum(col("dt")).as("span_us"),
+          count(lit(1)).as("n_intervals"),
+        )
+        .orderBy("user_id")
+    },
+    Some(
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events), " +
+        "iv AS (SELECT user_id, k, " +
+        "lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us AS dt FROM e) " +
+        "SELECT user_id, " +
+        "round(CAST(sum(CAST(k * dt AS DECIMAL(38,0))) AS DOUBLE) / CAST(sum(dt) AS DOUBLE), 6) AS twa_k, " +
+        "CAST(sum(dt) AS BIGINT) AS span_us, count(*) AS n_intervals " +
+        "FROM iv WHERE dt IS NOT NULL GROUP BY 1 ORDER BY user_id"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q49, q50, q51, q52, q53, q54, q56, q57, q58, q59, q60, q61, q62, q63, q64, q67,
-      q73, q74, q80, q81, q82, q83, q84)
+      q73, q74, q80, q81, q82, q83, q84, q85)
 }

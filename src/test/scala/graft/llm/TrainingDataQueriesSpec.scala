@@ -164,6 +164,31 @@ class TrainingDataQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q86: keep_doc really is each cluster's longest member; sizes agree with q76") {
+    val kept = TrainingDataQueries.q86.run(spark, sfDir).collect()
+    val clusters = TrainingDataQueries.q76.run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("keep_doc") -> r.getAs[Long]("n_docs")).toMap
+    assert(kept.map(_.getAs[Long]("cluster")).toSet == clusters.keySet,
+      "q86 must cover exactly q76's clusters")
+    val chars = Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    kept.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == clusters(r.getAs[Long]("cluster")), "size parity with q76")
+      assert(chars(r.getAs[Long]("keep_doc")) == r.getAs[Long]("keep_chars"))
+    }
+    // the winner is maximal: no cluster member is longer (recompute membership)
+    val pairs = TextPipeline.exactJaccardPairs(
+      Tables.documents(spark, sfDir).select("doc_id", "text"), 3, 0.5).select("da", "db")
+    val members = graft.ops.Components.connectedComponents(pairs, "da", "db")
+      .as[(Long, Long)].collect().groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    kept.foreach { r =>
+      val best = members(r.getAs[Long]("cluster"))
+        .map(v => (chars(v), -v)).max // (n_chars desc, id asc) winner
+      assert((chars(r.getAs[Long]("keep_doc")), -r.getAs[Long]("keep_doc")) == best,
+        s"keep_doc must be the (longest, smallest-id) member for ${r}")
+    }
+  }
+
   test("q70: packs conserve tokens and docs; pack ids are contiguous from 0") {
     val packs = TrainingDataQueries.q70.run(spark, sfDir).collect()
     val bySource = packs.groupBy(_.getAs[String]("source"))

@@ -332,6 +332,27 @@ class AnalyticQueriesSpec extends SparkSpec {
       "only-1997 ⊎ both-years must partition the 1997 customer set")
   }
 
+  test("q85: interval durations telescope to the user's time span; TWA bounded by k range") {
+    val rows = AnalyticQueries.q85.run(spark, sfDir).collect()
+    val spans = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("user_id")
+      .agg((max("us") - min("us")).as("span"), min("k").as("klo"), max("k").as("khi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = spans(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("span_us") == t.getAs[Long]("span"),
+        "lead-diff intervals must telescope to max(ts) - min(ts)")
+      assert(r.getAs[Long]("n_intervals") == t.getAs[Long]("n") - 1)
+      val twa = r.getAs[Double]("twa_k")
+      assert(twa >= t.getAs[Long]("klo") - 1e-6 && twa <= t.getAs[Long]("khi") + 1e-6,
+        "a weighted average cannot leave the value range")
+    }
+  }
+
   test("q80: one mode row per active user; it really is the max count") {
     val rows = AnalyticQueries.q80.run(spark, sfDir).collect()
     val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
