@@ -314,28 +314,44 @@ object TrainingDataQueries {
   // Then [[graft.ops.Components]]: per-round join+groupBy on
   // uniformly-hashed vertex ids, rounds ≈ cluster diameter (dedup
   // clusters are shallow), labels localCheckpoint'd per round.
+  /** The (v, comp) label frame over the cascade's near-dup edges — the
+    * single Spark source for q76 (cluster rollup) and q86 (canonical
+    * selection).
+    */
+  private def dedupComponents(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val pairs = TextPipeline
+      .dedupCascade(documents(s, d).select("doc_id", "text"))
+      .select(col("da"), col("db"))
+    graft.ops.Components.connectedComponents(pairs, "da", "db")
+  }
+
+  /** DuckDB CTE chain (p/e/reach/comp) computing the same components
+    * via recursive transitive closure — shared by the q76 and q86
+    * oracles so the 0.5 threshold and closure logic cannot drift
+    * between them (the [[LlmQueries.shinglePairsCteSql]] rule).
+    * Prepend `WITH RECURSIVE ${LlmQueries.shinglePairsCteSql}, `.
+    */
+  private val componentsCteSql: String =
+    "p AS (SELECT da, db FROM pairs JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db " +
+      "WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5), " +
+      "e AS (SELECT da AS a, db AS b FROM p UNION ALL SELECT db, da FROM p), " +
+      "reach(v, u) AS (SELECT a, a FROM e UNION SELECT e.b, r.u FROM e JOIN reach r ON e.a = r.v), " +
+      "comp AS (SELECT v, min(u) AS comp FROM reach GROUP BY 1)"
+
   val q76: QuerySpec = QuerySpec(
     "q76_dedup_clusters",
-    (s, d) => {
-      val pairs = TextPipeline
-        .dedupCascade(documents(s, d).select("doc_id", "text"))
-        .select(col("da"), col("db"))
-      graft.ops.Components.connectedComponents(pairs, "da", "db")
+    (s, d) =>
+      dedupComponents(s, d)
         .groupBy("comp")
         .agg(count(lit(1)).as("n_docs"), max(col("v")).as("max_doc"))
         .select(
           col("comp").as("keep_doc"), col("n_docs"), col("max_doc"))
-        .orderBy("keep_doc")
-    },
+        .orderBy("keep_doc"),
     Some(
-      // q30's shared shingle/pair CTEs, then transitive closure
-      s"WITH RECURSIVE ${LlmQueries.shinglePairsCteSql}, " +
-        "p AS (SELECT da, db FROM pairs JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db " +
-        "WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5), " +
-        "e AS (SELECT da AS a, db AS b FROM p UNION ALL SELECT db, da FROM p), " +
-        "reach(v, u) AS (SELECT a, a FROM e UNION SELECT e.b, r.u FROM e JOIN reach r ON e.a = r.v) " +
-        "SELECT comp AS keep_doc, count(*) AS n_docs, max(v) AS max_doc FROM (" +
-        "SELECT v, min(u) AS comp FROM reach GROUP BY 1) GROUP BY 1 ORDER BY keep_doc"
+      // q30's shared shingle/pair CTEs, then the shared closure
+      s"WITH RECURSIVE ${LlmQueries.shinglePairsCteSql}, $componentsCteSql " +
+        "SELECT comp AS keep_doc, count(*) AS n_docs, max(v) AS max_doc " +
+        "FROM comp GROUP BY 1 ORDER BY keep_doc"
     ),
   )
 
@@ -497,12 +513,8 @@ object TrainingDataQueries {
   val q86: QuerySpec = QuerySpec(
     "q86_keep_best",
     (s, d) => {
-      val pairs = TextPipeline
-        .dedupCascade(documents(s, d).select("doc_id", "text"))
-        .select(col("da"), col("db"))
-      val comp = graft.ops.Components.connectedComponents(pairs, "da", "db")
       val w = Window.partitionBy(col("comp")).orderBy(col("n_chars").desc, col("v"))
-      comp
+      dedupComponents(s, d)
         .join(documents(s, d).select(col("doc_id").as("v"), col("n_chars")), Seq("v"))
         .withColumn("rk", row_number().over(w))
         .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("comp"))))
@@ -513,13 +525,8 @@ object TrainingDataQueries {
         .orderBy("cluster")
     },
     Some(
-      // q76's closure, then per-component best by (n_chars desc, id)
-      s"WITH RECURSIVE ${LlmQueries.shinglePairsCteSql}, " +
-        "p AS (SELECT da, db FROM pairs JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db " +
-        "WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5), " +
-        "e AS (SELECT da AS a, db AS b FROM p UNION ALL SELECT db, da FROM p), " +
-        "reach(v, u) AS (SELECT a, a FROM e UNION SELECT e.b, r.u FROM e JOIN reach r ON e.a = r.v), " +
-        "comp AS (SELECT v, min(u) AS comp FROM reach GROUP BY 1), " +
+      // the shared closure, then per-component best by (n_chars desc, id)
+      s"WITH RECURSIVE ${LlmQueries.shinglePairsCteSql}, $componentsCteSql, " +
         "ranked AS (SELECT comp, v, n_chars, " +
         "row_number() OVER (PARTITION BY comp ORDER BY n_chars DESC, v) AS rk, " +
         "count(*) OVER (PARTITION BY comp) AS n_docs " +

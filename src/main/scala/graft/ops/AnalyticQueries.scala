@@ -997,12 +997,20 @@ object AnalyticQueries {
         .where(col("dt").isNotNull)
         .groupBy("user_id")
         .agg(
+          // decimal BEFORE the multiply: a long k·dt product overflows
+          // 2⁶³ at gauge-scale values × year-long gaps (non-ANSI Spark
+          // would wrap silently, DuckDB would throw — divergence at
+          // exactly the scale this query targets)
           round(
-            sum((col("k") * col("dt")).cast(DecimalType(38, 0))).cast("double") /
+            sum(col("k").cast(DecimalType(38, 0)) * col("dt")).cast("double") /
               sum(col("dt")), 6).as("twa_k"),
           sum(col("dt")).as("span_us"),
           count(lit(1)).as("n_intervals"),
         )
+        // all-zero spans (every reading in one µs) have no well-defined
+        // TWA — 0/0 is NaN in Spark and settings-dependent in DuckDB;
+        // excluded by convention on both sides
+        .where(col("span_us") > 0)
         .orderBy("user_id")
     },
     Some(
@@ -1011,9 +1019,9 @@ object AnalyticQueries {
         "iv AS (SELECT user_id, k, " +
         "lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us AS dt FROM e) " +
         "SELECT user_id, " +
-        "round(CAST(sum(CAST(k * dt AS DECIMAL(38,0))) AS DOUBLE) / CAST(sum(dt) AS DOUBLE), 6) AS twa_k, " +
+        "round(CAST(sum(CAST(k AS DECIMAL(38,0)) * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE), 6) AS twa_k, " +
         "CAST(sum(dt) AS BIGINT) AS span_us, count(*) AS n_intervals " +
-        "FROM iv WHERE dt IS NOT NULL GROUP BY 1 ORDER BY user_id"
+        "FROM iv WHERE dt IS NOT NULL GROUP BY 1 HAVING sum(dt) > 0 ORDER BY user_id"
     ),
   )
 
