@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 90 distinct whole-stage-codegen programs overflow the JDK17 default
+  // 240 MB code cache mid-suite; once full the JIT stops compiling and
+  // later queries run interpreted (profiled: identical plans 5-15×
+  // slower on the second half of a long session, cured by headroom).
+  "-XX:ReservedCodeCacheSize=512m",
 ) ++ sys.env.get("SPARK_GRAFT_EXTRA_JVM").map(_.split(" ").toSeq).getOrElse(Seq.empty)

@@ -1,0 +1,145 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.QuerySpec
+import graft.ops.Tables._
+
+/** q88/q89: corpus-maintenance operators — incremental (new-batch vs
+  * base-corpus) near-dup detection, and intra-document repetition
+  * metrics (the Gopher-style boilerplate/keyword-spam signal).
+  *
+  * q88 is the OPERATIONAL form of dedup at 100 TB: a corpus is never
+  * deduped once — batches arrive, and each batch must be checked
+  * against the accumulated base without re-pairing the base against
+  * itself. q89 is the quality gate that runs BEFORE any corpus-level
+  * dedup: a document that repeats itself is spam/boilerplate
+  * regardless of whether anything else in the corpus matches it.
+  */
+object CorpusQueries {
+
+  /** Deterministic batch assignment (the q65 hash-split discipline):
+    * ~75% of docs are the accumulated "base" corpus, ~25% the
+    * "incoming" batch ('c0' = 192/256). A pure function of doc_id so
+    * both engines and every re-run agree.
+    */
+  private def incomingCol = // true ⇒ the doc is in the incoming batch
+    substring(md5(concat(lit("graft-batch:"), col("doc_id").cast("string"))), 1, 2) >= "c0"
+
+  private val incomingSql =
+    "substring(md5('graft-batch:' || CAST(doc_id AS VARCHAR)), 1, 2) >= 'c0'"
+
+  // ---------------------------------------------------------------------
+  // q88 — incremental near-dup: which INCOMING docs are ≥0.5-Jaccard
+  // similar to some BASE doc. The cascade's geometry (64 minhashes,
+  // 16×4 banding — the q41/q76 lesson) but with the band join keyed
+  // new×old instead of self: candidates are (incoming, base) pairs
+  // only — base×base pairs, the quadratic bulk every batch run must
+  // NOT pay for again, never materialize. Exact shingle-Jaccard then
+  // verifies candidates, so the output is exact modulo banding recall
+  // (measured 100% on the test corpora — dups here sit at j ≥ 0.8
+  // where 16×4 recall is 0.9998; the oracle pins it).
+  //
+  // Scale: the base side's shingles/signatures are O(base) to build —
+  // in production they are the PERSISTED output of the last run (the
+  // ledger pattern: signatures are append-only state, not recompute),
+  // so a batch run costs O(batch · bands) shuffle + the candidate
+  // verifies. Nothing here is all-pairs; the join fans out only where
+  // band buckets collide across the split.
+  val q88: QuerySpec = QuerySpec(
+    "q88_incremental_dedup",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      TextPipeline
+        .incrementalCascade(docs.where(!incomingCol), docs.where(incomingCol))
+        .select(col("incoming_doc"), col("base_doc"), round(col("jac"), 4).as("jaccard"))
+        .orderBy("incoming_doc", "base_doc")
+    },
+    Some(
+      s"WITH w AS (SELECT doc_id, $incomingSql AS incoming, string_split(text, ' ') AS ws FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, incoming, s FROM (" +
+        "SELECT doc_id, incoming, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s " +
+        "FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t) WHERE s IS NOT NULL), " +
+        "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), " +
+        "pairs AS (SELECT b.doc_id AS incoming_doc, a.doc_id AS base_doc, count(*) AS common " +
+        "FROM sh a JOIN sh b ON a.s = b.s WHERE NOT a.incoming AND b.incoming GROUP BY 1, 2) " +
+        "SELECT incoming_doc, base_doc, " +
+        "round(common * 1.0 / (ca.n + cb.n - common), 4) AS jaccard " +
+        "FROM pairs JOIN cnt ca ON ca.doc_id = base_doc JOIN cnt cb ON cb.doc_id = incoming_doc " +
+        "WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5 " +
+        "ORDER BY incoming_doc, base_doc"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q89 — repetition metrics (Gopher-rule shape): per source, how many
+  // docs exceed the top-2-gram-share gate (most frequent bigram > 8%
+  // of the doc's bigrams — keyword-stuffing) or the duplicate-3-gram
+  // gate (> 30% of trigram occurrences are repeats — template/
+  // boilerplate), plus the corpus-level ratios.
+  //
+  // Determinism rules: BOTH gates evaluate in pure 64-bit integer
+  // arithmetic (100·top2 > 8·n2; 10·dup3 > 3·total3) — no float
+  // threshold can flake at a rounding boundary, in either engine. The
+  // corpus ratios are single divisions of exact integer sums, rounded
+  // once (the q79 lesson).
+  //
+  // Scale: grams explode executor-local (q69's rule); both gram
+  // aggregations key on (doc_id, gram) — uniform, map-side combined —
+  // then collapse to one row per doc before the per-source rollup.
+  // Memory is bounded by one doc's grams; nothing is all-pairs,
+  // nothing leaves the doc's partition until counts are per-doc rows.
+  val q89: QuerySpec = QuerySpec(
+    "q89_repetition_metrics",
+    (s, d) => {
+      val toks = documents(s, d)
+        .where(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      val g2 = toks
+        .select(col("doc_id"), explode(sequence(lit(1), size(col("ws")) - 1)).as("i"), col("ws"))
+        .select(col("doc_id"),
+          concat_ws(" ", element_at(col("ws"), col("i")), element_at(col("ws"), col("i") + 1)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("top2"), sum(col("c")).as("n2"))
+      val g3 = toks
+        .select(col("doc_id"), explode(sequence(lit(1), size(col("ws")) - 2)).as("i"), col("ws"))
+        .select(col("doc_id"),
+          concat_ws(" ", element_at(col("ws"), col("i")), element_at(col("ws"), col("i") + 1),
+            element_at(col("ws"), col("i") + 2)).as("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("total3"), countDistinct(col("g")).as("distinct3"))
+      toks.select("doc_id", "source")
+        .join(g2, Seq("doc_id"))
+        .join(g3, Seq("doc_id"))
+        .withColumn("dup3", col("total3") - col("distinct3"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(lit(100) * col("top2") > lit(8) * col("n2"), 1L).otherwise(0L)).as("n_top2_flagged"),
+          sum(when(lit(10) * col("dup3") > lit(3) * col("total3"), 1L).otherwise(0L)).as("n_dup3_flagged"),
+          round(sum(col("top2")).cast("double") / sum(col("n2")), 6).as("corpus_top2_share"),
+          round(sum(col("dup3")).cast("double") / sum(col("total3")), 6).as("corpus_dup3_frac"),
+        )
+        .orderBy("source")
+    },
+    Some(
+      "WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 3), " +
+        "g2 AS (SELECT doc_id, max(c) AS top2, CAST(sum(c) AS BIGINT) AS n2 FROM (" +
+        "SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g, count(*) AS c FROM toks, " +
+        "LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) t GROUP BY 1, 2) GROUP BY 1), " +
+        "g3 AS (SELECT doc_id, count(*) AS total3, count(DISTINCT g) AS distinct3 FROM (" +
+        "SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM toks, " +
+        "LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t) GROUP BY 1) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN 100 * top2 > 8 * n2 THEN 1 ELSE 0 END) AS BIGINT) AS n_top2_flagged, " +
+        "CAST(sum(CASE WHEN 10 * (total3 - distinct3) > 3 * total3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup3_flagged, " +
+        "round(CAST(sum(top2) AS DOUBLE) / sum(n2), 6) AS corpus_top2_share, " +
+        "round(CAST(sum(total3 - distinct3) AS DOUBLE) / sum(total3), 6) AS corpus_dup3_frac " +
+        "FROM toks JOIN g2 USING (doc_id) JOIN g3 USING (doc_id) " +
+        "GROUP BY 1 ORDER BY source"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q88, q89)
+}

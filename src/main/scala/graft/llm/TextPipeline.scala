@@ -229,6 +229,60 @@ object TextPipeline {
     }
   }
 
+  /** Incremental (batch-vs-base) near-dup cascade: which `incoming`
+    * docs are ≥`threshold`-Jaccard similar to some `base` doc — the
+    * cascade's machinery ([[docShingles]] → [[minHashSignatures]] →
+    * [[bandKeys]] → exact verify) with the band join keyed ACROSS the
+    * two frames instead of self-joined. This is dedup's operational
+    * form: corpora grow by batches, and each batch must check against
+    * the accumulated base without re-pairing the base with itself —
+    * base×base candidates (the quadratic bulk a full [[dedupCascade]]
+    * re-run would pay) never materialize.
+    *
+    * Output: (incoming_doc, base_doc, jac), one row per cross pair at
+    * or above the threshold, exact modulo banding recall (the q41
+    * geometry discussion applies unchanged).
+    *
+    * At production scale the base side's shingle/signature frames are
+    * persisted state from previous runs (append-only, the ledger
+    * pattern) — this signature recomputes them from text so the
+    * operator is self-contained; swap the `shB`/`bandB` inputs for
+    * stored tables to make a batch run O(batch·bands) shuffle plus
+    * candidate verifies.
+    */
+  def incrementalCascade(
+      base: DataFrame,
+      incoming: DataFrame,
+      shingleK: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+  ): DataFrame = {
+    require(bands * rowsPerBand <= k)
+    withPersisted(withDocCounts(docShingles(base, shingleK))) { shB =>
+      withPersisted(withDocCounts(docShingles(incoming, shingleK))) { shI =>
+        val bandB = bandKeys(minHashSignatures(shB.select("doc_id", "s"), k), bands, rowsPerBand)
+        val bandI = bandKeys(minHashSignatures(shI.select("doc_id", "s"), k), bands, rowsPerBand)
+        val cand = bandI.as("i")
+          .join(bandB.as("b"),
+            col("i.band") === col("b.band") && col("i.bkey") === col("b.bkey"))
+          .select(col("i.doc_id").as("incoming_doc"), col("b.doc_id").as("base_doc"))
+          .distinct()
+        cand
+          .join(shB.select(col("doc_id").as("base_doc"), col("s"), col("n").as("nb")),
+            Seq("base_doc"))
+          .join(shI.select(col("doc_id").as("incoming_doc"), col("s"), col("n").as("ni")),
+            Seq("incoming_doc", "s"))
+          .groupBy("incoming_doc", "base_doc", "ni", "nb")
+          .agg(count(lit(1)).as("common"))
+          .withColumn("jac", col("common").cast("double") / (col("ni") + col("nb") - col("common")))
+          .where(col("jac") >= threshold)
+          .select("incoming_doc", "base_doc", "jac")
+      }
+    }
+  }
+
   /** C4/Gopher-style corpus cleaning as ONE composed declarative
     * pipeline — the shape an LLM-training data pass actually ships:
     *

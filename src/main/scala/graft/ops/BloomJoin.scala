@@ -1,0 +1,128 @@
+package graft.ops
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types.BinaryType
+
+/** Bloom-filter-accelerated key-set membership: the semi/anti-join
+  * pre-filter for the regime where the key set is too large to
+  * broadcast as an exact hash relation but its BLOOM fits anywhere
+  * (10⁹ keys ≈ 1.2 GB as a hash table vs ~170 MB of bloom bits at 1%
+  * fpp — and fpp is a dial, not a correctness risk, because an exact
+  * join always finishes the job on the ~1% of false-positive
+  * survivors).
+  *
+  * This is the same machinery Spark's own `InjectRuntimeFilter` plants
+  * under shuffle joins (public Spark source:
+  * `sql/catalyst/.../BloomFilterMightContain.scala`,
+  * `aggregate/BloomFilterAggregate.scala`), surfaced as an explicit
+  * operator: build the filter over the key side with the public
+  * distributed sketch (`Dataset.stat.bloomFilter`, a treeAggregate —
+  * executors each build partial filters, merged in a tree, never a
+  * driver-side row loop), then probe with the native codegen'd
+  * `BloomFilterMightContain` predicate — zero UDFs, the probe stays
+  * inside WholeStageCodegen and drops rows AT THE SCAN, before any
+  * exchange.
+  *
+  * At 100 TB the economics: a shuffle semi-join moves the whole fact
+  * table; with the bloom planted first, only rows that (probably)
+  * match ever enter the exchange — at a selective key set that is a
+  * 10-100× shuffle-volume cut for one broadcast of bloom bits.
+  *
+  * Reference tie-in: the reference gates consumer reads on key-set
+  * membership derived from state (gads-etl `state/validator.py`
+  * success-set semantics, SURVEY.md E4/J3); this is that operator at
+  * the scale where the success set itself is big data.
+  */
+object BloomJoin {
+
+  /** Distributed bloom build over `keys.col(keyCol)` (integral type).
+    * Returns the serialized filter — `O(numBits)` bytes on the driver,
+    * the same order as any broadcast relation, NOT O(keys).
+    */
+  def buildBloom(keys: DataFrame, keyCol: String, expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    val bf = keys.stat.bloomFilter(keyCol, math.max(1L, expectedItems), fpp)
+    val bos = new ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Codegen'd membership probe against a built filter. `key` must be
+    * integral (the sketch hashes raw longs; `Dataset.stat.bloomFilter`
+    * inserted them via `putLong`, and `BloomFilterMightContain`
+    * probes with `mightContainLong` — same hash path end to end).
+    */
+  def mightContain(bloomBytes: Array[Byte], key: Column): Column =
+    ColumnShim.column(
+      BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType),
+        ColumnShim.expression(key.cast("long"))))
+
+  /** Default filter sizing when the caller doesn't know the key-side
+    * cardinality — the same convention as Spark's own runtime filter
+    * (`spark.sql.optimizer.runtime.bloomFilter.expectedNumItems`
+    * default). Overestimating costs bits (1M items ≈ 1.2 MB at 1%
+    * fpp); underestimating only raises the observed fpp, and the exact
+    * join cleans whatever passes — sizing is never a correctness knob.
+    */
+  val DefaultExpectedItems = 1000000L
+
+  /** Exact semi-join with a bloom pre-filter: probe drops non-members
+    * scan-side (modulo fpp), the equi-join cleans the false positives.
+    * Result is EXACTLY `fact SEMI JOIN keys` — the bloom changes the
+    * plan's economics, never its answer.
+    *
+    * `expectedItems` sizes the filter; callers that know the key-side
+    * cardinality (a ledger count, table stats) should pass it. The
+    * default deliberately avoids a sizing count() job — one aggregate
+    * over the key side builds the filter, nothing else runs first.
+    */
+  def bloomSemiJoin(
+      fact: DataFrame,
+      keys: DataFrame,
+      factKey: String,
+      keyCol: String,
+      fpp: Double = 0.01,
+      expectedItems: Long = DefaultExpectedItems,
+  ): DataFrame = {
+    val keyFrame = keys.select(keyCol).distinct()
+    val bloom = buildBloom(keyFrame, keyCol, expectedItems, fpp)
+    fact
+      .where(mightContain(bloom, fact(factKey)))
+      .join(keyFrame, fact(factKey) === keyFrame(keyCol), "left_semi")
+  }
+
+  /** Exact anti-join with a bloom pre-filter. The bloom can only
+    * produce false POSITIVES, so definite non-members (`NOT
+    * mightContain`) are already correct anti-join output and bypass
+    * the join; only the `mightContain` rows (true members + ~fpp false
+    * positives) route through the exact anti-join:
+    * result = fact[¬might] ∪ antijoin(fact[might], keys).
+    *
+    * Deliberate trade: the fact is SCANNED twice (once per branch) so
+    * that only the member-ish fraction is ever SHUFFLED. Scans are the
+    * cheap side at scale (columnar, pushdown, often cached); the
+    * exchange is the bottleneck this operator exists to shrink. When
+    * the input is expensive to re-read, persist it first.
+    */
+  def bloomAntiJoin(
+      fact: DataFrame,
+      keys: DataFrame,
+      factKey: String,
+      keyCol: String,
+      fpp: Double = 0.01,
+      expectedItems: Long = DefaultExpectedItems,
+  ): DataFrame = {
+    val keyFrame = keys.select(keyCol).distinct()
+    val bloom = buildBloom(keyFrame, keyCol, expectedItems, fpp)
+    val maybe = mightContain(bloom, fact(factKey))
+    fact
+      .where(!maybe)
+      .unionByName(
+        fact.where(maybe)
+          .join(keyFrame, fact(factKey) === keyFrame(keyCol), "left_anti"))
+  }
+}

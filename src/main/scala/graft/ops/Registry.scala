@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Registry {
   val all: Seq[QuerySpec] =
     RelationalQueries.all ++ graft.llm.LlmQueries.all ++ AnalyticQueries.all ++
-      graft.llm.TrainingDataQueries.all ++ InteropQueries.all
+      graft.llm.TrainingDataQueries.all ++ InteropQueries.all ++
+      ScaleQueries.all ++ graft.llm.CorpusQueries.all
 
   val byName: Map[String, QuerySpec] = ListMap(all.map(q => q.name -> q): _*)
 

@@ -42,6 +42,20 @@ object Profile {
     time("q31 full")(graft.llm.LlmQueries.q31.run(spark, sfDir).count())
     time("q32 full")(graft.llm.LlmQueries.q32.run(spark, sfDir).count())
     time("q36 full")(graft.llm.LlmQueries.q36.run(spark, sfDir).count())
+    // cascade → components → keep-best chain (q41/q76/q86 cost anatomy);
+    // everything ×2 so one-time init (JIT, codegen, ICU) is separable
+    // from steady-state cost.
+    for (r <- 1 to 2) {
+      val pairs = graft.llm.TextPipeline.dedupCascade(docs).select(col("da"), col("db"))
+      time(s"dedup cascade (q41 core) #$r")(pairs.count())
+      val cached = pairs.localCheckpoint(true)
+      time(s"components (over cached) #$r")(
+        graft.ops.Components.connectedComponents(cached, "da", "db").count())
+      time(s"q76 full #$r")(graft.llm.TrainingDataQueries.q76.run(spark, sfDir).count())
+      time(s"q86 full #$r")(graft.llm.TrainingDataQueries.q86.run(spark, sfDir).count())
+      time(s"q88 full #$r")(graft.llm.CorpusQueries.q88.run(spark, sfDir).count())
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,71 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("incrementalCascade finds exactly the cross near-dup pairs on a fixture") {
+    // A≈C (one word changed in 12 → high jaccard), B and D unrelated
+    val a = "the quick brown fox jumps over the lazy dog near the river"
+    val c = "the quick brown fox jumps over the lazy cat near the river"
+    val base = Seq((1L, a), (2L, "completely different words about spark shuffles and joins every day")).toDF("doc_id", "text")
+    val inc = Seq((10L, c), (11L, "unrelated incoming text mentioning parquet scans and bloom filters only")).toDF("doc_id", "text")
+    val got = TextPipeline.incrementalCascade(base, inc).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("incoming_doc") == 10L)
+    assert(got.head.getAs[Long]("base_doc") == 1L)
+    assert(got.head.getAs[Double]("jac") >= 0.5)
+  }
+
+  test("incrementalCascade never pairs base with base or incoming with incoming") {
+    val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // two identical docs on the SAME side must not appear in output
+    val base = Seq((1L, dup), (2L, dup)).toDF("doc_id", "text")
+    val inc = Seq((10L, "totally different tokens with zero overlap whatsoever in any shingle xyz")).toDF("doc_id", "text")
+    assert(TextPipeline.incrementalCascade(base, inc).isEmpty)
+  }
+
+  test("incrementalCascade agrees with exactJaccardPairs restricted to cross pairs") {
+    val docs = graft.ops.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val isInc = substring(md5(concat(lit("graft-batch:"), col("doc_id").cast("string"))), 1, 2) >= "c0"
+    val base = docs.where(!isInc)
+    val inc = docs.where(isInc)
+    val got = TextPipeline.incrementalCascade(base, inc)
+      .select(col("incoming_doc"), col("base_doc"))
+      .as[(Long, Long)].collect().toSet
+    // ground truth: the full exact operator over everything, filtered
+    // to pairs that straddle the split (da < db in exactJaccardPairs,
+    // so normalize to (incoming, base))
+    val incIds = inc.select("doc_id").as[Long].collect().toSet
+    val want = TextPipeline.exactJaccardPairs(docs, 3, 0.5)
+      .select(col("da"), col("db")).as[(Long, Long)].collect()
+      .flatMap { case (da, db) =>
+        (incIds(da), incIds(db)) match {
+          case (true, false) => Some((da, db))
+          case (false, true) => Some((db, da))
+          case _             => None
+        }
+      }.toSet
+    assert(got == want)
+  }
+
+  test("q89 flags repetitive docs and passes diverse ones") {
+    val spam = (1 to 30).map(_ => "buy cheap pills").mkString(" ") // one bigram dominates
+    val diverse = (1 to 90).map(i => s"w$i").mkString(" ") // all trigrams distinct
+    val df = Seq(
+      (1L, spam, "en", "spamsrc", spam.length.toLong),
+      (2L, diverse, "en", "cleansrc", diverse.length.toLong),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("repfix").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = CorpusQueries.q89.run(spark, dir).collect().map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("spamsrc").getAs[Long]("n_top2_flagged") == 1L)
+    assert(r("spamsrc").getAs[Long]("n_dup3_flagged") == 1L)
+    assert(r("cleansrc").getAs[Long]("n_top2_flagged") == 0L)
+    assert(r("cleansrc").getAs[Long]("n_dup3_flagged") == 0L)
+    assert(r("cleansrc").getAs[Double]("corpus_dup3_frac") == 0.0)
+  }
+}

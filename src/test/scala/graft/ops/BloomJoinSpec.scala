@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** BloomJoin invariants: the bloom is an economics dial, never a
+  * correctness one — semi/anti results must EQUAL their exact-join
+  * twins at any fpp, and the filter must never produce a false
+  * negative (that is the sketch's contract; a false negative would
+  * silently drop matching rows).
+  */
+class BloomJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def keys = Tables.orders(spark, sfDir)
+    .where(col("o_orderpriority") === "1-URGENT")
+    .select("o_orderkey")
+
+  test("bloomSemiJoin equals exact left_semi") {
+    val fact = Tables.lineitem(spark, sfDir)
+    val k = keys.distinct()
+    val got = BloomJoin.bloomSemiJoin(fact, keys, "l_orderkey", "o_orderkey")
+    val want = fact.join(k, fact("l_orderkey") === k("o_orderkey"), "left_semi")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("bloomAntiJoin equals exact left_anti, even at a sloppy fpp") {
+    val fact = Tables.lineitem(spark, sfDir)
+    val k = keys.distinct()
+    // fpp 0.5: the bloom passes many non-members — the exact anti-join
+    // must still remove every true member and keep everything else
+    val got = BloomJoin.bloomAntiJoin(fact, keys, "l_orderkey", "o_orderkey", fpp = 0.5)
+    val want = fact.join(k, fact("l_orderkey") === k("o_orderkey"), "left_anti")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("mightContain has no false negatives over the inserted key set") {
+    val ks = (1L to 2000L).map(_ * 7919).toDF("k")
+    val bloom = BloomJoin.buildBloom(ks, "k", 2000)
+    assert(ks.where(!BloomJoin.mightContain(bloom, col("k"))).isEmpty)
+  }
+
+  test("semi + anti partition the fact exactly") {
+    val fact = Tables.lineitem(spark, sfDir)
+    val semi = BloomJoin.bloomSemiJoin(fact, keys, "l_orderkey", "o_orderkey").count()
+    val anti = BloomJoin.bloomAntiJoin(fact, keys, "l_orderkey", "o_orderkey").count()
+    assert(semi + anti == fact.count())
+  }
+
+  test("q90 MAD fixture: hand-computed robust gate") {
+    val df = Seq(
+      ("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 100.0),
+    ).toDF("o_orderpriority", "o_totalprice")
+    // median 3, |dev| = [2,1,0,1,97], MAD 1 → gate 3·1.4826·1 = 4.4478
+    // → only 100 (dev 97) is an outlier
+    val dir = java.nio.file.Files.createTempDirectory("madfix").toString
+    df.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = ScaleQueries.q90.run(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Double]("median_price") == 3.0)
+    assert(row.getAs[Double]("mad") == 1.0)
+    assert(row.getAs[Long]("n_outliers") == 1L)
+    assert(row.getAs[Long]("n") == 5L)
+  }
+}
