@@ -38,8 +38,12 @@ object ScaleQueries {
     (s, d) => {
       val keys = orders(s, d)
         .where(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+      // expectedItems from domain knowledge (~1/15 of orders qualify):
+      // right-sizing keeps the filter bits — which ride in the plan and
+      // every task binary — proportional to the real key count
       BloomJoin
-        .bloomSemiJoin(lineitem(s, d), keys, "l_orderkey", "o_orderkey")
+        .bloomSemiJoin(lineitem(s, d), keys, "l_orderkey", "o_orderkey",
+          expectedItems = 4096)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_items"), revenueExpr.as("revenue"))
         .orderBy("l_returnflag")
