@@ -141,5 +141,87 @@ object CorpusQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q88, q89)
+  // ---------------------------------------------------------------------
+  // q91 — distinctive-term extraction: each document's rarest token
+  // (minimum corpus document-frequency; ties to the lexicographically
+  // smallest token). The deterministic analog of max-tf-idf keyword
+  // extraction: idf is monotone-decreasing in df, so argmax(idf) ≡
+  // argmin(df) — WITHOUT computing a logarithm, which is exactly the
+  // term the q79 lift lesson forbids in an oracle-checked result
+  // (libm vs JVM differ in the last ulp; an argmax over floats flakes
+  // at ties the integer argmin cannot).
+  //
+  // Scale: distinct (doc, token) explode; one token-keyed count
+  // (uniform keys, map-side combined); the df join back is token-keyed
+  // equijoin; the per-doc argmin is a row_number window partitioned by
+  // doc — bounded by tokens-per-doc, never global.
+  val q91: QuerySpec = QuerySpec(
+    "q91_distinctive_terms",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .where(col("w") =!= "")
+        .distinct()
+      val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("df"), col("w"))
+      tok.join(dfreq, Seq("w"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("w").as("term"), col("df"))
+        .orderBy("doc_id")
+    },
+    Some(
+      "WITH tok AS (SELECT DISTINCT doc_id, w FROM (" +
+        "SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) WHERE w <> ''), " +
+        "dfreq AS (SELECT w, count(*) AS df FROM tok GROUP BY 1), " +
+        "r AS (SELECT doc_id, w, df, row_number() OVER (PARTITION BY doc_id ORDER BY df, w) AS rn " +
+        "FROM tok JOIN dfreq USING (w)) " +
+        "SELECT doc_id, w AS term, df FROM r WHERE rn = 1 ORDER BY doc_id"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q92 — per-label embedding centroids: mean vector per label, one
+  // row per (label, dim). The class-prototype computation behind
+  // centroid classifiers, cluster drift monitoring, and the k-means
+  // seeding the q42 quantizer uses.
+  //
+  // Determinism (§7.0): float sums are order-dependent, so elements
+  // are fixed-pointed FIRST — round(val·10⁷) as int64 — and the
+  // centroid is one exact integer sum divided once. float→double is
+  // exact, the ·10⁷ product is the same IEEE double in both engines,
+  // both round half-away-from-zero ⇒ identical integers everywhere.
+  // ~7 significant digits is also all a float HAD: nothing real is
+  // lost, and in exchange the aggregation is shuffle-order-proof.
+  //
+  // Scale: posexplode is executor-local; the groupBy key space is
+  // labels × dims (640 here) regardless of corpus size — partials
+  // map-side combine to a constant-size shuffle. This is the rare
+  // aggregation whose shuffle volume does NOT grow with data.
+  val CentroidScale = 10000000L // 1e7: full float precision, no more
+  val q92: QuerySpec = QuerySpec(
+    "q92_embedding_centroids",
+    (s, d) =>
+      embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim0", "v")))
+        .select(
+          col("label"), (col("dim0") + 1).cast("long").as("dim"),
+          round(col("v").cast("double") * CentroidScale).cast("long").as("si"))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"), sum(col("si")).as("ssum"))
+        .select(
+          col("label"), col("dim"), col("n"),
+          round(col("ssum").cast("double") / (col("n") * CentroidScale), 6).as("centroid"))
+        .orderBy("label", "dim"),
+    Some(
+      "SELECT label, CAST(i AS BIGINT) AS dim, count(*) AS n, " +
+        s"round(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * $CentroidScale) AS BIGINT)) " +
+        s"* 1.0 / (count(*) * $CentroidScale), 6) AS centroid " +
+        "FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t " +
+        "GROUP BY 1, 2 ORDER BY label, dim"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q88, q89, q91, q92)
 }

@@ -52,6 +52,36 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q91 picks the rarest token, lexicographic on df ties") {
+    val df = Seq(
+      (1L, "common rare common", "en", "s", 0L),
+      (2L, "common zebra aardvark", "en", "s", 0L), // zebra/aardvark both df=1 → aardvark
+      (3L, "common common common", "en", "s", 0L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("rarefix").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = CorpusQueries.q91.run(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> (x.getAs[String]("term"), x.getAs[Long]("df"))).toMap
+    assert(r(1L) == ("rare", 1L))
+    assert(r(2L) == ("aardvark", 1L))
+    assert(r(3L) == ("common", 3L))
+  }
+
+  test("q92 centroid is the exact fixed-point mean per (label, dim)") {
+    val df = Seq(
+      (1L, Seq(1.0f, -2.0f), 7),
+      (2L, Seq(2.0f, 3.0f), 7),
+      (3L, Seq(10.0f, 10.0f), 8),
+    ).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("centfix").toString
+    df.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = CorpusQueries.q92.run(spark, dir).collect()
+      .map(x => (x.getAs[Int]("label"), x.getAs[Long]("dim")) -> x.getAs[Double]("centroid")).toMap
+    assert(r((7, 1L)) == 1.5)
+    assert(r((7, 2L)) == 0.5)
+    assert(r((8, 1L)) == 10.0)
+  }
+
   test("q89 flags repetitive docs and passes diverse ones") {
     val spam = (1 to 30).map(_ => "buy cheap pills").mkString(" ") // one bigram dominates
     val diverse = (1 to 90).map(i => s"w$i").mkString(" ") // all trigrams distinct
