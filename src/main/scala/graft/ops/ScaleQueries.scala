@@ -122,5 +122,117 @@ object ScaleQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q87, q90)
+  // ---------------------------------------------------------------------
+  // q93 — column profiling: per column of `orders`, the stats every
+  // ingestion gate needs — row count, null count, distinct count,
+  // min/max — one row per column. This is the operator behind schema
+  // drift alarms, optimizer statistics, and "did the upstream export
+  // break" checks (the reference's A6 count-validation generalized to
+  // per-column shape).
+  //
+  // Determinism: min/max surface as STRINGS with per-type formatting
+  // chosen for cross-engine identity — integers verbatim, money
+  // through DECIMAL(18,2) (double→string formatting differs between
+  // engines; decimal→string does not), timestamps as epoch millis.
+  //
+  // Scale: ONE scan — a single wide aggregate computes every column's
+  // stats, then explodes to long form (the oracle's UNION ALL rescans
+  // per column; the engine must not). The exact countDistincts expand
+  // the aggregate per distinct column — the documented 100 TB swap-in
+  // is approx_count_distinct (ApproxOps), one pass, no expand,
+  // mergeable sketches.
+  val q93: QuerySpec = QuerySpec(
+    "q93_column_profile",
+    (s, d) => {
+      val o = orders(s, d)
+      // (name, min-as-string, max-as-string) per column, formatting by type
+      def dec(c: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        f(col(c).cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("string")
+      val cols: Seq[(String, org.apache.spark.sql.Column, org.apache.spark.sql.Column)] = Seq(
+        ("o_custkey", min(col("o_custkey")).cast("string"), max(col("o_custkey")).cast("string")),
+        // parquet timestamps surface as NTZ; the session TZ is pinned
+        // UTC, so the NTZ→LTZ cast under unix_millis is identity
+        ("o_orderdate", unix_millis(min(col("o_orderdate")).cast("timestamp")).cast("string"),
+          unix_millis(max(col("o_orderdate")).cast("timestamp")).cast("string")),
+        ("o_orderkey", min(col("o_orderkey")).cast("string"), max(col("o_orderkey")).cast("string")),
+        ("o_orderpriority", min(col("o_orderpriority")), max(col("o_orderpriority"))),
+        ("o_orderstatus", min(col("o_orderstatus")), max(col("o_orderstatus"))),
+        ("o_totalprice", dec("o_totalprice", min), dec("o_totalprice", max)),
+      )
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (c, mn, mx) =>
+        Seq(
+          sum(col(c).isNull.cast("long")).as(s"nulls_$c"),
+          countDistinct(col(c)).as(s"distinct_$c"),
+          mn.as(s"min_$c"), mx.as(s"max_$c"),
+        )
+      }
+      o.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map { case (c, _, _) =>
+          struct(
+            lit(c).as("col_name"), col("n_rows"),
+            col(s"nulls_$c").as("n_nulls"), col(s"distinct_$c").as("n_distinct"),
+            col(s"min_$c").as("min_value"), col(s"max_$c").as("max_value"))
+        }: _*)).as("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    },
+    Some {
+      def row(c: String, mn: String, mx: String) =
+        s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
+          s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, " +
+          s"count(DISTINCT $c) AS n_distinct, $mn AS min_value, $mx AS max_value FROM orders"
+      Seq(
+        row("o_custkey", "CAST(min(o_custkey) AS VARCHAR)", "CAST(max(o_custkey) AS VARCHAR)"),
+        row("o_orderdate", "CAST(epoch_ms(min(o_orderdate)) AS VARCHAR)",
+          "CAST(epoch_ms(max(o_orderdate)) AS VARCHAR)"),
+        row("o_orderkey", "CAST(min(o_orderkey) AS VARCHAR)", "CAST(max(o_orderkey) AS VARCHAR)"),
+        row("o_orderpriority", "min(o_orderpriority)", "max(o_orderpriority)"),
+        row("o_orderstatus", "min(o_orderstatus)", "max(o_orderstatus)"),
+        row("o_totalprice", "CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)",
+          "CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)"),
+      ).mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
+  )
+
+  // ---------------------------------------------------------------------
+  // q94 — last-touch attribution: each purchase credits the user's
+  // most recent preceding non-purchase event type; purchases with no
+  // prior touch credit 'none'. The marketing/product-analytics
+  // operator that composes the session family (q27/q56/q57) into a
+  // per-conversion channel rollup.
+  //
+  // Determinism: the window orders by (event time µs, event_id) — a
+  // total order (event_id unique), so "most recent preceding" is
+  // unambiguous in both engines; `last(..., ignoreNulls)` over the
+  // UNBOUNDED-to-1-PRECEDING frame ≡ DuckDB last_value IGNORE NULLS.
+  //
+  // Scale: one user_id shuffle for the window; the frame walks each
+  // partition once (running last, no per-row rescans); rollup keys
+  // are the handful of channels.
+  val q94: QuerySpec = QuerySpec(
+    "q94_last_touch_attribution",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, d)
+        .withColumn("attr",
+          last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .groupBy(coalesce(col("attr"), lit("none")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("channel")
+    },
+    Some(
+      "WITH a AS (SELECT user_id, event_type, " +
+        "last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr FROM events) " +
+        "SELECT coalesce(attr, 'none') AS channel, count(*) AS n_purchases, " +
+        "count(DISTINCT user_id) AS n_users FROM a WHERE event_type = 'purchase' " +
+        "GROUP BY 1 ORDER BY channel"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q87, q90, q93, q94)
 }

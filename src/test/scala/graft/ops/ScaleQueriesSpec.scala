@@ -1,0 +1,56 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class ScaleQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q93 profiles nulls, distincts, and typed min/max formatting") {
+    val df = Seq(
+      (1L, 10L, "F", 1.555, Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT"),
+      (2L, 10L, "O", 2.0, Timestamp.valueOf("2024-06-01 00:00:00"), "5-LOW"),
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      // one null per nullable column type class
+      .union(Seq((3L, 10L, null.asInstanceOf[String], 0.5,
+        Timestamp.valueOf("2024-03-01 00:00:00"), "5-LOW"))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+    val dir = java.nio.file.Files.createTempDirectory("proffix").toString
+    df.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = ScaleQueries.q93.run(spark, dir).collect()
+      .map(x => x.getAs[String]("col_name") -> x).toMap
+    assert(r("o_orderkey").getAs[Long]("n_rows") == 3L)
+    assert(r("o_orderstatus").getAs[Long]("n_nulls") == 1L)
+    assert(r("o_orderstatus").getAs[Long]("n_distinct") == 2L) // F, O (null excluded)
+    assert(r("o_custkey").getAs[Long]("n_distinct") == 1L)
+    assert(r("o_totalprice").getAs[String]("min_value") == "0.50")
+    assert(r("o_totalprice").getAs[String]("max_value") == "2.00")
+    // epoch millis of 2024-01-01 UTC
+    assert(r("o_orderdate").getAs[String]("min_value") == "1704067200000")
+  }
+
+  test("q94 credits the latest preceding non-purchase touch; none when absent") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      // user 1: view → click → purchase  ⇒ click
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 10:10:00"), 1L, "purchase", 9.0, "{}"),
+      // user 2: purchase with no prior events ⇒ none
+      (4L, ts("2024-01-01 11:00:00"), 2L, "purchase", 5.0, "{}"),
+      // user 3: purchase then view then purchase ⇒ none, view
+      (5L, ts("2024-01-01 09:00:00"), 3L, "purchase", 1.0, "{}"),
+      (6L, ts("2024-01-01 09:30:00"), 3L, "view", 0.0, "{}"),
+      (7L, ts("2024-01-01 09:45:00"), 3L, "purchase", 2.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("attrfix").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = ScaleQueries.q94.run(spark, dir).collect()
+      .map(x => x.getAs[String]("channel") -> (x.getAs[Long]("n_purchases"), x.getAs[Long]("n_users"))).toMap
+    assert(r("click") == (1L, 1L))
+    assert(r("none") == (2L, 2L)) // users 2 and 3's first purchase
+    assert(r("view") == (1L, 1L))
+    assert(!r.contains("purchase")) // a purchase never self-attributes
+  }
+}
