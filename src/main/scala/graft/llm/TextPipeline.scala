@@ -20,23 +20,29 @@ import org.apache.spark.sql.functions._
   */
 object TextPipeline {
 
-  /** Distinct word k-shingles per document: posexplode the token stream,
-    * window-lead to form k-grams, distinct. One shuffle (by doc) for the
-    * window + one for the distinct; both map-side combined.
+  /** Distinct word k-shingles per document: index-explode the token
+    * array and assemble each k-gram with `element_at` — entirely
+    * executor-local (the explode emits rows from the in-flight array
+    * inside WholeStageCodegen; nothing shuffles until the distinct).
+    * ONE shuffle total, map-side combined.
+    *
+    * Replaced the original posexplode + window-lead form: the window
+    * forced a full (doc_id, pos) shuffle AND a per-doc sort BEFORE any
+    * shingle existed — a second exchange of the entire token stream
+    * that this form simply doesn't have. Same output set (spec-pinned:
+    * band keys and q30/q41 oracles unchanged).
     */
-  def docShingles(docs: DataFrame, k: Int = 3): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val tok = docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-    val leadCols = (1 until k).map(i => lead(col("w"), i).over(w).as(s"w$i"))
-    tok
-      .select(col("doc_id") +: col("w") +: leadCols: _*)
-      .where(col(s"w${k - 1}").isNotNull) // stream tail yields no complete k-gram
+  def docShingles(docs: DataFrame, k: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= k)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")) - (k - 1))).as("i"))
       .select(
         col("doc_id"),
-        concat_ws(" ", col("w") +: (1 until k).map(i => col(s"w$i")): _*).as("s"),
+        concat_ws(" ", (0 until k).map(j => element_at(col("ws"), col("i") + lit(j))): _*).as("s"),
       )
       .distinct()
-  }
 
   /** Attach the per-doc distinct-shingle count (|set| for Jaccard). */
   def withDocCounts(shingles: DataFrame): DataFrame =
