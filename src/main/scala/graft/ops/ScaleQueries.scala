@@ -234,5 +234,105 @@ object ScaleQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q87, q90, q93, q94)
+  // ---------------------------------------------------------------------
+  // q95 — event-path mining: the first three event types of each
+  // user's history (time order), rolled up to path frequencies — the
+  // "how do journeys start" product-analytics operator that the funnel
+  // (q56) answers only for one fixed sequence. Users with fewer than
+  // three events keep their shorter prefix (concat_ws skips the
+  // missing steps in both engines).
+  //
+  // Determinism: the prefix is defined over the (epoch µs, event_id)
+  // total order (the q94 rule), and each step is extracted with
+  // max(CASE WHEN rn = i ...) — a plain aggregate, no collect_list
+  // whose intra-group order the shuffle could scramble.
+  //
+  // Scale: one user_id shuffle for the window; row_number ≤ 3 drops
+  // everything else before the path rollup, whose key space is
+  // |event_types|³ — bounded, skew-free.
+  val q95: QuerySpec = QuerySpec(
+    "q95_path_prefixes",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(
+          max(when(col("rn") === 1, col("event_type"))).as("e1"),
+          max(when(col("rn") === 2, col("event_type"))).as("e2"),
+          max(when(col("rn") === 3, col("event_type"))).as("e3"),
+        )
+        .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(desc("n_users"), col("path"))
+    },
+    Some(
+      "WITH r AS (SELECT user_id, event_type, row_number() OVER (" +
+        "PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn FROM events), " +
+        "p AS (SELECT user_id, concat_ws('>', " +
+        "max(CASE WHEN rn = 1 THEN event_type END), " +
+        "max(CASE WHEN rn = 2 THEN event_type END), " +
+        "max(CASE WHEN rn = 3 THEN event_type END)) AS path " +
+        "FROM r WHERE rn <= 3 GROUP BY 1) " +
+        "SELECT path, count(*) AS n_users FROM p GROUP BY 1 " +
+        "ORDER BY n_users DESC, path"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q96 — referential-integrity profile: for each FK edge of the star
+  // schema, how many child rows point at a missing parent — q93's
+  // shape check extended to CROSS-table shape (the reconcile family's
+  // J1-J3 joins turned into a data-quality report). All-zero on
+  // healthy data; the fixture spec plants orphans to prove the
+  // counting.
+  //
+  // Scale: each edge is one anti-join — child shuffles on its FK,
+  // dimensions broadcast when small (Catalyst's call); counting
+  // orphan rows and distinct orphan keys in the same aggregate needs
+  // no second pass. Edges run as a union of independent 1-row
+  // aggregates (no cross-edge dependency, so AQE schedules them
+  // concurrently).
+  val q96: QuerySpec = QuerySpec(
+    "q96_fk_integrity",
+    (s, d) => {
+      def edge(
+          rel: String,
+          child: org.apache.spark.sql.DataFrame, fk: String,
+          parent: org.apache.spark.sql.DataFrame, pk: String,
+      ) = {
+        val orphans = child.select(col(fk))
+          .join(parent.select(col(pk)), child(fk) === parent(pk), "left_anti")
+        orphans.agg(
+          count(lit(1)).as("n_orphan_rows"),
+          countDistinct(col(fk)).as("n_orphan_keys"),
+        ).select(lit(rel).as("fk_edge"), col("n_orphan_rows"), col("n_orphan_keys"))
+      }
+      val o = orders(s, d); val l = lineitem(s, d)
+      edge("customer.c_nationkey->nation", customer(s, d), "c_nationkey", nation(s, d), "n_nationkey")
+        .unionByName(edge("lineitem.l_orderkey->orders", l, "l_orderkey", o, "o_orderkey"))
+        .unionByName(edge("lineitem.l_partkey->part", l, "l_partkey", part(s, d), "p_partkey"))
+        .unionByName(edge("lineitem.l_suppkey->supplier", l, "l_suppkey", supplier(s, d), "s_suppkey"))
+        .unionByName(edge("orders.o_custkey->customer", o, "o_custkey", customer(s, d), "c_custkey"))
+        .orderBy("fk_edge")
+    },
+    Some {
+      def row(rel: String, child: String, fk: String, parent: String, pk: String) =
+        s"SELECT '$rel' AS fk_edge, count(*) AS n_orphan_rows, " +
+          s"count(DISTINCT $fk) AS n_orphan_keys " +
+          s"FROM $child WHERE $fk NOT IN (SELECT $pk FROM $parent)"
+      Seq(
+        row("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        row("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        row("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        row("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        row("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ).mkString("", " UNION ALL ", " ORDER BY fk_edge")
+    },
+  )
+
+  val all: Seq[QuerySpec] = Seq(q87, q90, q93, q94, q95, q96)
 }

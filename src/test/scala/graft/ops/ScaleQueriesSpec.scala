@@ -30,6 +30,32 @@ class ScaleQueriesSpec extends SparkSpec {
     assert(r("o_orderdate").getAs[String]("min_value") == "1704067200000")
   }
 
+  test("q96 counts planted orphans per FK edge") {
+    val dir = java.nio.file.Files.createTempDirectory("fkfix").toString
+    // minimal star: nation 1 row; customer 2 rows (one orphan nationkey);
+    // orders 2 (one orphan custkey); lineitem 3 (two rows to a missing
+    // order, sharing ONE missing key → 2 orphan rows, 1 orphan key)
+    Seq((0, "A", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$dir/nation.parquet")
+    Seq((1L, "c1", 0, 0.0, "M"), (2L, "c2", 9, 0.0, "M"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L), (11L, 99L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((100L, "p")).toDF("p_partkey", "p_name").write.parquet(s"$dir/part.parquet")
+    Seq((200L, "s")).toDF("s_suppkey", "s_name").write.parquet(s"$dir/supplier.parquet")
+    Seq((10L, 100L, 200L), (77L, 100L, 200L), (77L, 100L, 200L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = ScaleQueries.q96.run(spark, dir).collect()
+      .map(x => x.getAs[String]("fk_edge") -> (x.getAs[Long]("n_orphan_rows"), x.getAs[Long]("n_orphan_keys"))).toMap
+    assert(r("customer.c_nationkey->nation") == (1L, 1L))
+    assert(r("orders.o_custkey->customer") == (1L, 1L))
+    assert(r("lineitem.l_orderkey->orders") == (2L, 1L))
+    assert(r("lineitem.l_partkey->part") == (0L, 0L))
+    assert(r("lineitem.l_suppkey->supplier") == (0L, 0L))
+  }
+
   test("q94 credits the latest preceding non-purchase touch; none when absent") {
     def ts(s: String) = Timestamp.valueOf(s)
     val df = Seq(
