@@ -223,5 +223,76 @@ object CorpusQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q88, q89, q91, q92)
+  // ---------------------------------------------------------------------
+  // q98 — end-to-end survivorship: raw corpus → q44's clean gates
+  // (exact dedup keep-first, length, stopword mass) → near-dup
+  // clustering over the SURVIVORS (cascade + connected components) →
+  // keep-best (q86's rule). One row per source with the funnel counts
+  // — the "what did the pipeline actually keep" report every
+  // training-data run publishes, composed from the same single-source
+  // building blocks the stage queries use ([[LlmQueries.cleanDocs]] /
+  // `cleanCteSql`, [[TextPipeline.dedupCascade]],
+  // [[graft.ops.Components]]).
+  //
+  // Scale: the gates drop data before the cascade pays for it (the
+  // q44 rule); the cascade/components path is the q41/q76 shape over
+  // the smaller clean set; the three per-source counts are tiny
+  // grouped aggregates left-joined (sources with zero survivors keep
+  // a row via coalesce, not a silent drop).
+  val q98: QuerySpec = QuerySpec(
+    "q98_corpus_survivorship",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+      // reused by the cascade, keep-best join, and two counts
+      val clean = LlmQueries.cleanDocs(s, d)
+        .select("doc_id", "text", "source", "n_chars")
+        .localCheckpoint(eager = true)
+      val edges = TextPipeline.dedupCascade(clean.select("doc_id", "text"))
+        .select(col("da"), col("db"))
+      val comp = graft.ops.Components.connectedComponents(edges, "da", "db")
+      val w = Window.partitionBy("comp").orderBy(col("n_chars").desc, col("v"))
+      val drops = comp
+        .join(clean.select(col("doc_id").as("v"), col("n_chars")), Seq("v"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") > 1)
+        .select(col("v").as("doc_id"))
+      val fin = clean.join(drops, Seq("doc_id"), "left_anti")
+      docs.groupBy("source").agg(count(lit(1)).as("n_raw"))
+        .join(clean.groupBy("source").agg(count(lit(1)).as("n_clean")), Seq("source"), "left_outer")
+        .join(fin.groupBy("source").agg(count(lit(1)).as("n_final")), Seq("source"), "left_outer")
+        .select(
+          col("source"), col("n_raw"),
+          coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+          coalesce(col("n_final"), lit(0L)).as("n_final"))
+        .orderBy("source")
+    },
+    Some(
+      s"WITH RECURSIVE ${LlmQueries.cleanCteSql}, " +
+        "cw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM clean), " +
+        "csh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, " +
+        "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM cw, " +
+        "LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t) WHERE s IS NOT NULL), " +
+        "ccnt AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1), " +
+        "cpairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common FROM csh a " +
+        "JOIN csh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "cp AS (SELECT da, db FROM cpairs JOIN ccnt ca ON ca.doc_id = da " +
+        "JOIN ccnt cb ON cb.doc_id = db WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5), " +
+        "ce AS (SELECT da AS a, db AS b FROM cp UNION ALL SELECT db, da FROM cp), " +
+        "creach(v, u) AS (SELECT a, a FROM ce UNION SELECT ce.b, r.u FROM ce JOIN creach r ON ce.a = r.v), " +
+        "ccomp AS (SELECT v, min(u) AS comp FROM creach GROUP BY 1), " +
+        "ranked AS (SELECT comp, v, row_number() OVER (PARTITION BY comp " +
+        "ORDER BY n_chars DESC, v) AS rk FROM ccomp JOIN clean ON doc_id = v), " +
+        "drops AS (SELECT v AS doc_id FROM ranked WHERE rk > 1), " +
+        "fin AS (SELECT * FROM clean WHERE doc_id NOT IN (SELECT doc_id FROM drops)), " +
+        "raw AS (SELECT source, count(*) AS n_raw FROM documents GROUP BY 1), " +
+        "ncl AS (SELECT source, count(*) AS n_clean FROM clean GROUP BY 1), " +
+        "nfin AS (SELECT source, count(*) AS n_final FROM fin GROUP BY 1) " +
+        "SELECT r.source, n_raw, CAST(coalesce(n_clean, 0) AS BIGINT) AS n_clean, " +
+        "CAST(coalesce(n_final, 0) AS BIGINT) AS n_final " +
+        "FROM raw r LEFT JOIN ncl USING (source) LEFT JOIN nfin USING (source) ORDER BY r.source"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q88, q89, q91, q92, q98)
 }

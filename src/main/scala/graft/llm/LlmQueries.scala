@@ -413,24 +413,47 @@ object LlmQueries {
   // token-length gate → stopword-mass gate) as one oracle-checked
   // query: the end-to-end "make training data" pass, not just its
   // stages.
+  /** The clean-gate parameters, single-sourced for q44 and q98's
+    * survivorship pipeline (the splitCol rule: both sides of every
+    * composition must share one definition, Scala and SQL alike).
+    */
+  val CleanStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  val CleanMinTokens = 20
+  val CleanMaxTokens = 500
+  val CleanMinStopwordRatio = 0.01
+
+  /** DuckDB CTE chain (keep/scored/clean) mirroring
+    * [[TextPipeline.cleanCorpus]] with the parameters above — `clean`
+    * is the surviving-documents relation (all documents columns +
+    * n_tokens + stopword_ratio).
+    */
+  private[llm] val cleanCteSql: String = {
+    val stops = CleanStopwords.map("'" + _ + "'").mkString(",")
+    "keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), " +
+      "scored AS (SELECT d.*, " +
+      "CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens, " +
+      "round(CAST(len(list_filter(string_split(d.text, ' '), " +
+      s"w -> w IN ($stops))) AS DOUBLE) " +
+      "/ len(string_split(d.text, ' ')), 4) AS stopword_ratio " +
+      "FROM documents d JOIN keep k ON d.doc_id = k.doc_id), " +
+      "clean AS (SELECT * FROM scored WHERE n_tokens BETWEEN " +
+      s"$CleanMinTokens AND $CleanMaxTokens AND stopword_ratio >= $CleanMinStopwordRatio)"
+  }
+
+  /** [[TextPipeline.cleanCorpus]] under the shared parameters. */
+  private[llm] def cleanDocs(s: org.apache.spark.sql.SparkSession, d: String) =
+    TextPipeline.cleanCorpus(documents(s, d), CleanStopwords,
+      CleanMinTokens, CleanMaxTokens, CleanMinStopwordRatio)
+
   val q44: QuerySpec = QuerySpec(
     "q44_clean_pipeline",
     (s, d) =>
-      TextPipeline
-        .cleanCorpus(documents(s, d), stopwords = Seq("the", "a", "of", "and", "to", "in", "is"),
-          minTokens = 20, maxTokens = 500, minStopwordRatio = 0.01)
+      cleanDocs(s, d)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("stopword_ratio"))
         .orderBy("doc_id"),
     Some(
-      "WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), " +
-        "scored AS (SELECT d.doc_id, d.lang, " +
-        "CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens, " +
-        "round(CAST(len(list_filter(string_split(d.text, ' '), " +
-        "w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE) " +
-        "/ len(string_split(d.text, ' ')), 4) AS stopword_ratio " +
-        "FROM documents d JOIN keep k ON d.doc_id = k.doc_id) " +
-        "SELECT doc_id, lang, n_tokens, stopword_ratio FROM scored " +
-        "WHERE n_tokens BETWEEN 20 AND 500 AND stopword_ratio >= 0.01 ORDER BY doc_id"
+      s"WITH $cleanCteSql " +
+        "SELECT doc_id, lang, n_tokens, stopword_ratio FROM clean ORDER BY doc_id"
     ),
   )
 

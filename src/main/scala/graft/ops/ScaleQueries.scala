@@ -334,5 +334,51 @@ object ScaleQueries {
     },
   )
 
-  val all: Seq[QuerySpec] = Seq(q87, q90, q93, q94, q95, q96)
+  // ---------------------------------------------------------------------
+  // q97 — conversion latency: per signed-up user, microseconds from
+  // first signup to first subsequent purchase; one summary row (how
+  // many signed up, how many converted, min/median/max latency). The
+  // funnel's (q56) time dimension.
+  //
+  // Determinism: latencies are exact integer µs (epoch µs both sides,
+  // the q94 rule); the median interpolates two integers (q49's
+  // percentile ≡ quantile_cont), rounded once. Nulls (never-converted
+  // users) are excluded by both engines' aggregate semantics —
+  // count(lat) vs count(*) is the conversion-rate pair.
+  //
+  // Scale: two user-keyed aggregations + one user-keyed join — all on
+  // the same uniform key; the final 1-row aggregate is a tree-reduce.
+  val q97: QuerySpec = QuerySpec(
+    "q97_conversion_latency",
+    (s, d) => {
+      val ev = events(s, d).select(
+        col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      val su = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("us")).as("s0"))
+      val conv = ev.where(col("event_type") === "purchase")
+        .join(su, Seq("user_id"))
+        .where(col("us") >= col("s0"))
+        .groupBy("user_id").agg(min(col("us") - col("s0")).as("lat"))
+      su.join(conv, Seq("user_id"), "left_outer")
+        .agg(
+          count(lit(1)).as("n_signups"),
+          count(col("lat")).as("n_converted"),
+          min(col("lat")).as("min_latency_us"),
+          round(expr("percentile(lat, 0.5)"), 4).as("median_latency_us"),
+          max(col("lat")).as("max_latency_us"),
+        )
+    },
+    Some(
+      "WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "su AS (SELECT user_id, min(us) AS s0 FROM ev WHERE event_type = 'signup' GROUP BY 1), " +
+        "conv AS (SELECT e.user_id, min(us - s0) AS lat FROM ev e JOIN su USING (user_id) " +
+        "WHERE event_type = 'purchase' AND us >= s0 GROUP BY 1) " +
+        "SELECT count(*) AS n_signups, count(lat) AS n_converted, min(lat) AS min_latency_us, " +
+        "round(quantile_cont(lat, 0.5), 4) AS median_latency_us, max(lat) AS max_latency_us " +
+        "FROM su LEFT JOIN conv USING (user_id)"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q87, q90, q93, q94, q95, q96, q97)
 }
