@@ -294,5 +294,40 @@ object CorpusQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q88, q89, q91, q92, q98)
+  // ---------------------------------------------------------------------
+  // q99 — containment pairs: |A∩B|/|A| over shingle sets, both
+  // directions, pairs clearing 0.8 either way. Jaccard (q30) misses
+  // subset duplication — a paragraph quoted inside a much larger doc
+  // scores low Jaccard but containment ≈ 1 — and training corpora are
+  // full of exactly that. Completes the dedup family's measure set:
+  // exact hash (q25), Jaccard (q30), estimated Jaccard (q31), SimHash
+  // (q32), embedding cosine (q38), edit distance (q55), containment.
+  //
+  // Thresholds compare UNROUNDED ratios in both engines (the q79
+  // rule); reported values round to 4. Scale: the q30 inverted-index
+  // caveat applies verbatim — at corpus scale run it over LSH
+  // candidates (a contained doc shares ALL its shingles, so banding
+  // recovers containment pairs even better than borderline-Jaccard
+  // ones).
+  val q99: QuerySpec = QuerySpec(
+    "q99_containment_pairs",
+    (s, d) =>
+      TextPipeline
+        .containmentPairs(documents(s, d).select("doc_id", "text"), 3, 0.8)
+        .select(
+          col("da"), col("db"),
+          round(col("cont_a_in_b"), 4).as("cont_a_in_b"),
+          round(col("cont_b_in_a"), 4).as("cont_b_in_a"))
+        .orderBy("da", "db"),
+    Some(
+      s"WITH ${LlmQueries.shinglePairsCteSql} " +
+        "SELECT da, db, round(common * 1.0 / ca.n, 4) AS cont_a_in_b, " +
+        "round(common * 1.0 / cb.n, 4) AS cont_b_in_a " +
+        "FROM pairs JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db " +
+        "WHERE common * 1.0 / ca.n >= 0.8 OR common * 1.0 / cb.n >= 0.8 " +
+        "ORDER BY da, db"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q88, q89, q91, q92, q98, q99)
 }

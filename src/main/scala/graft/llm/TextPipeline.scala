@@ -235,6 +235,33 @@ object TextPipeline {
     }
   }
 
+  /** Asymmetric containment pairs: |A∩B| / |A| — how much of doc A's
+    * shingle set lives inside doc B. Jaccard misses subset duplication
+    * (a paragraph quoted inside a much larger doc scores low Jaccard
+    * but containment ≈ 1), and training corpora are full of exactly
+    * that. Emits one row per UNORDERED pair that clears `threshold` in
+    * either direction, with both directions reported.
+    *
+    * Same inverted-index shape as [[exactJaccardPairs]] (and the same
+    * scale caveat: compose behind LSH candidates at corpus scale — a
+    * contained doc shares ALL its shingles, so banding recovers
+    * containment pairs even better than borderline-Jaccard ones).
+    */
+  def containmentPairs(docs: DataFrame, k: Int, threshold: Double): DataFrame =
+    withPersisted(withDocCounts(docShingles(docs, k))) { sh =>
+      sh.as("a")
+        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          col("a.n").as("na"), col("b.n").as("nb"),
+        )
+        .groupBy("da", "db", "na", "nb")
+        .agg(count(lit(1)).as("common"))
+        .withColumn("cont_a_in_b", col("common").cast("double") / col("na"))
+        .withColumn("cont_b_in_a", col("common").cast("double") / col("nb"))
+        .where(col("cont_a_in_b") >= threshold || col("cont_b_in_a") >= threshold)
+    }
+
   /** Incremental (batch-vs-base) near-dup cascade: which `incoming`
     * docs are ≥`threshold`-Jaccard similar to some `base` doc — the
     * cascade's machinery ([[docShingles]] → [[minHashSignatures]] →

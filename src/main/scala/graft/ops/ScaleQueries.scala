@@ -380,5 +380,38 @@ object ScaleQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q87, q90, q93, q94, q95, q96, q97)
+  // ---------------------------------------------------------------------
+  // q100 — join fan-out profile: the distribution of lineitems per
+  // order, INCLUDING zero-fanout orders (left join, not inner — a
+  // histogram that silently drops the childless parents misreports
+  // the join). This is the statistic a planner (or a human sizing
+  // `spark.sql.shuffle.partitions`) needs before joining two tables:
+  // max fanout bounds per-key join output, the histogram shape flags
+  // skew (q46's salting trigger), and fanout 0 rows are q96's
+  // orphan-parent dual.
+  //
+  // Scale: one child-keyed count (map-side combined), one left join
+  // against the parent keys, one tiny histogram aggregate — the
+  // histogram key space is max-fanout, not rows.
+  val q100: QuerySpec = QuerySpec(
+    "q100_fanout_profile",
+    (s, d) => {
+      val cnt = lineitem(s, d).groupBy("l_orderkey").agg(count(lit(1)).as("fanout"))
+      val o = orders(s, d)
+      o.select(col("o_orderkey"))
+        .join(cnt, o("o_orderkey") === cnt("l_orderkey"), "left_outer")
+        .select(coalesce(col("fanout"), lit(0L)).as("fanout"))
+        .groupBy("fanout")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("fanout")
+    },
+    Some(
+      "WITH c AS (SELECT l_orderkey, count(*) AS fanout FROM lineitem GROUP BY 1) " +
+        "SELECT coalesce(fanout, 0) AS fanout, count(*) AS n_orders " +
+        "FROM orders LEFT JOIN c ON o_orderkey = l_orderkey " +
+        "GROUP BY 1 ORDER BY fanout"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q87, q90, q93, q94, q95, q96, q97, q100)
 }

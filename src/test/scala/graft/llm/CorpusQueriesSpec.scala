@@ -82,6 +82,20 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(r((8, 1L)) == 10.0)
   }
 
+  test("containmentPairs catches a quoted subset that Jaccard misses") {
+    val para = "the quick brown fox jumps over the lazy dog by the quiet river bank today"
+    val big = para + " " + (1 to 60).map(i => s"filler$i").mkString(" ")
+    val docs = Seq((1L, para), (2L, big)).toDF("doc_id", "text")
+    val cont = TextPipeline.containmentPairs(docs, 3, 0.8).collect()
+    assert(cont.length == 1)
+    val row = cont.head
+    assert(row.getAs[Long]("da") == 1L && row.getAs[Long]("db") == 2L)
+    assert(row.getAs[Double]("cont_a_in_b") == 1.0) // para fully inside big
+    assert(row.getAs[Double]("cont_b_in_a") < 0.5)
+    // and the Jaccard operator does NOT pair them at its 0.5 threshold
+    assert(TextPipeline.exactJaccardPairs(docs, 3, 0.5).isEmpty)
+  }
+
   test("q89 flags repetitive docs and passes diverse ones") {
     val spam = (1 to 30).map(_ => "buy cheap pills").mkString(" ") // one bigram dominates
     val diverse = (1 to 90).map(i => s"w$i").mkString(" ") // all trigrams distinct
