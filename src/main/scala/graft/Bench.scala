@@ -63,6 +63,12 @@ object Bench {
       // deterministically stops one query's residue from inflating the
       // next query's memory pressure.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // Also untimed: force a collection so the previous query's
+      // checkpoint blocks and codegen classes are reclaimed NOW, not
+      // asynchronously inside the next query's measured window
+      // (observed: alphabetically-late queries absorbing 10-20x
+      // spikes from accumulated garbage, gone when run isolated).
+      System.gc()
       name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
