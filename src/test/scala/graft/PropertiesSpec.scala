@@ -161,4 +161,50 @@ object GraftProperties extends Properties("graft") {
       // larger root under the smaller), so the maps must be identical
       got == expected
     }
+
+  // --- bloom joins are exact (q87 family): for ANY key set and fpp,
+  // semi ∪ anti partitions the fact and each half equals its exact
+  // twin — the bloom is an economics dial, never a correctness one.
+  private val keySetGen = for {
+    keys <- Gen.nonEmptyListOf(Gen.choose(1L, 40L))
+    fpp <- Gen.oneOf(0.01, 0.2, 0.5)
+  } yield (keys.distinct, fpp)
+
+  property("bloom semi/anti joins equal exact joins and partition the fact") =
+    forAll(keySetGen) { case (keys, fpp) =>
+      val fact = (1L to 60L).map(i => (i, i % 7)).toDF("k", "v")
+      val keyDf = keys.toDF("key")
+      val semi = graft.ops.BloomJoin.bloomSemiJoin(fact, keyDf, "k", "key", fpp)
+      val anti = graft.ops.BloomJoin.bloomAntiJoin(fact, keyDf, "k", "key", fpp)
+      val semiK = semi.select("k").as[Long].collect().toSet
+      val antiK = anti.select("k").as[Long].collect().toSet
+      val expected = (1L to 60L).filter(keys.contains).toSet
+      semiK == expected && antiK == ((1L to 60L).toSet -- expected) &&
+        (semiK ++ antiK).size == 60
+    }
+
+  // --- containment dominates Jaccard: for any pair both containments
+  // are ≥ the Jaccard similarity, and at least one direction is ≥ the
+  // other's (max-containment bounds). Checked over random small docs.
+  private val docsGen = for {
+    n <- Gen.choose(2, 5)
+    docs <- Gen.listOfN(n, Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e"))
+      .map(_.take(12).mkString(" ")))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("containment >= jaccard on every reported pair") =
+    forAll(docsGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      // threshold 0 ⇒ every co-shingled pair reports; join both frames
+      val cont = graft.llm.TextPipeline.containmentPairs(df, 2, 0.0)
+        .select("da", "db", "cont_a_in_b", "cont_b_in_a")
+        .as[(Long, Long, Double, Double)].collect()
+        .map { case (a, b, ca, cb) => (a, b) -> (ca, cb) }.toMap
+      val jac = graft.llm.TextPipeline.exactJaccardPairs(df, 2, 0.0)
+        .select("da", "db", "jac").as[(Long, Long, Double)].collect()
+        .map { case (a, b, j) => (a, b) -> j }.toMap
+      jac.forall { case (pair, j) =>
+        cont.get(pair).exists { case (ca, cb) => ca >= j - 1e-9 && cb >= j - 1e-9 }
+      } && cont.keySet == jac.keySet
+    }
 }
