@@ -329,5 +329,79 @@ object CorpusQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q88, q89, q91, q92, q98, q99)
+  // ---------------------------------------------------------------------
+  // q103 — lexical diversity (Simpson): per source, 1 − Σnᵢ(nᵢ−1) /
+  // (N(N−1)) over its token counts — the probability two tokens drawn
+  // without replacement differ. The diversity gate that needs NO
+  // logarithm: Shannon entropy's ln is the exact cross-engine ulp
+  // hazard q79/q91 exist to avoid, while Simpson is integer sums and
+  // one division — bit-identical everywhere, same monotone signal
+  // (repetitive/spammy sources score low).
+  //
+  // Scale: one (source, token) count (uniform keys, map-side
+  // combined), then a per-source fold over its vocabulary.
+  val q103: QuerySpec = QuerySpec(
+    "q103_lexical_diversity",
+    (s, d) => {
+      val counts = documents(s, d)
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      counts
+        .groupBy("source")
+        .agg(
+          sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          round(lit(1.0) -
+            sum(col("c") * (col("c") - 1)).cast("double") /
+            (sum(col("c")) * (sum(col("c")) - 1)), 6).as("simpson_diversity"),
+        )
+        .orderBy("source")
+    },
+    Some(
+      "WITH t AS (SELECT source, w, count(*) AS c FROM " +
+        "(SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents) " +
+        "WHERE w <> '' GROUP BY 1, 2) " +
+        "SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types, " +
+        "round(1.0 - CAST(sum(c*(c-1)) AS DOUBLE) / (sum(c) * (sum(c) - 1)), 6) AS simpson_diversity " +
+        "FROM t GROUP BY 1 ORDER BY source"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q104 — cross-source contamination: for each source pair, how many
+  // distinct boilerplate-prefix fingerprints (md5 of the first 16
+  // lowercased words — q75's prefix rule, same expression both
+  // engines) appear in BOTH. The "is source B scraping source A"
+  // matrix; exact-hash overlap is its stricter variant (zero on this
+  // corpus — prefix catches what md5(text) can't).
+  //
+  // Scale: distinct (fingerprint, source) pairs, then a self-join on
+  // fingerprint — the join fans out only where a fingerprint spans
+  // sources, which is exactly the signal; a fingerprint in k sources
+  // yields k(k−1)/2 pairs, bounded by sources², not docs².
+  val q104: QuerySpec = QuerySpec(
+    "q104_cross_source_overlap",
+    (s, d) => {
+      import graft.functions.{TextFunctions => TF}
+      val hs = documents(s, d)
+        .select(TF.prefixFingerprint(col("text"), 16).as("h"), col("source"))
+        .distinct()
+      hs.as("a")
+        .join(hs.as("b"), col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("source_a", "source_b")
+    },
+    Some(
+      "WITH hs AS (SELECT DISTINCT " +
+        "md5(array_to_string(list_slice(string_split(lower(text), ' '), 1, 16), ' ')) AS h, " +
+        "source FROM documents) " +
+        "SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared " +
+        "FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source " +
+        "GROUP BY 1, 2 ORDER BY source_a, source_b"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q88, q89, q91, q92, q98, q99, q103, q104)
 }

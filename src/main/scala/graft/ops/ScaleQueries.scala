@@ -413,5 +413,82 @@ object ScaleQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q87, q90, q93, q94, q95, q96, q97, q100)
+  // ---------------------------------------------------------------------
+  // q101 — event dedup report: same (user, type) re-occurring within
+  // an hour of the PREVIOUS occurrence counts as a duplicate — the
+  // at-least-once-delivery hygiene report (retries, double-clicks,
+  // replayed batches) that precedes any event-sourced aggregate. The
+  // lag-based rule (vs "within 1h of previous KEPT") is the standard
+  // stateless form: one window pass, no sequential dependency, and
+  // both engines agree exactly on integer-µs gaps.
+  //
+  // Scale: one (user, type) shuffle for the window; the rollup keys
+  // are event types. The streaming twin is StreamingOps' watermarked
+  // dropDuplicates — this is its batch audit.
+  val DedupWindowUs = 3600L * 1000000L // 1 hour
+  val q101: QuerySpec = QuerySpec(
+    "q101_event_dedup_report",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("us"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("dup",
+          col("prev_us").isNotNull && col("us") - col("prev_us") < DedupWindowUs)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("dup").cast("long")).as("n_dups"),
+          sum((!col("dup")).cast("long")).as("n_kept"),
+        )
+        .orderBy("event_type")
+    },
+    Some(
+      "WITH e AS (SELECT event_type, epoch_us(ts) AS us, " +
+        "lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type " +
+        "ORDER BY epoch_us(ts), event_id) AS prev_us FROM events) " +
+        "SELECT event_type, count(*) AS n_events, " +
+        s"CAST(sum(CASE WHEN prev_us IS NOT NULL AND us - prev_us < $DedupWindowUs THEN 1 ELSE 0 END) AS BIGINT) AS n_dups, " +
+        s"CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us >= $DedupWindowUs THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
+        "FROM e GROUP BY 1 ORDER BY event_type"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q102 — leading-digit profile (Benford shape check): distribution
+  // of the first significant digit of order totals per priority. Real
+  // transactional amounts follow a logarithmic digit law; synthetic,
+  // truncated, or fabricated data does not — a cheap fraud/synthetic-
+  // data detector over any money column (here it correctly exposes
+  // this corpus's uniform price generator: digits 1-4 flat, 5+ rare).
+  //
+  // Determinism: the digit comes from integer string arithmetic
+  // (floor → BIGINT → first char), never float formatting; shares are
+  // one division rounded once.
+  val q102: QuerySpec = QuerySpec(
+    "q102_leading_digit_profile",
+    (s, d) => {
+      val digit = substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+      val counts = orders(s, d)
+        .groupBy(col("o_orderpriority"), digit.as("digit"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("o_orderpriority")
+      counts
+        .withColumn("share", round(col("n").cast("double") / sum(col("n")).over(w), 6))
+        .orderBy("o_orderpriority", "digit")
+    },
+    Some(
+      "WITH d AS (SELECT o_orderpriority, " +
+        "substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit " +
+        "FROM orders), c AS (SELECT o_orderpriority, digit, count(*) AS n FROM d GROUP BY 1, 2) " +
+        "SELECT o_orderpriority, digit, n, " +
+        "round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY o_orderpriority), 6) AS share " +
+        "FROM c ORDER BY o_orderpriority, digit"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q87, q90, q93, q94, q95, q96, q97, q100, q101, q102)
 }
