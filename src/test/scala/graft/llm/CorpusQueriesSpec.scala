@@ -96,6 +96,18 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(TextPipeline.exactJaccardPairs(docs, 3, 0.5).isEmpty)
   }
 
+  test("containmentBlocked equals the exact operator on the corpus and the quoted-subset fixture") {
+    val docs = graft.ops.Tables.documents(spark, sfDir).select("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("da", "db").as[(Long, Long)].collect().toSet
+    assert(pairs(TextPipeline.containmentBlocked(docs, 3, 0.8, maxDf = 5)) ==
+      pairs(TextPipeline.containmentPairs(docs, 3, 0.8)))
+    val para = "the quick brown fox jumps over the lazy dog by the quiet river bank today"
+    val big = para + " " + (1 to 60).map(i => s"filler$i").mkString(" ")
+    val fix = Seq((1L, para), (2L, big)).toDF("doc_id", "text")
+    assert(pairs(TextPipeline.containmentBlocked(fix, 3, 0.8, maxDf = 5)) == Set((1L, 2L)))
+  }
+
   test("q89 flags repetitive docs and passes diverse ones") {
     val spam = (1 to 30).map(_ => "buy cheap pills").mkString(" ") // one bigram dominates
     val diverse = (1 to 90).map(i => s"w$i").mkString(" ") // all trigrams distinct
