@@ -490,5 +490,72 @@ object ScaleQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q87, q90, q93, q94, q95, q96, q97, q100, q101, q102)
+  // ---------------------------------------------------------------------
+  // q105 — local-supplier revenue by nation (the TPC-H Q5 shape): for
+  // one region, revenue from lineitems whose supplier sits in the
+  // customer's own nation — the classic 6-table snowflake with a
+  // same-nation join constraint that can't be expressed as a plain
+  // star lookup.
+  //
+  // Scale: region/nation/supplier/customer broadcast (Catalyst's
+  // call — dims); the fact spine (orders ⋈ lineitem) is the only
+  // shuffle pair; the c_nationkey = s_nationkey constraint rides the
+  // supplier join, not a post-filter, so non-local rows drop AT the
+  // join. Revenue in exact decimals (the q21 rule).
+  val q105: QuerySpec = QuerySpec(
+    "q105_local_supplier_revenue",
+    (s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "AFRICA")
+        .groupBy("n_name")
+        .agg(revenueExpr.as("revenue"))
+        .orderBy(desc("revenue"), col("n_name")),
+    Some(
+      s"SELECT n_name, $revenueSql AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'AFRICA' GROUP BY 1 ORDER BY revenue DESC, n_name"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q106 — shipping-priority top-10 (the TPC-H Q3 shape): highest-
+  // revenue open orders for one market segment where lineitems shipped
+  // after the order date. The segment filter prunes the customer
+  // build side BEFORE the fact joins; the top-10 compiles to
+  // TakeOrderedAndProject (heap, no global sort of the aggregate).
+  val q106: QuerySpec = QuerySpec(
+    "q106_shipping_priority",
+    (s, d) =>
+      customer(s, d).where(col("c_mktsegment") === "BUILDING")
+        .join(orders(s, d).where(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") > col("o_orderdate"))
+        .groupBy(col("l_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("orderdate_ms"))
+        .agg(revenueExpr.as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10),
+    Some(
+      "SELECT l_orderkey, CAST(epoch_ms(o_orderdate) AS BIGINT) AS orderdate_ms, " +
+        s"$revenueSql AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O' AND l_shipdate > o_orderdate " +
+        "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10"
+    ),
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(q87, q90, q93, q94, q95, q96, q97, q100, q101, q102, q105, q106)
 }
