@@ -347,14 +347,21 @@ object CorpusQueries {
         .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
         .where(col("w") =!= "")
         .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      // products in DECIMAL(38,0) (the q85 overflow rule): long
+      // arithmetic wraps silently past ~3e9 tokens per source, which a
+      // 100 TB corpus reaches; the DuckDB side is exact (HUGEINT)
+      // already, so a wrapped Spark value would diverge, not error
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cD = col("c").cast(dec)
+      val nD = sum(col("c")).cast(dec)
       counts
         .groupBy("source")
         .agg(
           sum(col("c")).as("n_tokens"),
           count(lit(1)).as("n_types"),
           round(lit(1.0) -
-            sum(col("c") * (col("c") - 1)).cast("double") /
-            (sum(col("c")) * (sum(col("c")) - 1)), 6).as("simpson_diversity"),
+            sum(cD * (cD - 1)).cast("double") /
+            (nD * (nD - 1)).cast("double"), 6).as("simpson_diversity"),
         )
         .orderBy("source")
     },

@@ -258,19 +258,28 @@ object TextPipeline {
     * with identical final output; on boilerplate-heavy real corpora
     * the common-shingle flood is exactly what the cap removes.)
     */
+  /** The containment analog of [[jaccardFromCommon]] — single source
+    * of the asymmetric measure + either-direction threshold rule for
+    * the exact and blocked operators.
+    */
+  private def containmentFromCommon(pairsBase: DataFrame, threshold: Double): DataFrame =
+    pairsBase
+      .groupBy("da", "db", "na", "nb")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("cont_a_in_b", col("common").cast("double") / col("na"))
+      .withColumn("cont_b_in_a", col("common").cast("double") / col("nb"))
+      .where(col("cont_a_in_b") >= threshold || col("cont_b_in_a") >= threshold)
+
   def containmentPairs(docs: DataFrame, k: Int, threshold: Double): DataFrame =
     withPersisted(withDocCounts(docShingles(docs, k))) { sh =>
-      sh.as("a")
-        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .select(
-          col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-          col("a.n").as("na"), col("b.n").as("nb"),
-        )
-        .groupBy("da", "db", "na", "nb")
-        .agg(count(lit(1)).as("common"))
-        .withColumn("cont_a_in_b", col("common").cast("double") / col("na"))
-        .withColumn("cont_b_in_a", col("common").cast("double") / col("nb"))
-        .where(col("cont_a_in_b") >= threshold || col("cont_b_in_a") >= threshold)
+      containmentFromCommon(
+        sh.as("a")
+          .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .select(
+            col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            col("a.n").as("na"), col("b.n").as("nb"),
+          ),
+        threshold)
     }
 
   /** The scale path for [[containmentPairs]]: candidates from
@@ -298,14 +307,12 @@ object TextPipeline {
         .join(rare.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
-      cand
-        .join(sh.select(col("doc_id").as("da"), col("s"), col("n").as("na")), Seq("da"))
-        .join(sh.select(col("doc_id").as("db"), col("s"), col("n").as("nb")), Seq("db", "s"))
-        .groupBy("da", "db", "na", "nb")
-        .agg(count(lit(1)).as("common"))
-        .withColumn("cont_a_in_b", col("common").cast("double") / col("na"))
-        .withColumn("cont_b_in_a", col("common").cast("double") / col("nb"))
-        .where(col("cont_a_in_b") >= threshold || col("cont_b_in_a") >= threshold)
+      containmentFromCommon(
+        cand
+          .join(sh.select(col("doc_id").as("da"), col("s"), col("n").as("na")), Seq("da"))
+          .join(sh.select(col("doc_id").as("db"), col("s"), col("n").as("nb")), Seq("db", "s"))
+          .select("da", "db", "na", "nb"),
+        threshold)
     }
 
   /** Incremental (batch-vs-base) near-dup cascade: which `incoming`
@@ -348,16 +355,17 @@ object TextPipeline {
             col("i.band") === col("b.band") && col("i.bkey") === col("b.bkey"))
           .select(col("i.doc_id").as("incoming_doc"), col("b.doc_id").as("base_doc"))
           .distinct()
-        cand
-          .join(shB.select(col("doc_id").as("base_doc"), col("s"), col("n").as("nb")),
-            Seq("base_doc"))
-          .join(shI.select(col("doc_id").as("incoming_doc"), col("s"), col("n").as("ni")),
-            Seq("incoming_doc", "s"))
-          .groupBy("incoming_doc", "base_doc", "ni", "nb")
-          .agg(count(lit(1)).as("common"))
-          .withColumn("jac", col("common").cast("double") / (col("ni") + col("nb") - col("common")))
-          .where(col("jac") >= threshold)
-          .select("incoming_doc", "base_doc", "jac")
+        // jaccardFromCommon is the single source of the
+        // inclusion-exclusion + threshold rule; map into its (da, db)
+        // vocabulary and back so the convention lives in one place
+        jaccardFromCommon(
+          cand
+            .select(col("incoming_doc").as("da"), col("base_doc").as("db"))
+            .join(shB.select(col("doc_id").as("db"), col("s"), col("n").as("nb")), Seq("db"))
+            .join(shI.select(col("doc_id").as("da"), col("s"), col("n").as("na")), Seq("da", "s"))
+            .select("da", "db", "na", "nb"),
+          threshold)
+          .select(col("da").as("incoming_doc"), col("db").as("base_doc"), col("jac"))
       }
     }
   }

@@ -4,6 +4,7 @@ import java.io.ByteArrayOutputStream
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.functions.{coalesce, lit}
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types.BinaryType
 
@@ -118,7 +119,14 @@ object BloomJoin {
   ): DataFrame = {
     val keyFrame = keys.select(keyCol).distinct()
     val bloom = buildBloom(keyFrame, keyCol, expectedItems, fpp)
-    val maybe = mightContain(bloom, fact(factKey))
+    // NULL keys: mightContain(null) is NULL, which `where` treats as
+    // false in BOTH branches — without the coalesce a null-keyed fact
+    // row would vanish, while the exact anti-join KEEPS it (NULL never
+    // equals any key). Route nulls to the definite-non-member branch.
+    // The serialized filter bits appear once per branch in the plan —
+    // an accepted cost of the two-branch shape (persist the fact and
+    // project the probe once if the doubled literal matters).
+    val maybe = coalesce(mightContain(bloom, fact(factKey)), lit(false))
     fact
       .where(!maybe)
       .unionByName(

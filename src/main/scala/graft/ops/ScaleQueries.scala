@@ -320,10 +320,14 @@ object ScaleQueries {
         .orderBy("fk_edge")
     },
     Some {
+      // NOT EXISTS, not NOT IN: NOT IN yields NULL (row excluded) for
+      // a NULL FK and zero rows if any parent PK is NULL — anti-join
+      // semantics (keep null-keyed children as orphan rows; distinct
+      // keys exclude NULL in both engines) need the EXISTS form.
       def row(rel: String, child: String, fk: String, parent: String, pk: String) =
         s"SELECT '$rel' AS fk_edge, count(*) AS n_orphan_rows, " +
           s"count(DISTINCT $fk) AS n_orphan_keys " +
-          s"FROM $child WHERE $fk NOT IN (SELECT $pk FROM $parent)"
+          s"FROM $child c WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE c.$fk = p.$pk)"
       Seq(
         row("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
         row("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),

@@ -43,6 +43,18 @@ class BloomJoinSpec extends SparkSpec {
     assert(ks.where(!BloomJoin.mightContain(bloom, col("k"))).isEmpty)
   }
 
+  test("bloomAntiJoin keeps NULL-keyed fact rows, like the exact anti-join") {
+    val fact = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (2L, "c"), (null, "d"))
+      .toDF("k", "v")
+    val ks = Seq(1L).toDF("key")
+    val got = BloomJoin.bloomAntiJoin(fact, ks, "k", "key")
+      .select("v").as[String].collect().toSet
+    // NULL never equals any key ⇒ null-keyed rows are anti-join output
+    assert(got == Set("b", "c", "d"))
+    assert(BloomJoin.bloomSemiJoin(fact, ks, "k", "key")
+      .select("v").as[String].collect().toSet == Set("a"))
+  }
+
   test("semi + anti partition the fact exactly") {
     val fact = Tables.lineitem(spark, sfDir)
     val semi = BloomJoin.bloomSemiJoin(fact, keys, "l_orderkey", "o_orderkey").count()

@@ -40,7 +40,10 @@ class ScaleQueriesSpec extends SparkSpec {
     Seq((1L, "c1", 0, 0.0, "M"), (2L, "c2", 9, 0.0, "M"))
       .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
       .write.parquet(s"$dir/customer.parquet")
-    Seq((10L, 1L), (11L, 99L)).toDF("o_orderkey", "o_custkey")
+    // one NULL FK: anti-join semantics count it as an orphan ROW but
+    // (like count(DISTINCT)) not as an orphan KEY
+    Seq[(java.lang.Long, java.lang.Long)]((10L, 1L), (11L, 99L), (12L, null))
+      .toDF("o_orderkey", "o_custkey")
       .write.parquet(s"$dir/orders.parquet")
     Seq((100L, "p")).toDF("p_partkey", "p_name").write.parquet(s"$dir/part.parquet")
     Seq((200L, "s")).toDF("s_suppkey", "s_name").write.parquet(s"$dir/supplier.parquet")
@@ -50,7 +53,7 @@ class ScaleQueriesSpec extends SparkSpec {
     val r = ScaleQueries.q96.run(spark, dir).collect()
       .map(x => x.getAs[String]("fk_edge") -> (x.getAs[Long]("n_orphan_rows"), x.getAs[Long]("n_orphan_keys"))).toMap
     assert(r("customer.c_nationkey->nation") == (1L, 1L))
-    assert(r("orders.o_custkey->customer") == (1L, 1L))
+    assert(r("orders.o_custkey->customer") == (2L, 1L)) // null FK: orphan row, not key
     assert(r("lineitem.l_orderkey->orders") == (2L, 1L))
     assert(r("lineitem.l_partkey->part") == (0L, 0L))
     assert(r("lineitem.l_suppkey->supplier") == (0L, 0L))
