@@ -560,6 +560,72 @@ object ScaleQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q107 — event-transition matrix: counts of consecutive
+  // (previous → current) event-type pairs per user stream — the
+  // first-order Markov view of user behavior that q95's path prefixes
+  // sample and q56's funnel tests one row of. One lag window on the
+  // (epoch µs, event_id) total order, then a bounded |types|² rollup.
+  val q107: QuerySpec = QuerySpec(
+    "q107_transition_matrix",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("cur"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev", "cur")
+    },
+    Some(
+      "WITH t AS (SELECT user_id, event_type, lag(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev FROM events) " +
+        "SELECT prev, event_type AS cur, count(*) AS n FROM t " +
+        "WHERE prev IS NOT NULL GROUP BY 1, 2 ORDER BY prev, cur"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q108 — rolling 7-day distinct users (WAU per day): the rolling-
+  // DISTINCT aggregate that window frames cannot express (a frame can
+  // sum, but distinct-across-frame needs the underlying set). Shape:
+  // each (day, user) activity row CONTRIBUTES itself to the 7 windows
+  // ending on day..day+6 — an executor-local explode — then one
+  // distinct count per window day, restricted (semi join) to days
+  // that exist in the data so trailing empty windows don't fabricate
+  // rows.
+  //
+  // Scale: explode fan-out is a constant 7×; the distinct count
+  // shuffles on (window day, user) — uniform keys; NO range join /
+  // nested-loop anywhere (the naive days-BETWEEN-join plan the oracle
+  // uses is fine for DuckDB at sf, wrong at 100 TB).
+  val q108: QuerySpec = QuerySpec(
+    "q108_rolling_wau",
+    (s, d) => {
+      val act = events(s, d)
+        .select(to_date(col("ts").cast("timestamp")).as("day"), col("user_id"))
+        .distinct()
+      val days = act.select(col("day").as("wday")).distinct()
+      act
+        .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"), col("user_id"))
+        .join(days, Seq("wday"), "left_semi")
+        .groupBy("wday")
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .select(unix_millis(col("wday").cast("timestamp")).as("day_ms"), col("wau"))
+        .orderBy("day_ms")
+    },
+    Some(
+      "WITH d AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events), " +
+        "days AS (SELECT DISTINCT day FROM d), " +
+        "w AS (SELECT days.day, d.user_id FROM days JOIN d ON d.day BETWEEN days.day - 6 AND days.day) " +
+        "SELECT CAST(epoch_ms(CAST(day AS TIMESTAMP)) AS BIGINT) AS day_ms, " +
+        "count(DISTINCT user_id) AS wau FROM w GROUP BY 1 ORDER BY day_ms"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q87, q90, q93, q94, q95, q96, q97, q100, q101, q102, q105, q106)
+    Seq(q87, q90, q93, q94, q95, q96, q97, q100, q101, q102, q105, q106, q107, q108)
 }
