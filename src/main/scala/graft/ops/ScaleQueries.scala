@@ -626,6 +626,88 @@ object ScaleQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q109 — RFM segmentation: customers bucketed into quartiles of
+  // recency (days since last order), frequency, and monetary value —
+  // the classic marketing segmentation, reported as segment counts.
+  //
+  // Determinism: each ntile orders by (measure, custkey) — a TOTAL
+  // order, so quartile assignment is identical in both engines (plain
+  // ntile ties are assignment-nondeterministic, the q80/q83 lesson).
+  // The three windows are unpartitioned BY DESIGN — a documented
+  // q78-style exception: their input is the per-customer aggregate
+  // frame (|customers| rows, ≪ facts), not the order stream.
+  //
+  // Scale: one customer-keyed aggregation of orders, then windows
+  // over the bounded customer frame; the corpus-max date rides a
+  // 1-row cross join (the q79 rule), never a driver collect.
+  val q109: QuerySpec = QuerySpec(
+    "q109_rfm_segments",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = orders(s, d)
+      val c = o.groupBy("o_custkey").agg(
+        max(col("o_orderdate")).as("last_o"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("monetary"),
+      )
+      val mx = o.agg(max(col("o_orderdate")).as("mx"))
+      val scored = c.crossJoin(mx) // 1-row corpus max
+        .withColumn("rec_days",
+          datediff(col("mx").cast("date"), col("last_o").cast("date")).cast("long"))
+      scored
+        .withColumn("r", ntile(4).over(Window.orderBy(col("rec_days"), col("o_custkey"))).cast("long"))
+        .withColumn("f", ntile(4).over(Window.orderBy(col("freq").desc, col("o_custkey"))).cast("long"))
+        .withColumn("m", ntile(4).over(Window.orderBy(col("monetary").desc, col("o_custkey"))).cast("long"))
+        .groupBy("r", "f", "m")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("r", "f", "m")
+    },
+    Some(
+      "WITH c AS (SELECT o_custkey, " +
+        "date_diff('day', max(o_orderdate), (SELECT max(o_orderdate) FROM orders)) AS rec_days, " +
+        "count(*) AS freq, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary " +
+        "FROM orders GROUP BY 1), " +
+        "s AS (SELECT o_custkey, " +
+        "ntile(4) OVER (ORDER BY rec_days, o_custkey) AS r, " +
+        "ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f, " +
+        "ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m FROM c) " +
+        "SELECT r, f, m, count(*) AS n_customers FROM s GROUP BY 1, 2, 3 ORDER BY r, f, m"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q110 — basket affinity: part pairs co-occurring in the same order
+  // at support ≥ 2 — market-basket mining's candidate table (q79's
+  // collocation shape transplanted from token adjacency to order
+  // membership).
+  //
+  // Scale: the self-join fans out within an order only — output
+  // bounded by Σ basket_size², and basket size is physically bounded
+  // (an order has few lines); pair keys are uniform. The distinct
+  // first (a part twice in one order counts once) keeps the pair
+  // count a true order count.
+  val q110: QuerySpec = QuerySpec(
+    "q110_basket_affinity",
+    (s, d) => {
+      val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+      li.as("a")
+        .join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") && col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .where(col("n_orders") >= 2)
+        .orderBy(desc("n_orders"), col("part_a"), col("part_b"))
+    },
+    Some(
+      "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) " +
+        "SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders " +
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY n_orders DESC, part_a, part_b"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q87, q90, q93, q94, q95, q96, q97, q100, q101, q102, q105, q106, q107, q108)
+    Seq(q87, q90, q93, q94, q95, q96, q97, q100, q101, q102, q105, q106, q107, q108, q109, q110)
 }
