@@ -330,6 +330,43 @@ object CorpusQueries {
   )
 
   // ---------------------------------------------------------------------
+  // q111 — containment pairs, the SCALE plan: identical semantics and
+  // oracle to q99, but candidates come from rare-shingle blocking
+  // ([[TextPipeline.containmentBlocked]], maxDf = 5) instead of the
+  // exact inverted-index self-join. q99 is the verify-stage anchor
+  // (O(Σ df²) by design — the hot boilerplate shingles flood its
+  // join); this is the form a user runs at corpus scale: candidate
+  // volume is capped at maxDf · |rare shingles| no matter how hot the
+  // corpus's common shingles get, and the exact containment verify on
+  // candidates reproduces q99's answer bit-for-bit (the q30→q41
+  // precedent — the oracle hash IS the parity proof).
+  //
+  // Recall: a pair at containment ≥ 0.8 shares ≥ 80% of the smaller
+  // doc's shingles; missing it requires EVERY shared shingle to have
+  // df > 5 — boilerplate-only overlap, which q89's repetition gates
+  // kill upstream. Parity is additionally spec-pinned on fixtures
+  // engineered to stress the cap.
+  val q111: QuerySpec = QuerySpec(
+    "q111_containment_blocked",
+    (s, d) =>
+      TextPipeline
+        .containmentBlocked(documents(s, d).select("doc_id", "text"), 3, 0.8, maxDf = 5)
+        .select(
+          col("da"), col("db"),
+          round(col("cont_a_in_b"), 4).as("cont_a_in_b"),
+          round(col("cont_b_in_a"), 4).as("cont_b_in_a"))
+        .orderBy("da", "db"),
+    Some(
+      s"WITH ${LlmQueries.shinglePairsCteSql} " +
+        "SELECT da, db, round(common * 1.0 / ca.n, 4) AS cont_a_in_b, " +
+        "round(common * 1.0 / cb.n, 4) AS cont_b_in_a " +
+        "FROM pairs JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db " +
+        "WHERE common * 1.0 / ca.n >= 0.8 OR common * 1.0 / cb.n >= 0.8 " +
+        "ORDER BY da, db"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
   // q103 — lexical diversity (Simpson): per source, 1 − Σnᵢ(nᵢ−1) /
   // (N(N−1)) over its token counts — the probability two tokens drawn
   // without replacement differ. The diversity gate that needs NO
@@ -410,5 +447,5 @@ object CorpusQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q88, q89, q91, q92, q98, q99, q103, q104)
+  val all: Seq[QuerySpec] = Seq(q88, q89, q91, q92, q98, q99, q103, q104, q111)
 }
