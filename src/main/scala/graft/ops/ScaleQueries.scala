@@ -631,20 +631,23 @@ object ScaleQueries {
   // recency (days since last order), frequency, and monetary value —
   // the classic marketing segmentation, reported as segment counts.
   //
-  // Determinism: each ntile orders by (measure, custkey) — a TOTAL
-  // order, so quartile assignment is identical in both engines (plain
-  // ntile ties are assignment-nondeterministic, the q80/q83 lesson).
-  // The three windows are unpartitioned BY DESIGN — a documented
-  // q78-style exception: their input is the per-customer aggregate
-  // frame (|customers| rows, ≪ facts), not the order stream.
+  // Determinism: each quartile orders by (measure, custkey) — a TOTAL
+  // order, so assignment is identical in both engines (plain ntile
+  // ties are assignment-nondeterministic, the q80/q83 lesson).
   //
-  // Scale: one customer-keyed aggregation of orders, then windows
-  // over the bounded customer frame; the corpus-max date rides a
-  // 1-row cross join (the q79 rule), never a driver collect.
+  // Scale: one customer-keyed aggregation of orders, then three
+  // [[Ranks.withGlobalRank]] passes — range-shuffled, parallel — with
+  // ntile(4) recovered by [[Ranks.ntileFromRank]]'s rank arithmetic.
+  // The customer frame grows linearly with the business, so the
+  // earlier unpartitioned-ntile form (one task sorting every customer,
+  // three times) was the q67 bottleneck at 100 TB; the rank form keeps
+  // every sort partitioned while reproducing SQL ntile bit-for-bit
+  // (the oracle below is still plain ntile). The corpus-max date and
+  // the customer count ride 1-row cross joins (the q79 rule), never a
+  // driver collect.
   val q109: QuerySpec = QuerySpec(
     "q109_rfm_segments",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val o = orders(s, d)
       val c = o.groupBy("o_custkey").agg(
         max(col("o_orderdate")).as("last_o"),
@@ -656,10 +659,18 @@ object ScaleQueries {
       val scored = c.crossJoin(mx) // 1-row corpus max
         .withColumn("rec_days",
           datediff(col("mx").cast("date"), col("last_o").cast("date")).cast("long"))
-      scored
-        .withColumn("r", ntile(4).over(Window.orderBy(col("rec_days"), col("o_custkey"))).cast("long"))
-        .withColumn("f", ntile(4).over(Window.orderBy(col("freq").desc, col("o_custkey"))).cast("long"))
-        .withColumn("m", ntile(4).over(Window.orderBy(col("monetary").desc, col("o_custkey"))).cast("long"))
+      val n = scored.agg(count(lit(1)).as("__n")) // 1-row customer count
+      val ranked = Seq[(String, Seq[org.apache.spark.sql.Column])](
+        "r_rank" -> Seq(col("rec_days"), col("o_custkey")),
+        "f_rank" -> Seq(col("freq").desc, col("o_custkey")),
+        "m_rank" -> Seq(col("monetary").desc, col("o_custkey")),
+      ).foldLeft(scored) { case (df, (out, ord)) => Ranks.withGlobalRank(df, ord, out) }
+      ranked
+        .crossJoin(n)
+        .select(
+          Ranks.ntileFromRank(col("r_rank"), col("__n"), 4).as("r"),
+          Ranks.ntileFromRank(col("f_rank"), col("__n"), 4).as("f"),
+          Ranks.ntileFromRank(col("m_rank"), col("__n"), 4).as("m"))
         .groupBy("r", "f", "m")
         .agg(count(lit(1)).as("n_customers"))
         .orderBy("r", "f", "m")
