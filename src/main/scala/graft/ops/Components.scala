@@ -65,7 +65,89 @@ object Components {
       round += 1
     }
     require(done, s"connectedComponents did not converge in $maxIter rounds " +
-      "(diameter larger than expected — raise maxIter or switch to star contraction)")
+      "(diameter larger than expected — raise maxIter or use connectedComponentsStar)")
     labels
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond") — the O(log² n)-round path for graphs whose diameter
+    * min-label propagation's one-hop-per-round walk cannot afford
+    * (long chains, general graphs). Near-dup clusters are shallow, so
+    * [[connectedComponents]] stays the default there; this is the
+    * operator a user points at a graph of unknown shape.
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m = min(Γ(u) ∪ u) — long tails collapse toward minima;
+    *  - small-star(u): with edges directed larger→smaller, every
+    *    smaller neighbor (and u itself) re-attaches to the minimum —
+    *    local stars flatten;
+    *  - fixed point: the edge set is a union of stars centered at
+    *    component minima.
+    *
+    * Both steps are one groupBy + one equijoin on the edge frame —
+    * shuffle-bounded by the CURRENT edge set, which only shrinks
+    * toward one edge per non-minimum vertex. Rounds checkpoint (the
+    * same lineage rule as the propagation loop); the driver runs only
+    * the loop and a fixed-point probe.
+    */
+  def connectedComponentsStar(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 50,
+  ): DataFrame = {
+    // every vertex of the ORIGINAL graph keeps a label, including ones
+    // isolated by self-loop-only membership (contraction drops loops)
+    val verts = edges.select(col(srcCol).as("v"))
+      .union(edges.select(col(dstCol).as("v")))
+      .distinct()
+      .localCheckpoint(eager = true)
+
+    def canon(e: DataFrame): DataFrame =
+      e.where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .distinct()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy("a").agg(min(col("b")).as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      sym.join(mins, "a")
+        .where(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      val mins = dir.groupBy("u").agg(min(col("v")).as("m")) // m < u always
+      dir.join(mins, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(mins.select(col("u").as("a"), col("m").as("b")))
+    }
+
+    var e = canon(edges.select(col(srcCol).as("a"), col(dstCol).as("b")))
+      .localCheckpoint(eager = true)
+    var n = e.count()
+    var round = 0
+    var done = n == 0L
+    while (!done && round < maxIter) {
+      val next = canon(smallStar(largeStar(e))).localCheckpoint(eager = true)
+      val nNext = next.count()
+      // distinct canonical frames: equal count + empty one-sided diff ⇔ equal sets
+      done = nNext == n &&
+        next.join(e, Seq("a", "b"), "left_anti").limit(1).count() == 0L
+      e = next
+      n = nNext
+      round += 1
+    }
+    require(done || n == 0L,
+      s"connectedComponentsStar did not converge in $maxIter rounds")
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    val labels = sym.groupBy("a").agg(min(col("b")).as("mb"))
+      .select(col("a").as("v"), least(col("a"), col("mb")).as("comp"))
+    verts.join(labels, Seq("v"), "left_outer")
+      .select(col("v"), coalesce(col("comp"), col("v")).as("comp"))
   }
 }

@@ -36,6 +36,39 @@ class ComponentsSpec extends SparkSpec {
     intercept[IllegalArgumentException](cc(path, maxIter = 2))
   }
 
+  private def ccStar(edges: Seq[(Long, Long)], maxIter: Int = 50): Map[Long, Long] =
+    Components
+      .connectedComponentsStar(edges.toDF("a", "b"), "a", "b", maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("star contraction matches min-label propagation on the fixture graphs") {
+    val fixtures = Seq(
+      Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (20L, 20L)),
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (7L, 8L), (8L, 9L), (9L, 7L)),
+      Seq((5L, 1L)),
+    )
+    fixtures.foreach(f => assert(ccStar(f) == cc(f), s"fixture $f"))
+  }
+
+  test("star contraction matches propagation on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val edges = Seq.fill(40)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter { case (a, b) => a != b }
+      assert(ccStar(edges) == cc(edges, maxIter = 40), s"edges $edges")
+    }
+  }
+
+  test("star contraction converges on a 300-chain in O(log^2 n) rounds where propagation needs 300") {
+    // min-label walks one hop per round: a 300-diameter path needs ~300
+    // rounds (maxIter=20 default hard-fails). Star contraction collapses
+    // it within a 12-round budget.
+    val path = (1L until 301L).map(i => (i, i + 1))
+    intercept[IllegalArgumentException](cc(path)) // default maxIter=20 cannot
+    val got = ccStar(path, maxIter = 12)
+    assert(got.size == 301 && got.values.toSet == Set(1L), s"one component expected")
+  }
+
   test("q76: clusters cover exactly the paired docs; keep_doc IS each cluster's minimum member") {
     val pairs = graft.llm.TextPipeline
       .exactJaccardPairs(
