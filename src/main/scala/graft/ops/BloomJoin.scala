@@ -40,12 +40,49 @@ import org.apache.spark.sql.types.BinaryType
   */
 object BloomJoin {
 
-  /** Distributed bloom build over `keys.col(keyCol)` (integral type).
-    * Returns the serialized filter — `O(numBits)` bytes on the driver,
-    * the same order as any broadcast relation, NOT O(keys).
+  /** The sketch inserts and probes raw LONGS end to end
+    * (`putLong`/`mightContainLong`); a non-integral key column would
+    * insert one representation (e.g. UTF8 bytes) and probe another
+    * (a null cast), silently returning empty semi-joins and wrong
+    * anti-joins. The contract fails loudly instead.
+    */
+  private def requireIntegralKey(df: DataFrame, c: String, role: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(c).dataType
+    require(
+      dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType,
+      s"bloom $role column '$c' must be integral (byte/short/int/long), got $dt — " +
+        "the bloom sketch hashes raw longs; hash a non-integral key to a long first " +
+        "(e.g. xxhash64) on BOTH sides")
+  }
+
+  /** Sentinel: size the filter from a cheap `approx_count_distinct`
+    * pre-pass over the key side (one HLL aggregate — O(key rows) scan,
+    * constant state, no exact count job). A fixed guess degrades the
+    * observed fpp as soon as the real key count outgrows it; the
+    * pre-pass keeps bits ∝ the actual cardinality, +25% headroom for
+    * the HLL's ~5% rsd. Sizing is still never a correctness knob — the
+    * exact join cleans whatever passes.
+    */
+  val AutoSize = -1L
+
+  private def resolveItems(keyFrame: DataFrame, keyCol: String, expectedItems: Long): Long =
+    if (expectedItems > 0L) expectedItems
+    else {
+      val approx = keyFrame
+        .agg(org.apache.spark.sql.functions.approx_count_distinct(keyCol).as("n"))
+        .head().getLong(0)
+      math.max(64L, approx + approx / 4)
+    }
+
+  /** Distributed bloom build over `keys.col(keyCol)` (integral type —
+    * enforced). Returns the serialized filter — `O(numBits)` bytes on
+    * the driver, the same order as any broadcast relation, NOT
+    * O(keys). `expectedItems = AutoSize` sizes from key-side stats.
     */
   def buildBloom(keys: DataFrame, keyCol: String, expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
-    val bf = keys.stat.bloomFilter(keyCol, math.max(1L, expectedItems), fpp)
+    requireIntegralKey(keys, keyCol, "key")
+    val bf = keys.stat.bloomFilter(keyCol, math.max(1L, resolveItems(keys, keyCol, expectedItems)), fpp)
     val bos = new ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray
@@ -62,15 +99,6 @@ object BloomJoin {
         Literal(bloomBytes, BinaryType),
         ColumnShim.expression(key.cast("long"))))
 
-  /** Default filter sizing when the caller doesn't know the key-side
-    * cardinality — the same convention as Spark's own runtime filter
-    * (`spark.sql.optimizer.runtime.bloomFilter.expectedNumItems`
-    * default). Overestimating costs bits (1M items ≈ 1.2 MB at 1%
-    * fpp); underestimating only raises the observed fpp, and the exact
-    * join cleans whatever passes — sizing is never a correctness knob.
-    */
-  val DefaultExpectedItems = 1000000L
-
   /** Exact semi-join with a bloom pre-filter: probe drops non-members
     * scan-side (modulo fpp), the equi-join cleans the false positives.
     * Result is EXACTLY `fact SEMI JOIN keys` — the bloom changes the
@@ -78,8 +106,9 @@ object BloomJoin {
     *
     * `expectedItems` sizes the filter; callers that know the key-side
     * cardinality (a ledger count, table stats) should pass it. The
-    * default deliberately avoids a sizing count() job — one aggregate
-    * over the key side builds the filter, nothing else runs first.
+    * default [[AutoSize]] runs one approx_count_distinct over the
+    * (already-distinct-projected) key side first — bits stay ∝ real
+    * cardinality instead of a guess the data outgrows.
     */
   def bloomSemiJoin(
       fact: DataFrame,
@@ -87,8 +116,9 @@ object BloomJoin {
       factKey: String,
       keyCol: String,
       fpp: Double = 0.01,
-      expectedItems: Long = DefaultExpectedItems,
+      expectedItems: Long = AutoSize,
   ): DataFrame = {
+    requireIntegralKey(fact, factKey, "fact probe")
     val keyFrame = keys.select(keyCol).distinct()
     val bloom = buildBloom(keyFrame, keyCol, expectedItems, fpp)
     fact
@@ -106,8 +136,16 @@ object BloomJoin {
     * Deliberate trade: the fact is SCANNED twice (once per branch) so
     * that only the member-ish fraction is ever SHUFFLED. Scans are the
     * cheap side at scale (columnar, pushdown, often cached); the
-    * exchange is the bottleneck this operator exists to shrink. When
-    * the input is expensive to re-read, persist it first.
+    * exchange is the bottleneck this operator exists to shrink.
+    *
+    * CORRECTNESS requirement, not just cost: the two branches must see
+    * the SAME rows with the SAME key values — `fact` must be
+    * deterministic and stable between reads (a parquet/ORC snapshot, a
+    * persisted frame). A source that is non-deterministic or mutates
+    * between scans can classify a row differently per branch and drop
+    * or duplicate it. For such inputs, persist/localCheckpoint the
+    * fact (or at minimum the key column) first; file-backed tables —
+    * every registered query here — are stable by construction.
     */
   def bloomAntiJoin(
       fact: DataFrame,
@@ -115,8 +153,9 @@ object BloomJoin {
       factKey: String,
       keyCol: String,
       fpp: Double = 0.01,
-      expectedItems: Long = DefaultExpectedItems,
+      expectedItems: Long = AutoSize,
   ): DataFrame = {
+    requireIntegralKey(fact, factKey, "fact probe")
     val keyFrame = keys.select(keyCol).distinct()
     val bloom = buildBloom(keyFrame, keyCol, expectedItems, fpp)
     // NULL keys: mightContain(null) is NULL, which `where` treats as

@@ -38,12 +38,12 @@ object ScaleQueries {
     (s, d) => {
       val keys = orders(s, d)
         .where(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
-      // expectedItems from domain knowledge (~1/15 of orders qualify):
-      // right-sizing keeps the filter bits — which ride in the plan and
-      // every task binary — proportional to the real key count
+      // AutoSize: one approx_count_distinct pre-pass sizes the filter
+      // from the ACTUAL qualifying-key cardinality — a fixed guess
+      // (4096 previously) silently degrades the observed fpp the day
+      // the key set outgrows it, and at 100 TB it always does
       BloomJoin
-        .bloomSemiJoin(lineitem(s, d), keys, "l_orderkey", "o_orderkey",
-          expectedItems = 4096)
+        .bloomSemiJoin(lineitem(s, d), keys, "l_orderkey", "o_orderkey")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_items"), revenueExpr.as("revenue"))
         .orderBy("l_returnflag")

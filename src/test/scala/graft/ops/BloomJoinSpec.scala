@@ -62,6 +62,32 @@ class BloomJoinSpec extends SparkSpec {
     assert(semi + anti == fact.count())
   }
 
+  test("AutoSize keeps the observed fpp near nominal where a fixed 4096 guess degrades") {
+    // 40k keys — 10x the old fixed guess. Probe with 200k disjoint
+    // non-members and measure the PRE-FILTER pass rate directly.
+    val ks = (1L to 40000L).map(_ * 2L).toDF("k") // even keys
+    val probes = (1L to 200000L).map(_ * 2L + 1L).toDF("p") // odd: all non-members
+    val auto = BloomJoin.buildBloom(ks, "k", BloomJoin.AutoSize, fpp = 0.01)
+    val fixed = BloomJoin.buildBloom(ks, "k", 4096L, fpp = 0.01)
+    val autoFp = probes.where(BloomJoin.mightContain(auto, col("p"))).count().toDouble / 200000
+    val fixedFp = probes.where(BloomJoin.mightContain(fixed, col("p"))).count().toDouble / 200000
+    assert(autoFp <= 0.03, s"auto-sized observed fpp $autoFp should be ~nominal 0.01")
+    assert(fixedFp > 0.10, s"undersized filter should be degraded, got $fixedFp")
+    // and no false negatives either way (the sketch contract)
+    assert(ks.where(!BloomJoin.mightContain(auto, col("k"))).isEmpty)
+  }
+
+  test("non-integral key columns fail loudly instead of returning wrong results") {
+    val fact = Seq((1L, "a")).toDF("k", "v")
+    val strKeys = Seq("x", "y").toDF("key")
+    intercept[IllegalArgumentException](BloomJoin.buildBloom(strKeys, "key", 16))
+    intercept[IllegalArgumentException](
+      BloomJoin.bloomSemiJoin(fact, strKeys, "k", "key"))
+    val strFact = Seq(("1", "a")).toDF("k", "v")
+    intercept[IllegalArgumentException](
+      BloomJoin.bloomAntiJoin(strFact, Seq(1L).toDF("key"), "k", "key"))
+  }
+
   test("q90 MAD fixture: hand-computed robust gate") {
     val df = Seq(
       ("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 100.0),
