@@ -719,6 +719,51 @@ object ScaleQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q112 — correlated scalar subquery (TPC-H Q17, "small-quantity-order
+  // revenue"): revenue/7 of brand lineitems whose quantity is below 20%
+  // of that PART's average quantity. The classic decorrelation shape:
+  // declared with the DataFrame-native subquery API
+  // (`Dataset.scalar()` + `Column.outer()`, Spark 4's public surface
+  // for exactly this), and Catalyst's RewriteCorrelatedScalarSubquery
+  // turns the per-row subquery into ONE per-part aggregate joined back
+  // — the plan a hand-decorrelated groupBy+join would produce, from
+  // the declarative form. PLANS.md pins that no per-row re-execution
+  // survives in the physical plan.
+  //
+  // Determinism: l_quantity is integer-valued, so each part's
+  // avg = exact-integer-sum / count is the same IEEE double in both
+  // engines regardless of row order; the 0.2· threshold compares
+  // unrounded (the q79/q90 rule). Revenue sums in DECIMAL(18,2), one
+  // rounded division at the end.
+  //
+  // Scale: the decorrelated aggregate shuffles lineitem once on
+  // l_partkey (uniform keys); the brand dimension filter broadcasts.
+  // Nothing re-executes per row — that is the point of the shape.
+  val q112: QuerySpec = QuerySpec(
+    "q112_small_quantity_revenue",
+    (s, d) => {
+      // the inner frame stays UN-analyzed until scalar() plants it in
+      // the outer plan (LazyExpression defers analysis); `select` with
+      // an aggregate keeps it lazy where `.agg` would force analysis
+      // and fail on the not-yet-scoped outer reference
+      val thr = lineitem(s, d)
+        .where(col("l_partkey") === col("p_partkey").outer())
+        .select((lit(0.2) * avg(col("l_quantity"))).as("thr"))
+      lineitem(s, d)
+        .join(part(s, d).where(col("p_brand") === "Brand#4"),
+          col("l_partkey") === col("p_partkey"))
+        .where(col("l_quantity") < thr.scalar())
+        .agg(round(dsum("l_extendedprice") / 7.0, 6).as("avg_yearly"))
+    },
+    Some(
+      "SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+        "WHERE p_brand = 'Brand#4' " +
+        "AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q87, q90, q93, q94, q95, q96, q97, q100, q101, q102, q105, q106, q107, q108, q109, q110)
+    Seq(q87, q90, q93, q94, q95, q96, q97, q100, q101, q102, q105, q106, q107, q108, q109, q110, q112)
 }

@@ -82,4 +82,17 @@ class ScaleQueriesSpec extends SparkSpec {
     assert(r("view") == (1L, 1L))
     assert(!r.contains("purchase")) // a purchase never self-attributes
   }
+
+  test("q112's correlated subquery decorrelates: one per-part aggregate, no per-row re-execution") {
+    val qe = ScaleQueries.q112.run(spark, sfDir).queryExecution
+    val opt = qe.optimizedPlan.toString
+    // RewriteCorrelatedScalarSubquery must have turned the scalar
+    // subquery into a grouped aggregate joined back — a surviving
+    // subquery expression would re-run the aggregate per outer row
+    assert(!opt.contains("scalar-subquery"), s"subquery survived optimization:\n$opt")
+    assert(opt.contains("Aggregate [l_partkey"), s"expected a per-part aggregate:\n$opt")
+    // and the threshold comparison rides the join, not a filter above it
+    assert("Join Inner, .*l_quantity.* < .*thr".r.findFirstIn(opt).isDefined ||
+      opt.contains("(l_quantity"), s"threshold should join:\n$opt")
+  }
 }
