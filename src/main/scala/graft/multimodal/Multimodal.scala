@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   *  - partition sizing: media blobs are large, so callers should
   *    `repartition` by byte budget, not row count ([[byByteBudget]]).
   *
-  * The codec itself is STUBBED: this container has no image/audio
-  * libraries, so [[MediaDecoder.real]] is an intentional `???` and
-  * tests/pipelines plug [[MediaDecoder.deterministicStub]], which
-  * derives stable pseudo-content from the payload bytes.
+  * Decoding reality: [[MediaDecoder.real]] parses WAV and BMP with
+  * pure-JVM header/sample math ([[PureJvmMedia]] — no codec library
+  * needed for those containers) and throws loudly for formats that do
+  * need codecs absent here (jpeg/png/mp3/mp4). Tests and pipelines can
+  * also plug [[MediaDecoder.deterministicStub]], which derives stable
+  * pseudo-content from payload bytes regardless of format.
   */
 object Multimodal {
 
@@ -48,20 +50,61 @@ object Multimodal {
   )
 
   /** A per-partition-instantiable decoder. `decode` maps raw bytes to
-    * (width, height, frames, embedding).
+    * (width, height, frames, embedding); for audio the convention is
+    * (sample rate Hz, channels, PCM frame count, pooled features).
+    * `durationMs`/`sliceAudio` drive [[chunkAudio]]: defaults keep the
+    * stub's bytes≈ms model; format-aware decoders override with real
+    * header math.
     */
   trait MediaDecoder extends Serializable {
     def decode(kind: String, format: String, bytes: Array[Byte]): (Int, Int, Int, Array[Float])
+
+    /** Audio duration in ms; default is the stub's 1 byte ≈ 1 ms model. */
+    def durationMs(kind: String, format: String, bytes: Array[Byte]): Int = bytes.length
+
+    /** Extract the [startMs, endMs) audio range as a standalone payload;
+      * default is the stub's byte-slice model.
+      */
+    def sliceAudio(format: String, bytes: Array[Byte], startMs: Int, endMs: Int): Array[Byte] =
+      bytes.slice(startMs, endMs)
   }
 
   object MediaDecoder {
 
-    /** STUB — the real decoder needs codec libraries absent from this
-      * environment (javax.imageio alone can't cover audio/video, and no
-      * model runtime is installed). Production would construct e.g. an
-      * ONNX/JNI session here.
+    /** The real decoder: pure-JVM parsers for the container formats that
+      * need no codec library — WAV (RIFF chunk walk + PCM samples) and
+      * BMP (BITMAPINFOHEADER + padded pixel rows) — and a LOUD
+      * `UnsupportedOperationException` for formats that genuinely need
+      * codecs absent from this environment (jpeg/png/mp3/mp4/...;
+      * production would construct an ONNX/JNI session here). Embeddings
+      * are block-pooled content means, so identical content ⇒ identical
+      * embedding and the near-dup cascade works on real bytes.
       */
-    def real: MediaDecoder = ??? // STUB: no codec/model libraries in this container
+    def real(embeddingDim: Int = 8): MediaDecoder = new MediaDecoder {
+      def decode(kind: String, format: String, bytes: Array[Byte]): (Int, Int, Int, Array[Float]) =
+        format.toLowerCase match {
+          case "wav" =>
+            val w = PureJvmMedia.parseWav(bytes)
+            (w.sampleRate, w.channels, w.frames, PureJvmMedia.wavEmbedding(bytes, w, embeddingDim))
+          case "bmp" =>
+            val b = PureJvmMedia.parseBmp(bytes)
+            (b.width, b.height, 1, PureJvmMedia.bmpEmbedding(bytes, b, embeddingDim))
+          case other =>
+            throw new UnsupportedOperationException(
+              s"format '$other' needs a codec library not present in this environment " +
+                "(pure-JVM decode covers wav and bmp)")
+        }
+
+      override def durationMs(kind: String, format: String, bytes: Array[Byte]): Int =
+        if (format.equalsIgnoreCase("wav")) {
+          val w = PureJvmMedia.parseWav(bytes)
+          ((w.frames.toLong * 1000L) / math.max(1, w.sampleRate)).toInt
+        } else super.durationMs(kind, format, bytes)
+
+      override def sliceAudio(format: String, bytes: Array[Byte], startMs: Int, endMs: Int): Array[Byte] =
+        if (format.equalsIgnoreCase("wav")) PureJvmMedia.sliceWav(bytes, startMs, endMs)
+        else super.sliceAudio(format, bytes, startMs, endMs)
+    }
 
     /** Deterministic fake: dimensions and embedding are stable functions
       * of the payload bytes, so pipelines and tests behave like the real
@@ -266,14 +309,16 @@ object Multimodal {
         it.flatMap { r =>
           if (r.kind != "audio") Iterator.empty
           else {
-            decoder.decode(r.kind, r.format, r.bytes) // real decoder: header parse
-            val durMs = r.bytes.length // STUB duration model: 1 byte ≈ 1 ms
+            // duration and slicing are the decoder's business: the stub
+            // keeps its bytes≈ms model, the real decoder reads the WAV
+            // header and cuts PCM-frame-aligned standalone chunks
+            val durMs = decoder.durationMs(r.kind, r.format, r.bytes)
             // empty/corrupt payload → zero chunks (not one phantom 0-ms chunk)
             val starts = (0 until durMs by hopMs).iterator
             starts.zipWithIndex.map { case (start, idx) =>
               val end = math.min(start + chunkMs, durMs)
               (r.media_id, idx, start, end - start,
-                r.bytes.slice(start, end)) // STUB slice ≙ sample-range extract
+                decoder.sliceAudio(r.format, r.bytes, start, end))
             }
           }
         }

@@ -72,8 +72,80 @@ class MultimodalSpec extends SparkSpec {
       again.map(r => (r.media_id, r.width, r.height, r.bytes.length)).toSeq)
   }
 
-  test("real decoder is an explicit stub") {
-    intercept[NotImplementedError](MediaDecoder.real)
+  test("real decoder parses a synthesized 16-bit PCM WAV: rate/channels/frames/duration") {
+    import MultimodalSpec.buildWav
+    // 1 second, 8kHz mono sine-ish ramp
+    val wav = buildWav(sampleRate = 8000, channels = 1,
+      samples = Array.tabulate(8000)(i => (math.sin(i * 0.05) * 20000).toShort))
+    val dec = MediaDecoder.real(8)
+    val (rate, ch, frames, emb) = dec.decode("audio", "wav", wav)
+    assert((rate, ch, frames) == (8000, 1, 8000))
+    assert(dec.durationMs("audio", "wav", wav) == 1000)
+    assert(emb.length == 8)
+    // identical content => identical embedding; different content differs
+    val again = dec.decode("audio", "wav", wav)._4
+    assert(emb.toSeq == again.toSeq)
+    val other = buildWav(8000, 1, Array.tabulate(8000)(i => (math.cos(i * 0.11) * 15000).toShort))
+    assert(dec.decode("audio", "wav", other)._4.toSeq != emb.toSeq)
+  }
+
+  test("real decoder parses BMP; bottom-up and top-down rows embed identically") {
+    import MultimodalSpec.buildBmp
+    def gray(x: Int, y: Int): Int = if (y < 4) 32 else 224 // dark top, bright bottom
+    val up = buildBmp(5, 8, topDown = false, gray)
+    val down = buildBmp(5, 8, topDown = true, gray)
+    val dec = MediaDecoder.real(4)
+    val (w, h, frames, embUp) = dec.decode("image", "bmp", up)
+    assert((w, h, frames) == (5, 8, 1))
+    // content-defined embedding: row direction is container detail only
+    assert(embUp.toSeq == dec.decode("image", "bmp", down)._4.toSeq)
+    // top-down order: first band dark (< 0.2), last bright (> 0.8)
+    assert(embUp.head < 0.2f && embUp.last > 0.8f, embUp.toSeq.toString)
+  }
+
+  test("real decoder fails loudly on codec-needing formats") {
+    val dec = MediaDecoder.real()
+    intercept[UnsupportedOperationException](dec.decode("image", "png", Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException](dec.decode("audio", "wav", Array[Byte](1, 2, 3)))
+  }
+
+  test("chunkAudio with the real decoder cuts frame-aligned standalone WAV chunks") {
+    import MultimodalSpec.buildWav
+    val wav = buildWav(sampleRate = 1000, channels = 2,
+      samples = Array.tabulate(1000)(i => (i * 13 % 5000).toShort)) // 1000ms stereo
+    val ds = spark.createDataset(Seq(MediaRecord(7L, "audio", "wav", 0, 0, wav)))
+    val chunks = chunkAudio(ds, chunkMs = 300, hopMs = 200, () => MediaDecoder.real())
+      .collect().sortBy(_.getAs[Int]("chunk_idx"))
+    assert(chunks.length == 5) // starts 0,200,400,600,800
+    chunks.foreach { c =>
+      val start = c.getAs[Int]("start_ms")
+      val dur = c.getAs[Int]("dur_ms")
+      assert(dur == math.min(start + 300, 1000) - start)
+      // each chunk re-containerizes as a VALID standalone wav with
+      // exactly dur worth of frames at the source rate and channels
+      val info = PureJvmMedia.parseWav(c.getAs[Array[Byte]]("chunk_bytes"))
+      assert(info.sampleRate == 1000 && info.channels == 2)
+      assert(info.frames == dur) // 1000 Hz → 1 frame per ms
+    }
+  }
+
+  test("mediaNearDupPairs finds planted copies over REAL wav/bmp bytes") {
+    import MultimodalSpec.{buildBmp, buildWav}
+    val rnd = new scala.util.Random(7)
+    val media = (0 until 10).map { i =>
+      if (i % 2 == 0)
+        MediaRecord(i.toLong, "audio", "wav", 0, 0,
+          buildWav(4000, 1, Array.tabulate(2000)(_ => (rnd.nextInt(40000) - 20000).toShort)))
+      else
+        MediaRecord(i.toLong, "image", "bmp", 0, 0,
+          buildBmp(6, 6, topDown = false, (_, _) => rnd.nextInt(256)))
+    }
+    val withDups = media ++ Seq(media(2).copy(media_id = 50L), media(3).copy(media_id = 51L))
+    val pairs = mediaNearDupPairs(
+      spark.createDataset(withDups).repartition(3), 0.999, () => MediaDecoder.real(8))
+      .collect()
+    val found = pairs.map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    assert(found == Set((2L, 50L), (3L, 51L)), s"expected only planted dups, got $found")
   }
 
   test("chunkAudio: hop-overlapping chunks cover the full duration, audio rows only") {
@@ -190,5 +262,49 @@ object MultimodalSpec {
   def fixedFrames(n: Int): Multimodal.MediaDecoder = new Multimodal.MediaDecoder {
     def decode(kind: String, format: String, bytes: Array[Byte]): (Int, Int, Int, Array[Float]) =
       (16, 16, n, Array.fill(8)(0f))
+  }
+
+  /** Minimal canonical 16-bit PCM WAV: 44-byte header + interleaved
+    * samples (every channel carries the same sample value).
+    */
+  def buildWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val blockAlign = channels * 2
+    val dataLen = samples.length * blockAlign
+    val out = new java.io.ByteArrayOutputStream(44 + dataLen)
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    ascii("RIFF"); w32(36 + dataLen); ascii("WAVE")
+    ascii("fmt "); w32(16); w16(1); w16(channels); w32(sampleRate)
+    w32(sampleRate * blockAlign); w16(blockAlign); w16(16)
+    ascii("data"); w32(dataLen)
+    samples.foreach(s => (0 until channels).foreach(_ => w16(s & 0xffff)))
+    out.toByteArray
+  }
+
+  /** Minimal 24-bpp BI_RGB BMP; `gray(x, y)` in TOP-DOWN coordinates
+    * regardless of `topDown` (the container's row direction flips, the
+    * content does not).
+    */
+  def buildBmp(width: Int, height: Int, topDown: Boolean, gray: (Int, Int) => Int): Array[Byte] = {
+    val stride = ((width * 24 + 31) / 32) * 4
+    val dataLen = stride * height
+    val out = new java.io.ByteArrayOutputStream(54 + dataLen)
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    out.write('B'); out.write('M'); w32(54 + dataLen); w32(0); w32(54)
+    w32(40); w32(width); w32(if (topDown) -height else height)
+    w16(1); w16(24); w32(0); w32(dataLen); w32(2835); w32(2835); w32(0); w32(0)
+    val rows = if (topDown) 0 until height else (height - 1) to 0 by -1
+    rows.foreach { y =>
+      var written = 0
+      (0 until width).foreach { x =>
+        val g = gray(x, y) & 0xff
+        out.write(g); out.write(g); out.write(g) // B, G, R
+        written += 3
+      }
+      while (written < stride) { out.write(0); written += 1 }
+    }
+    out.toByteArray
   }
 }
