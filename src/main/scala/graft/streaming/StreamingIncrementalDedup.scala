@@ -56,7 +56,90 @@ object StreamingIncrementalDedup {
       struct(lit(b).as("band"), xxhash64(comps: _*).as("bkey"))
     }: _*)
 
-  /** @param base   static (doc_id, text) corpus frame
+  /** The static base side's two frames: band keys for candidate
+    * generation and shingle sets for exact verification.
+    *
+    * Two provenances, one contract:
+    *  - [[BaseState.fromCorpus]] computes both from (doc_id, text) and
+    *    pins them with `localCheckpoint` — convenient and
+    *    self-contained, but localCheckpoint blocks live on executors
+    *    (NON-reliable storage): losing an executor mid-stream loses
+    *    blocks and fails a long-running query. Fine for tests and
+    *    short-lived streams.
+    *  - [[BaseState.fromTables]] wraps PERSISTED signature tables (the
+    *    ledger pattern — the batch cascade's append-only state written
+    *    to parquet/ORC). This is the production path: every micro-batch
+    *    re-reads reliable storage, no executor-memory lifetime couples
+    *    to the stream's.
+    */
+  final case class BaseState(bandKeys: DataFrame, shingleSets: DataFrame)
+
+  object BaseState {
+
+    /** Compute base state from a (doc_id, text) corpus frame, pinned
+      * with eager localCheckpoints (computed once at plan time, re-read
+      * as blocks by every micro-batch). See the durability caveat on
+      * [[BaseState]].
+      */
+    def fromCorpus(
+        base: DataFrame,
+        shingleK: Int = 3,
+        k: Int = 64,
+        bands: Int = 16,
+        rowsPerBand: Int = 4,
+    ): BaseState = {
+      require(bands * rowsPerBand <= k)
+      val shB = TextPipeline.withDocCounts(TextPipeline.docShingles(base, shingleK))
+        .localCheckpoint(eager = true)
+      val bandB = TextPipeline
+        .bandKeys(TextPipeline.minHashSignatures(shB.select("doc_id", "s"), k), bands, rowsPerBand)
+        .select(col("doc_id").as("base_doc"), col("band"), col("bkey"))
+        .localCheckpoint(eager = true)
+      val baseSets = shB
+        .groupBy(col("doc_id").as("base_doc"))
+        .agg(collect_set(col("s")).as("base_set"))
+        .localCheckpoint(eager = true)
+      BaseState(bandB, baseSets)
+    }
+
+    /** Wrap pre-materialized signature tables (reliable storage — the
+      * production path for long-lived streams). `bandKeys` must carry
+      * (base_doc, band, bkey) and `shingleSets` (base_doc, base_set),
+      * produced by the SAME hash composition as the batch cascade
+      * (minHashSignatures/bandKeys) or band keys will never collide.
+      */
+    def fromTables(bandKeys: DataFrame, shingleSets: DataFrame): BaseState = {
+      Seq("base_doc", "band", "bkey").foreach(c =>
+        require(bandKeys.columns.contains(c), s"bandKeys missing column '$c'"))
+      Seq("base_doc", "base_set").foreach(c =>
+        require(shingleSets.columns.contains(c), s"shingleSets missing column '$c'"))
+      BaseState(bandKeys, shingleSets)
+    }
+  }
+
+  /** Self-contained form: computes base state from the corpus frame
+    * (localCheckpoint durability caveat applies — see [[BaseState]]).
+    */
+  def crossDupStream(
+      base: DataFrame,
+      stream: DataFrame,
+      lateness: String,
+      shingleK: Int,
+      k: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      threshold: Double,
+  ): DataFrame =
+    crossDupStream(
+      BaseState.fromCorpus(base, shingleK, k, bands, rowsPerBand),
+      stream, lateness, shingleK, k, bands, rowsPerBand, threshold)
+
+  def crossDupStream(base: DataFrame, stream: DataFrame): DataFrame =
+    crossDupStream(base, stream, "10 minutes", 3, 64, 16, 4, 0.5)
+
+  /** @param state  the base side's band-key and shingle-set frames —
+    *               [[BaseState.fromTables]] over persisted signature
+    *               tables for long-lived streams
     * @param stream streaming (doc_id, text, ts) frame — `ts` is the
     *               event-time column the result's dedup watermark rides
     * @return append-mode streaming frame of
@@ -64,7 +147,7 @@ object StreamingIncrementalDedup {
     *         at or above `threshold`
     */
   def crossDupStream(
-      base: DataFrame,
+      state: BaseState,
       stream: DataFrame,
       lateness: String = "10 minutes",
       shingleK: Int = 3,
@@ -74,18 +157,8 @@ object StreamingIncrementalDedup {
       threshold: Double = 0.5,
   ): DataFrame = {
     require(bands * rowsPerBand <= k)
-    // Static side, materialized once (eager checkpoint = computed at
-    // plan time, re-read as blocks by every micro-batch).
-    val shB = TextPipeline.withDocCounts(TextPipeline.docShingles(base, shingleK))
-      .localCheckpoint(eager = true)
-    val bandB = TextPipeline
-      .bandKeys(TextPipeline.minHashSignatures(shB.select("doc_id", "s"), k), bands, rowsPerBand)
-      .select(col("doc_id").as("base_doc"), col("band"), col("bkey"))
-      .localCheckpoint(eager = true)
-    val baseSets = shB
-      .groupBy(col("doc_id").as("base_doc"))
-      .agg(collect_set(col("s")).as("base_set"))
-      .localCheckpoint(eager = true)
+    val bandB = state.bandKeys.select("base_doc", "band", "bkey")
+    val baseSets = state.shingleSets.select("base_doc", "base_set")
 
     val arrivals = stream
       .withColumn("shing", array_distinct(TF.wordShingles(col("text"), shingleK)))

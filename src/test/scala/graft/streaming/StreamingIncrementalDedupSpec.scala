@@ -64,6 +64,46 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("persisted-table base state matches the from-corpus path (the long-lived-stream form)") {
+    val docs = graft.ops.Tables.documents(spark, sfDir).select("doc_id", "text").limit(120)
+    val isInc = substring(md5(concat(lit("graft-batch:"), col("doc_id").cast("string"))), 1, 2) >= "c0"
+    val base = docs.where(!isInc)
+    val incoming = docs.where(isInc).as[(Long, String)].collect()
+
+    // persist the batch cascade's signature state to RELIABLE storage,
+    // then run the stream off the tables — no localCheckpoint lifetime
+    val st = StreamingIncrementalDedup.BaseState.fromCorpus(base)
+    val dir = java.nio.file.Files.createTempDirectory("dedupstate").toString
+    st.bandKeys.write.mode("overwrite").parquet(s"$dir/band_keys")
+    st.shingleSets.write.mode("overwrite").parquet(s"$dir/shingle_sets")
+    val fromTables = StreamingIncrementalDedup.BaseState.fromTables(
+      spark.read.parquet(s"$dir/band_keys"), spark.read.parquet(s"$dir/shingle_sets"))
+
+    implicit val ctx = spark.sqlContext
+    def run(state: StreamingIncrementalDedup.BaseState, name: String): Set[(Long, Long, Double)] = {
+      val in = MemoryStream[Arriving]
+      val q = StreamingIncrementalDedup.crossDupStream(state, in.toDF())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      in.addData(incoming.map { case (id, t) => Arriving(id, t, ts("2024-01-01 10:00:00")) }.toSeq)
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).select(col("incoming_doc"), col("base_doc"), round(col("jac"), 4))
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    assert(run(fromTables, "incdedup_tbl_t") == run(st, "incdedup_corp_t"))
+  }
+
+  test("fromTables validates the signature-table contract loudly") {
+    val bad = Seq((1L, 2)).toDF("base_doc", "band") // bkey missing
+    val sets = Seq((1L, Seq("a b c"))).toDF("base_doc", "base_set")
+    intercept[IllegalArgumentException](
+      StreamingIncrementalDedup.BaseState.fromTables(bad, sets))
+    intercept[IllegalArgumentException](
+      StreamingIncrementalDedup.BaseState.fromTables(
+        Seq((1L, 2, 3L)).toDF("base_doc", "band", "bkey"),
+        sets.drop("base_set")))
+  }
+
   test("a doc colliding in several bands emits exactly once") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val base = Seq((1L, shared)).toDF("doc_id", "text")
