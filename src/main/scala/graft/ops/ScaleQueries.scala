@@ -635,9 +635,16 @@ object ScaleQueries {
   // order, so assignment is identical in both engines (plain ntile
   // ties are assignment-nondeterministic, the q80/q83 lesson).
   //
-  // Scale: one customer-keyed aggregation of orders, then three
-  // [[Ranks.withGlobalRank]] passes — range-shuffled, parallel — with
-  // ntile(4) recovered by [[Ranks.ntileFromRank]]'s rank arithmetic.
+  // Scale: one customer-keyed aggregation of orders, then ONE
+  // [[Ranks.withGlobalRank]] pass — range-shuffled, parallel — over
+  // the three measures STACKED into a single frame (explode to
+  // (measure_id, value, custkey); descending measures negate their
+  // value, which preserves order exactly). Under the total order
+  // (measure_id, value, custkey) every row of measure i has exactly
+  // i·n rows of earlier measures before it, so the per-measure rank is
+  // just global_rank − measure_id·n — three rankings for the fixed
+  // cost (boundary sample, shuffle, checkpoint pin, offset pass) of
+  // one. ntile(4) is then [[Ranks.ntileFromRank]]'s rank arithmetic.
   // The customer frame grows linearly with the business, so the
   // earlier unpartitioned-ntile form (one task sorting every customer,
   // three times) was the q67 bottleneck at 100 TB; the rank form keeps
@@ -660,17 +667,25 @@ object ScaleQueries {
         .withColumn("rec_days",
           datediff(col("mx").cast("date"), col("last_o").cast("date")).cast("long"))
       val n = scored.agg(count(lit(1)).as("__n")) // 1-row customer count
-      val ranked = Seq[(String, Seq[org.apache.spark.sql.Column])](
-        "r_rank" -> Seq(col("rec_days"), col("o_custkey")),
-        "f_rank" -> Seq(col("freq").desc, col("o_custkey")),
-        "m_rank" -> Seq(col("monetary").desc, col("o_custkey")),
-      ).foldLeft(scored) { case (df, (out, ord)) => Ranks.withGlobalRank(df, ord, out) }
-      ranked
+      // stack: r = rec_days asc, f = freq desc, m = monetary desc
+      // (negation ≡ descending — no NaN/±0 among these measures)
+      val stacked = scored.select(
+        col("o_custkey"),
+        explode(array(
+          struct(lit(0L).as("mid"), col("rec_days").cast("double").as("v")),
+          struct(lit(1L).as("mid"), (-col("freq")).cast("double").as("v")),
+          struct(lit(2L).as("mid"), (-col("monetary")).cast("double").as("v")),
+        )).as("e"))
+        .select(col("o_custkey"), col("e.mid").as("mid"), col("e.v").as("v"))
+      Ranks.withGlobalRank(stacked, Seq(col("mid"), col("v"), col("o_custkey")), "grank")
         .crossJoin(n)
-        .select(
-          Ranks.ntileFromRank(col("r_rank"), col("__n"), 4).as("r"),
-          Ranks.ntileFromRank(col("f_rank"), col("__n"), 4).as("f"),
-          Ranks.ntileFromRank(col("m_rank"), col("__n"), 4).as("m"))
+        .withColumn("bucket",
+          Ranks.ntileFromRank(col("grank") - col("mid") * col("__n"), col("__n"), 4))
+        .groupBy("o_custkey")
+        .agg(
+          max(when(col("mid") === 0L, col("bucket"))).as("r"),
+          max(when(col("mid") === 1L, col("bucket"))).as("f"),
+          max(when(col("mid") === 2L, col("bucket"))).as("m"))
         .groupBy("r", "f", "m")
         .agg(count(lit(1)).as("n_customers"))
         .orderBy("r", "f", "m")
