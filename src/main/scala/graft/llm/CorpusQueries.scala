@@ -447,5 +447,62 @@ object CorpusQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q88, q89, q91, q92, q98, q99, q103, q104, q111)
+  // ---------------------------------------------------------------------
+  // q117 — benchmark decontamination by exact 13-gram overlap (the
+  // GPT-3/PaLM protocol): treating one source as the held-out
+  // benchmark, what fraction of each training doc's DISTINCT word
+  // 13-grams appears verbatim in the benchmark — reported per source
+  // as doc counts, flagged count (majority overlap), and the max
+  // overlap ratio. q75 removes exact-prefix matches; this is the
+  // industry-standard n-gram membership form that catches contaminated
+  // docs whose prefixes differ.
+  //
+  // Determinism: the flag compare is integer (2·hits > grams, never a
+  // float threshold on a boundary); the reported ratio is one integer
+  // division, bit-identical cross-engine; grams tokenize on the same
+  // single-space split in both engines.
+  //
+  // Scale: grams come from the q41 shingle machinery (index-explode,
+  // executor-local, one distinct exchange). The benchmark side is
+  // BENCHMARK-sized — fixed as the corpus grows — so its distinct
+  // grams broadcast and the training side never shuffles on the wide
+  // gram strings; per-doc hit counting is a map-side-combined
+  // aggregate. (At petabyte corpora one would join on xxhash64(gram)
+  // and verify — kept exact-string here because the oracle IS the
+  // exactness proof.)
+  val q117: QuerySpec = QuerySpec(
+    "q117_benchmark_decontaminate",
+    (s, d) => {
+      val docs = documents(s, d)
+      val grams = TextPipeline.docShingles(docs.select("doc_id", "text"), 13)
+        .join(docs.select("doc_id", "source"), "doc_id")
+      val bench = grams.where(col("source") === "src0")
+        .select(col("s")).distinct()
+        .withColumn("hit", lit(1))
+      grams.where(col("source") =!= "src0")
+        .join(broadcast(bench), Seq("s"), "left")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hits"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_hits") * 2 > col("n_grams"), 1L).otherwise(0L)).as("n_contaminated"),
+          round(max(col("n_hits").cast("double") / col("n_grams")), 4).as("max_overlap"))
+        .orderBy("source")
+    },
+    Some(
+      "WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, source, array_to_string(ws[i:i+12], ' ') AS gram " +
+        "FROM w, UNNEST(generate_series(1, len(ws) - 12)) t(i) WHERE len(ws) >= 13), " +
+        "b AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'), " +
+        "c AS (SELECT g.doc_id, g.source, count(*) AS n_grams, count(b.gram) AS n_hits " +
+        "FROM g LEFT JOIN b USING (gram) WHERE g.source <> 'src0' GROUP BY 1, 2) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN n_hits * 2 > n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated, " +
+        "round(max(n_hits * 1.0 / n_grams), 4) AS max_overlap " +
+        "FROM c GROUP BY 1 ORDER BY source"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q88, q89, q91, q92, q98, q99, q103, q104, q111, q117)
 }

@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** q113–q116: the classic subquery shapes (TPC-H Q4/Q18/Q22/Q15) the
+  * inventory gained after q112's correlated scalar — EXISTS, IN over
+  * HAVING, NOT EXISTS plus an above-average gate, and max-over-
+  * aggregate. Each is declared in the Spark-native form Catalyst
+  * rewrites the SQL subquery INTO (semi/anti joins, aggregate-then-
+  * join), so the plan is the decorrelated one by construction and the
+  * DuckDB oracle proves the semantics match the subquery SQL.
+  */
+object SubqueryQueries {
+  import Exact._
+  import Tables._
+
+  // ---------------------------------------------------------------------
+  // q113 — EXISTS (TPC-H Q4 shape): orders in one quarter having at
+  // least one lineitem shipped more than 60 days after the order date
+  // (this schema carries no commit/receipt dates — "late" is
+  // ship-lag), counted per priority.
+  //
+  // Scale: the date window is pushed into the orders scan (un-cast
+  // timestamp compare, the q02 rule); EXISTS is a LEFT SEMI join on
+  // l_orderkey with the 60-day lag as residual condition — one
+  // uniform-key shuffle pair, the semi join emits each order at most
+  // once however many late lineitems it has; the rollup key space is
+  // the 5 priorities.
+  val q113: QuerySpec = QuerySpec(
+    "q113_priority_late_orders",
+    (s, d) => {
+      val o = orders(s, d).where(
+        col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      o.join(
+        lineitem(s, d).select("l_orderkey", "l_shipdate"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+    Some(
+      "SELECT o_orderpriority, count(*) AS n_orders FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01' " +
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
+        "AND l_shipdate > o_orderdate + INTERVAL 60 DAY) " +
+        "GROUP BY 1 ORDER BY o_orderpriority"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q114 — IN over HAVING (TPC-H Q18 shape): orders whose total
+  // quantity exceeds 300, with the customer attached — the
+  // "large-volume customer" report.
+  //
+  // Determinism: l_quantity is integer-valued; the total sums exactly
+  // in DECIMAL and outputs as BIGINT. Total ORDER BY (qty desc,
+  // orderkey).
+  //
+  // Scale: the IN-list is an aggregate on the fact's OWN join key —
+  // groupBy(l_orderkey) then filter, so qualification never carries
+  // the fact twice; qualifying keys (a tiny fraction) then semi-gate
+  // orders and the customer dim joins last, on the reduced frame.
+  val q114: QuerySpec = QuerySpec(
+    "q114_large_volume_orders",
+    (s, d) => {
+      val qual = lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .as("qty"))
+        .where(col("qty") > 300)
+        .select(col("l_orderkey"), col("qty").cast("long").as("total_qty"))
+      orders(s, d)
+        .join(qual, col("o_orderkey") === col("l_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_orderdate").cast("date").as("order_date"),
+          col("total_qty"))
+        .orderBy(desc("total_qty"), col("o_orderkey"))
+    },
+    Some(
+      "SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS order_date, " +
+        "CAST(q.qty AS BIGINT) AS total_qty " +
+        "FROM orders JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty " +
+        "FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300) q " +
+        "ON o_orderkey = q.l_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "ORDER BY total_qty DESC, o_orderkey"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q115 — NOT EXISTS + above-average gate (TPC-H Q22 shape):
+  // customers with above-average positive balance and no URGENT
+  // orders, rolled up per market segment.
+  //
+  // Determinism: the "above average" compare is exact integer-style
+  // decimal arithmetic — bal·n > total — never a float average whose
+  // summation order could flip a boundary row (the q79/q90 rule).
+  //
+  // Scale: the average rides a 1-row cross join (never a collect);
+  // NOT EXISTS is a LEFT ANTI join against the pre-filtered URGENT
+  // orders — the anti side carries only qualifying order keys, and
+  // the priority filter is pushed into its scan.
+  val q115: QuerySpec = QuerySpec(
+    "q115_inactive_above_avg",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+      val c = customer(s, d)
+      val t = c.where(col("c_acctbal") > 0)
+        .agg(
+          sum(col("c_acctbal").cast(dec)).as("tot"),
+          count(lit(1)).as("n"))
+      c.crossJoin(t) // 1-row average anchor
+        .where(col("c_acctbal").cast(dec) * col("n") > col("tot"))
+        .join(
+          orders(s, d).where(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
+          col("o_custkey") === col("c_custkey"),
+          "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_custs"),
+          round(sum(col("c_acctbal").cast(dec)).cast("double"), 2).as("total_bal"))
+        .orderBy("c_mktsegment")
+    },
+    Some(
+      "WITH t AS (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS tot, count(*) AS n " +
+        "FROM customer WHERE c_acctbal > 0) " +
+        "SELECT c_mktsegment, count(*) AS n_custs, " +
+        "round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal " +
+        "FROM customer, t WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > tot " +
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderpriority = '1-URGENT') " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q116 — max over an aggregate (TPC-H Q15 shape): the top supplier(s)
+  // by lineitem revenue in one quarter. The classic "view + scalar max"
+  // — revenue aggregates once, its 1-row max broadcasts back as an
+  // equality gate (exact: revenue is DECIMAL, so the equality is safe
+  // cross-engine where a float sum would not be).
+  //
+  // Scale: one l_suppkey shuffle for the revenue aggregate (date
+  // filter pushed to the scan); the max re-enters as a broadcast,
+  // never a driver-side collect; the supplier dim joins the ≤handful
+  // of winners.
+  val q116: QuerySpec = QuerySpec(
+    "q116_top_supplier_revenue",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+      val rev = lineitem(s, d)
+        .where(
+          col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
+          .as("rev"))
+      val mx = rev.agg(max(col("rev")).as("mx"))
+      rev
+        .join(broadcast(mx), col("rev") === col("mx"))
+        .join(supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), round(col("rev").cast("double"), 4).as("revenue"))
+        .orderBy("s_suppkey")
+    },
+    Some(
+      "WITH r AS (SELECT l_suppkey, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01' " +
+        "GROUP BY 1) " +
+        "SELECT s_suppkey, s_name, round(CAST(rev AS DOUBLE), 4) AS revenue " +
+        "FROM r JOIN supplier ON s_suppkey = l_suppkey " +
+        "WHERE rev = (SELECT max(rev) FROM r) ORDER BY s_suppkey"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q113, q114, q115, q116)
+}
