@@ -99,6 +99,49 @@ object StreamingOps {
       .drop("__h")
   }
 
+  /** Stream-STREAM interval join (the q97 conversion shape live): each
+    * left event pairs with right events of the same key whose
+    * timestamp falls in [leftTs, leftTs + window] — view⋈purchase,
+    * impression⋈click, signup⋈conversion — with BOTH sides unbounded
+    * streams (the stream-static joins elsewhere in this package hold
+    * one side fixed; this one buffers both).
+    *
+    * State contract (the reason this shape survives an unbounded
+    * stream): both sides carry watermarks and the join condition
+    * bounds rightTs to a window of leftTs, so Spark's symmetric hash
+    * join evicts a buffered row as soon as the OTHER side's watermark
+    * passes the last instant it could still match — per-side state is
+    * O(events within lateness + window), never O(history).
+    *
+    * `leftOuter` additionally emits unmatched left events (null right
+    * columns) once eviction proves no match can arrive — supported
+    * precisely BECAUSE the time bound + watermark make "no match" a
+    * finalizable fact.
+    *
+    * Column names must be disjoint across sides (rename before
+    * calling — the returned frame carries both sides' columns).
+    */
+  def intervalJoinStreams(
+      left: DataFrame,
+      right: DataFrame,
+      key: (String, String),
+      ts: (String, String),
+      window: String = "30 minutes",
+      lateness: String = "10 minutes",
+      joinType: String = "inner",
+  ): DataFrame = {
+    require(joinType == "inner" || joinType == "leftOuter",
+      s"stream-stream interval join supports inner/leftOuter, got '$joinType'")
+    left
+      .withWatermark(ts._1, lateness)
+      .join(
+        right.withWatermark(ts._2, lateness),
+        col(key._1) === col(key._2) &&
+          col(ts._2) >= col(ts._1) &&
+          col(ts._2) <= col(ts._1) + expr(s"INTERVAL $window"),
+        joinType)
+  }
+
   /** q27 twin: session windows with a 30-minute gap per user —
     * `session_window` keeps per-user open-session state and emits when
     * the watermark passes the gap.

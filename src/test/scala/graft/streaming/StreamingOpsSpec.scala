@@ -146,4 +146,94 @@ class StreamingOpsSpec extends SparkSpec {
       (ts("2024-01-01 12:00:00"), 1L, 4.0),
     ))
   }
+
+  test("intervalJoinStreams: inner join pairs across micro-batches, window gates matches") {
+    implicit val ctx = spark.sqlContext
+    val views = MemoryStream[View]
+    val buys = MemoryStream[Buy]
+    val out = StreamingOps.intervalJoinStreams(
+      views.toDF(), buys.toDF(),
+      key = ("v_user", "b_user"), ts = ("v_ts", "b_ts"),
+      window = "30 minutes", lateness = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("ssj_inner_t").outputMode("append").start()
+
+    views.addData(
+      View(1L, ts("2024-01-01 10:00:00")),
+      View(2L, ts("2024-01-01 10:00:00")),
+      View(3L, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    // purchases arrive in a LATER micro-batch: user 1 inside the
+    // window, user 2 outside it, user 3 BEFORE the view (no match)
+    buys.addData(
+      Buy(1L, ts("2024-01-01 10:20:00")),
+      Buy(2L, ts("2024-01-01 11:20:00")),
+      Buy(3L, ts("2024-01-01 09:50:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ssj_inner_t").select("v_user", "b_ts")
+      .as[(Long, Timestamp)].collect().toSet
+    assert(got == Set((1L, ts("2024-01-01 10:20:00"))),
+      "only the in-window purchase pairs; both sides buffered across batches")
+  }
+
+  test("intervalJoinStreams: leftOuter emits unmatched views with nulls once eviction proves no match") {
+    implicit val ctx = spark.sqlContext
+    val views = MemoryStream[View]
+    val buys = MemoryStream[Buy]
+    val out = StreamingOps.intervalJoinStreams(
+      views.toDF(), buys.toDF(),
+      key = ("v_user", "b_user"), ts = ("v_ts", "b_ts"),
+      window = "30 minutes", lateness = "10 minutes", joinType = "leftOuter")
+    val q = out.writeStream.format("memory").queryName("ssj_outer_t").outputMode("append").start()
+
+    views.addData(View(1L, ts("2024-01-01 10:00:00")), View(2L, ts("2024-01-01 10:00:00")))
+    buys.addData(Buy(1L, ts("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past view+window+lateness so the
+    // unmatched view finalizes as a null-extended row
+    views.addData(View(99L, ts("2024-01-01 13:00:00")))
+    buys.addData(Buy(99L, ts("2024-01-01 13:00:01")))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ssj_outer_t").select("v_user", "b_user")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(got.contains((1L, Some(1L))), "matched pair emits")
+    assert(got.contains((2L, None)), "unmatched view must finalize with null right side")
+  }
+
+  test("intervalJoinStreams parity with the batch interval join on the events table") {
+    implicit val ctx = spark.sqlContext
+    val ev = graft.ops.Tables.events(spark, sfDir).select("user_id", "event_type", "ts")
+    val views = ev.where($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"ts".as("v_ts")).as[View].collect().toSeq
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id".as("b_user"), $"ts".as("b_ts")).as[Buy].collect().toSeq
+
+    val want = spark.createDataset(views).toDF()
+      .join(
+        spark.createDataset(purchases).toDF(),
+        $"v_user" === $"b_user" && $"b_ts" >= $"v_ts" &&
+          $"b_ts" <= $"v_ts" + org.apache.spark.sql.functions.expr("INTERVAL 30 MINUTES"))
+      .count()
+
+    val vIn = MemoryStream[View]
+    val bIn = MemoryStream[Buy]
+    val q = StreamingOps.intervalJoinStreams(
+      vIn.toDF(), bIn.toDF(),
+      key = ("v_user", "b_user"), ts = ("v_ts", "b_ts"),
+      window = "30 minutes", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("ssj_parity_t").outputMode("append").start()
+    vIn.addData(views)
+    bIn.addData(purchases)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(spark.table("ssj_parity_t").count() == want,
+      "stream-stream interval join must reproduce the batch join pair-for-pair")
+  }
 }
+
+case class View(v_user: Long, v_ts: Timestamp)
+case class Buy(b_user: Long, b_ts: Timestamp)
