@@ -11,7 +11,8 @@ object Registry {
   val all: Seq[QuerySpec] =
     RelationalQueries.all ++ graft.llm.LlmQueries.all ++ AnalyticQueries.all ++
       graft.llm.TrainingDataQueries.all ++ InteropQueries.all ++
-      ScaleQueries.all ++ graft.llm.CorpusQueries.all ++ SubqueryQueries.all
+      ScaleQueries.all ++ graft.llm.CorpusQueries.all ++ SubqueryQueries.all ++
+      TimeSeriesQueries.all
 
   val byName: Map[String, QuerySpec] = ListMap(all.map(q => q.name -> q): _*)
 
