@@ -12,7 +12,7 @@ object Registry {
     RelationalQueries.all ++ graft.llm.LlmQueries.all ++ AnalyticQueries.all ++
       graft.llm.TrainingDataQueries.all ++ InteropQueries.all ++
       ScaleQueries.all ++ graft.llm.CorpusQueries.all ++ SubqueryQueries.all ++
-      TimeSeriesQueries.all
+      TimeSeriesQueries.all ++ SketchQueries.all
 
   val byName: Map[String, QuerySpec] = ListMap(all.map(q => q.name -> q): _*)
 

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The three properties that justify shipping sketches instead of
+  * exact distincts: bounded error, exact mergeability (union of
+  * per-day sketches ≡ one-shot sketch — THE reaggregation story), and
+  * theta's set algebra estimating intersections HLL cannot.
+  */
+class SketchQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ev = Tables.events(spark, sfDir).select(
+    col("event_type"), col("user_id"), to_date(col("ts").cast("timestamp")).as("day"))
+
+  test("q119: HLL and theta estimates land within 5% of exact per event type") {
+    val rows = Registry.byName("q119_sketch_reach").run(spark, sfDir)
+      .select("event_type", "hll_users", "theta_users", "exact_users")
+      .as[(String, Long, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, hll, theta, exact) =>
+      assert(math.abs(hll - exact).toDouble / exact < 0.05, s"$t: hll=$hll exact=$exact")
+      assert(math.abs(theta - exact) / exact < 0.05, s"$t: theta=$theta exact=$exact")
+    }
+  }
+
+  test("union of per-day sketches equals the one-shot sketch — reaggregation without raw data") {
+    val daily = ev.groupBy("event_type", "day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val oneShot = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+    val m = merged.as[(String, Long)].collect().toMap
+    val o = oneShot.as[(String, Long)].collect().toMap
+    assert(m == o, s"merged-daily and one-shot estimates must be IDENTICAL: $m vs $o")
+  }
+
+  test("theta set algebra: view ∩ purchase audience within 10% of the exact overlap") {
+    val sk = ev.where(col("event_type").isin("view", "purchase"))
+      .groupBy("event_type").agg(theta_sketch_agg(col("user_id")).as("sk"))
+    val both = sk.agg(
+      theta_sketch_estimate(
+        theta_intersection(
+          max(when(col("event_type") === "view", col("sk"))),
+          max(when(col("event_type") === "purchase", col("sk"))))).as("est"))
+      .as[Double].head()
+    val exact = ev.where(col("event_type") === "view").select("user_id").distinct()
+      .intersect(ev.where(col("event_type") === "purchase").select("user_id").distinct())
+      .count()
+    assert(exact > 0, "fixture must have overlapping audiences")
+    assert(math.abs(both - exact) / exact < 0.10, s"theta∩=$both exact=$exact")
+  }
+}
