@@ -48,6 +48,20 @@ object Components {
     var labels = sym.select(col("a").as("v")).distinct()
       .withColumn("comp", col("v"))
       .localCheckpoint(eager = true)
+    // Convergence probe: per-vertex labels only ever DECREASE (min of
+    // a set containing the old label), so the exact label sum is
+    // strictly monotone in every changing round — sum equality ⇔ no
+    // label moved. One 1-row aggregate over the already-checkpointed
+    // frame, replacing the old prop⋈labels comparison join (one fewer
+    // shuffle job per round; at bench scale the per-round fixed costs
+    // ARE the operator's cost). DECIMAL(38,0): exact at any vertex-id
+    // magnitude and order-independent.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(
+        sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
     var round = 0
     var done = false
     while (!done && round < maxIter) {
@@ -56,12 +70,10 @@ object Components {
         .union(labels.select(col("v"), col("comp")))
         .groupBy("v").agg(min(col("comp")).as("comp"))
         .localCheckpoint(eager = true)
-      val changed = prop
-        .join(labels.select(col("v"), col("comp").as("prev")), "v")
-        .where(col("comp") =!= col("prev"))
-        .limit(1).count()
+      val s = labelSum(prop)
       labels = prop
-      done = changed == 0L
+      done = s.compareTo(prevSum) == 0
+      prevSum = s
       round += 1
     }
     require(done, s"connectedComponents did not converge in $maxIter rounds " +
