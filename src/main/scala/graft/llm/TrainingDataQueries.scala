@@ -356,6 +356,34 @@ object TrainingDataQueries {
   )
 
   // ---------------------------------------------------------------------
+  // q120 — q76's cluster rollup computed by the OTHER components
+  // algorithm: large-star/small-star contraction (Kiveris et al.) —
+  // the O(log² n)-round path for graphs whose diameter min-label
+  // propagation cannot afford. Labels are identical by construction
+  // (both emit the component's minimum vertex), so the oracle is
+  // q76's own recursive-closure SQL — the q99→q111 precedent again:
+  // the hash-match PROVES the scale-path algorithm reproduces the
+  // exact clustering on real data, not just on spec fixtures.
+  val q120: QuerySpec = QuerySpec(
+    "q120_clusters_star",
+    (s, d) => {
+      val pairs = TextPipeline
+        .dedupCascade(documents(s, d).select("doc_id", "text"))
+        .select(col("da"), col("db"))
+      graft.ops.Components.connectedComponentsStar(pairs, "da", "db")
+        .groupBy("comp")
+        .agg(count(lit(1)).as("n_docs"), max(col("v")).as("max_doc"))
+        .select(col("comp").as("keep_doc"), col("n_docs"), col("max_doc"))
+        .orderBy("keep_doc")
+    },
+    Some(
+      s"WITH RECURSIVE ${LlmQueries.shinglePairsCteSql}, $componentsCteSql " +
+        "SELECT comp AS keep_doc, count(*) AS n_docs, max(v) AS max_doc " +
+        "FROM comp GROUP BY 1 ORDER BY keep_doc"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
   // q77 — per-domain document cap: keep at most K docs per source,
   // selected by salted-hash rank — the "no domain dominates the mix"
   // curation rule, deterministic like q65/q66 (same doc survives every
@@ -536,5 +564,5 @@ object TrainingDataQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q65, q66, q68, q69, q70, q75, q76, q77, q78, q79, q86)
+  val all: Seq[QuerySpec] = Seq(q65, q66, q68, q69, q70, q75, q76, q77, q78, q79, q86, q120)
 }

@@ -139,23 +139,41 @@ object Components {
         .union(mins.select(col("u").as("a"), col("m").as("b")))
     }
 
+    // Fixpoint probe: every star-step output edge is attributable to
+    // an input edge (or per-vertex group) of ≥ sum — largeStar maps
+    // (u,v) to (v, m≤u); smallStar's per-u group of k re-attachments
+    // plus one min-edge sums to (v₁−u)(k−1) ≤ 0 versus its inputs —
+    // and canon's dedup only removes edges, whose sums are ≥ 0 once
+    // ids are non-negative. So the exact sum of (a+b) over the
+    // canonical edge set strictly DECREASES on any set change and is
+    // equal only at the fixed point: one 1-row aggregate per round
+    // instead of the previous count + anti-join pair (the propagation
+    // loop's label-sum trick). The non-negativity the argument needs
+    // is checked once, on the same initial aggregate, for free.
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def edgeSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum((col("a") + col("b")).cast(dec38))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
     var e = canon(edges.select(col(srcCol).as("a"), col(dstCol).as("b")))
       .localCheckpoint(eager = true)
-    var n = e.count()
+    val init = e.agg(
+      sum((col("a") + col("b")).cast(dec38)),
+      min(col("a")), count(lit(1))).head()
+    require(init.getLong(2) == 0L || init.get(1).asInstanceOf[Number].longValue() >= 0L,
+      "connectedComponentsStar's fixpoint probe requires non-negative vertex ids")
+    var prevSum = if (init.isNullAt(0)) java.math.BigDecimal.ZERO else init.getDecimal(0)
     var round = 0
-    var done = n == 0L
+    var done = init.getLong(2) == 0L
     while (!done && round < maxIter) {
       val next = canon(smallStar(largeStar(e))).localCheckpoint(eager = true)
-      val nNext = next.count()
-      // distinct canonical frames: equal count + empty one-sided diff ⇔ equal sets
-      done = nNext == n &&
-        next.join(e, Seq("a", "b"), "left_anti").limit(1).count() == 0L
+      val s = edgeSum(next)
+      done = s.compareTo(prevSum) == 0
       e = next
-      n = nNext
+      prevSum = s
       round += 1
     }
-    require(done || n == 0L,
-      s"connectedComponentsStar did not converge in $maxIter rounds")
+    require(done, s"connectedComponentsStar did not converge in $maxIter rounds")
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
     val labels = sym.groupBy("a").agg(min(col("b")).as("mb"))
       .select(col("a").as("v"), least(col("a"), col("mb")).as("comp"))
