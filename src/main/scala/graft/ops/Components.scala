@@ -65,11 +65,15 @@ object Components {
     var round = 0
     var done = false
     while (!done && round < maxIter) {
+      // lazy checkpoint: the probe aggregate below is the round's ONE
+      // action — it materializes the checkpoint blocks and reads the
+      // 1-row sum in the same job (eager=true would run the plan twice
+      // per round, and per-round fixed costs are this operator's cost)
       val prop = sym.join(labels, col("a") === col("v"))
         .select(col("b").as("v"), col("comp"))
         .union(labels.select(col("v"), col("comp")))
         .groupBy("v").agg(min(col("comp")).as("comp"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       val s = labelSum(prop)
       labels = prop
       done = s.compareTo(prevSum) == 0
@@ -156,7 +160,7 @@ object Components {
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
     var e = canon(edges.select(col(srcCol).as("a"), col(dstCol).as("b")))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false) // the init aggregate materializes it
     val init = e.agg(
       sum((col("a") + col("b")).cast(dec38)),
       min(col("a")), count(lit(1))).head()
@@ -166,7 +170,9 @@ object Components {
     var round = 0
     var done = init.getLong(2) == 0L
     while (!done && round < maxIter) {
-      val next = canon(smallStar(largeStar(e))).localCheckpoint(eager = true)
+      // lazy checkpoint + probe-as-materializer: one action per round
+      // (same rule as the propagation loop)
+      val next = canon(smallStar(largeStar(e))).localCheckpoint(eager = false)
       val s = edgeSum(next)
       done = s.compareTo(prevSum) == 0
       e = next
