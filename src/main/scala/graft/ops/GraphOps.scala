@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Whole-graph analytics over edge-list frames — triangle counting and
+  * fixed-point PageRank — completing the DataFrame-native graph
+  * surface [[Components]] starts. Same contract: the graph IS an edge
+  * frame (undirected; direction of input rows is irrelevant), vertices
+  * are edge endpoints, everything stays distributed.
+  */
+object GraphOps {
+
+  /** Canonicalize to (a < b, distinct, no self-loops). */
+  private def canon(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(col(srcCol).as("s"), col(dstCol).as("t"))
+      .where(col("s") =!= col("t"))
+      .select(least(col("s"), col("t")).as("a"), greatest(col("s"), col("t")).as("b"))
+      .distinct()
+
+  /** Per-vertex triangle counts by degree-ordered orientation (the
+    * node-iterator++ / compact-forward algorithm): orient every edge
+    * from its lower-(degree, id) endpoint, enumerate wedges only
+    * between oriented out-neighbors, close them against the canonical
+    * edge set — each triangle found exactly once, at its
+    * lowest-degree corner.
+    *
+    * Orientation is what makes this survive skew: out-degree under
+    * (deg, id) order is O(√m) even for a hub adjacent to every other
+    * vertex, so the wedge table is Σ d⁺(v)² = O(m^1.5) worst case
+    * instead of the un-oriented hub-quadratic Σ d(v)². All steps are
+    * equijoins/groupBys on vertex/edge keys; the closing join probes
+    * with candidates, never materializing non-edges.
+    *
+    * @return (v, n_tri) for every edge endpoint (0 for triangle-free
+    *         vertices).
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // edges re-enter the plan three times (degrees, orientation,
+    // closing probe): materialize once, the Components edge rule
+    val e = canon(edges, srcCol, dstCol).localCheckpoint(eager = true)
+    val deg = e.select(col("a").as("v"))
+      .union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val lower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val or = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(lower, col("a")).otherwise(col("b")).as("u"),
+        when(lower, col("b")).otherwise(col("a")).as("w"))
+    val wedges = or.as("e1")
+      .join(or.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
+      .select(col("e1.u").as("c0"), col("e1.w").as("c1"), col("e2.w").as("c2"))
+    // wedge legs are id-ordered (c1 < c2), so the closing edge is
+    // already canonical — one equijoin against e
+    val tris = wedges.join(e, col("c1") === col("a") && col("c2") === col("b"))
+      .select("c0", "c1", "c2")
+    val perNode = tris
+      .select(explode(array(col("c0"), col("c1"), col("c2"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    deg.select("v")
+      .join(perNode, Seq("v"), "left_outer")
+      .select(col("v"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  /** PageRank in exact fixed-point arithmetic: `iters` damped
+    * (d = 0.85) iterations over the symmetrized edge set, rank mass
+    * carried as integers at scale `S`. Every step is integer-exact —
+    * contribution = pr div deg, damping = (85·Σ) div 100 — so the
+    * result is bit-identical on any engine and any row order: the
+    * float-PageRank reproducibility problem (parallel sum order
+    * changes ranks) is defined away. Fixed iteration count keeps the
+    * operator a pure dataflow (one declarative plan, no convergence
+    * probe); [[Components]] owns the data-dependent-iteration
+    * pattern.
+    *
+    * Each iteration is one edge⋈rank equijoin + one map-side-combined
+    * groupBy — shuffle ∝ edges, the minimum a message-passing round
+    * costs. Mass is conserved up to floor loss (values ≤ N·S): the
+    * Σ·85 step accumulates in DECIMAL(38,0), so BIGINT safety holds
+    * past 10⁸ vertices at the default S = 10⁹; lower S as N
+    * approaches 10⁹ (resolution knob, not a correctness one).
+    *
+    * @return (v, pr) over edge endpoints; pr ≈ S × classic PageRank
+    *         with uniform init.
+    */
+  def pageRankFixed(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 3,
+      scale: Long = 1000000000L,
+  ): DataFrame = {
+    val e = canon(edges, srcCol, dstCol).localCheckpoint(eager = true)
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+    var pr = deg.select(col("v"), lit(scale).as("pr"), col("deg"))
+    for (_ <- 1 to iters) {
+      val contrib = sym.as("s")
+        .join(pr.as("p"), col("s.a") === col("p.v"))
+        .select(col("s.b").as("v"), expr("pr div deg").as("c"))
+        .groupBy("v")
+        .agg(sum(col("c").cast(DecimalType(38, 0))).as("cs"))
+      pr = deg.as("g")
+        .join(contrib.as("t"), col("g.v") === col("t.v"))
+        .select(col("g.v").as("v"),
+          (lit(scale * 15 / 100) + expr("(85 * cs) div 100")).as("pr"),
+          col("g.deg").as("deg"))
+    }
+    pr.select(col("v"), col("pr").cast("long").as("pr"))
+  }
+}

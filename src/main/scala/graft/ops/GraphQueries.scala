@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q121/q122: graph analytics over the co-purchase part graph — the
+  * two classic whole-graph operators (triangle counting, PageRank)
+  * that complement [[Components]]' connectivity family, registered
+  * over a real derived graph so the DuckDB oracle pins them on data.
+  * No reference counterpart (the reference has no graph surface);
+  * these are the operators a training-data/analytics engine needs
+  * once near-dup edges, co-occurrence pairs, or link tables exist as
+  * frames. Algorithm cores live in [[GraphOps]].
+  *
+  * The graph: parts co-purchased within an order (q110's pair table,
+  * un-thresholded) — undirected, canonical edges a < b. Vertices are
+  * edge endpoints; parts never co-purchased don't appear (the same
+  * vertex-universe rule as [[Components.connectedComponents]]).
+  */
+object GraphQueries {
+  import Tables._
+
+  /** Canonical (a < b, distinct) co-purchase edge list. Shared by both
+    * graph queries; derived from lineitem exactly like q110's pair
+    * table so the two surfaces can never disagree on what "the
+    * co-purchase graph" means.
+    */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+    li.as("x")
+      .join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+  }
+
+  private val edgesCteSql: String =
+    "li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+      "edges AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b FROM li x " +
+      "JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey)"
+
+  // ---------------------------------------------------------------------
+  // q121 — per-node triangle counts ([[GraphOps.triangleCounts]]:
+  // degree-ordered orientation, each triangle found once at its
+  // lowest-degree corner, wedge table bounded O(m^1.5) instead of
+  // hub-quadratic). The oracle is the naive a<b<c three-way self-join
+  // — exact, and super-linear in exactly the way the oriented plan
+  // exists to avoid, the q99→q111 relationship on the graph axis.
+  //
+  // Scale: at 100 TB the edge frame arrives pre-materialized (edge
+  // DERIVATION is the expensive part here, not the counting);
+  // orientation is what survives skew — see GraphOps scaladoc.
+  val q121: QuerySpec = QuerySpec(
+    "q121_triangle_count",
+    (s, d) =>
+      GraphOps.triangleCounts(copurchaseEdges(s, d), "a", "b")
+        .select(col("v").as("part_key"), col("n_tri"))
+        .orderBy("part_key"),
+    Some(
+      s"WITH $edgesCteSql, " +
+        "verts AS (SELECT a AS v FROM edges UNION SELECT b FROM edges), " +
+        "tris AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM edges e1 " +
+        "JOIN edges e2 ON e1.b = e2.a JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        "pernode AS (SELECT v, count(*) AS n_tri FROM (SELECT x AS v FROM tris " +
+        "UNION ALL SELECT y FROM tris UNION ALL SELECT z FROM tris) GROUP BY 1) " +
+        "SELECT verts.v AS part_key, CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri " +
+        "FROM verts LEFT JOIN pernode ON pernode.v = verts.v ORDER BY part_key"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q122 — fixed-point PageRank ([[GraphOps.pageRankFixed]]: 3 damped
+  // iterations at integer scale 10⁹ — bit-identical on any engine and
+  // any row order, which is what lets a DuckDB oracle hash-pin all N
+  // ranks of an iterative numeric algorithm at all).
+  val q122: QuerySpec = QuerySpec(
+    "q122_pagerank_fixed",
+    (s, d) =>
+      GraphOps.pageRankFixed(copurchaseEdges(s, d), "a", "b")
+        .select(col("v").as("part_key"), col("pr").as("pagerank_fp"))
+        .orderBy("part_key"),
+    Some(
+      s"WITH $edgesCteSql, " +
+        "sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges), " +
+        "deg AS (SELECT a AS v, count(*) AS d FROM sym GROUP BY 1), " +
+        "pr0 AS (SELECT v, CAST(1000000000 AS BIGINT) AS pr, d FROM deg), " +
+        "it1 AS (SELECT s.b AS v, CAST(150000000 + (85 * sum(p.pr // p.d)) // 100 AS BIGINT) AS pr " +
+        "FROM sym s JOIN pr0 p ON p.v = s.a GROUP BY 1), " +
+        "pr1 AS (SELECT i.v, i.pr, d.d FROM it1 i JOIN deg d ON d.v = i.v), " +
+        "it2 AS (SELECT s.b AS v, CAST(150000000 + (85 * sum(p.pr // p.d)) // 100 AS BIGINT) AS pr " +
+        "FROM sym s JOIN pr1 p ON p.v = s.a GROUP BY 1), " +
+        "pr2 AS (SELECT i.v, i.pr, d.d FROM it2 i JOIN deg d ON d.v = i.v), " +
+        "it3 AS (SELECT s.b AS v, CAST(150000000 + (85 * sum(p.pr // p.d)) // 100 AS BIGINT) AS pr " +
+        "FROM sym s JOIN pr2 p ON p.v = s.a GROUP BY 1) " +
+        "SELECT v AS part_key, pr AS pagerank_fp FROM it3 ORDER BY part_key"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q121, q122)
+}

@@ -12,7 +12,8 @@ object Registry {
     RelationalQueries.all ++ graft.llm.LlmQueries.all ++ AnalyticQueries.all ++
       graft.llm.TrainingDataQueries.all ++ InteropQueries.all ++
       ScaleQueries.all ++ graft.llm.CorpusQueries.all ++ SubqueryQueries.all ++
-      TimeSeriesQueries.all ++ SketchQueries.all
+      TimeSeriesQueries.all ++ SketchQueries.all ++ GraphQueries.all ++
+      graft.llm.RetrievalQueries.all
 
   val byName: Map[String, QuerySpec] = ListMap(all.map(q => q.name -> q): _*)
 

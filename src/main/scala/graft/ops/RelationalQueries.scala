@@ -559,8 +559,76 @@ object RelationalQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q125 — snapshot diff: row-level reconciliation of two table
+  // versions into added/removed/changed classes with per-column
+  // change flags — the audit a replace-by-partition warehouse
+  // (SURVEY D3) runs before promoting a rewrite, one level deeper
+  // than q16's key-presence reconcile (which classes KEYS; this
+  // classes VALUES). The two snapshots derive deterministically from
+  // orders (modulo-key deletions/additions, an exact +10.0 price
+  // drift, a status flip) so the oracle sees identical inputs.
+  //
+  // Scale: one full outer join on the snapshot key — the minimum any
+  // row-diff costs — with change predicates evaluated in the join's
+  // projection, never a second pass; 'unchanged' rows (the ~95%
+  // bulk) drop INSIDE the join output filter, so only the diff
+  // itself survives the exchange downstream. Column flags are plain
+  // boolean expressions — a wide table diffs by generating one flag
+  // per column, same plan.
+  val q125: QuerySpec = QuerySpec(
+    "q125_snapshot_diff",
+    (s, d) => {
+      val o = orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val snapA = o.where(col("o_orderkey") % 97 =!= 0)
+      val snapB = o.where(col("o_orderkey") % 89 =!= 0)
+        .select(
+          col("o_orderkey"),
+          when(col("o_orderkey") % 13 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      snapA.as("a")
+        .join(snapB.as("b"), col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+        .select(
+          coalesce(col("a.o_orderkey"), col("b.o_orderkey")).as("o_orderkey"),
+          when(col("a.o_orderkey").isNull, "added")
+            .when(col("b.o_orderkey").isNull, "removed")
+            .otherwise("changed").as("class"),
+          (col("a.o_orderkey").isNotNull && col("b.o_orderkey").isNotNull &&
+            col("a.o_orderstatus") =!= col("b.o_orderstatus")).as("status_changed"),
+          (col("a.o_orderkey").isNotNull && col("b.o_orderkey").isNotNull &&
+            col("a.o_totalprice") =!= col("b.o_totalprice")).as("price_changed"),
+          col("a.o_orderkey").isNull.as("is_added"),
+          col("b.o_orderkey").isNull.as("is_removed"))
+        .where(col("is_added") || col("is_removed") ||
+          col("status_changed") || col("price_changed"))
+        .select("o_orderkey", "class", "status_changed", "price_changed")
+        .orderBy("o_orderkey")
+    },
+    Some(
+      "WITH snap_a AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
+        "WHERE o_orderkey % 97 <> 0), " +
+        "snap_b AS (SELECT o_orderkey, " +
+        "CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus, " +
+        "CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice " +
+        "FROM orders WHERE o_orderkey % 89 <> 0) " +
+        "SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey, " +
+        "CASE WHEN a.o_orderkey IS NULL THEN 'added' " +
+        "WHEN b.o_orderkey IS NULL THEN 'removed' ELSE 'changed' END AS class, " +
+        "CASE WHEN a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL " +
+        "AND a.o_orderstatus <> b.o_orderstatus THEN TRUE ELSE FALSE END AS status_changed, " +
+        "CASE WHEN a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL " +
+        "AND a.o_totalprice <> b.o_totalprice THEN TRUE ELSE FALSE END AS price_changed " +
+        "FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey " +
+        "WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL " +
+        "OR a.o_orderstatus <> b.o_orderstatus OR a.o_totalprice <> b.o_totalprice " +
+        "ORDER BY o_orderkey"
+    ),
+  )
+
   val all: Seq[QuerySpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
-    q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
+    q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q125,
   )
 }

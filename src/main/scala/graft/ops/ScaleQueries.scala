@@ -779,6 +779,74 @@ object ScaleQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q124 — national market share (the TPC-H Q8 shape): of all ECONOMY-
+  // part revenue sold to ASIA customers, the share supplied by
+  // NATION_2's suppliers, per order year. The shape's point is the
+  // DOUBLE-ROLE dimension: nation joins twice under different keys
+  // (customer's nation gates the region filter, supplier's nation is
+  // the share dimension) — the aliasing test every star-schema
+  // planner must pass.
+  //
+  // Scale: region/nation/part/supplier/customer all broadcast
+  // (Catalyst's call — dims); the orders⋈lineitem spine is the one
+  // shuffle pair, and both the region gate and the part-type filter
+  // prune fact rows AT their joins. Share lands as exact-decimal
+  // numerator/denominator plus floor-basis-points — the division
+  // happens once, on identical doubles, after all aggregation.
+  val q124: QuerySpec = QuerySpec(
+    "q124_market_share",
+    (s, d) => {
+      val cn = nation(s, d).select(
+        col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))
+      val sn = nation(s, d).select(
+        col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val rev = customer(s, d)
+        .join(cn, col("c_nationkey") === col("cn_key"))
+        .join(region(s, d), col("cn_region") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .join(orders(s, d), col("o_custkey") === col("c_custkey"))
+        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(part(s, d).where(col("p_type") === "ECONOMY"),
+          col("p_partkey") === col("l_partkey"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(sn, col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("order_year"), col("supp_nation"))
+        .agg(revenueDecimal.as("r"))
+      rev.groupBy("order_year")
+        .agg(
+          sum(when(col("supp_nation") === "NATION_2", col("r"))
+            .otherwise(lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 2)))).as("nat_dec"),
+          sum(col("r")).as("tot_dec"))
+        .select(
+          col("order_year"),
+          col("nat_dec").cast("double").as("nation_rev"),
+          col("tot_dec").cast("double").as("total_rev"),
+          floor(col("nat_dec").cast("double") * 10000 / col("tot_dec").cast("double"))
+            .cast("long").as("share_bp"))
+        .orderBy("order_year")
+    },
+    Some(
+      "WITH rev AS (SELECT year(o_orderdate) AS order_year, sn.n_name AS supp_nation, " +
+        s"$revenueDecimalSql AS r " +
+        "FROM customer JOIN nation cn ON c_nationkey = cn.n_nationkey " +
+        "JOIN region ON cn.n_regionkey = r_regionkey " +
+        "JOIN orders ON o_custkey = c_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "JOIN part ON p_partkey = l_partkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey " +
+        "WHERE region.r_name = 'ASIA' AND p_type = 'ECONOMY' GROUP BY 1, 2) " +
+        "SELECT order_year, " +
+        "CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN r ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_rev, " +
+        "CAST(sum(r) AS DOUBLE) AS total_rev, " +
+        "CAST(floor(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN r ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) " +
+        "* 10000 / CAST(sum(r) AS DOUBLE)) AS BIGINT) AS share_bp " +
+        "FROM rev GROUP BY 1 ORDER BY 1"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q87, q90, q93, q94, q95, q96, q97, q100, q101, q102, q105, q106, q107, q108, q109, q110, q112)
+    Seq(q87, q90, q93, q94, q95, q96, q97, q100, q101, q102, q105, q106, q107,
+      q108, q109, q110, q112, q124)
 }

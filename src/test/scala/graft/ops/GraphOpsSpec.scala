@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tri(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphOps.triangleCounts(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  /** Naive reference: count closed triples over the canonical edge set. */
+  private def triBrute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val vs = es.flatMap(e => Seq(e._1, e._2))
+    val triples = (for {
+      Seq(x, y, z) <- vs.toSeq.sorted.combinations(3)
+      if es((x, y)) && es((y, z)) && es((x, z))
+    } yield Seq(x, y, z)).toSeq
+    val counts = triples.flatten.groupBy(identity[Long]).map { case (v, o) => v -> o.size.toLong }
+    vs.map(v => v -> counts.getOrElse(v, 0L)).toMap
+  }
+
+  test("triangle counts match brute force on fixture graphs") {
+    val fixtures = Seq(
+      // triangle + pendant + disjoint edge
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (10L, 11L)),
+      // K4 (every vertex in 3 triangles)
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)),
+      // triangle-free path
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)),
+      // two triangles sharing an edge + duplicate/reversed/self-loop noise
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 2L), (2L, 1L), (3L, 3L), (1L, 2L)),
+    )
+    fixtures.foreach(f => assert(tri(f) == triBrute(f), s"fixture $f"))
+  }
+
+  test("hub skew: star core plus one closing edge counts exactly one triangle") {
+    // vertex 0 adjacent to 1..40 (hub), single closing edge (1,2):
+    // orientation keeps the hub's out-degree at ~1, and the count is
+    // exact — one triangle on (0,1,2), zero elsewhere
+    val star = (1L to 40L).map(i => (0L, i)) :+ (1L, 2L)
+    val got = tri(star)
+    assert(got(0L) == 1L && got(1L) == 1L && got(2L) == 1L)
+    assert((3L to 40L).forall(got(_) == 0L))
+  }
+
+  private def pr(edges: Seq[(Long, Long)], iters: Int = 3): Map[Long, Long] =
+    GraphOps.pageRankFixed(edges.toDF("a", "b"), "a", "b", iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("pagerank conserves mass up to floor loss and is row-order invariant") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val got = pr(edges)
+    val n = got.size.toLong
+    val mass = got.values.sum
+    // each floor loses < 1 unit per (vertex, step); 3 iterations of
+    // two floors over n vertices bound the total loss
+    assert(mass <= n * 1000000000L)
+    assert(mass >= n * 1000000000L - 6L * n * 1000L, s"mass $mass vs n·S ${n * 1000000000L}")
+    assert(pr(edges.reverse.map(e => (e._2, e._1))) == got, "row order / direction must not matter")
+  }
+
+  test("pagerank symmetry: automorphic vertices get identical ranks") {
+    // path 1-2-3: endpoints 1 and 3 are exchangeable
+    val got = pr(Seq((1L, 2L), (2L, 3L)))
+    assert(got(1L) == got(3L))
+    assert(got(2L) > got(1L), "the center of a path outranks the endpoints")
+  }
+
+  test("pagerank on a regular graph is uniform at every iteration count") {
+    // 4-cycle: all degrees 2, ranks stay exactly S
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    (1 to 4).foreach { k =>
+      val got = pr(cycle, iters = k)
+      assert(got.values.toSet.size == 1, s"iters=$k: $got")
+    }
+  }
+}
