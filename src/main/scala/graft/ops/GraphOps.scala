@@ -38,11 +38,16 @@ object GraphOps {
     */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     // edges re-enter the plan three times (degrees, orientation,
-    // closing probe): materialize once, the Components edge rule
+    // closing probe): materialize once, the Components edge rule.
+    // deg and the oriented edge frame are ALSO multiply referenced
+    // (deg ×3, or ×2 via the wedge self-join), and self-join alias
+    // dedup breaks exchange-reuse canonicalization — without their own
+    // checkpoints each reference recomputes a full-edge aggregation.
     val e = canon(edges, srcCol, dstCol).localCheckpoint(eager = true)
     val deg = e.select(col("a").as("v"))
       .union(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
+      .localCheckpoint(eager = true) // |V| rows
     val lower = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
     val or = e
@@ -51,6 +56,7 @@ object GraphOps {
       .select(
         when(lower, col("a")).otherwise(col("b")).as("u"),
         when(lower, col("b")).otherwise(col("a")).as("w"))
+      .localCheckpoint(eager = true) // |E| rows, read twice by the wedge self-join
     val wedges = or.as("e1")
       .join(or.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
@@ -96,8 +102,20 @@ object GraphOps {
       scale: Long = 1000000000L,
   ): DataFrame = {
     val e = canon(edges, srcCol, dstCol).localCheckpoint(eager = true)
+    // The symmetrized edge list is the streamed side of one join PER
+    // ITERATION, always on the same key. Cache it pre-partitioned and
+    // pre-sorted on that key (persist, not localCheckpoint — an
+    // ExistingRDD forgets its partitioning, an InMemoryRelation keeps
+    // it), so every iteration's sort-merge join reuses the layout and
+    // the per-iteration shuffle carries ranks (|V| rows), never edges.
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a"))
+      .sortWithinPartitions("a")
+      .persist()
+    // deg: |V| rows, referenced every iteration — freeze it once (the
+    // groupBy rides sym's partitioning, so this costs no exchange)
     val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = true)
     var pr = deg.select(col("v"), lit(scale).as("pr"), col("deg"))
     for (_ <- 1 to iters) {
       val contrib = sym.as("s")
