@@ -35,27 +35,36 @@ object RetrievalQueries {
   val B = 0.75
   val Terms = Seq("spark", "vector", "merge")
 
+  /** (doc_id, score): the q123 BM25 scorer, shared with q127's fusion.
+    * All inputs integer-exact; one float chain with pinned
+    * associativity (see q123 notes).
+    */
+  private def bm25Scored(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val toks = split(col("text"), " ")
+    val base = documents(s, d).select(
+      (col("doc_id") +: size(toks).as("dl") +: Terms.zipWithIndex.map {
+        case (t, i) => size(filter(toks, w => w === lit(t))).as(s"tf$i")
+      }): _*)
+    val dfCols = Terms.indices.map(i =>
+      sum(when(col(s"tf$i") > 0, 1).otherwise(0)).as(s"df$i"))
+    val stats = base.agg(
+      count(lit(1)).as("n"),
+      ((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +: dfCols): _*)
+    def termScore(i: Int): Column = {
+      val idf = log((col("n").cast("double") - col(s"df$i") + 0.5) /
+        (col(s"df$i") + 0.5) + 1.0)
+      idf * (col(s"tf$i") * (K1 + 1.0)) /
+        (col(s"tf$i") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+    }
+    base.crossJoin(stats) // 1-row corpus anchor
+      .withColumn("score", Terms.indices.map(termScore).reduce(_ + _))
+      .select(col("doc_id"), col("score"))
+  }
+
   val q123: QuerySpec = QuerySpec(
     "q123_bm25_score",
     (s, d) => {
-      val toks = split(col("text"), " ")
-      val base = documents(s, d).select(
-        (col("doc_id") +: size(toks).as("dl") +: Terms.zipWithIndex.map {
-          case (t, i) => size(filter(toks, w => w === lit(t))).as(s"tf$i")
-        }): _*)
-      val dfCols = Terms.indices.map(i =>
-        sum(when(col(s"tf$i") > 0, 1).otherwise(0)).as(s"df$i"))
-      val stats = base.agg(
-        count(lit(1)).as("n"),
-        ((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +: dfCols): _*)
-      def termScore(i: Int): Column = {
-        val idf = log((col("n").cast("double") - col(s"df$i") + 0.5) /
-          (col(s"df$i") + 0.5) + 1.0)
-        idf * (col(s"tf$i") * (K1 + 1.0)) /
-          (col(s"tf$i") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
-      }
-      base.crossJoin(stats) // 1-row corpus anchor
-        .withColumn("score", Terms.indices.map(termScore).reduce(_ + _))
+      bm25Scored(s, d)
         .where(col("score") > 0)
         .select(col("doc_id"),
           floor(col("score") * 1000).cast("long").as("score_milli"))
@@ -79,6 +88,72 @@ object RetrievalQueries {
         Terms.indices.map(scoreTerm).mkString(" + ") + " AS score FROM tfs, stats) " +
         "SELECT doc_id, CAST(floor(score * 1000) AS BIGINT) AS score_milli " +
         "FROM scored WHERE score > 0 ORDER BY score_milli DESC, doc_id"
+    },
+  )
+
+  // ---------------------------------------------------------------------
+  // q127 — reciprocal-rank fusion (RRF, k = 60) of two retrieval
+  // lists: the q123 BM25 ranking and a length-prior ranking (n_chars
+  // desc — the "quality prior" a retrieval stack fuses when it has no
+  // second scorer). Fusion operates on BOUNDED top-N lists (N = 100),
+  // which is what makes it scale-exempt from the q109 rule: each list
+  // is a TakeOrderedAndProject (distributed top-k), and the only
+  // single-partition work is ranking and fusing ≤2N rows — constant,
+  // whatever the corpus size. Ranks are exact integers; the one float
+  // step (1/(60+r) sum) is two roundings on identical integers in
+  // both engines, floored to pico units.
+  val RrfK = 60
+  val ListN = 100
+  val FusedK = 20
+
+  val q127: QuerySpec = QuerySpec(
+    "q127_rrf_fusion",
+    (s, d) => {
+      val wA = Window.orderBy(desc("score"), col("doc_id"))
+      val listA = bm25Scored(s, d).where(col("score") > 0)
+        .orderBy(desc("score"), col("doc_id")).limit(ListN)
+        .select(col("doc_id"), row_number().over(wA).cast("long").as("ra"))
+      val wB = Window.orderBy(desc("n_chars"), col("doc_id"))
+      val listB = documents(s, d).select("doc_id", "n_chars")
+        .orderBy(desc("n_chars"), col("doc_id")).limit(ListN)
+        .select(col("doc_id"), row_number().over(wB).cast("long").as("rb"))
+      listA.join(listB, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(lit(1.0) / (lit(RrfK) + col("ra")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("rb")), lit(0.0))).as("rrf"),
+          col("ra"), col("rb"))
+        .select(col("doc_id"),
+          floor(col("rrf") * 1e12).cast("long").as("rrf_pico"),
+          col("ra"), col("rb"))
+        .orderBy(desc("rrf_pico"), col("doc_id"))
+        .limit(FusedK)
+    },
+    Some {
+      def tf(i: Int, t: String) =
+        s"len(list_filter(string_split(text,' '), w -> w = '$t')) AS tf$i"
+      def scoreTerm(i: Int) =
+        s"ln((CAST(n AS DOUBLE) - df$i + 0.5)/(df$i + 0.5) + 1.0) * " +
+          s"(tf$i * ${K1 + 1.0})/(tf$i + $K1 * ((1.0 - $B) + $B * dl/avgdl))"
+      "WITH tfs AS (SELECT doc_id, len(string_split(text,' ')) AS dl, " +
+        Terms.zipWithIndex.map { case (t, i) => tf(i, t) }.mkString(", ") +
+        " FROM documents), " +
+        "stats AS (SELECT count(*) AS n, " +
+        "CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl, " +
+        Terms.indices.map(i =>
+          s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ") +
+        " FROM tfs), " +
+        "scored AS (SELECT doc_id, " +
+        Terms.indices.map(scoreTerm).mkString(" + ") + " AS score FROM tfs, stats), " +
+        "la AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS ra " +
+        s"FROM scored WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $ListN), " +
+        "lb AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rb " +
+        s"FROM documents ORDER BY n_chars DESC, doc_id LIMIT $ListN), " +
+        "fused AS (SELECT coalesce(la.doc_id, lb.doc_id) AS doc_id, " +
+        s"coalesce(CAST(1 AS DOUBLE)/($RrfK+ra), CAST(0 AS DOUBLE)) + " +
+        s"coalesce(CAST(1 AS DOUBLE)/($RrfK+rb), CAST(0 AS DOUBLE)) AS rrf, ra, rb " +
+        "FROM la FULL OUTER JOIN lb ON la.doc_id = lb.doc_id) " +
+        "SELECT doc_id, CAST(floor(rrf*1e12) AS BIGINT) AS rrf_pico, ra, rb " +
+        s"FROM fused ORDER BY rrf_pico DESC, doc_id LIMIT $FusedK"
     },
   )
 
@@ -127,5 +202,5 @@ object RetrievalQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q123, q126)
+  val all: Seq[QuerySpec] = Seq(q123, q126, q127)
 }

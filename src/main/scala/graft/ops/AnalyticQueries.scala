@@ -1025,7 +1025,63 @@ object AnalyticQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q130 — exact weighted median: per (returnflag, linestatus), the
+  // smallest extendedprice whose cumulative quantity-weight reaches
+  // half the group total (lower weighted median — deterministic, no
+  // interpolation). The oracle computes it the naive way: one
+  // cumulative-sum window over each group's full price-level list —
+  // a single task per group holding every level. The Spark plan is
+  // the DISTRIBUTED form of the same prefix sum: levels bucket by a
+  // fixed price quantization (order-preserving, any width works —
+  // correctness never depends on it), cumulate within (group, bucket)
+  // in parallel, and add a per-bucket offset from a window over the
+  // ~100-row bucket-total table. The hash match proves the
+  // prefix-sum decomposition reproduces the naive scan — the
+  // q30→q41 relationship applied to ordered aggregation, and the
+  // scale-safe answer to the q109-class "one window task per group"
+  // trap.
+  val q130: QuerySpec = QuerySpec(
+    "q130_weighted_median",
+    (s, d) => {
+      // the level table is referenced twice (in-bucket cumsum + bucket
+      // offsets) — materialize the one fact aggregation instead of
+      // running it twice (the GraphOps multi-reference rule)
+      val lv = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"),
+          col("l_extendedprice").as("v"))
+        .agg(sum(col("l_quantity").cast("long")).as("w"))
+        .withColumn("bkt", floor(col("v") / 1000.0).cast("long"))
+        .localCheckpoint(true)
+      val wIn = Window.partitionBy("l_returnflag", "l_linestatus", "bkt")
+        .orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val inBkt = lv.withColumn("cin", sum("w").over(wIn))
+      val wOff = Window.partitionBy("l_returnflag", "l_linestatus")
+        .orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+      val wTot = Window.partitionBy("l_returnflag", "l_linestatus")
+      val off = lv.groupBy("l_returnflag", "l_linestatus", "bkt")
+        .agg(sum("w").as("bw"))
+        .withColumn("boff", coalesce(sum("bw").over(wOff), lit(0L)))
+        .withColumn("tot", sum("bw").over(wTot))
+        .select("l_returnflag", "l_linestatus", "bkt", "boff", "tot")
+      inBkt.join(off, Seq("l_returnflag", "l_linestatus", "bkt"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(min(when((col("boff") + col("cin")) * 2 >= col("tot"), col("v")))
+          .as("w_median"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some(
+      "WITH lv AS (SELECT l_returnflag, l_linestatus, l_extendedprice AS v, " +
+        "sum(CAST(l_quantity AS BIGINT)) AS w FROM lineitem GROUP BY 1, 2, 3), " +
+        "c AS (SELECT *, sum(w) OVER (PARTITION BY l_returnflag, l_linestatus ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw, " +
+        "sum(w) OVER (PARTITION BY l_returnflag, l_linestatus) AS tot FROM lv) " +
+        "SELECT l_returnflag, l_linestatus, min(CASE WHEN 2*cumw >= tot THEN v END) AS w_median " +
+        "FROM c GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q49, q50, q51, q52, q53, q54, q56, q57, q58, q59, q60, q61, q62, q63, q64, q67,
-      q73, q74, q80, q81, q82, q83, q84, q85)
+      q73, q74, q80, q81, q82, q83, q84, q85, q130)
 }

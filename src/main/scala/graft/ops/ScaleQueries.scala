@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** q87/q90: scale-mechanics operators — bloom-accelerated key-set
@@ -846,7 +847,59 @@ object ScaleQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q129 — Pareto frontier (2-D skyline): parts not dominated on
+  // (price low, size high); q dominates p iff q.price ≤ p.price and
+  // q.size ≥ p.size with one strict. The oracle is the textbook
+  // NOT-EXISTS dominance test — O(n²) by definition; the Spark plan
+  // is the two-phase distributed skyline: a LOCAL skyline per hash
+  // block (any point dominated within its block is dominated
+  // globally — safe to prune), then the same pass over the ~|blocks ×
+  // local-frontier| survivors. Within a pass, dominance needs no
+  // point-to-point comparison — two prefix extrema suffice:
+  // dominated(p,s) ⇔ max{size : earlier in (price↑, size↓) order} > s
+  // (a strict-size dominator at price ≤ p)  ∨  min{price : same size,
+  // earlier in price↑ order} < p (an equal-size strictly-cheaper
+  // dominator). Exact duplicates survive both tests — correct, they
+  // don't dominate each other. Per-block windows parallelize phase 1;
+  // phase 2's single partition holds only local-skyline survivors
+  // (~blocks · O(log n) for distributed data; degenerate
+  // all-on-frontier inputs are the documented exception, as q78's
+  // vocabulary note). The whole query is a linear pipeline — one part
+  // scan, four windows, no join, nothing referenced twice.
+  val q129: QuerySpec = QuerySpec(
+    "q129_pareto_frontier",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def pass(pts: DataFrame, blk: Column): DataFrame = {
+        val prev = Window.partitionBy("blk")
+          .orderBy(col("price"), desc("size"), col("p_partkey"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val prevSameSize = Window.partitionBy("blk", "size")
+          .orderBy(col("price"), col("p_partkey"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        pts.withColumn("blk", blk)
+          .withColumn("m1", max("size").over(prev))
+          .withColumn("m2", min("price").over(prevSameSize))
+          .where(!(coalesce(col("m1") > col("size"), lit(false)) ||
+            coalesce(col("m2") < col("price"), lit(false))))
+          .select("p_partkey", "price", "size")
+      }
+      val pts = part(s, d).select(col("p_partkey"),
+        col("p_retailprice").as("price"), col("p_size").as("size"))
+      pass(pass(pts, pmod(hash(col("p_partkey")), lit(32))), lit(0))
+        .orderBy("p_partkey")
+    },
+    Some(
+      "SELECT p.p_partkey, p.p_retailprice AS price, p.p_size AS size FROM part p " +
+        "WHERE NOT EXISTS (SELECT 1 FROM part q " +
+        "WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size " +
+        "AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)) " +
+        "ORDER BY p_partkey"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q87, q90, q93, q94, q95, q96, q97, q100, q101, q102, q105, q106, q107,
-      q108, q109, q110, q112, q124)
+      q108, q109, q110, q112, q124, q129)
 }

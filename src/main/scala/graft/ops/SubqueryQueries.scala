@@ -176,5 +176,59 @@ object SubqueryQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q113, q114, q115, q116)
+  // ---------------------------------------------------------------------
+  // q128 — double-correlated EXISTS + NOT EXISTS on the fact itself
+  // (TPC-H Q21 shape): suppliers who were the SOLE late shipper on a
+  // multi-supplier order ("late" = shipped >90 days after order date,
+  // the q113 ship-lag convention), counted per supplier at
+  // (order, supplier) grain. The last classic subquery shape the
+  // family lacked: both subqueries correlate to the same fact table
+  // the outer query scans.
+  //
+  // Scale: the correlated pair is declared as ONE aggregation pass —
+  // per-(order, supplier) lateness, then per-order supplier/late
+  // counts as a window over the per-supplier frame (order groups are
+  // ≤ items-per-order wide, so the window parallelizes across
+  // orders); EXISTS ⇔ n_supp ≥ 2, NOT EXISTS ⇔ n_late = 1. The fact
+  // is scanned once (plus the broadcast orders date join); no per-row
+  // re-execution, no self-join, no second fact pass. The DuckDB
+  // oracle runs the textbook correlated form — the hash match proves
+  // the single-pass window reformulation IS that semantics.
+  val q128: QuerySpec = QuerySpec(
+    "q128_lone_late_supplier",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+            .cast("int").as("late"))
+      val w = Window.partitionBy("l_orderkey")
+      li.groupBy("l_orderkey", "l_suppkey")
+        .agg(max("late").as("was_late"))
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_late", sum("was_late").over(w))
+        .where(col("was_late") === 1 && col("n_supp") >= 2 && col("n_late") === 1)
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+        .limit(25)
+    },
+    Some(
+      "WITH qual AS (SELECT DISTINCT l1.l_suppkey, l1.l_orderkey " +
+        "FROM lineitem l1 JOIN orders ON o_orderkey = l1.l_orderkey " +
+        "WHERE l1.l_shipdate > o_orderdate + INTERVAL 90 DAY " +
+        "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey " +
+        "AND l2.l_suppkey <> l1.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey " +
+        "WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey " +
+        "AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)) " +
+        "SELECT s_name, count(*) AS numwait FROM qual JOIN supplier ON s_suppkey = l_suppkey " +
+        "GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 25"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q113, q114, q115, q116, q128)
 }
