@@ -504,5 +504,52 @@ object CorpusQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q88, q89, q91, q92, q98, q99, q103, q104, q111, q117)
+  // ---------------------------------------------------------------------
+  // q131 — per-document mean unigram surprisal (micro-nats): the
+  // information-theoretic quality signal (a perplexity proxy under a
+  // unigram LM trained on the corpus itself) that ranks boilerplate
+  // low and rare-content documents high. The float-determinism trick
+  // that makes an oracle possible: each TOKEN's surprisal
+  // ln(total/freq) is one division of two exact integers and one ln —
+  // identical IEEE doubles in both engines — floored to integer
+  // micro-nats BEFORE any summation, so the per-doc sum is exact
+  // integer arithmetic with no float accumulation order anywhere.
+  //
+  // Scale: the token explode is linear in corpus size and feeds (a)
+  // the Heaps-bounded vocabulary frequency table and (b) the scoring
+  // join — two passes over the documents scan (columnar re-scan beats
+  // materializing the exploded frame, the q123 two-pass rule); total
+  // mass derives from the freq table (Σf), not a third pass; the
+  // scoring join keys on token (vocabulary-sized build side —
+  // broadcastable until vocab outgrows executors, hash-join after);
+  // per-doc sums partial-aggregate before the doc_id exchange.
+  val q131: QuerySpec = QuerySpec(
+    "q131_unigram_surprisal",
+    (s, d) => {
+      def tok = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      val freq = tok.groupBy("t").agg(count(lit(1)).as("f"))
+      val tot = freq.agg(sum("f").as("n")) // 1-row anchor, from freq — no third corpus pass
+      val sur = freq.crossJoin(tot)
+        .select(col("t"),
+          floor(log(col("n").cast("double") / col("f")) * 1e6).cast("long").as("s"))
+      tok.join(sur, "t")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("s").as("ssum"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("ssum div n_tokens").as("surprisal_micro"))
+        .orderBy("doc_id")
+    },
+    Some(
+      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
+        "freq AS (SELECT t, count(*) AS f FROM tok GROUP BY 1), " +
+        "tot AS (SELECT sum(f) AS n FROM freq), " +
+        "sur AS (SELECT t, CAST(floor(ln(CAST(n AS DOUBLE)/f) * 1e6) AS BIGINT) AS s FROM freq, tot), " +
+        "per AS (SELECT doc_id, count(*) AS n_tokens, sum(s) AS ssum FROM tok JOIN sur USING (t) GROUP BY 1) " +
+        "SELECT doc_id, n_tokens, ssum // n_tokens AS surprisal_micro FROM per ORDER BY doc_id"
+    ),
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(q88, q89, q91, q92, q98, q99, q103, q104, q111, q117, q131)
 }
