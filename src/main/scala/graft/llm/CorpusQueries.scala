@@ -550,6 +550,70 @@ object CorpusQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q137 — cross-document duplicate n-gram coverage: per source, how
+  // much of its text is made of word-8-grams that ALSO appear in at
+  // least one other document, plus the count of majority-duplicated
+  // docs (> 50% shared grams). The corpus-level repetition axis the
+  // family is missing: q89 measures repetition WITHIN a doc, q117
+  // overlap against a fixed benchmark side, q104 shared prefixes —
+  // this measures pairwise-agnostic cross-doc boilerplate (the Lee et
+  // al. "Deduplicating Training Data" signal) without materializing
+  // any pair: a gram's document frequency alone decides, so cost is
+  // corpus-linear where q99-style pair mining is quadratic.
+  //
+  // Determinism: the per-doc gate is the integer inequality
+  // 2·dup > grams (the q89 rule); the single corpus-level division
+  // rounds once at the end.
+  //
+  // Scale: distinct (doc, gram) explodes executor-local (q69's rule);
+  // the df count keys on gram — uniform, map-side combined; the join
+  // back is gram-keyed equijoin whose build side is the df table
+  // (Heaps-sublinear in corpus size); nothing is all-pairs. At 100 TB
+  // hash the grams (xxhash64) before the df aggregation so the
+  // exchange carries 8-byte keys, not 8-word strings — the q117 note.
+  val q137: QuerySpec = QuerySpec(
+    "q137_dup_ngram_coverage",
+    (s, d) => {
+      val toks = documents(s, d)
+        .where(size(split(col("text"), " ")) >= 8)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      val g = toks
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(0), size(col("ws")) - 8)).as("i"), col("ws"))
+        .select(col("doc_id"), col("source"),
+          concat_ws(" ", slice(col("ws"), col("i") + 1, lit(8))).as("gram"))
+        .distinct()
+      val df = g.groupBy("gram").agg(count(lit(1)).as("df"))
+      g.join(df, Seq("gram"))
+        .groupBy("doc_id", "source")
+        .agg(
+          count(lit(1)).as("n_grams"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_grams"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(lit(2) * col("dup_grams") > col("n_grams"), 1L).otherwise(0L)).as("n_flagged"),
+          round(sum(col("dup_grams")).cast("double") / sum(col("n_grams")), 6).as("dup_coverage"))
+        .orderBy("source")
+    },
+    Some(
+      "WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 8), " +
+        "g AS (SELECT DISTINCT doc_id, source, " +
+        "ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS gram " +
+        "FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) AS i) t), " +
+        "df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1), " +
+        "pd AS (SELECT doc_id, source, count(*) AS n_grams, " +
+        "CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams " +
+        "FROM g JOIN df USING (gram) GROUP BY 1, 2) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN 2*dup_grams > n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged, " +
+        "round(CAST(sum(dup_grams) AS DOUBLE) / sum(n_grams), 6) AS dup_coverage " +
+        "FROM pd GROUP BY 1 ORDER BY source"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q88, q89, q91, q92, q98, q99, q103, q104, q111, q117, q131)
+    Seq(q88, q89, q91, q92, q98, q99, q103, q104, q111, q117, q131, q137)
 }

@@ -564,5 +564,62 @@ object TrainingDataQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q65, q66, q68, q69, q70, q75, q76, q77, q78, q79, q86, q120)
+  // ---------------------------------------------------------------------
+  // q134 — temperature-scaled mixture weights (α = 0.5): the sampling
+  // recipe step between q66's observed mix and an actual training
+  // run. Uniform-by-size sampling lets giant web sources drown
+  // curated ones; α-temperature flattens the distribution — source i
+  // draws with p_i ∝ n_i^α — and the pipeline needs, per source, the
+  // sampling probability and the implied epoch count (how many times
+  // the source repeats to fill a fixed char budget at that rate).
+  //
+  // Determinism: α = 0.5 makes the power a SQRT — the one
+  // transcendental that IEEE 754 requires correctly rounded, so
+  // sqrt(n) is bit-identical in every engine (ln/exp, the general-α
+  // route, are exactly what the q79 rule forbids). The weight floors
+  // to integer micro-units immediately; from there EVERYTHING is
+  // integer arithmetic — Σw is an exact integer sum (no float
+  // accumulation order), and both p and epochs are integer floor
+  // divisions (`div`) in DECIMAL(38,0) — bit-identical by
+  // construction, no rounding boundary anywhere.
+  //
+  // Scale: one per-source aggregate (map-side combined), a ~sources-
+  // row frame after that; the Σw total rides a 1-row cross join (the
+  // q79 rule), never a driver collect. DECIMAL(38,0) keeps the
+  // budget·w product exact past the ~85 TB point where BIGINT·10⁶
+  // would wrap.
+  val q134: QuerySpec = QuerySpec(
+    "q134_mixture_weights",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val n = documents(s, d)
+        .groupBy("source")
+        .agg(sum(col("n_chars")).as("n_chars"))
+        .withColumn("w", floor(sqrt(col("n_chars").cast("double")) * 1e6).cast(dec))
+      val tot = n.agg(sum(col("w")).as("tot")) // 1-row Σ weights
+      n.crossJoin(tot)
+        .select(
+          col("source"),
+          col("n_chars"),
+          col("w").cast("long").as("weight_micro"),
+          expr("CAST((w * 1000000) div tot AS LONG)").as("p_micro"),
+          // epochs for a 10⁹-char budget: B·p/n, in milli-epochs
+          expr("CAST((CAST(1000000000 AS DECIMAL(38,0)) * w * 1000) div (tot * n_chars) AS LONG)")
+            .as("epochs_milli"),
+        )
+        .orderBy("source")
+    },
+    Some(
+      "WITH n AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_chars FROM documents GROUP BY 1), " +
+        "w AS (SELECT source, n_chars, CAST(floor(sqrt(CAST(n_chars AS DOUBLE)) * 1000000) AS HUGEINT) AS w FROM n), " +
+        "t AS (SELECT sum(w) AS tot FROM w) " +
+        "SELECT source, n_chars, CAST(w AS BIGINT) AS weight_micro, " +
+        "CAST(w * 1000000 // tot AS BIGINT) AS p_micro, " +
+        "CAST((CAST(1000000000 AS HUGEINT) * w * 1000) // (tot * n_chars) AS BIGINT) AS epochs_milli " +
+        "FROM w, t ORDER BY source"
+    ),
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(q65, q66, q68, q69, q70, q75, q76, q77, q78, q79, q86, q120, q134)
 }

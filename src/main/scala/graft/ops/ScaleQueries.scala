@@ -899,7 +899,92 @@ object ScaleQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q132 — disjunctive join predicates (the TPC-H Q19 shape): revenue
+  // from three (brand, size-range, quantity-range) branches OR'd
+  // together across the lineitem⋈part equi-join. The shape exists to
+  // exercise — and pin — the optimizer path the other join queries
+  // never touch: a top-level OR whose conjuncts mix both tables'
+  // columns. Catalyst's CNF conversion extracts the per-table
+  // disjunctions (the quantity-range OR reaches the lineitem scan,
+  // the brand/size OR the part scan) so each side prunes BEFORE the
+  // join, while the equi-key keeps the join a hash join — without
+  // CNF extraction every branch's rows survive to the join and the
+  // filter runs post-join. Plan-pinned in QueryPlanSpec: both scans
+  // carry pushed disjunctions; the join stays BroadcastHashJoin.
+  //
+  // Scale: the selective scan-level ORs are the entire story — at
+  // 100 TB the three branches select ~2% of the fact, and pushing
+  // the OR to parquet row-groups (min/max on l_quantity) is the
+  // difference between scanning 2 TB and 100 TB.
+  val q132: QuerySpec = QuerySpec(
+    "q132_disjunctive_branches",
+    (s, d) =>
+      lineitem(s, d)
+        .join(part(s, d), col("p_partkey") === col("l_partkey"))
+        .where(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(10, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#4" && col("p_size").between(20, 35) &&
+            col("l_quantity").between(20, 30)))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"), revenueExpr.as("revenue"))
+        .orderBy("p_brand"),
+    Some(
+      s"SELECT p_brand, count(*) AS n_items, $revenueSql AS revenue " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+        "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11) " +
+        "OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 20) " +
+        "OR (p_brand = 'Brand#4' AND p_size BETWEEN 20 AND 35 AND l_quantity BETWEEN 20 AND 30) " +
+        "GROUP BY 1 ORDER BY p_brand"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q133 — outer-join distribution (the TPC-H Q13 shape): how many
+  // customers placed 0, 1, 2, … urgent orders in 1995. The zero
+  // bucket is the point: an inner join CANNOT produce it, so the
+  // plan's correctness hinges on left-outer + count(column) — which
+  // counts only NON-NULL order keys, turning unmatched customers into
+  // c_count = 0 instead of 1. The order filter pre-applies to the
+  // right side before the join (equivalent to Q13's ON-clause
+  // placement, and what lets the filter push into the orders scan —
+  // an ON-side filter of an outer join can't push past the join).
+  //
+  // Scale: both aggregations key on bounded-cardinality columns
+  // (custkey, then the tiny count domain) and combine map-side; the
+  // one shuffle pair is customer⋈orders on custkey. The final
+  // ORDER BY (custdist, c_count) is total — c_count is unique per
+  // row — so the output hash is stable.
+  val q133: QuerySpec = QuerySpec(
+    "q133_customer_distribution",
+    (s, d) => {
+      val urgent = orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1996-01-01")
+        .select("o_custkey", "o_orderkey")
+      customer(s, d).select("c_custkey")
+        .join(urgent, col("o_custkey") === col("c_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    },
+    Some(
+      "WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count " +
+        "FROM customer LEFT JOIN orders ON o_custkey = c_custkey " +
+        "AND o_orderpriority = '1-URGENT' " +
+        "AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01' " +
+        "GROUP BY 1) " +
+        "SELECT c_count, count(*) AS custdist FROM co GROUP BY 1 " +
+        "ORDER BY custdist DESC, c_count DESC"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q87, q90, q93, q94, q95, q96, q97, q100, q101, q102, q105, q106, q107,
-      q108, q109, q110, q112, q124, q129)
+      q108, q109, q110, q112, q124, q129, q132, q133)
 }

@@ -90,5 +90,116 @@ object TimeSeriesQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q118)
+  // ---------------------------------------------------------------------
+  // q135 — rolling z-score anomaly detection: per return flag, the
+  // days whose revenue sits more than 2 sample standard deviations
+  // from the mean of the PRIOR 6 observed days (the trailing window
+  // excludes the current day — a spike must not dilute the baseline
+  // it is judged against). The alerting primitive every daily-rollup
+  // consumer bolts on first.
+  //
+  // Determinism: |x−μ| > 2σ never computes μ or σ. With n, S = Σx,
+  // Q = Σx² over the window, the inequality multiplies out to
+  // (n−1)·(nx−S)² > 4·n·(nQ−S²) — pure integer arithmetic on exact
+  // micro-unit revenues, evaluated identically in any engine. A
+  // float-σ threshold would flake at rounding boundaries (the q79
+  // rule); an integer inequality cannot. DECIMAL(38,0)/HUGEINT hold
+  // the squares exactly in both engines; micro-unit resolution is the
+  // knob to drop (cents, then whole units) as corpus volume grows —
+  // the q122 scale-S rule.
+  //
+  // Scale: the fact collapses to per-(flag, day) aggregates before
+  // any window; the rolling frame is ROWS-bounded (6) over a
+  // partitioned sort — no global sort, no self-join, state per
+  // partition is one 6-row buffer.
+  val q135: QuerySpec = QuerySpec(
+    "q135_anomaly_days",
+    (s, d) => {
+      val dec = DecimalType(38, 0)
+      val daily = lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"), col("l_shipdate").cast("date").as("day"))
+        .agg((Exact.revenueDecimal * 1000000).cast(dec).as("x"))
+      val win = Window.partitionBy("flag").orderBy("day").rowsBetween(-6, -1)
+      daily
+        .withColumn("n", count(lit(1)).over(win))
+        .withColumn("s", sum(col("x")).over(win))
+        .withColumn("q", sum((col("x") * col("x")).cast(dec)).over(win))
+        .where(col("n") === 6 &&
+          lit(5) * (lit(6) * col("x") - col("s")) * (lit(6) * col("x") - col("s")) >
+            lit(24) * (lit(6) * col("q") - col("s") * col("s")))
+        .select(
+          col("flag"), col("day"),
+          col("x").cast("long").as("rev_micro"),
+          when(lit(6) * col("x") > col("s"), "above").otherwise("below").as("direction"))
+        .orderBy("flag", "day")
+    },
+    Some(
+      "WITH d AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) * 1000000 AS HUGEINT) AS x " +
+        "FROM lineitem GROUP BY 1, 2), " +
+        "w AS (SELECT flag, day, x, count(*) OVER win AS n, sum(x) OVER win AS s, sum(x*x) OVER win AS q " +
+        "FROM d WINDOW win AS (PARTITION BY flag ORDER BY day ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT flag, day, CAST(x AS BIGINT) AS rev_micro, " +
+        "CASE WHEN 6*x > s THEN 'above' ELSE 'below' END AS direction " +
+        "FROM w WHERE n = 6 AND 5 * (6*x - s) * (6*x - s) > 24 * (6*q - s*s) " +
+        "ORDER BY flag, day"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q136 — CUSUM changepoint detection: per event type, the day where
+  // the cumulative count series deviates most from a uniform rate —
+  // argmax over days of |D·cum_i − i·N| (D observed days, N total
+  // events, i the day's index), the Kolmogorov-Smirnov-style
+  // rescaling of the classic CUSUM statistic that clears
+  // denominators: T_i = D·N·|cum_i/N − i/D| stays in exact integers.
+  // The "did the rate shift, and when" primitive for pipeline-health
+  // monitoring (a partition landing half-empty bends the cumulative
+  // curve exactly here).
+  //
+  // Determinism: the statistic is integer arithmetic end-to-end; the
+  // argmax breaks ties to the EARLIEST day via a (T desc, day)
+  // row_number — a total order, so both engines pick the same row.
+  //
+  // Scale: events collapse to per-(type, day) counts first; the
+  // cumulative sum, totals, and argmax all ride ONE per-type
+  // partitioning, each partition D rows. Day count and totals come
+  // from windows over that same partitioning — no second scan, no
+  // driver collect.
+  val q136: QuerySpec = QuerySpec(
+    "q136_cusum_changepoint",
+    (s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val byDay = Window.partitionBy("event_type").orderBy("day")
+      val whole = Window.partitionBy("event_type")
+      val t = daily
+        .withColumn("cum", sum(col("c")).over(byDay))
+        .withColumn("i", row_number().over(byDay))
+        .withColumn("n", sum(col("c")).over(whole))
+        .withColumn("nd", count(lit(1)).over(whole))
+        .withColumn("t_stat", abs(col("nd") * col("cum") - col("i") * col("n")))
+      t.withColumn("rn",
+          row_number().over(Window.partitionBy("event_type").orderBy(desc("t_stat"), col("day"))))
+        .where(col("rn") === 1)
+        .select(col("event_type"), col("day").as("cp_day"), col("t_stat"))
+        .orderBy("event_type")
+    },
+    Some(
+      "WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c FROM events GROUP BY 1, 2), " +
+        "cs AS (SELECT event_type, day, c, " +
+        "sum(c) OVER (PARTITION BY event_type ORDER BY day) AS cum, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY day) AS i, " +
+        "sum(c) OVER (PARTITION BY event_type) AS n, " +
+        "count(*) OVER (PARTITION BY event_type) AS nd FROM d), " +
+        "t AS (SELECT event_type, day, abs(nd*cum - i*n) AS t_stat, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY abs(nd*cum - i*n) DESC, day) AS rn FROM cs) " +
+        "SELECT event_type, day AS cp_day, CAST(t_stat AS BIGINT) AS t_stat FROM t WHERE rn = 1 " +
+        "ORDER BY event_type"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q118, q135, q136)
 }

@@ -124,4 +124,26 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(r("cleansrc").getAs[Long]("n_dup3_flagged") == 0L)
     assert(r("cleansrc").getAs[Double]("corpus_dup3_frac") == 0.0)
   }
+
+  test("q137 counts a gram as duplicated only when another DOC carries it") {
+    // docs 1 and 2 share exactly one 8-gram; doc 3 is disjoint; a doc
+    // repeating its own gram twice must NOT self-duplicate (distinct
+    // (doc, gram) before the df count)
+    val shared = "a b c d e f g h"
+    val df = Seq(
+      (1L, s"$shared x1 x2", "src1"),
+      (2L, s"$shared y1 y2", "src1"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10", "src2"),
+    ).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("dupgramfix").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = CorpusQueries.q137.run(spark, dir).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    // each of docs 1/2 has 3 grams, 1 shared → coverage 2/6; neither
+    // doc passes the majority gate (2·1 > 3 is false)
+    assert(r("src1").getAs[Long]("n_docs") == 2L)
+    assert(r("src1").getAs[Long]("n_flagged") == 0L)
+    assert(r("src1").getAs[Double]("dup_coverage") == 0.333333)
+    assert(r("src2").getAs[Double]("dup_coverage") == 0.0)
+  }
 }

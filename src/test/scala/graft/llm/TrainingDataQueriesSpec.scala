@@ -210,4 +210,22 @@ class TrainingDataQueriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("q134: weights are floored sqrt micro-units; probabilities sum to 1 within floor slack") {
+    val rows = TrainingDataQueries.q134.run(spark, sfDir).collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_chars")
+      assert(r.getAs[Long]("weight_micro") ==
+        math.floor(math.sqrt(n.toDouble) * 1e6).toLong)
+    }
+    // Σ floor-divided probabilities loses < 1 micro-unit per source
+    val pSum = rows.map(_.getAs[Long]("p_micro")).sum
+    assert(pSum <= 1000000L && pSum > 1000000L - rows.length, s"p_micro sum $pSum")
+    // temperature flattening: the largest source's probability share
+    // must not exceed its raw char share (α < 1 shrinks heavy sources)
+    val tot = rows.map(_.getAs[Long]("n_chars")).sum
+    val big = rows.maxBy(_.getAs[Long]("n_chars"))
+    assert(big.getAs[Long]("p_micro").toDouble / 1e6 <=
+      big.getAs[Long]("n_chars").toDouble / tot + 1e-9)
+  }
 }

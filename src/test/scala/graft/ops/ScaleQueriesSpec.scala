@@ -95,4 +95,33 @@ class ScaleQueriesSpec extends SparkSpec {
     assert("Join Inner, .*l_quantity.* < .*thr".r.findFirstIn(opt).isDefined ||
       opt.contains("(l_quantity"), s"threshold should join:\n$opt")
   }
+
+  test("q132: CNF extraction pushes both per-table disjunctions to the scans; join stays hash") {
+    val p = ScaleQueries.q132.run(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    // the quantity OR must reach the lineitem scan as a pushed filter…
+    assert(p.contains("PushedFilters: [IsNotNull(l_partkey), Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      s"quantity disjunction not pushed to lineitem scan:\n$p")
+    // …and the brand/size OR the part scan
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"),
+      s"brand/size disjunction not pushed to part scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "equi-key must keep the join a hash join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the OR must not degrade the join to a nested loop")
+  }
+
+  test("q133 produces the zero-order bucket an inner join cannot") {
+    val dir = java.nio.file.Files.createTempDirectory("q133fix").toString
+    Seq(1L, 2L, 3L).toDF("c_custkey").write.parquet(s"$dir/customer.parquet")
+    Seq(
+      (10L, 1L, "1-URGENT", Timestamp.valueOf("1995-03-01 00:00:00")),
+      (11L, 1L, "1-URGENT", Timestamp.valueOf("1995-06-01 00:00:00")),
+      (12L, 2L, "5-LOW", Timestamp.valueOf("1995-03-01 00:00:00")), // wrong priority
+      (13L, 1L, "1-URGENT", Timestamp.valueOf("1994-03-01 00:00:00")), // out of window
+    ).toDF("o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = ScaleQueries.q133.run(spark, dir).collect()
+      .map(x => x.getAs[Long]("c_count") -> x.getAs[Long]("custdist")).toMap
+    assert(r == Map(2L -> 1L, 0L -> 2L)) // cust 1 twice; custs 2 and 3 zero
+  }
 }
