@@ -523,30 +523,86 @@ object CorpusQueries {
   // scoring join keys on token (vocabulary-sized build side —
   // broadcastable until vocab outgrows executors, hash-join after);
   // per-doc sums partial-aggregate before the doc_id exchange.
+  /** Per-doc mean unigram surprisal in micro-nats — q131's body,
+    * shared with q140's curriculum binning so the two surfaces can
+    * never disagree on what "the quality score" means. Columns:
+    * (doc_id, n_tokens, surprisal_micro).
+    */
+  private def surprisalPerDoc(s: org.apache.spark.sql.SparkSession, d: String) = {
+    def tok = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val freq = tok.groupBy("t").agg(count(lit(1)).as("f"))
+    val tot = freq.agg(sum("f").as("n")) // 1-row anchor, from freq — no third corpus pass
+    val sur = freq.crossJoin(tot)
+      .select(col("t"),
+        floor(log(col("n").cast("double") / col("f")) * 1e6).cast("long").as("s"))
+    tok.join(sur, "t")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("s").as("ssum"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("ssum div n_tokens").as("surprisal_micro"))
+  }
+
+  /** q131's whole-pipeline SQL as a CTE chain ending in `per` —
+    * shared verbatim by q131 and q140's oracles.
+    */
+  private val surprisalCteSql: String =
+    "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
+      "freq AS (SELECT t, count(*) AS f FROM tok GROUP BY 1), " +
+      "tot AS (SELECT sum(f) AS n FROM freq), " +
+      "sur AS (SELECT t, CAST(floor(ln(CAST(n AS DOUBLE)/f) * 1e6) AS BIGINT) AS s FROM freq, tot), " +
+      "per AS (SELECT doc_id, count(*) AS n_tokens, sum(s) AS ssum FROM tok JOIN sur USING (t) GROUP BY 1)"
+
   val q131: QuerySpec = QuerySpec(
     "q131_unigram_surprisal",
+    (s, d) => surprisalPerDoc(s, d).orderBy("doc_id"),
+    Some(
+      s"WITH $surprisalCteSql " +
+        "SELECT doc_id, n_tokens, ssum // n_tokens AS surprisal_micro FROM per ORDER BY doc_id"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q140 — curriculum binning: split the corpus into 4 equal-count
+  // phases by ascending surprisal (easy → hard under the q131 unigram
+  // score — curriculum learning's canonical ordering) and report each
+  // phase's source mix. The step that turns a quality SCORE into a
+  // training SCHEDULE; the per-phase source histogram is what a
+  // curriculum designer actually reviews (does phase 1 over-sample
+  // one boilerplate source?).
+  //
+  // Determinism: surprisal_micro is q131's exact integer; the bin
+  // boundary is ntile(4) under the TOTAL order (score, doc_id) —
+  // reproduced without any single-task sort via the q109 machinery:
+  // a range-partitioned global rank ([[graft.ops.Ranks]]) + pure
+  // rank arithmetic ([[graft.ops.Ranks.ntileFromRank]]). The oracle
+  // runs plain SQL ntile — the hash match proves the distributed
+  // form IS the ANSI bucketing.
+  //
+  // Scale: docs ≫ phases, and the rank pass is the scalable global
+  // sort (sampled range boundaries, parallel per-partition ranks,
+  // P-row offset frame); everything after is a (phase, source)
+  // aggregate — bounded key space, map-side combined.
+  val q140: QuerySpec = QuerySpec(
+    "q140_curriculum_bins",
     (s, d) => {
-      def tok = documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      val freq = tok.groupBy("t").agg(count(lit(1)).as("f"))
-      val tot = freq.agg(sum("f").as("n")) // 1-row anchor, from freq — no third corpus pass
-      val sur = freq.crossJoin(tot)
-        .select(col("t"),
-          floor(log(col("n").cast("double") / col("f")) * 1e6).cast("long").as("s"))
-      tok.join(sur, "t")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"), sum("s").as("ssum"))
-        .select(col("doc_id"), col("n_tokens"),
-          expr("ssum div n_tokens").as("surprisal_micro"))
-        .orderBy("doc_id")
+      val scored = documents(s, d).select("doc_id", "source")
+        .join(surprisalPerDoc(s, d).select("doc_id", "surprisal_micro"), "doc_id")
+      val n = scored.agg(count(lit(1)).as("__n")) // 1-row doc count
+      graft.ops.Ranks
+        .withGlobalRank(scored, Seq(col("surprisal_micro"), col("doc_id")), "grank")
+        .crossJoin(n)
+        .withColumn("phase", graft.ops.Ranks.ntileFromRank(col("grank"), col("__n"), 4))
+        .groupBy("phase", "source")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("phase", "source")
     },
     Some(
-      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
-        "freq AS (SELECT t, count(*) AS f FROM tok GROUP BY 1), " +
-        "tot AS (SELECT sum(f) AS n FROM freq), " +
-        "sur AS (SELECT t, CAST(floor(ln(CAST(n AS DOUBLE)/f) * 1e6) AS BIGINT) AS s FROM freq, tot), " +
-        "per AS (SELECT doc_id, count(*) AS n_tokens, sum(s) AS ssum FROM tok JOIN sur USING (t) GROUP BY 1) " +
-        "SELECT doc_id, n_tokens, ssum // n_tokens AS surprisal_micro FROM per ORDER BY doc_id"
+      s"WITH $surprisalCteSql, " +
+        "scored AS (SELECT d.doc_id, d.source, p.ssum // p.n_tokens AS surprisal_micro " +
+        "FROM documents d JOIN per p ON p.doc_id = d.doc_id), " +
+        "binned AS (SELECT source, ntile(4) OVER (ORDER BY surprisal_micro, doc_id) AS phase FROM scored) " +
+        "SELECT phase, source, count(*) AS n_docs FROM binned GROUP BY 1, 2 ORDER BY phase, source"
     ),
   )
 
@@ -615,5 +671,5 @@ object CorpusQueries {
   )
 
   val all: Seq[QuerySpec] =
-    Seq(q88, q89, q91, q92, q98, q99, q103, q104, q111, q117, q131, q137)
+    Seq(q88, q89, q91, q92, q98, q99, q103, q104, q111, q117, q131, q137, q140)
 }

@@ -131,4 +131,65 @@ object GraphOps {
     }
     pr.select(col("v"), col("pr").cast("long").as("pr"))
   }
+
+  /** Multi-source BFS hop distance: for every vertex reachable from
+    * `seeds` within `maxHops`, the minimum number of edges to the
+    * nearest seed. Level-synchronous expansion — round k's frontier is
+    * exactly the vertices first reached at distance k, so a vertex's
+    * first discovery IS its minimum distance (uniform edge weights)
+    * and no relaxation/min-merge pass is ever needed.
+    *
+    * Loop hygiene (the q122 frame-reuse lesson): each round's frontier
+    * is checkpointed EAGERLY — it is read twice (emptiness probe +
+    * next round's expansion join) and the probe rides the
+    * materialization; the accumulated distance frame checkpoints
+    * LAZILY (the q120 rule — it is only read next round, so its pin
+    * materializes as part of that round's single job). Per round the
+    * shuffle carries one frontier expansion (≤ |E| rows) and the
+    * anti-join against distances — never the whole graph re-derived.
+    *
+    * Termination is the empty frontier — a limit-1 probe on the
+    * already-materialized checkpoint, not a count. `maxHops` bounds
+    * adversarial diameters (a path graph degenerates to one round per
+    * vertex; for such graphs run [[Components.connectedComponentsStar]]
+    * -style doubling instead).
+    *
+    * @return (v, d) — reached vertices only; seeds outside the edge
+    *         set are dropped (the vertex-universe rule).
+    */
+  def bfsHops(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int = 20,
+  ): DataFrame = {
+    val e = canon(edges, srcCol, dstCol).localCheckpoint(eager = true)
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a"))
+      .sortWithinPartitions("a")
+      .persist()
+    var frontier = seeds.select(col(seedCol).as("v")).distinct()
+      .join(sym.select(col("a").as("v")), Seq("v"), "left_semi")
+      .localCheckpoint(eager = true)
+    var dist = frontier.withColumn("d", lit(0L))
+    var k = 0
+    var done = frontier.isEmpty
+    while (!done && k < maxHops) {
+      k += 1
+      val next = sym
+        .join(frontier.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .select(col("b").as("v")).distinct()
+        .join(dist, Seq("v"), "left_anti")
+        .localCheckpoint(eager = true) // probed + expanded next round
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.union(next.withColumn("d", lit(k.toLong)))
+          .localCheckpoint(eager = false) // pinned by next round's job
+        frontier = next
+      }
+    }
+    dist
+  }
 }

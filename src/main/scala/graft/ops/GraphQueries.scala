@@ -97,5 +97,38 @@ object GraphQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q121, q122)
+  // ---------------------------------------------------------------------
+  // q139 — multi-source BFS hop distance ([[GraphOps.bfsHops]]): how
+  // many co-purchase hops each part sits from the nearest max-size
+  // (p_size = 50) part. The reachability-with-distance primitive the
+  // graph family lacks (components answer "connected at all",
+  // PageRank "how central" — neither answers "how FAR"), and the
+  // iterative-loop shape where first-discovery-is-final lets each
+  // round shuffle only the frontier, never re-relax settled vertices.
+  //
+  // The oracle is a recursive CTE enumerating every (vertex, depth)
+  // derivation then taking min(depth) — exact, and exponential in
+  // path multiplicity the way the level-synchronous plan never is
+  // (the q99→q111 relationship on the traversal axis). Both sides
+  // cap depth at 20; the co-purchase graph's diameter is ~2, so the
+  // cap is a safety rail, not a semantic bound.
+  val q139: QuerySpec = QuerySpec(
+    "q139_bfs_hops",
+    (s, d) =>
+      GraphOps.bfsHops(
+        copurchaseEdges(s, d), "a", "b",
+        part(s, d).where(col("p_size") === 50), "p_partkey")
+        .select(col("v").as("part_key"), col("d").as("hops"))
+        .orderBy("part_key"),
+    Some(
+      s"WITH RECURSIVE $edgesCteSql, " +
+        "sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges), " +
+        "seeds AS (SELECT DISTINCT a AS v FROM sym JOIN part ON p_partkey = a WHERE p_size = 50), " +
+        "r AS (SELECT v, 0 AS d FROM seeds " +
+        "UNION SELECT s.b AS v, r.d + 1 AS d FROM r JOIN sym s ON s.a = r.v WHERE r.d < 20) " +
+        "SELECT v AS part_key, CAST(min(d) AS BIGINT) AS hops FROM r GROUP BY 1 ORDER BY 1"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q121, q122, q139)
 }

@@ -230,5 +230,45 @@ object SubqueryQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q113, q114, q115, q116, q128)
+  // ---------------------------------------------------------------------
+  // q138 — NOT IN over a subquery (the null-aware anti join): parts
+  // never shipped by any negative-balance supplier, per brand. The
+  // LAST subquery shape the family lacked, and semantically DISTINCT
+  // from q115's NOT EXISTS: NOT IN is three-valued — one NULL in the
+  // subquery result empties the whole answer, and a NULL probe key is
+  // never kept — so Catalyst cannot plan the plain LeftAnti hash join
+  // and instead plants the single-column null-aware anti join
+  // (plan-pinned in SubqueryQueriesSpec). Declared with Spark's
+  // `Column.isin(Dataset)` subquery API under negation — the NOT IN
+  // semantics, not an anti-join approximation of them.
+  //
+  // Scale: NAAJ requires broadcasting the subquery side (the
+  // null-check needs every build row visible to every probe) — fine
+  // here (distressed-supplier lineitems ≪ broadcast threshold), but
+  // the 100 TB rule is: when keys are provably non-null, write NOT
+  // EXISTS/LeftAnti instead (q115's shape) and keep the join
+  // shuffleable. This query IS the documentation of that boundary.
+  val q138: QuerySpec = QuerySpec(
+    "q138_parts_no_distressed_supplier",
+    (s, d) => {
+      val flaggedParts = lineitem(s, d)
+        .join(supplier(s, d).where(col("s_acctbal") < 0),
+          col("l_suppkey") === col("s_suppkey"))
+        .select("l_partkey")
+      part(s, d)
+        .where(!col("p_partkey").isin(flaggedParts))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"), dsum("p_retailprice").as("retail_value"))
+        .orderBy("p_brand")
+    },
+    Some(
+      s"SELECT p_brand, count(*) AS n_parts, ${dsumSql("p_retailprice")} AS retail_value " +
+        "FROM part WHERE p_partkey NOT IN (" +
+        "SELECT l_partkey FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE s_acctbal < 0) " +
+        "GROUP BY 1 ORDER BY p_brand"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q113, q114, q115, q116, q128, q138)
 }

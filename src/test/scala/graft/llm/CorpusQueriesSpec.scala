@@ -146,4 +146,17 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(r("src1").getAs[Double]("dup_coverage") == 0.333333)
     assert(r("src2").getAs[Double]("dup_coverage") == 0.0)
   }
+
+  test("q140 phases are equal-count (ANSI ntile) and conserve the corpus") {
+    val rows = CorpusQueries.q140.run(spark, sfDir).collect()
+    val perPhase = rows.groupBy(_.getAs[Long]("phase"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val total = perPhase.values.sum
+    assert(total == graft.ops.Tables.documents(spark, sfDir).count())
+    assert(perPhase.keySet == Set(1L, 2L, 3L, 4L))
+    // ANSI ntile: sizes differ by at most 1, big buckets first
+    val sizes = (1L to 4L).map(perPhase)
+    assert(sizes.max - sizes.min <= 1, sizes.toString)
+    assert(sizes == sizes.sortBy(-_), s"larger buckets must come first: $sizes")
+  }
 }

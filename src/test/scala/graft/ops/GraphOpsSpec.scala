@@ -79,4 +79,22 @@ class GraphOpsSpec extends SparkSpec {
       assert(got.values.toSet.size == 1, s"iters=$k: $got")
     }
   }
+
+  private def bfs(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int = 20): Map[Long, Long] =
+    GraphOps.bfsHops(edges.toDF("a", "b"), "a", "b", seeds.toDF("v"), "v", maxHops)
+      .as[(Long, Long)].collect().toMap
+
+  test("bfsHops: exact level distances; detached components and off-graph seeds excluded") {
+    // path 1-2-3-4 plus detached edge 5-6; seed 9 is not a vertex
+    val got = bfs(Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)), Seq(1L, 9L))
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("bfsHops: multi-source takes the NEAREST seed; maxHops truncates the frontier") {
+    // path 1..6 seeded at both ends: middle meets at min distance
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    assert(bfs(path, Seq(1L, 6L)) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L, 6L -> 0L))
+    assert(bfs(path, Seq(1L), maxHops = 2) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
 }

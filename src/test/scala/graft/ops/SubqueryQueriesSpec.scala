@@ -51,4 +51,19 @@ class SubqueryQueriesSpec extends SparkSpec {
         assert(!plan(n).contains("CartesianProduct"), s"$n must not plan a cartesian product")
       }
   }
+
+  test("q138: NOT IN plants the single-column null-aware anti join, not a plain LeftAnti") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = Registry.byName("q138_parts_no_distressed_supplier").run(spark, sfDir)
+    val physical = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val naaj = physical.collect {
+      case b: BroadcastHashJoinExec if b.isNullAwareAntiJoin => b
+    }
+    assert(naaj.nonEmpty,
+      s"NOT IN must compile to the null-aware anti join (three-valued semantics):\n$physical")
+  }
 }
