@@ -620,6 +620,57 @@ object TrainingDataQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q142 — out-of-vocabulary rate under a frozen top-K vocabulary:
+  // induce the vocab as the corpus's K most frequent lowercased
+  // tokens, then measure each source's OOV token rate. The tokenizer-
+  // fit diagnostic q78's coverage CURVE doesn't give: q78 asks "how
+  // many types cover X% of mass" (global), this asks "how badly does
+  // a FIXED vocab miss each source" — the number that decides whether
+  // a source needs its own tokenizer or gets shredded into bytes.
+  // K = 16 on this corpus (31 types — Heaps-law-degenerate synthetic
+  // text); the operator is K-agnostic.
+  //
+  // Determinism: the vocab is a top-K under the TOTAL order (count
+  // desc, token) — no frequency tie can flip membership; the OOV gate
+  // is null-vs-not after a left join; the rate is one integer floor
+  // division to basis points.
+  //
+  // Scale: token counts are uniform-keyed and map-side combined; the
+  // top-K compiles to TakeOrderedAndProject; the K-row vocab
+  // BROADCASTS into the flag join, so the fact-side token stream
+  // never shuffles for membership — at 100 TB with a real 50k-token
+  // vocab the broadcast still costs ~MB.
+  val q142: QuerySpec = QuerySpec(
+    "q142_oov_rate",
+    (s, d) => {
+      def tok = documents(s, d)
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("t"))
+        .where(col("t") =!= "")
+      val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), col("t")).limit(16)
+        .select(col("t"), lit(1).as("in_v"))
+      tok.join(vocab, Seq("t"), "left_outer")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          expr("(10000 * n_oov) div n_tokens").as("oov_bp"))
+        .orderBy("source")
+    },
+    Some(
+      "WITH tok AS (SELECT source, t FROM " +
+        "(SELECT source, unnest(string_split(lower(text), ' ')) AS t FROM documents) WHERE t <> ''), " +
+        "cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY 1), " +
+        "vocab AS (SELECT t FROM cnt ORDER BY c DESC, t LIMIT 16) " +
+        "SELECT source, count(*) AS n_tokens, " +
+        "CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+        "CAST((10000 * sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS oov_bp " +
+        "FROM tok LEFT JOIN vocab v USING (t) GROUP BY 1 ORDER BY source"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q65, q66, q68, q69, q70, q75, q76, q77, q78, q79, q86, q120, q134)
+    Seq(q65, q66, q68, q69, q70, q75, q76, q77, q78, q79, q86, q120, q134, q142)
 }

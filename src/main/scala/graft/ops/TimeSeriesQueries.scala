@@ -201,5 +201,52 @@ object TimeSeriesQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q118, q135, q136)
+  // ---------------------------------------------------------------------
+  // q141 — exponential time-decay engagement scoring (half-life = one
+  // week): each user's recency-weighted value total, weight 2^(4−w)
+  // for an event w whole weeks before the corpus's latest day, events
+  // older than 4 weeks dropped. The feature-store primitive behind
+  // "active user" scores — recent activity dominates, stale activity
+  // fades on a fixed schedule.
+  //
+  // Determinism: the decay base is 2 and ages quantize to WHOLE weeks,
+  // so every weight is a small exact power of two (power(2, k) on an
+  // integer k is exact IEEE in any engine — general e^{−λt} is the
+  // cross-libm hazard the q79 rule forbids); value converts to exact
+  // integer cents BEFORE weighting, so the score is a pure integer
+  // sum — no float accumulation anywhere. The anchor day rides a
+  // 1-row cross join (the q79 rule).
+  //
+  // Scale: one per-user aggregate over the age-gated scan (the 4-week
+  // cutoff prunes the fact BEFORE the shuffle — with date-partitioned
+  // storage it prunes partitions); top-20 compiles to
+  // TakeOrderedAndProject, never a global sort.
+  val q141: QuerySpec = QuerySpec(
+    "q141_decay_score",
+    (s, d) => {
+      val dec = DecimalType(18, 2)
+      val mx = events(s, d).agg(max(col("ts").cast("date")).as("anchor"))
+      events(s, d)
+        .crossJoin(mx) // 1-row anchor
+        .withColumn("agew", expr("datediff(anchor, CAST(ts AS DATE)) div 7"))
+        .where(col("agew") <= 4)
+        .withColumn("wt", pow(lit(2), lit(4) - col("agew")).cast("long"))
+        .groupBy("user_id")
+        .agg(
+          sum(col("value").cast(dec) * 100 * col("wt")).cast("long").as("score_cents"),
+          count(lit(1)).as("n_events"))
+        .orderBy(desc("score_cents"), col("user_id"))
+        .limit(20)
+    },
+    Some(
+      "WITH mx AS (SELECT CAST(max(ts) AS DATE) AS anchor FROM events), " +
+        "e AS (SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v, " +
+        "date_diff('day', CAST(ts AS DATE), anchor) // 7 AS agew FROM events, mx), " +
+        "w AS (SELECT user_id, v, CAST(power(2, 4 - agew) AS BIGINT) AS wt FROM e WHERE agew <= 4) " +
+        "SELECT user_id, CAST(sum(v * 100 * wt) AS BIGINT) AS score_cents, count(*) AS n_events " +
+        "FROM w GROUP BY 1 ORDER BY score_cents DESC, user_id LIMIT 20"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q118, q135, q136, q141)
 }
