@@ -1,7 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** q87/q90: scale-mechanics operators — bloom-accelerated key-set
   * membership and robust (median/MAD) outlier detection.
@@ -984,7 +986,175 @@ object ScaleQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q144 — association rules over q110's co-purchase pairs: support,
+  // confidence, and lift for part pairs sharing ≥ 2 orders, top-20 by
+  // lift. q110 stops at the co-occurrence COUNT; the rule metrics are
+  // what make it actionable — lift > 1 means the pair co-occurs more
+  // than independence predicts, which is the recommender/market-basket
+  // signal, and confidence is the directed "if a then b" strength.
+  //
+  // Determinism: all three metrics are ratios of integer counts,
+  // emitted as floored basis points — lift_bp = (10⁴·n_ab·N) div
+  // (n_a·n_b) — so no float ever forms; the top-20 order is total
+  // (lift desc, pa, pb).
+  //
+  // Scale: the pair table is q110's plan (distinct per-order baskets,
+  // self-join fanning out WITHIN an order only — Σ basket² bounded by
+  // physical basket size); the per-part counts attach by two joins on
+  // the pair's own keys (part-dimension sized, shuffle-joined — at
+  // catalog scale neither side needs to fit in memory); the 1-row
+  // order total rides a cross join. Top-20 is TakeOrderedAndProject.
+  val q144: QuerySpec = QuerySpec(
+    "q144_association_rules",
+    (s, d) => {
+      // five consumers (both self-join sides, two per-part count
+      // joins, the order total) — checkpoint so the fact-sized
+      // distinct materializes ONCE instead of five scan+shuffle runs
+      val basket = lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint(true)
+      val perPart = basket.groupBy("p").agg(count(lit(1)).as("np")).localCheckpoint(true)
+      val total = basket.agg(countDistinct("o").as("total"))
+      basket.as("a")
+        .join(basket.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+        .agg(count(lit(1)).as("nab"))
+        .where(col("nab") >= 2)
+        .crossJoin(total) // 1-row anchor
+        .join(perPart.select(col("p").as("ka"), col("np").as("n_a")), col("pa") === col("ka"))
+        .join(perPart.select(col("p").as("kb"), col("np").as("n_b")), col("pb") === col("kb"))
+        .select(
+          col("pa"), col("pb"), col("nab"), col("n_a"), col("n_b"),
+          expr("(10000 * nab * total) div (n_a * n_b)").as("lift_bp"),
+          expr("(10000 * nab) div n_a").as("conf_bp"))
+        .orderBy(desc("lift_bp"), col("pa"), col("pb"))
+        .limit(20)
+    },
+    Some(
+      "WITH basket AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "nn AS (SELECT p, count(*) AS np FROM basket GROUP BY 1), " +
+        "tot AS (SELECT count(DISTINCT o) AS total FROM basket), " +
+        "pairs AS (SELECT a.p AS pa, b.p AS pb, count(*) AS nab FROM basket a " +
+        "JOIN basket b ON a.o = b.o AND a.p < b.p GROUP BY 1,2 HAVING count(*) >= 2) " +
+        "SELECT pa, pb, nab, na.np AS n_a, nb.np AS n_b, " +
+        "CAST((10000 * nab * total) // (na.np * nb.np) AS BIGINT) AS lift_bp, " +
+        "CAST((10000 * nab) // na.np AS BIGINT) AS conf_bp " +
+        "FROM pairs, tot JOIN nn na ON na.p = pa JOIN nn nb ON nb.p = pb " +
+        "ORDER BY lift_bp DESC, pa, pb LIMIT 20"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q147 — Gini concentration of customer revenue per nation, exact.
+  // The inequality statistic behind "is our revenue concentrated in a
+  // few whales": G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) with xᵢ ascending —
+  // 0 = perfectly even, →1 = one customer is everything.
+  //
+  // Determinism: revenue is exact cents; the rank i is a row_number
+  // under the TOTAL order (cents, custkey); numerator and denominator
+  // stay in DECIMAL(38,0) and the single division is floored basis
+  // points on non-negative operands (the numerator is ≥ 0 for any
+  // ascending ordering).
+  //
+  // Scale: the rank is the q109 machinery, NOT a per-nation window —
+  // customers grow linearly with the business, so a per-nation
+  // row_number window would sort each nation's millions of customers
+  // in one task. Ranks.withGlobalRank range-partitions the total
+  // (nation, cents, custkey) order; the within-nation rank is then
+  // global_rank − the nation's offset, where offsets come from the
+  // 25-row per-nation count table (broadcast). Moment sums partial-agg.
+  val q147: QuerySpec = QuerySpec(
+    "q147_gini_concentration",
+    (s, d) => {
+      val big = DecimalType(38, 0)
+      val rev = customer(s, d)
+        .join(orders(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nk"), col("c_custkey").as("ck"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast(big).as("cents"))
+      // checkpoint: the rank frame feeds both the offset aggregate and
+      // the moment sums — without it the rank assignment re-runs per
+      // consumer. Nation offset = the nation's min global rank − 1 (the
+      // order leads with nk, so each nation's ranks are contiguous) — a
+      // map-side-combined 25-row aggregate, no unpartitioned window.
+      val ranked = Ranks.withGlobalRank(
+        rev, Seq(col("nk").asc, col("cents").asc, col("ck").asc), "grk")
+        .localCheckpoint(true)
+      val offs = ranked.groupBy(col("nk").as("onk")).agg((min(col("grk")) - 1).as("off"))
+      ranked
+        .join(broadcast(offs), col("nk") === col("onk"))
+        .withColumn("i", (col("grk") - col("off")).cast(big))
+        .groupBy("nk")
+        .agg(
+          count(lit(1)).cast(big).as("n"),
+          sum("cents").as("sx"),
+          sum(col("i") * col("cents")).as("six"))
+        .where(col("sx") > 0 && col("n") >= 2)
+        .select(
+          col("nk"),
+          col("n").cast("long").as("n_customers"),
+          expr("CAST((10000 * (2*six - (n+1)*sx)) div (n * sx) AS BIGINT)").as("gini_bp"))
+        .orderBy("nk")
+    },
+    Some(
+      "WITH rev AS (SELECT c.c_nationkey AS nk, c.c_custkey AS ck, " +
+        "CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS DECIMAL(38,0)) AS cents " +
+        "FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey GROUP BY 1, 2), " +
+        "rk AS (SELECT nk, cents, CAST(row_number() OVER (PARTITION BY nk ORDER BY cents, ck) AS DECIMAL(38,0)) AS i FROM rev), " +
+        "s AS (SELECT nk, count(*) AS n, sum(cents) AS sx, sum(i * cents) AS six FROM rk GROUP BY 1) " +
+        "SELECT nk, CAST(n AS BIGINT) AS n_customers, " +
+        "CAST(CAST(10000 * (2*six - (n+1)*sx) AS HUGEINT) // CAST(n * sx AS HUGEINT) AS BIGINT) AS gini_bp " +
+        "FROM s WHERE sx > 0 AND n >= 2 ORDER BY nk"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q148 — k-anonymity audit over customer quasi-identifiers (nation,
+  // market segment, account balance in truncated thousands): for each
+  // k ∈ {2, 5, 10}, how many equivalence classes and rows fall below
+  // the anonymity threshold. The privacy gate a dataset must pass
+  // before release — a class of size 1 is a re-identifiable person.
+  //
+  // Determinism: the balance bucket is exact cents div 100 000
+  // (truncation toward zero in both engines — a bucket-edge knob, not
+  // a correctness hazard, as long as both sides share it); everything
+  // else is integer counts.
+  //
+  // Scale: ONE groupBy over the quasi-identifier tuple (key space =
+  // the product of the identifier domains, bounded ≪ rows), then the
+  // 3-way k explode runs on the CLASS table, not the rows — the
+  // per-k report re-aggregates classes, so the fact is touched once.
+  val q148: QuerySpec = QuerySpec(
+    "q148_k_anonymity",
+    (s, d) => {
+      val eq = customer(s, d)
+        .select(
+          col("c_nationkey").as("nk"),
+          col("c_mktsegment").as("seg"),
+          expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) div 100000").as("bal_k"))
+        .groupBy("nk", "seg", "bal_k")
+        .agg(count(lit(1)).as("sz"))
+      eq.select(col("sz"), explode(array(lit(2L), lit(5L), lit(10L))).as("k"))
+        .groupBy("k")
+        .agg(
+          sum(when(col("sz") < col("k"), 1L).otherwise(0L)).as("classes_at_risk"),
+          sum(when(col("sz") < col("k"), col("sz")).otherwise(0L)).as("rows_at_risk"),
+          count(lit(1)).as("classes_total"))
+        .orderBy("k")
+    },
+    Some(
+      "WITH q AS (SELECT c_nationkey AS nk, c_mktsegment AS seg, " +
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000 AS bal_k FROM customer), " +
+        "eq AS (SELECT nk, seg, bal_k, count(*) AS sz FROM q GROUP BY 1,2,3) " +
+        "SELECT k.k, CAST(count(*) FILTER (WHERE sz < k.k) AS BIGINT) AS classes_at_risk, " +
+        "CAST(coalesce(sum(sz) FILTER (WHERE sz < k.k), 0) AS BIGINT) AS rows_at_risk, " +
+        "CAST(count(*) AS BIGINT) AS classes_total " +
+        "FROM eq, (SELECT unnest([2,5,10]) AS k) k GROUP BY 1 ORDER BY k"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q87, q90, q93, q94, q95, q96, q97, q100, q101, q102, q105, q106, q107,
-      q108, q109, q110, q112, q124, q129, q132, q133)
+      q108, q109, q110, q112, q124, q129, q132, q133, q144, q147, q148)
 }

@@ -248,5 +248,194 @@ object TimeSeriesQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q118, q135, q136, q141)
+  // ---------------------------------------------------------------------
+  // q143 — peak concurrency by sweep-line: per order priority, the
+  // maximum number of orders simultaneously "open" (order date through
+  // the last shipment of any of their lines, inclusive) and the first
+  // day that peak is reached. The capacity-planning primitive — peak
+  // open orders sizes fulfillment staffing the way peak concurrent
+  // sessions sizes servers — and the interval operator windows cannot
+  // express (an order contributes to EVERY day it spans, not a frame
+  // anchored at one row).
+  //
+  // Determinism: the sweep aggregates the ±1 deltas PER DAY before
+  // cumulating, so the running count is evaluated only at day
+  // granularity — no within-day delta-order ambiguity can touch the
+  // max; days are epoch integers; first-peak ties break by min(day).
+  //
+  // Scale: the naive plan (interval × calendar range join, or a
+  // per-day COUNT over an exploded span) is O(orders × span-days);
+  // the sweep is O(orders) plus a cumulative window whose input is
+  // the (priority × active-day) grid — CALENDAR-bounded, not
+  // row-bounded, so the per-priority window task holds a few
+  // thousand rows at any corpus size. The interval build is one
+  // per-order aggregate on the join key (no extra shuffle: lineitem
+  // arrives keyed by l_orderkey).
+  val q143: QuerySpec = QuerySpec(
+    "q143_peak_concurrency",
+    (s, d) => {
+      val iv = orders(s, d)
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(
+          col("o_orderkey"),
+          col("o_orderpriority").as("pri"),
+          col("o_orderdate").cast("date").as("sd"))
+        .agg(max(col("l_shipdate").cast("date")).as("ed"))
+      // both deltas in ONE executor-local explode — a union of two
+      // selects would recompute the whole interval subtree per branch
+      val open = iv
+        .select(col("pri"), explode(array(
+          struct(unix_date(col("sd")).cast("long").as("day"), lit(1L).as("delta")),
+          struct((unix_date(col("ed")) + 1).cast("long").as("day"), lit(-1L).as("delta"))))
+          .as("e"))
+        .groupBy(col("pri"), col("e.day").as("day"))
+        .agg(sum(col("e.delta")).as("dd"))
+        .withColumn("open", sum(col("dd")).over(Window.partitionBy("pri").orderBy("day")))
+      // peak + earliest peak day as ONE struct-argmax aggregate (max
+      // open, then max(−day) = min day) — not a max-then-self-join,
+      // which would run the sweep twice
+      open
+        .groupBy("pri")
+        .agg(max(struct(col("open"), (-col("day")).as("negday"))).as("m"))
+        .select(col("pri"), col("m.open").as("peak"), (-col("m.negday")).as("first_peak_day"))
+        .orderBy("pri")
+    },
+    Some(
+      "WITH iv AS (SELECT o.o_orderpriority AS pri, CAST(o.o_orderdate AS DATE) AS s, " +
+        "CAST(max(l.l_shipdate) AS DATE) AS e FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+        "GROUP BY o.o_orderkey, 1, 2), " +
+        "d AS (SELECT pri, datediff('day', DATE '1970-01-01', s) AS day, 1 AS delta FROM iv " +
+        "UNION ALL SELECT pri, datediff('day', DATE '1970-01-01', e) + 1, -1 FROM iv), " +
+        "g AS (SELECT pri, day, CAST(sum(delta) AS BIGINT) AS dd FROM d GROUP BY 1,2), " +
+        "c AS (SELECT pri, day, sum(dd) OVER (PARTITION BY pri ORDER BY day) AS open FROM g), " +
+        "p AS (SELECT pri AS ppri, max(open) AS peak FROM c GROUP BY 1) " +
+        "SELECT c.pri, CAST(p.peak AS BIGINT) AS peak, min(c.day) AS first_peak_day " +
+        "FROM c JOIN p ON c.pri = p.ppri AND c.open = p.peak GROUP BY 1, 2 ORDER BY pri"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q145 — exact least-squares revenue trend per supplier: the OLS
+  // slope of shipment revenue against ship day, in integer micro-units
+  // per day. The "is this series rising or falling" primitive behind
+  // every trend monitor — here with the regression arithmetic kept
+  // EXACT so two engines (or two row orders) cannot disagree on a
+  // slope, its sign, or the top-20 ranking.
+  //
+  // Determinism: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) evaluates
+  // entirely in DECIMAL(38,0) over integer inputs (x = days since the
+  // supplier's own first shipment — centering bounds magnitudes and is
+  // slope-invariant; y = exact cents). The only division is the final
+  // one, written as sign(num) · (10⁶·|num| div den) so both engines
+  // perform the same truncating division on non-negative operands
+  // (SQL integer-div rounds toward zero — floor and trunc diverge on
+  // negatives, so the sign is factored out first).
+  //
+  // Scale: one per-supplier min window + one per-supplier aggregate,
+  // both on the same key — Catalyst reuses the partitioning, so the
+  // whole regression costs ONE shuffle of the fact at supplier
+  // granularity; top-20 is TakeOrderedAndProject. At 100 TB the
+  // DECIMAL(38,0) moment sums hold: x ≤ span-days (~10⁴), y ≤ 10¹¹
+  // cents, Σxy per supplier ≤ rows·10¹⁵ — overflow needs 10²³ rows
+  // per supplier.
+  val q145: QuerySpec = QuerySpec(
+    "q145_trend_slope",
+    (s, d) => {
+      val big = DecimalType(38, 0)
+      val r = lineitem(s, d).select(
+        col("l_suppkey").as("sk"),
+        unix_date(col("l_shipdate").cast("date")).cast("long").as("day"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      r.withColumn("x", (col("day") - min("day").over(Window.partitionBy("sk"))).cast(big))
+        .withColumn("y", col("cents").cast(big))
+        .groupBy("sk")
+        .agg(
+          count(lit(1)).cast(big).as("n"),
+          sum("x").as("sx"),
+          sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .where(col("n") >= 3)
+        .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+        .where(col("den") > 0)
+        .select(
+          col("sk"),
+          col("n").cast("long").as("n"),
+          when(col("num") >= 0, expr("CAST((1000000 * num) div den AS BIGINT)"))
+            .otherwise(-expr("CAST((1000000 * (-num)) div den AS BIGINT)"))
+            .as("slope_micro"))
+        .orderBy(desc("slope_micro"), col("sk"))
+        .limit(20)
+    },
+    Some(
+      "WITH r AS (SELECT l_suppkey AS sk, " +
+        "datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day, " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM lineitem), " +
+        "c AS (SELECT sk, CAST(day - min(day) OVER (PARTITION BY sk) AS DECIMAL(38,0)) AS x, " +
+        "CAST(cents AS DECIMAL(38,0)) AS y FROM r), " +
+        "s AS (SELECT sk, count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy " +
+        "FROM c GROUP BY 1 HAVING count(*) >= 3), " +
+        "sl AS (SELECT sk, n, n*sxy - sx*sy AS num, n*sxx - sx*sx AS den FROM s WHERE n*sxx - sx*sx > 0) " +
+        "SELECT sk, CAST(n AS BIGINT) AS n, " +
+        "CAST(CASE WHEN num >= 0 THEN (1000000*CAST(num AS HUGEINT)) // CAST(den AS HUGEINT) " +
+        "ELSE -((1000000*CAST(-num AS HUGEINT)) // CAST(den AS HUGEINT)) END AS BIGINT) AS slope_micro " +
+        "FROM sl ORDER BY slope_micro DESC, sk LIMIT 20"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q146 — inter-arrival burstiness per user: the squared coefficient
+  // of variation of the gaps between a user's consecutive events, in
+  // exact integer milli-units. CV² ≈ 1 is Poisson (memoryless), ≫ 1 is
+  // bursty, ≪ 1 is periodic — the traffic-shape classifier behind bot
+  // detection and session-model choice, and a SECOND-moment statistic
+  // computed without ever forming a float mean or variance.
+  //
+  // Determinism: gaps are whole seconds (integer µs difference,
+  // truncating div by 10⁶ — non-negative, so trunc is unambiguous);
+  // CV² = n(nΣg² − (Σg)²) / ((n−1)(Σg)²) clears every denominator —
+  // numerator is ≥ 0 by Cauchy–Schwarz, so the single floored
+  // division has non-negative operands in both engines.
+  //
+  // Scale: the lag window and the moment aggregate share the user_id
+  // partitioning — one fact shuffle total; per-user state is three
+  // integers. DECIMAL(38,0): g ≤ 10⁸ s, Σg² ≤ rows·10¹⁶, ×n² still
+  // ≤ 10³⁸ for any plausible per-user event count.
+  val q146: QuerySpec = QuerySpec(
+    "q146_burstiness",
+    (s, d) => {
+      val big = DecimalType(38, 0)
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("prev", lag("us", 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(col("user_id"), expr("(us - prev) div 1000000").cast(big).as("gs"))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).cast(big).as("n"),
+          sum("gs").as("sg"),
+          sum(col("gs") * col("gs")).as("sgg"))
+        .where(col("n") >= 5 && col("sg") > 0)
+        .select(
+          col("user_id"),
+          col("n").cast("long").as("n_gaps"),
+          expr("CAST((1000 * n * (n*sgg - sg*sg)) div ((n-1) * sg * sg) AS BIGINT)")
+            .as("cv2_milli"))
+        .orderBy(desc("cv2_milli"), col("user_id"))
+        .limit(20)
+    },
+    Some(
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS us, " +
+        "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev FROM events), " +
+        "g AS (SELECT user_id, CAST((us - prev) // 1000000 AS DECIMAL(38,0)) AS gs FROM e WHERE prev IS NOT NULL), " +
+        "s AS (SELECT user_id, count(*) AS n, sum(gs) AS sg, sum(gs*gs) AS sgg FROM g GROUP BY 1 HAVING count(*) >= 5) " +
+        "SELECT user_id, CAST(n AS BIGINT) AS n_gaps, " +
+        "CAST(CAST(1000 * n * (n*sgg - sg*sg) AS HUGEINT) // CAST((n-1) * sg * sg AS HUGEINT) AS BIGINT) AS cv2_milli " +
+        "FROM s WHERE sg > 0 ORDER BY cv2_milli DESC, user_id LIMIT 20"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q118, q135, q136, q141, q143, q145, q146)
 }

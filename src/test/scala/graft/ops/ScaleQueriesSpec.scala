@@ -124,4 +124,61 @@ class ScaleQueriesSpec extends SparkSpec {
       .map(x => x.getAs[Long]("c_count") -> x.getAs[Long]("custdist")).toMap
     assert(r == Map(2L -> 1L, 0L -> 2L)) // cust 1 twice; custs 2 and 3 zero
   }
+
+  test("q144 computes rule metrics from hand-countable baskets") {
+    val dir = java.nio.file.Files.createTempDirectory("q144fix").toString
+    // baskets: {1,2}, {1,2}, {1,3} → only pair (1,2) reaches nab ≥ 2;
+    // n_1 = 3, n_2 = 2, N = 3 → lift_bp = 10000·2·3/(3·2) = 10000
+    // (independence), conf_bp(1→2) = 10000·2 div 3 = 6666. The repeat
+    // of part 2 in order 20 pins the per-ORDER distinct.
+    Seq(
+      (10L, 1L), (10L, 2L),
+      (20L, 1L), (20L, 2L), (20L, 2L),
+      (30L, 1L), (30L, 3L),
+    ).toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = ScaleQueries.q144.run(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("pa") == 1L && r.head.getAs[Long]("pb") == 2L)
+    assert(r.head.getAs[Long]("nab") == 2L)
+    assert(r.head.getAs[Long]("lift_bp") == 10000L)
+    assert(r.head.getAs[Long]("conf_bp") == 6666L)
+  }
+
+  test("q147 scores even revenue 0 and a hand-computed skewed split exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("q147fix").toString
+    // nation 0: three equal customers → Gini 0. nation 1: revenues
+    // x, 3x → G = (2·(1·x + 2·3x) − 3·4x) / (2·4x) = 2x/8x → 2500 bp.
+    Seq(
+      (1L, 0), (2L, 0), (3L, 0),
+      (4L, 1), (5L, 1),
+    ).toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq(
+      (10L, 1L, 50.0), (11L, 2L, 50.0), (12L, 3L, 50.0),
+      (13L, 4L, 100.0), (14L, 5L, 300.0),
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = ScaleQueries.q147.run(spark, dir).collect()
+      .map(x => x.getAs[Int]("nk") -> x.getAs[Long]("gini_bp")).toMap
+    assert(r == Map(0 -> 0L, 1 -> 2500L))
+  }
+
+  test("q148 risk counts are monotone in k over planted class sizes") {
+    val dir = java.nio.file.Files.createTempDirectory("q148fix").toString
+    // classes of size 1, 2, 10 (same nation, same segment, distinct
+    // balance-thousand buckets): k=2 → 1 class/1 row at risk;
+    // k=5 and k=10 → 2 classes/3 rows (10 is NOT < 10).
+    val rows =
+      Seq((1L, 0, "A", 500.0)) ++
+        (2L to 3L).map((_, 0, "A", 1500.0)) ++
+        (4L to 13L).map((_, 0, "A", 2500.0))
+    rows.toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    val r = ScaleQueries.q148.run(spark, dir).collect()
+      .map(x => x.getAs[Long]("k") ->
+        (x.getAs[Long]("classes_at_risk"), x.getAs[Long]("rows_at_risk"),
+          x.getAs[Long]("classes_total"))).toMap
+    assert(r == Map(2L -> (1L, 1L, 3L), 5L -> (2L, 3L, 3L), 10L -> (2L, 3L, 3L)))
+  }
 }

@@ -52,4 +52,67 @@ class TimeSeriesQueriesSpec extends SparkSpec {
     assert(r("A") == ("2024-01-05", 50L))
     assert(r("B") == ("2024-01-01", 0L))
   }
+
+  test("q143 sweep counts inclusive spans and first-peak ties break to the earliest day") {
+    val dir = java.nio.file.Files.createTempDirectory("q143fix").toString
+    // one priority, three orders: spans [1,5], [3,7], [6,9] (order date
+    // through last ship date, inclusive). Open counts: d1-2 → 1,
+    // d3-5 → 2, d6-7 → 2, d8-9 → 1 — peak 2, FIRST reached on day 3.
+    Seq(
+      (1L, "1-URGENT", ts("1995-01-01 00:00:00")),
+      (2L, "1-URGENT", ts("1995-01-03 00:00:00")),
+      (3L, "1-URGENT", ts("1995-01-06 00:00:00")),
+    ).toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq(
+      (1L, ts("1995-01-02 00:00:00")), (1L, ts("1995-01-05 00:00:00")),
+      (2L, ts("1995-01-07 00:00:00")),
+      (3L, ts("1995-01-09 00:00:00")),
+    ).toDF("l_orderkey", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = TimeSeriesQueries.q143.run(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("peak") == 2L)
+    assert(r.head.getAs[Long]("first_peak_day") ==
+      java.time.LocalDate.of(1995, 1, 3).toEpochDay)
+  }
+
+  test("q145 recovers an exact linear slope, including the sign-factored negative branch") {
+    val dir = java.nio.file.Files.createTempDirectory("q145fix").toString
+    // supplier 1: +100 cents/day (1.00, 2.00, 3.00); supplier 2: −100
+    // cents/day — pins the sign·(|num| div den) form (a floor-division
+    // would give −⌈·⌉ = off-by-one on any non-exact negative slope;
+    // here the slope is exact so both agree, and the magnitude check
+    // pins the arithmetic end to end)
+    Seq(
+      (1L, ts("1995-01-01 00:00:00"), 1.00), (1L, ts("1995-01-02 00:00:00"), 2.00),
+      (1L, ts("1995-01-03 00:00:00"), 3.00),
+      (2L, ts("1995-01-01 00:00:00"), 3.00), (2L, ts("1995-01-02 00:00:00"), 2.00),
+      (2L, ts("1995-01-03 00:00:00"), 1.00),
+    ).toDF("l_suppkey", "l_shipdate", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = TimeSeriesQueries.q145.run(spark, dir).collect()
+      .map(x => x.getAs[Long]("sk") -> x.getAs[Long]("slope_micro")).toMap
+    assert(r(1L) == 100000000L) // 100 cents/day in micro-cents
+    assert(r(2L) == -100000000L)
+  }
+
+  test("q146 scores a perfectly periodic stream 0 and a bursty one by the exact CV2") {
+    val dir = java.nio.file.Files.createTempDirectory("q146fix").toString
+    // user 1: 6 events exactly 10s apart → 5 equal gaps → CV² = 0.
+    // user 2: gaps 1,1,1,1,100 s → n=5, Σg=104, Σg²=10004,
+    // cv2_milli = 1000·5·(5·10004−104²) div (4·104²) = 4530.
+    val u1 = (0 to 5).map(i => (i.toLong, ts("2024-01-01 00:00:00").getTime + i * 10000L, 1L))
+    val gaps = Seq(0L, 1L, 2L, 3L, 4L, 104L) // cumulative seconds
+    val u2 = gaps.zipWithIndex.map { case (g, i) =>
+      (100L + i, ts("2024-01-01 00:00:00").getTime + g * 1000L, 2L)
+    }
+    (u1 ++ u2).map { case (id, ms, uid) => (id, new Timestamp(ms), uid) }
+      .toDF("event_id", "ts", "user_id")
+      .write.parquet(s"$dir/events.parquet")
+    val r = TimeSeriesQueries.q146.run(spark, dir).collect()
+      .map(x => x.getAs[Long]("user_id") -> x.getAs[Long]("cv2_milli")).toMap
+    assert(r(1L) == 0L)
+    assert(r(2L) == 4530L)
+  }
 }
