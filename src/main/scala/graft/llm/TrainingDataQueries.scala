@@ -671,6 +671,47 @@ object TrainingDataQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q149 — split leakage audit: near-duplicate pairs (q30's exact
+  // jaccard ≥ 0.5 semantics) that STRADDLE q65's train/val/test
+  // boundary, counted per split pair. The eval-integrity composition
+  // of two already-pinned operators: q75 guards against verbatim
+  // benchmark contamination, this guards against the subtler leak —
+  // a train doc whose near-twin sits in val/test inflates every eval
+  // number. Reuses splitCol (q65's single source of split truth) and
+  // the dedup cascade, so the audit can never disagree with either
+  // the split the pipeline ships or the dedup it runs.
+  //
+  // Scale: the pair side is the LSH cascade (candidates ∝ true dups,
+  // the q41-pinned plan), never exact all-pairs; split assignment is
+  // a stateless per-row hash; the rollup is a ≤3×3-key aggregate.
+  // Oracle = the EXACT shingle-pair SQL + the same split CASE — the
+  // q30→q41 precedent: the hash-match proves the scalable cascade
+  // finds precisely the exact plan's leaked pairs.
+  val q149: QuerySpec = QuerySpec(
+    "q149_split_leakage",
+    (s, d) =>
+      TextPipeline
+        .dedupCascade(documents(s, d).select("doc_id", "text"),
+          shingleK = 3, k = 64, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        .select(splitCol(col("da")).as("sa"), splitCol(col("db")).as("sb"))
+        .where(col("sa") =!= col("sb"))
+        .select(
+          least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_leaks"))
+        .orderBy("split_a", "split_b"),
+    Some(
+      s"WITH ${LlmQueries.shinglePairsCteSql}, " +
+        "jp AS (SELECT da, db FROM pairs JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db " +
+        "WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5), " +
+        s"sp AS (SELECT ${splitCaseSql("da")} AS sa, ${splitCaseSql("db")} AS sb FROM jp) " +
+        "SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b, count(*) AS n_leaks " +
+        "FROM sp WHERE sa <> sb GROUP BY 1, 2 ORDER BY split_a, split_b"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q65, q66, q68, q69, q70, q75, q76, q77, q78, q79, q86, q120, q134, q142)
+    Seq(q65, q66, q68, q69, q70, q75, q76, q77, q78, q79, q86, q120, q134, q142, q149)
 }

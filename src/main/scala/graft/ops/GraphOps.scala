@@ -192,4 +192,55 @@ object GraphOps {
     }
     dist
   }
+
+  /** Deterministic synchronous label propagation (fixed `rounds`):
+    * every vertex starts as its own label; each round it adopts the
+    * label most frequent among its NEIGHBORS, ties to the smallest
+    * label. Detects density communities — a different axis from
+    * [[Components]]' connectivity (one component can hold many
+    * communities) and from PageRank's centrality.
+    *
+    * Determinism is the whole design: textbook LPA is notoriously
+    * run-order-dependent (async updates, random tie-breaks). Here
+    * updates are synchronous (round k reads ONLY round k−1's labels),
+    * the tie-break is a total order (count desc, label asc — a
+    * struct-argmax aggregate, no window), and the round count is
+    * fixed — so the labeling is a pure function of the graph and an
+    * integer-exact oracle can pin all N assignments. Fixed rounds also
+    * keep the operator one declarative plan (the q122 rule);
+    * oscillation on bipartite-ish structures is cut off by the round
+    * budget rather than chased to a fixpoint.
+    *
+    * Scale: the symmetrized adjacency persists pre-partitioned and
+    * pre-sorted on the join key (the [[pageRankFixed]] layout-reuse
+    * idiom), so each round costs one edge⋈label join whose streamed
+    * side reuses the cached layout plus two map-side-combined
+    * aggregates; the per-round shuffle carries (v, label) pairs
+    * bounded by |E|, never the graph re-derived.
+    *
+    * @return (v, lbl) over edge endpoints after `rounds` rounds.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int = 3,
+  ): DataFrame = {
+    val e = canon(edges, srcCol, dstCol).localCheckpoint(eager = true)
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a"))
+      .sortWithinPartitions("a")
+      .persist()
+    var labels = sym.select(col("a").as("v")).distinct().withColumn("lbl", col("v"))
+    for (_ <- 1 to rounds) {
+      labels = sym.as("s")
+        .join(labels.as("p"), col("s.b") === col("p.v"))
+        .groupBy(col("s.a").as("v"), col("p.lbl").as("nl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("v")
+        .agg(max(struct(col("c"), (-col("nl")).as("neg"))).as("m"))
+        .select(col("v"), (-col("m.neg")).as("lbl"))
+    }
+    labels
+  }
 }

@@ -130,5 +130,35 @@ object GraphQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q121, q122, q139)
+  // ---------------------------------------------------------------------
+  // q150 — density communities by deterministic label propagation
+  // ([[GraphOps.labelPropagation]], 3 synchronous rounds, min-label
+  // ties). The fourth graph axis: components say "connected",
+  // PageRank "central", BFS "how far" — LPA says "which DENSE
+  // region", and one component can hold many communities. The
+  // determinism engineering (sync rounds + total-order tie-break +
+  // fixed round count) is what makes an algorithm that is usually
+  // run-order-dependent ORACLE-CHECKABLE: DuckDB replays the same
+  // three rounds as windowed mode-with-tie-break CTEs and must agree
+  // on every one of the N per-node assignments.
+  val q150: QuerySpec = QuerySpec(
+    "q150_label_propagation",
+    (s, d) =>
+      GraphOps.labelPropagation(copurchaseEdges(s, d), "a", "b", rounds = 3)
+        .select(col("v").as("part_key"), col("lbl").as("community"))
+        .orderBy("part_key"),
+    Some {
+      val round = (r: Int, prev: String) =>
+        s"l$r AS (SELECT v, lbl FROM (SELECT u.v AS v, p.lbl, count(*) AS c, " +
+          "row_number() OVER (PARTITION BY u.v ORDER BY count(*) DESC, p.lbl) AS rn " +
+          s"FROM und u JOIN $prev p ON p.v = u.u GROUP BY 1, 2) WHERE rn = 1)"
+      s"WITH $edgesCteSql, " +
+        "und AS (SELECT a AS v, b AS u FROM edges UNION ALL SELECT b, a FROM edges), " +
+        "l0 AS (SELECT DISTINCT v, v AS lbl FROM und), " +
+        s"${round(1, "l0")}, ${round(2, "l1")}, ${round(3, "l2")} " +
+        "SELECT v AS part_key, lbl AS community FROM l3 ORDER BY part_key"
+    },
+  )
+
+  val all: Seq[QuerySpec] = Seq(q121, q122, q139, q150)
 }

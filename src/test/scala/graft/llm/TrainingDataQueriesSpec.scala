@@ -228,4 +228,26 @@ class TrainingDataQueriesSpec extends SparkSpec {
     assert(big.getAs[Long]("p_micro").toDouble / 1e6 <=
       big.getAs[Long]("n_chars").toDouble / tot + 1e-9)
   }
+
+  test("q149 counts only dup pairs that STRADDLE a split boundary, keyed by the canonical pair") {
+    val dir = java.nio.file.Files.createTempDirectory("q149fix").toString
+    // split assignments are a pure function of doc_id (q65 rule):
+    // 1 → val, 2 → train, 3 → train, 22 → test, 8/9 → train.
+    // dup family A straddles train/val (2,1); family B straddles
+    // train/test (3,22); family C (8,9) is train-train — NOT a leak.
+    val a = "alpha beta gamma delta epsilon zeta"
+    val b = "one two three four five six seven"
+    val c = "red orange yellow green blue indigo"
+    Seq(
+      (1L, a, "val-dup"), (2L, a, "train-dup"),
+      (3L, b, "train-dup"), (22L, b, "test-dup"),
+      (8L, c, "same-split"), (9L, c, "same-split"),
+      (30L, "totally unrelated text about nothing shared here", "filler"),
+    ).toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = TrainingDataQueries.q149.run(spark, dir).collect()
+      .map(x => (x.getAs[String]("split_a"), x.getAs[String]("split_b")) ->
+        x.getAs[Long]("n_leaks")).toMap
+    assert(r == Map(("test", "train") -> 1L, ("train", "val") -> 1L))
+  }
 }

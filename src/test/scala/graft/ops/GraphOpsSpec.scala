@@ -97,4 +97,20 @@ class GraphOpsSpec extends SparkSpec {
       Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L, 6L -> 0L))
     assert(bfs(path, Seq(1L), maxHops = 2) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
+
+  test("labelPropagation splits a bridged pair of triangles ONE component holds") {
+    // two triangles joined by a bridge: components would report one
+    // blob; 3 LPA rounds settle each triangle on its own label
+    // (hand-traced: min-tie rounds give {1,2,3}→1 and {10,11,12}→3)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (3L, 10L))
+    val r = GraphOps.labelPropagation(edges.toDF("a", "b"), "a", "b", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 3L, 11L -> 3L, 12L -> 3L))
+    // row-order invariance: reversed/duplicated edge input, same labels
+    val noisy = (edges.reverse ++ edges.map(e => (e._2, e._1)))
+    val r2 = GraphOps.labelPropagation(noisy.toDF("a", "b"), "a", "b", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == r)
+  }
 }
