@@ -437,5 +437,108 @@ object TimeSeriesQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q118, q135, q136, q141, q143, q145, q146)
+  // ---------------------------------------------------------------------
+  // q151 — interval coalescing (gaps-and-islands over SPANS): merge
+  // each supplier's overlapping per-order shipment episodes
+  // [min ship, max ship] into maximal islands; report episode count,
+  // covered days, longest episode. The interval dual of q58's
+  // point-streaks and q143's concurrency count — "how many distinct
+  // busy periods, how long" is the utilization question interval data
+  // always gets asked.
+  //
+  // Determinism: islands derive from a prefix-max over the total
+  // (start, end) order — rows with identical (start, end) are
+  // interchangeable under both the prefix-max and the island cumsum,
+  // so no tie can change any island's extent; days are epoch
+  // integers, inclusive spans.
+  //
+  // Scale: every window (prefix-max, island cumsum) and BOTH
+  // aggregations ride ONE supplier hash partitioning — sk ⊆ every
+  // later grouping key, so Catalyst plans a single exchange for the
+  // whole query; per-supplier window state is one running max.
+  val q151: QuerySpec = QuerySpec(
+    "q151_interval_merge",
+    (s, d) => {
+      val byStart = Window.partitionBy("sk").orderBy("s", "e")
+      lineitem(s, d)
+        .groupBy(col("l_suppkey").as("sk"), col("l_orderkey"))
+        .agg(
+          unix_date(min(col("l_shipdate")).cast("date")).cast("long").as("s"),
+          unix_date(max(col("l_shipdate")).cast("date")).cast("long").as("e"))
+        .withColumn("prev_max",
+          max("e").over(byStart.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_island",
+          when(col("prev_max").isNull || col("s") > col("prev_max"), 1L).otherwise(0L))
+        .withColumn("island",
+          sum("new_island").over(byStart.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("sk", "island")
+        .agg(min("s").as("is_"), max("e").as("ie"))
+        .groupBy("sk")
+        .agg(
+          count(lit(1)).as("n_episodes"),
+          sum(col("ie") - col("is_") + 1).as("covered_days"),
+          max(col("ie") - col("is_") + 1).as("longest_days"))
+        .orderBy("sk")
+    },
+    Some(
+      "WITH iv AS (SELECT l_suppkey AS sk, " +
+        "datediff('day', DATE '1970-01-01', CAST(min(l_shipdate) AS DATE)) AS s, " +
+        "datediff('day', DATE '1970-01-01', CAST(max(l_shipdate) AS DATE)) AS e " +
+        "FROM lineitem GROUP BY l_suppkey, l_orderkey), " +
+        "o AS (SELECT sk, s, e, max(e) OVER (PARTITION BY sk ORDER BY s, e " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM iv), " +
+        "f AS (SELECT sk, s, e, CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS new_island FROM o), " +
+        "g AS (SELECT sk, s, e, sum(new_island) OVER (PARTITION BY sk ORDER BY s, e " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f), " +
+        "m AS (SELECT sk, island, min(s) AS is_, max(e) AS ie FROM g GROUP BY 1, 2) " +
+        "SELECT sk, count(*) AS n_episodes, CAST(sum(ie - is_ + 1) AS BIGINT) AS covered_days, " +
+        "CAST(max(ie - is_ + 1) AS BIGINT) AS longest_days " +
+        "FROM m GROUP BY 1 ORDER BY sk"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q152 — temporal association: directed event-type pairs (a → b)
+  // where b follows a for the same user within 5 minutes, counted per
+  // type pair. q144's association mining on the TIME axis (baskets →
+  // windows), and q107's transition matrix without the
+  // adjacent-only restriction — every in-window successor counts, so
+  // "click → error within 5 min" surfaces even with chatter between.
+  //
+  // Scale: the naive plan is a per-user time band self-join Spark
+  // executes as a nested loop; this rides RangeJoin.bucketedRangeJoin
+  // (the q48 machinery) — windows explode into ≤2 five-minute
+  // buckets, the join is an EQUIJOIN on (user, bucket), and exact
+  // band bounds filter inside. Strictness (b after a, ≤ 300s) maps to
+  // the half-open [a+1, a+300s+1) interval; the rollup key space is
+  // |types|².
+  val q152: QuerySpec = QuerySpec(
+    "q152_temporal_pairs",
+    (s, d) => {
+      val fiveMinUs = 300L * 1000000L
+      val ev = events(s, d)
+      val points = ev.select(
+        col("user_id"), col("event_type").as("type_b"), unix_micros(col("ts")).as("us_b"))
+      val windows = ev.select(
+        col("user_id"), col("event_type").as("type_a"),
+        (unix_micros(col("ts")) + 1).as("start_us"),
+        (unix_micros(col("ts")) + fiveMinUs + 1).as("end_us"))
+      RangeJoin.bucketedRangeJoin(
+        points, windows, keys = Seq("user_id"),
+        pointCol = "us_b", startCol = "start_us", endCol = "end_us",
+        bucketWidth = fiveMinUs)
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("type_a", "type_b")
+    },
+    Some(
+      "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events) " +
+        "SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_pairs " +
+        "FROM e a JOIN e b ON a.user_id = b.user_id " +
+        "AND b.us > a.us AND b.us <= a.us + 300000000 " +
+        "GROUP BY 1, 2 ORDER BY type_a, type_b"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q118, q135, q136, q141, q143, q145, q146, q151, q152)
 }

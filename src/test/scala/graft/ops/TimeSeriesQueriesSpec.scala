@@ -115,4 +115,39 @@ class TimeSeriesQueriesSpec extends SparkSpec {
     assert(r(1L) == 0L)
     assert(r(2L) == 4530L)
   }
+
+  test("q151 merges overlapping and TOUCHING episodes, keeps gapped ones apart") {
+    val dir = java.nio.file.Files.createTempDirectory("q151fix").toString
+    // supplier 1: order spans [1,5], [5,7] (touching → merge), [10,12]
+    // → 2 episodes: [1,7] (7 days) and [10,12] (3 days), 10 covered
+    Seq(
+      (1L, 100L, ts("1995-01-01 00:00:00")), (1L, 100L, ts("1995-01-05 00:00:00")),
+      (1L, 101L, ts("1995-01-05 00:00:00")), (1L, 101L, ts("1995-01-07 00:00:00")),
+      (1L, 102L, ts("1995-01-10 00:00:00")), (1L, 102L, ts("1995-01-12 00:00:00")),
+    ).toDF("l_suppkey", "l_orderkey", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = TimeSeriesQueries.q151.run(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_episodes") == 2L)
+    assert(r.head.getAs[Long]("covered_days") == 10L)
+    assert(r.head.getAs[Long]("longest_days") == 7L)
+  }
+
+  test("q152 band bounds are strict-after and inclusive-at-300s") {
+    val dir = java.nio.file.Files.createTempDirectory("q152fix").toString
+    val t0 = ts("2024-01-01 00:00:00").getTime
+    // user 1: click@0, view@100s, purchase@400s → click→view (100s in),
+    // view→purchase (exactly 300s — counted), click→purchase (400s — out).
+    // user 2: two events at the SAME µs → strict-after excludes both directions.
+    Seq(
+      (1L, t0, 1L, "click"), (2L, t0 + 100000L, 1L, "view"), (3L, t0 + 400000L, 1L, "purchase"),
+      (4L, t0, 2L, "click"), (5L, t0, 2L, "view"),
+    ).map { case (id, ms, u, ty) => (id, new Timestamp(ms), u, ty) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val r = TimeSeriesQueries.q152.run(spark, dir).collect()
+      .map(x => (x.getAs[String]("type_a"), x.getAs[String]("type_b")) ->
+        x.getAs[Long]("n_pairs")).toMap
+    assert(r == Map(("click", "view") -> 1L, ("view", "purchase") -> 1L))
+  }
 }
