@@ -94,5 +94,48 @@ object InteropQueries {
     Some(ordersDigestSql),
   )
 
-  val all: Seq[QuerySpec] = Seq(q71, q72)
+  // ---------------------------------------------------------------------
+  // q153 — schema evolution across partition generations: generation 1
+  // lands WITHOUT o_orderpriority (pre-1995 rows), generation 2 adds
+  // it; a mergeSchema read unions the generations and the old rows
+  // surface the new column as NULL, reconciled to 'unknown'. The
+  // 100 TB ingestion reality every time-partitioned lake hits —
+  // columns appear over time and history cannot be rewritten; the
+  // read side must widen, not fail or drop.
+  //
+  // The oracle computes the SAME report straight from the original
+  // orders table (pre-1995 ⇒ 'unknown'), so the hash-match proves the
+  // two-generation merged read loses nothing: row counts, exact
+  // totals, and the null→unknown reconcile all survive the evolution.
+  //
+  // Scale: mergeSchema=true costs one footer read per FILE at
+  // planning (not a data pass) — fine per-read here; at petabyte
+  // file counts pin the merged schema in a catalog instead and pass
+  // it explicitly, which this same code accepts via .schema(...).
+  val q153: QuerySpec = QuerySpec(
+    "q153_schema_evolution",
+    (s, d) => {
+      val src = Tables.orders(s, d)
+      val dir = roundTripDir("evolve")
+      src.where(col("o_orderdate") < "1995-01-01")
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/gen=1")
+      src.where(col("o_orderdate") >= "1995-01-01")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/gen=2")
+      s.read.option("mergeSchema", "true").parquet(s"$dir/gen=1", s"$dir/gen=2")
+        .withColumn("pri", coalesce(col("o_orderpriority"), lit("unknown")))
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n"), Exact.dsum("o_totalprice").as("total"))
+        .orderBy("pri")
+    },
+    Some(
+      "SELECT CASE WHEN o_orderdate < DATE '1995-01-01' THEN 'unknown' " +
+        "ELSE o_orderpriority END AS pri, count(*) AS n, " +
+        s"${Exact.dsumSql("o_totalprice")} AS total " +
+        "FROM orders GROUP BY 1 ORDER BY pri"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q71, q72, q153)
 }

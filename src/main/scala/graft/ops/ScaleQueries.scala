@@ -1154,7 +1154,111 @@ object ScaleQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q154 — rank (quantile) normalization: every lineitem price maps to
+  // its GLOBAL percentile (floored bp under the total (price, orderkey,
+  // linenumber) order), then per return flag the mean normalized rank.
+  // The distribution-free location comparison (a Kruskal–Wallis-style
+  // rank statistic): a flag whose mean_bp sits above 5000 sells at
+  // systematically higher prices, with no distributional assumption
+  // and no float — and rank normalization itself is the
+  // feature-scaling step models want at 100 TB, where it must not be
+  // a single-task sort.
+  //
+  // Scale: the global rank is Ranks.withGlobalRank (range-partitioned,
+  // the q109/q147 machinery — this query applies it to the FACT, its
+  // largest deployment); the 1-row N anchor rides a cross join; the
+  // per-flag rollup partial-aggs. Σbp per group ≤ N·10⁴ — long-safe
+  // to 10¹⁴ rows.
+  val q154: QuerySpec = QuerySpec(
+    "q154_rank_normalize",
+    (s, d) => {
+      val base = lineitem(s, d).select(
+        col("l_returnflag").as("flag"),
+        col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      val n = base.agg(count(lit(1)).as("n"))
+      Ranks.withGlobalRank(
+        base,
+        Seq(col("l_extendedprice").asc, col("l_orderkey").asc, col("l_linenumber").asc),
+        "rk")
+        .crossJoin(n) // 1-row anchor
+        .select(col("flag"), expr("(10000 * rk) div n").as("bp"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n_items"), expr("CAST(sum(bp) div count(1) AS BIGINT)").as("mean_bp"))
+        .orderBy("flag")
+    },
+    Some(
+      "WITH r AS (SELECT l_returnflag AS flag, " +
+        "row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk, " +
+        "count(*) OVER () AS n FROM lineitem), " +
+        "b AS (SELECT flag, (10000 * rk) // n AS bp FROM r) " +
+        "SELECT flag, count(*) AS n_items, CAST(sum(bp) // count(*) AS BIGINT) AS mean_bp " +
+        "FROM b GROUP BY 1 ORDER BY flag"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q155 — A/B experiment report with data-adaptive conversion: users
+  // hash-assigned to arms (the q65 reproducibility rule — assignment
+  // is a pure function of user_id, stable across reruns and data
+  // growth), conversion = strictly above-average purchase count (the
+  // q115 exact-scalar rule: np·U > T, never a float mean), output one
+  // row of arm sizes, conversion rates, and B-over-A lift in floored
+  // bp. The experimentation primitive: assignment, outcome, and
+  // effect size in one deterministic pass.
+  //
+  // Scale: per-user purchase counts partial-agg; the (U, T) anchor is
+  // 1 row via cross join; arms aggregate to TWO rows that meet in a
+  // 1×1 join — nothing after the per-user aggregate depends on data
+  // volume.
+  val q155: QuerySpec = QuerySpec(
+    "q155_ab_lift",
+    (s, d) => {
+      val ev = events(s, d)
+      val arms = ev.select(col("user_id")).distinct()
+        .withColumn(
+          "arm",
+          when(substring(md5(concat(lit("graft-ab:"), col("user_id").cast("string"))), 1, 2) < "80", "A")
+            .otherwise("B"))
+      val perUser = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("np"))
+      val anchor = arms.agg(count(lit(1)).as("n_users_t"))
+        .crossJoin(ev.where(col("event_type") === "purchase").agg(count(lit(1)).as("total")))
+      // both arms in ONE conditional aggregate — an arm-filtered
+      // self-join would recompute the per-user chain per consumer
+      arms
+        .join(perUser, Seq("user_id"), "left_outer")
+        .crossJoin(anchor) // 1-row anchor
+        .withColumn("conv",
+          when(coalesce(col("np"), lit(0L)) * col("n_users_t") > col("total"), 1L).otherwise(0L))
+        .agg(
+          sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === "A", col("conv")).otherwise(0L)).as("conv_a"),
+          sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("arm") === "B", col("conv")).otherwise(0L)).as("conv_b"))
+        .select(
+          col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          expr("(10000 * conv_a) div n_a").as("cr_a_bp"),
+          expr("(10000 * conv_b) div n_b").as("cr_b_bp"),
+          expr("(10000 * conv_b * n_a) div (conv_a * n_b)").as("lift_bp"))
+    },
+    Some(
+      "WITH u AS (SELECT DISTINCT user_id FROM events), " +
+        "arm AS (SELECT user_id, CASE WHEN substring(md5('graft-ab:' || CAST(user_id AS VARCHAR)), 1, 2) < '80' THEN 'A' ELSE 'B' END AS arm FROM u), " +
+        "p AS (SELECT user_id, count(*) AS np FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+        "t AS (SELECT count(*) AS n_users, (SELECT count(*) FROM events WHERE event_type = 'purchase') AS total FROM u), " +
+        "conv AS (SELECT a.user_id FROM arm a JOIN p ON p.user_id = a.user_id, t WHERE p.np * t.n_users > t.total), " +
+        "agg AS (SELECT arm, count(*) AS n_users, count(c.user_id) AS n_conv " +
+        "FROM arm a LEFT JOIN conv c ON c.user_id = a.user_id GROUP BY 1) " +
+        "SELECT a.n_users AS n_a, a.n_conv AS conv_a, b.n_users AS n_b, b.n_conv AS conv_b, " +
+        "CAST((10000 * a.n_conv) // a.n_users AS BIGINT) AS cr_a_bp, " +
+        "CAST((10000 * b.n_conv) // b.n_users AS BIGINT) AS cr_b_bp, " +
+        "CAST((10000 * b.n_conv * a.n_users) // (a.n_conv * b.n_users) AS BIGINT) AS lift_bp " +
+        "FROM (SELECT * FROM agg WHERE arm = 'A') a, (SELECT * FROM agg WHERE arm = 'B') b"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q87, q90, q93, q94, q95, q96, q97, q100, q101, q102, q105, q106, q107,
-      q108, q109, q110, q112, q124, q129, q132, q133, q144, q147, q148)
+      q108, q109, q110, q112, q124, q129, q132, q133, q144, q147, q148, q154, q155)
 }

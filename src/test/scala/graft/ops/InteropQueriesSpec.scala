@@ -34,4 +34,22 @@ class InteropQueriesSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<o_orderstatus:string>"),
       s"ORC scan must prune to the projected column:\n$plan")
   }
+
+  test("q153 reconciles generation-1 rows (no priority column) to 'unknown' losslessly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q153fix").toString
+    Seq(
+      (1L, 10.0, java.sql.Timestamp.valueOf("1994-06-01 00:00:00"), "1-URGENT"),
+      (2L, 20.0, java.sql.Timestamp.valueOf("1994-07-01 00:00:00"), "5-LOW"),
+      (3L, 30.0, java.sql.Timestamp.valueOf("1995-06-01 00:00:00"), "1-URGENT"),
+      (4L, 40.0, java.sql.Timestamp.valueOf("1996-01-01 00:00:00"), "5-LOW"),
+    ).toDF("o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = InteropQueries.q153.run(spark, dir).collect()
+      .map(x => x.getAs[String]("pri") -> (x.getAs[Long]("n"), x.getAs[Double]("total"))).toMap
+    // pre-1995 generation lacks the column entirely → 'unknown' carries
+    // BOTH old rows; post-1995 rows keep their real priorities
+    assert(r == Map(
+      "unknown" -> (2L, 30.0), "1-URGENT" -> (1L, 30.0), "5-LOW" -> (1L, 40.0)))
+  }
 }

@@ -181,4 +181,42 @@ class ScaleQueriesSpec extends SparkSpec {
           x.getAs[Long]("classes_total"))).toMap
     assert(r == Map(2L -> (1L, 1L, 3L), 5L -> (2L, 3L, 3L), 10L -> (2L, 3L, 3L)))
   }
+
+  test("q154 maps a hand-ranked column to exact percentile bp per flag") {
+    val dir = java.nio.file.Files.createTempDirectory("q154fix").toString
+    // prices 1..4 rank 1..4 of N=4 → bp 2500/5000/7500/10000;
+    // A holds ranks 1-2 (mean 3750), R ranks 3-4 (mean 8750)
+    Seq(
+      ("A", 1.0, 1L, 1), ("A", 2.0, 2L, 1), ("R", 3.0, 3L, 1), ("R", 4.0, 4L, 1),
+    ).toDF("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = ScaleQueries.q154.run(spark, dir).collect()
+      .map(x => x.getAs[String]("flag") -> x.getAs[Long]("mean_bp")).toMap
+    assert(r == Map("A" -> 3750L, "R" -> 8750L))
+  }
+
+  test("q155 computes arm sizes, adaptive conversion, and lift from a planted design") {
+    val dir = java.nio.file.Files.createTempDirectory("q155fix").toString
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    // arms by hash: 1,4,5 → A; 2,3 → B. Purchases: u1=1, u4=3, u2=3,
+    // u3=3, u5=0 (clicks only — pins the zero-purchase left join).
+    // U=5, T=10 → convert iff np·5 > 10: users 4, 2, 3.
+    // A: 3 users / 1 conv (3333 bp); B: 2 / 2 (10000 bp);
+    // lift = (10⁴·2·3) div (1·2) = 30000.
+    val rows =
+      Seq((1L, 1L, "purchase"), (2L, 1L, "click"), (3L, 5L, "click")) ++
+        (10L to 12L).map((_, 4L, "purchase")) ++
+        (20L to 22L).map((_, 2L, "purchase")) ++
+        (30L to 32L).map((_, 3L, "purchase"))
+    rows.map { case (id, u, ty) => (id, t0, u, ty) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val r = ScaleQueries.q155.run(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_a") == 3L && row.getAs[Long]("conv_a") == 1L)
+    assert(row.getAs[Long]("n_b") == 2L && row.getAs[Long]("conv_b") == 2L)
+    assert(row.getAs[Long]("cr_a_bp") == 3333L && row.getAs[Long]("cr_b_bp") == 10000L)
+    assert(row.getAs[Long]("lift_bp") == 30000L)
+  }
 }
