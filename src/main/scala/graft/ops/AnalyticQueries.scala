@@ -1081,7 +1081,59 @@ object AnalyticQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q157 — percent-of-parent hierarchy shares: every nation's revenue
+  // with its share of its REGION and the region's share of the TOTAL,
+  // in one pass. The nested-grain relative view that absolute rollups
+  // (q23/q50) and flat shares (q124's single ratio) don't give — "is
+  // NATION_10 big, or is AFRICA just big" needs both levels at once.
+  //
+  // Determinism: revenue is exact cents in DECIMAL(38,0); both shares
+  // are floored bp on non-negative operands (oracle divides in
+  // HUGEINT, the §7.0 rule).
+  //
+  // Scale: the fact aggregates ONCE to the 25-row nation grain; both
+  // parent sums are windows over that dimension-bounded frame — the
+  // q78-exception class (bounded by the geography, not the data), so
+  // the "unpartitioned" total window holds 25 rows at any corpus
+  // size. Dims broadcast into the fact spine; customer⋈orders is the
+  // one shuffle pair.
+  val q157: QuerySpec = QuerySpec(
+    "q157_hierarchy_share",
+    (s, d) => {
+      val big = DecimalType(38, 0)
+      val nrev = orders(s, d)
+        .join(broadcast(customer(s, d)), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(nation(s, d)), col("n_nationkey") === col("c_nationkey"))
+        .join(broadcast(region(s, d)), col("r_regionkey") === col("n_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast(big).as("cents"))
+      nrev
+        .withColumn("region_cents", sum("cents").over(Window.partitionBy("region")))
+        .withColumn("total_cents", sum("cents").over(Window.partitionBy()))
+        .select(
+          col("region"), col("nation"),
+          col("cents").cast("long").as("rev_cents"),
+          expr("CAST((10000 * cents) div region_cents AS BIGINT)").as("share_of_region_bp"),
+          expr("CAST((10000 * region_cents) div total_cents AS BIGINT)").as("region_share_bp"))
+        .orderBy("region", "nation")
+    },
+    Some(
+      "WITH nrev AS (SELECT r.r_name AS region, n.n_name AS nation, " +
+        "CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS DECIMAL(38,0)) AS cents " +
+        "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey " +
+        "JOIN nation n ON n.n_nationkey = c.c_nationkey " +
+        "JOIN region r ON r.r_regionkey = n.n_regionkey GROUP BY 1, 2), " +
+        "w AS (SELECT region, nation, cents, sum(cents) OVER (PARTITION BY region) AS region_cents, " +
+        "sum(cents) OVER () AS total_cents FROM nrev) " +
+        "SELECT region, nation, CAST(cents AS BIGINT) AS rev_cents, " +
+        "CAST(CAST(10000 * cents AS HUGEINT) // CAST(region_cents AS HUGEINT) AS BIGINT) AS share_of_region_bp, " +
+        "CAST(CAST(10000 * region_cents AS HUGEINT) // CAST(total_cents AS HUGEINT) AS BIGINT) AS region_share_bp " +
+        "FROM w ORDER BY region, nation"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q49, q50, q51, q52, q53, q54, q56, q57, q58, q59, q60, q61, q62, q63, q64, q67,
-      q73, q74, q80, q81, q82, q83, q84, q85, q130)
+      q73, q74, q80, q81, q82, q83, q84, q85, q130, q157)
 }

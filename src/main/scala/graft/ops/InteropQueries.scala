@@ -137,5 +137,40 @@ object InteropQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q71, q72, q153)
+  // ---------------------------------------------------------------------
+  // q156 — federated cross-format join: the parquet fact joins a
+  // dimension that LANDED AS CSV (the lake's eternal landing-zone
+  // state), per-segment order counts + exact totals. q71 proves CSV
+  // round-trips; this proves heterogeneous sources COMPOSE — one plan,
+  // two formats, and the oracle (which reads only parquet) pins that
+  // the format seam adds or loses nothing.
+  //
+  // Scale discipline for the CSV side, in order: (1) explicit schema —
+  // inference is an extra full pass; (2) project to the join columns
+  // IMMEDIATELY (CSV scans cannot prune or push down — the projection
+  // after the parse is the only defense); (3) the parsed, projected
+  // dim then broadcasts. The parquet fact keeps real pushdown.
+  val q156: QuerySpec = QuerySpec(
+    "q156_federated_join",
+    (s, d) => {
+      val dim = Tables.customer(s, d)
+      val dir = roundTripDir("csv_dim")
+      dim.write.mode("overwrite").option("header", "true").csv(dir)
+      val csvDim = s.read.schema(dim.schema).option("header", "true").csv(dir)
+        .select("c_custkey", "c_mktsegment") // project at the parse seam
+      Tables.orders(s, d)
+        .join(broadcast(csvDim), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_orders"), Exact.dsum("o_totalprice").as("total"))
+        .orderBy("segment")
+    },
+    Some(
+      "SELECT c_mktsegment AS segment, count(*) AS n_orders, " +
+        s"${Exact.dsumSql("o_totalprice")} AS total " +
+        "FROM orders JOIN customer ON c_custkey = o_custkey " +
+        "GROUP BY 1 ORDER BY segment"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q71, q72, q153, q156)
 }

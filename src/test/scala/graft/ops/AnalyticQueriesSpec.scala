@@ -372,4 +372,18 @@ class AnalyticQueriesSpec extends SparkSpec {
     assert(winEvents == 2 * events,
       s"size/slide=2 overlapping windows: $winEvents != 2×$events")
   }
+
+  test("q157 shares telescope: region shares sum to ~10⁴, one region share per region") {
+    val rows = AnalyticQueries.q157.run(spark, sfDir).collect()
+    val byRegion = rows.groupBy(_.getAs[String]("region"))
+    byRegion.foreach { case (reg, rs) =>
+      // floor loss < 1 bp per nation
+      val s = rs.map(_.getAs[Long]("share_of_region_bp")).sum
+      assert(s <= 10000L && s > 10000L - rs.length, s"$reg region-share sum $s")
+      assert(rs.map(_.getAs[Long]("region_share_bp")).distinct.length == 1,
+        s"$reg must carry ONE region-of-total share")
+    }
+    val rshares = byRegion.map(_._2.head.getAs[Long]("region_share_bp")).sum
+    assert(rshares <= 10000L && rshares > 10000L - byRegion.size)
+  }
 }

@@ -52,4 +52,14 @@ class InteropQueriesSpec extends SparkSpec {
     assert(r == Map(
       "unknown" -> (2L, 30.0), "1-URGENT" -> (1L, 30.0), "5-LOW" -> (1L, 40.0)))
   }
+
+  test("q156 cross-format join equals the all-parquet plan row for row") {
+    val direct = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_orders"), Exact.dsum("o_totalprice").as("total"))
+      .orderBy("segment")
+      .collect().toSeq
+    assert(InteropQueries.q156.run(spark, sfDir).collect().toSeq == direct)
+  }
 }
