@@ -1258,7 +1258,106 @@ object ScaleQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q158 — Mann–Whitney rank-sum test (exact): U statistic and
+  // rank-biserial effect size for returned (A) vs refused (R)
+  // lineitem prices. The hypothesis-testing family's representative —
+  // q154 describes locations, this is the two-sample COMPARISON the
+  // distribution-free test literature builds on, and the rank
+  // machinery makes it exact at any scale: U_A = R_A − n_A(n_A+1)/2
+  // over the global rank, rank-biserial = 2U/(n_A·n_R) − 1 in floored
+  // bp. Everything integer; the DuckDB oracle divides in HUGEINT
+  // (§7.0 — its DECIMAL `//` routes through DOUBLE).
+  //
+  // Scale: one Ranks pass over the two-flag subset (range-partitioned,
+  // no single-task sort), then a SINGLE conditional aggregate to one
+  // row. (rk, counts) all DECIMAL(38,0): R_A ≤ N² needs N ≤ 10¹⁹.
+  val q158: QuerySpec = QuerySpec(
+    "q158_rank_sum_test",
+    (s, d) => {
+      val big = DecimalType(38, 0)
+      val f = lineitem(s, d)
+        .where(col("l_returnflag").isin("A", "R"))
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      Ranks.withGlobalRank(
+        f, Seq(col("l_extendedprice").asc, col("l_orderkey").asc, col("l_linenumber").asc), "rk")
+        .agg(
+          sum(when(col("flag") === "A", col("rk")).otherwise(0L)).cast(big).as("ra"),
+          sum(when(col("flag") === "A", 1L).otherwise(0L)).cast(big).as("na"),
+          sum(when(col("flag") === "R", 1L).otherwise(0L)).cast(big).as("nr"))
+        .withColumn("u_a", col("ra") - expr("(na * (na + 1)) div 2"))
+        .select(
+          col("na").cast("long").as("n_a"),
+          col("nr").cast("long").as("n_r"),
+          col("u_a").cast("long").as("u_a"),
+          expr("CAST((10000 * 2 * u_a) div (na * nr) - 10000 AS BIGINT)")
+            .as("rank_biserial_bp"))
+    },
+    Some(
+      "WITH f AS (SELECT l_returnflag AS flag, l_extendedprice, l_orderkey, l_linenumber " +
+        "FROM lineitem WHERE l_returnflag IN ('A', 'R')), " +
+        "r AS (SELECT flag, row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk FROM f), " +
+        "s AS (SELECT CAST(sum(CASE WHEN flag = 'A' THEN rk ELSE 0 END) AS HUGEINT) AS ra, " +
+        "CAST(sum(CASE WHEN flag = 'A' THEN 1 ELSE 0 END) AS HUGEINT) AS na, " +
+        "CAST(sum(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS HUGEINT) AS nr FROM r), " +
+        "u AS (SELECT na, nr, ra - (na * (na + 1)) // 2 AS ua FROM s) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nr AS BIGINT) AS n_r, CAST(ua AS BIGINT) AS u_a, " +
+        "CAST((10000 * 2 * ua) // (na * nr) - 10000 AS BIGINT) AS rank_biserial_bp FROM u"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q159 — independence deviation (chi-square contributions): the
+  // event_type × weekday contingency table with each cell's scaled
+  // deviation from independence (O·N − row·col) and its floored-milli
+  // χ² contribution. The "is usage day-of-week dependent, and WHICH
+  // cell drives it" diagnostic — the test statistic family where the
+  // deviation signs matter as much as the total.
+  //
+  // Determinism: weekday is epoch-day mod 7 (0 = Thursday) — Spark's
+  // dayofweek is 1-based Sunday, DuckDB's 0-based Sunday; the mod-7
+  // form is engine-free. Each cell's contribution floors SEPARATELY
+  // ((O·N−rc)²·10³ div (rc·N), non-negative) — a defined statistic,
+  // identical integer ops both sides; HUGEINT oracle division.
+  //
+  // Scale: one groupBy to the |types|×7 contingency frame; margins
+  // are windows over that bounded frame (q78-exception). DECIMAL(38,0)
+  // bound: (O·N)² caps N at ~10⁹ cells-dominant corpora — beyond,
+  // bucket counts in thousands (the q122/q134 resolution-knob note).
+  val q159: QuerySpec = QuerySpec(
+    "q159_chi_square_cells",
+    (s, d) => {
+      val big = DecimalType(38, 0)
+      events(s, d)
+        .groupBy(
+          col("event_type").as("ty"),
+          pmod(unix_date(col("ts").cast("date")), lit(7)).cast("long").as("dow"))
+        .agg(count(lit(1)).cast(big).as("obs"))
+        .withColumn("rt", sum("obs").over(Window.partitionBy("ty")))
+        .withColumn("ct", sum("obs").over(Window.partitionBy("dow")))
+        .withColumn("n", sum("obs").over(Window.partitionBy()))
+        .select(
+          col("ty"), col("dow"), col("obs").cast("long").as("obs"),
+          (col("obs") * col("n") - col("rt") * col("ct")).cast("long").as("dev_scaled"),
+          expr("CAST((1000 * (obs*n - rt*ct) * (obs*n - rt*ct)) div (rt * ct * n) AS BIGINT)")
+            .as("chi2_contrib_milli"))
+        .orderBy("ty", "dow")
+    },
+    Some(
+      "WITH o AS (SELECT event_type AS ty, datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS dow, " +
+        "count(*) AS obs FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT ty, dow, obs, sum(obs) OVER (PARTITION BY ty) AS rt, " +
+        "sum(obs) OVER (PARTITION BY dow) AS ct, sum(obs) OVER () AS n FROM o) " +
+        "SELECT ty, CAST(dow AS BIGINT) AS dow, CAST(obs AS BIGINT) AS obs, " +
+        "CAST(obs * n - rt * ct AS BIGINT) AS dev_scaled, " +
+        "CAST(CAST(1000 * (obs*n - rt*ct) * (obs*n - rt*ct) AS HUGEINT) // CAST(rt * ct * n AS HUGEINT) AS BIGINT) AS chi2_contrib_milli " +
+        "FROM m ORDER BY ty, dow"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q87, q90, q93, q94, q95, q96, q97, q100, q101, q102, q105, q106, q107,
-      q108, q109, q110, q112, q124, q129, q132, q133, q144, q147, q148, q154, q155)
+      q108, q109, q110, q112, q124, q129, q132, q133, q144, q147, q148, q154,
+      q155, q158, q159)
 }

@@ -219,4 +219,40 @@ class ScaleQueriesSpec extends SparkSpec {
     assert(row.getAs[Long]("cr_a_bp") == 3333L && row.getAs[Long]("cr_b_bp") == 10000L)
     assert(row.getAs[Long]("lift_bp") == 30000L)
   }
+
+  test("q158 full separation gives U = 0 and rank-biserial −10000 bp") {
+    val dir = java.nio.file.Files.createTempDirectory("q158fix").toString
+    // A = prices {1,2}, R = {3,4}: ranks A:1,2 → R_A = 3,
+    // U_A = 3 − 2·3/2 = 0; rb = 2·0/(2·2) − 1 → −10000 bp.
+    // The N row must be ignored entirely.
+    Seq(
+      ("A", 1.0, 1L, 1), ("A", 2.0, 2L, 1), ("R", 3.0, 3L, 1), ("R", 4.0, 4L, 1),
+      ("N", 0.5, 5L, 1),
+    ).toDF("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = ScaleQueries.q158.run(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_a") == 2L && r.head.getAs[Long]("n_r") == 2L)
+    assert(r.head.getAs[Long]("u_a") == 0L)
+    assert(r.head.getAs[Long]("rank_biserial_bp") == -10000L)
+  }
+
+  test("q159 scores a planted dependent design cell-exactly and signs the deviations") {
+    val dir = java.nio.file.Files.createTempDirectory("q159fix").toString
+    val d0 = Timestamp.valueOf("1970-01-01 12:00:00") // epoch day 0 → dow 0
+    val d1 = Timestamp.valueOf("1970-01-02 12:00:00") // dow 1
+    // A: 3@dow0, 1@dow1; B: 1@dow0, 3@dow1 → every margin 4, N=8,
+    // dev = O·8 − 16 = ±8; contrib = 1000·64 div (4·4·8) = 500
+    val rows =
+      (1 to 3).map(i => (i.toLong, d0, 1L, "A")) ++ Seq((4L, d1, 1L, "A")) ++
+        Seq((5L, d0, 1L, "B")) ++ (6 to 8).map(i => (i.toLong, d1, 1L, "B"))
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val r = ScaleQueries.q159.run(spark, dir).collect()
+      .map(x => (x.getAs[String]("ty"), x.getAs[Long]("dow")) ->
+        (x.getAs[Long]("dev_scaled"), x.getAs[Long]("chi2_contrib_milli"))).toMap
+    assert(r == Map(
+      ("A", 0L) -> (8L, 500L), ("A", 1L) -> (-8L, 500L),
+      ("B", 0L) -> (-8L, 500L), ("B", 1L) -> (8L, 500L)))
+  }
 }
