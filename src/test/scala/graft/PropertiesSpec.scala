@@ -207,4 +207,56 @@ object GraftProperties extends Properties("graft") {
         cont.get(pair).exists { case (ca, cb) => ca >= j - 1e-9 && cb >= j - 1e-9 }
       } && cont.keySet == jac.keySet
     }
+
+  // --- sweep-line vs brute force: q143's day-aggregated ±1 sweep must
+  // equal the naive per-day count over random interval sets, including
+  // the first-peak-day tie-break.
+  private val intervalsGen = for {
+    n <- Gen.choose(1, 8)
+    ivs <- Gen.listOfN(n, for {
+      s <- Gen.choose(0, 20)
+      len <- Gen.choose(0, 9)
+    } yield (s, s + len))
+  } yield ivs
+
+  private def dayTs(k: Int): Timestamp =
+    Timestamp.valueOf(java.time.LocalDate.of(1995, 1, 1).plusDays(k).atStartOfDay())
+
+  property("q143 sweep equals the naive per-day count, peak day included") =
+    forAll(intervalsGen, Gen.choose(0L, 1000000L)) { (ivs, salt) =>
+      val dir = java.nio.file.Files.createTempDirectory(s"sweep$salt").toString
+      ivs.zipWithIndex.map { case ((s, _), i) => (i.toLong, "P", dayTs(s)) }
+        .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+        .write.parquet(s"$dir/orders.parquet")
+      ivs.zipWithIndex.map { case ((_, e), i) => (i.toLong, dayTs(e)) }
+        .toDF("l_orderkey", "l_shipdate")
+        .write.parquet(s"$dir/lineitem.parquet")
+      val r = ops.TimeSeriesQueries.q143.run(spark, dir).collect().head
+      val base = java.time.LocalDate.of(1995, 1, 1).toEpochDay
+      val perDay = (0 to 30).map(d => d -> ivs.count { case (s, e) => s <= d && d <= e })
+      val peak = perDay.map(_._2).max
+      val firstDay = base + perDay.find(_._2 == peak).get._1
+      r.getAs[Long]("peak") == peak.toLong &&
+      r.getAs[Long]("first_peak_day") == firstDay
+    }
+
+  property("q151 interval merge equals the brute-force day-set union") =
+    forAll(intervalsGen, Gen.choose(0L, 1000000L)) { (ivs, salt) =>
+      val dir = java.nio.file.Files.createTempDirectory(s"merge$salt").toString
+      ivs.zipWithIndex.flatMap { case ((s, e), i) =>
+        Seq((1L, i.toLong, dayTs(s)), (1L, i.toLong, dayTs(e)))
+      }.toDF("l_suppkey", "l_orderkey", "l_shipdate")
+        .write.parquet(s"$dir/lineitem.parquet")
+      val r = ops.TimeSeriesQueries.q151.run(spark, dir).collect().head
+      // brute-force interval fold with q151's rule: merge iff the next
+      // start is ≤ the running max end (overlap or touch — day-ADJACENT
+      // intervals stay separate episodes by design)
+      val runs = ivs.sorted.foldLeft(List.empty[(Int, Int)]) {
+        case ((rs, re) :: t, (s, e)) if s <= re => (rs, math.max(re, e)) :: t
+        case (acc, (s, e)) => (s, e) :: acc
+      }
+      r.getAs[Long]("n_episodes") == runs.length.toLong &&
+      r.getAs[Long]("covered_days") == runs.map { case (s, e) => e - s + 1 }.sum.toLong &&
+      r.getAs[Long]("longest_days") == runs.map { case (s, e) => e - s + 1 }.max.toLong
+    }
 }
