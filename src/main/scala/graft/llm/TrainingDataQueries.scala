@@ -712,6 +712,48 @@ object TrainingDataQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q164 — padding-waste forecast: if each document trains as its own
+  // ⌈tokens/512⌉ fixed-length sequences (no cross-doc packing), how
+  // much of the token budget is padding, per source? The "should we
+  // bother packing" capacity-planning report that motivates q70's
+  // packer — waste_bp ≥ ~3000 is the classic signal that naive
+  // per-doc batching burns a third of the FLOPs.
+  //
+  // Determinism: everything is integer arithmetic on the q33 whitespace
+  // token count — ceil via (t + 511) div 512, waste = capacity − t,
+  // share in floored bp.
+  //
+  // Scale: stateless per-row math then a |sources|-bounded aggregate —
+  // the same profile as q65/q66: no shuffle grows with the corpus.
+  val q164: QuerySpec = QuerySpec(
+    "q164_padding_waste",
+    (s, d) =>
+      documents(s, d)
+        .select(
+          col("source"),
+          TF.tokenCountWs(col("text")).as("t"))
+        .withColumn("cap", expr("512 * ((t + 511) div 512)"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("t")).as("n_tokens"),
+          sum(col("cap") - col("t")).as("n_padding"),
+          sum(col("cap")).as("capacity"))
+        .withColumn("waste_bp", expr("(10000 * n_padding) div capacity"))
+        .orderBy("source"),
+    Some(
+      "WITH t AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS t, " +
+        "512 * ((CAST(len(string_split(text, ' ')) AS BIGINT) + 511) // 512) AS cap " +
+        "FROM documents) " +
+        "SELECT source, count(*) AS n_docs, sum(t) AS n_tokens, " +
+        "sum(cap - t) AS n_padding, sum(cap) AS capacity, " +
+        "(10000 * sum(cap - t)) // sum(cap) AS waste_bp " +
+        "FROM t GROUP BY 1 ORDER BY source"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q65, q66, q68, q69, q70, q75, q76, q77, q78, q79, q86, q120, q134, q142, q149)
+    Seq(q65, q66, q68, q69, q70, q75, q76, q77, q78, q79, q86, q120, q134, q142,
+      q149, q164)
 }

@@ -1356,8 +1356,363 @@ object ScaleQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q160 — promo revenue share per ship month (the TPC-H Q14 shape):
+  // what fraction of each month's revenue came from PROMO-type parts.
+  // The conditional-aggregate percentage — one fact pass computes both
+  // the numerator and the denominator, never two scans reconciled by a
+  // join (reference A7's rollup discipline applied to a ratio).
+  //
+  // Determinism: revenue rides [[Exact.revenueDecimal]]'s per-row
+  // decimal item inside BOTH conditional branches (the zero arm is a
+  // typed decimal zero, so the sum never touches double); share_bp
+  // floors once at the end (the q124 rule).
+  //
+  // Scale: part is a broadcast dim; the groupBy key (year·100+month)
+  // is calendar-bounded, so the aggregate output is tiny however big
+  // the fact gets — partial aggregation collapses everything map-side.
+  val q160: QuerySpec = QuerySpec(
+    "q160_promo_share",
+    (s, d) => {
+      val item = col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4)))
+      val zero = lit(0).cast(DecimalType(37, 6))
+      lineitem(s, d)
+        .join(part(s, d).select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .cast("long").as("ship_month"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", item).otherwise(zero)).as("promo_dec"),
+          sum(item).as("tot_dec"))
+        .select(
+          col("ship_month"),
+          col("promo_dec").cast("double").as("promo_rev"),
+          col("tot_dec").cast("double").as("total_rev"),
+          floor(col("promo_dec").cast("double") * 10000 / col("tot_dec").cast("double"))
+            .cast("long").as("promo_share_bp"))
+        .orderBy("ship_month")
+    },
+    Some(
+      "WITH m AS (SELECT CAST(year(l_shipdate)*100 + month(l_shipdate) AS BIGINT) AS ship_month, " +
+        "sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) " +
+        "ELSE CAST(0 AS DECIMAL(37,6)) END) AS promo, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS tot " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1) " +
+        "SELECT ship_month, CAST(promo AS DOUBLE) AS promo_rev, CAST(tot AS DOUBLE) AS total_rev, " +
+        "CAST(floor(CAST(promo AS DOUBLE) * 10000 / CAST(tot AS DOUBLE)) AS BIGINT) AS promo_share_bp " +
+        "FROM m ORDER BY ship_month"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q161 — bilateral volume shipping (the TPC-H Q7 shape): revenue
+  // flowing between NATION_1 and NATION_2 in either direction, by
+  // supplier nation × customer nation × ship year. The two-role
+  // dimension join — nation enters twice under different aliases, once
+  // through supplier and once through customer — is the shape that
+  // breaks naive "join each table once" planners; Spark just aliases.
+  //
+  // Scale: both nation sides and supplier broadcast; the only real
+  // exchanges are lineitem⋈orders (fact-to-fact on orderkey) and the
+  // customer join. The pair filter ((n1,n2) ∈ {(1,2),(2,1)}) prunes
+  // AFTER the dims resolve but BEFORE the fact join output aggregates,
+  // so the rollup sees only qualifying rows.
+  val q161: QuerySpec = QuerySpec(
+    "q161_volume_shipping",
+    (s, d) => {
+      val sn = nation(s, d).select(
+        col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val cn = nation(s, d).select(
+        col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      lineitem(s, d)
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(sn, col("s_nationkey") === col("sn_key"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(cn, col("c_nationkey") === col("cn_key"))
+        .where(
+          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(revenueExpr.as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    },
+    Some(
+      "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, " +
+        s"CAST(year(l_shipdate) AS BIGINT) AS ship_year, $revenueSql AS revenue " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation cn ON c_nationkey = cn.n_nationkey " +
+        "WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2') " +
+        "OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1') " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q162 — two-sample Kolmogorov–Smirnov distance between returned (A)
+  // and refused (R) price distributions: D = max |F_A(x) − F_R(x)|,
+  // completing the q158/q159 test-statistic family (rank test, χ²
+  // cells, now the CDF-distance test). The statistic is DEFINED on the
+  // §7.0 total order (price, orderkey, linenumber) — with cross-flag
+  // price ties it is the tie-broken empirical D, deterministic in both
+  // engines; without ties it is the classic KS distance.
+  //
+  // Mechanism: after a step at the row with global position g and
+  // within-flag position f, the empirical CDFs are cum_A = f (A row) or
+  // g − f (R row) and cum_R = g − cum_A — so THREE [[Ranks]] passes
+  // (one global, one per flag) give every step's |F_A − F_R| as pure
+  // integer arithmetic |cum_A·n_R − cum_R·n_A|, and a single max-
+  // aggregate finds the supremum. No unpartitioned window anywhere; the
+  // counts anchor rides a 1-row cross join (the q79 rule).
+  //
+  // DECIMAL(38,0) bound: cum·n ≤ N² — same headroom as q158.
+  val q162: QuerySpec = QuerySpec(
+    "q162_ks_statistic",
+    (s, d) => {
+      val big = DecimalType(38, 0)
+      val ord = Seq(col("l_extendedprice").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      val f = lineitem(s, d)
+        .where(col("l_returnflag").isin("A", "R"))
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      val g = Ranks.withGlobalRank(f, ord, "gr")
+      val steps = Ranks.withGlobalRank(g.where(col("flag") === "A"), ord, "fr")
+        .unionByName(Ranks.withGlobalRank(g.where(col("flag") === "R"), ord, "fr"))
+      val counts = f.agg(
+        sum(when(col("flag") === "A", 1L).otherwise(0L)).cast(big).as("na"),
+        sum(when(col("flag") === "R", 1L).otherwise(0L)).cast(big).as("nr"))
+      steps.crossJoin(counts) // 1-row counts anchor
+        .withColumn("ca",
+          when(col("flag") === "A", col("fr")).otherwise(col("gr") - col("fr")).cast(big))
+        .withColumn("cr", col("gr").cast(big) - col("ca"))
+        .withColumn("diff", abs(col("ca") * col("nr") - col("cr") * col("na")))
+        .groupBy("na", "nr")
+        .agg(max(col("diff")).as("dmax"))
+        .select(
+          col("na").cast("long").as("n_a"),
+          col("nr").cast("long").as("n_r"),
+          col("dmax").cast("long").as("d_scaled"),
+          expr("CAST((10000 * dmax) div (na * nr) AS BIGINT)").as("d_bp"))
+    },
+    Some(
+      "WITH f AS (SELECT l_returnflag AS flag, l_extendedprice, l_orderkey, l_linenumber " +
+        "FROM lineitem WHERE l_returnflag IN ('A', 'R')), " +
+        "r AS (SELECT flag, " +
+        "row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS gr, " +
+        "row_number() OVER (PARTITION BY flag ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS fr FROM f), " +
+        "c AS (SELECT CAST(sum(CASE WHEN flag = 'A' THEN 1 ELSE 0 END) AS HUGEINT) AS na, " +
+        "CAST(sum(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS HUGEINT) AS nr FROM f), " +
+        "st AS (SELECT CAST(CASE WHEN flag = 'A' THEN fr ELSE gr - fr END AS HUGEINT) AS ca, " +
+        "CAST(gr AS HUGEINT) - CAST(CASE WHEN flag = 'A' THEN fr ELSE gr - fr END AS HUGEINT) AS cr FROM r) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nr AS BIGINT) AS n_r, " +
+        "CAST(max(abs(ca*nr - cr*na)) AS BIGINT) AS d_scaled, " +
+        "CAST((10000 * max(abs(ca*nr - cr*na))) // (na*nr) AS BIGINT) AS d_bp " +
+        "FROM st, c GROUP BY na, nr"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q163 — per-user behavioral entropy, averaged over hash cohorts:
+  // H(user) = ln n − (Σ c·ln c)/n over the user's event-type counts —
+  // the "how specialized is each user's behavior" diagnostic (H = 0:
+  // single-type users; ln |types|: uniform). Cohorts are user_id mod 10
+  // so the output is bounded and the per-cohort average is a stable,
+  // comparable statistic.
+  //
+  // Determinism: H is computed from exact integer counts; ln/avg are
+  // the only float steps and the result rounds to 4 decimals AFTER the
+  // cohort average (§7.0 — same budget as q61's round-6 correlation).
+  //
+  // Scale: groupBy(user, type) partial-aggregates map-side; the
+  // per-user fold is |types|-bounded; cohorts are 10 rows. Nothing
+  // grows with events except the first exchange.
+  val q163: QuerySpec = QuerySpec(
+    "q163_user_entropy",
+    (s, d) =>
+      events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(
+          sum(col("c")).as("n"),
+          sum(col("c").cast("double") * log(col("c").cast("double"))).as("clnc"))
+        .select(
+          pmod(col("user_id"), lit(10L)).as("cohort"),
+          (log(col("n").cast("double")) - col("clnc") / col("n").cast("double"))
+            .as("h"))
+        .groupBy("cohort")
+        .agg(
+          count(lit(1)).as("n_users"),
+          round(avg(col("h")), 4).as("avg_entropy_nats"))
+        .orderBy("cohort"),
+    Some(
+      "WITH ct AS (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2), " +
+        "u AS (SELECT user_id, sum(c) AS n, sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc FROM ct GROUP BY 1), " +
+        "h AS (SELECT user_id % 10 AS cohort, ln(CAST(n AS DOUBLE)) - clnc / CAST(n AS DOUBLE) AS h FROM u) " +
+        "SELECT cohort, count(*) AS n_users, round(avg(h), 4) AS avg_entropy_nats " +
+        "FROM h GROUP BY 1 ORDER BY cohort"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q165 — day-of-week seasonality index: each weekday's total order
+  // revenue against a calendar-fair baseline, in basis points —
+  // index_bp = 10⁴ · (rev_dow · days_total) / (rev_total · days_dow).
+  // 10000 = exactly average; the days correction matters because the
+  // calendar does not contain each weekday equally often.
+  //
+  // Determinism: revenue sums are exact decimal cents (scale-2 × 100 →
+  // DECIMAL(38,0)); the index divides INTEGERS on both sides (Spark
+  // `div`, DuckDB HUGEINT `//` — never decimal `//`, which DuckDB
+  // routes through DOUBLE). Weekday is epoch-day mod 7 (engine-free,
+  // the q159 rule).
+  //
+  // Scale: two bounded aggregates (7 rows, 1 row) off one orders pass
+  // each; distinct days per weekday is a count-distinct over a
+  // calendar-bounded set. The 1-row total rides a cross join.
+  val q165: QuerySpec = QuerySpec(
+    "q165_seasonality_index",
+    (s, d) => {
+      val big = DecimalType(38, 0)
+      val cents = (sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100).cast(big)
+      val byDow = orders(s, d)
+        .groupBy(pmod(unix_date(col("o_orderdate").cast("date")), lit(7))
+          .cast("long").as("dow"))
+        .agg(
+          cents.as("rev_cents"),
+          countDistinct(col("o_orderdate").cast("date")).cast(big).as("days"))
+      val total = byDow.agg(
+        sum(col("rev_cents")).as("tot_cents"),
+        sum(col("days")).as("tot_days"))
+      byDow.crossJoin(total) // 1-row corpus totals
+        .select(
+          col("dow"),
+          col("days").cast("long").as("n_days"),
+          col("rev_cents").cast("double").divide(lit(100.0)).as("revenue"),
+          expr("CAST((10000 * rev_cents * tot_days) div (tot_cents * days) AS BIGINT)")
+            .as("index_bp"))
+        .orderBy("dow")
+    },
+    Some(
+      "WITH b AS (SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 7 AS dow, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS HUGEINT) AS rev_cents, " +
+        "CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS HUGEINT) AS days " +
+        "FROM orders GROUP BY 1), " +
+        "t AS (SELECT sum(rev_cents) AS tot_cents, sum(days) AS tot_days FROM b) " +
+        "SELECT CAST(dow AS BIGINT) AS dow, CAST(days AS BIGINT) AS n_days, " +
+        "CAST(rev_cents AS DOUBLE) / 100.0 AS revenue, " +
+        "CAST((10000 * rev_cents * tot_days) // (tot_cents * days) AS BIGINT) AS index_bp " +
+        "FROM b, t ORDER BY dow"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q166 — lag-7 autocorrelation of the daily revenue series: Pearson r
+  // between each day's order revenue and the same weekday one week
+  // earlier — the "is there weekly structure" companion to q165's
+  // level index and q145's trend slope. The lag pairing is a SELF-JOIN
+  // on day = day − 7, not a window lag: an equi-join distributes,
+  // while lag() over the full series is one task (and the q52 moving-
+  // window exception doesn't apply — this series has ONE group).
+  //
+  // Determinism: the five co-moment sums run in exact decimal over
+  // cent-scale pairs (the q61 rule); r is assembled from them in one
+  // double step and rounds to 6.
+  val q166: QuerySpec = QuerySpec(
+    "q166_autocorr_lag7",
+    (s, d) => {
+      val daily = orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      val prev = daily.select(col("day").as("pday"), col("rev").as("prev"))
+      val x = col("rev")
+      val y = col("prev")
+      daily
+        .join(prev, col("pday") === date_sub(col("day"), 7))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(x).cast("double").as("s1"),
+          sum(y).cast("double").as("s2"),
+          sum(x * x).cast("double").as("s11"),
+          sum(y * y).cast("double").as("s22"),
+          sum(x * y).cast("double").as("s12"))
+        .select(
+          col("n").cast("long").as("n_pairs"),
+          round(
+            (col("n") * col("s12") - col("s1") * col("s2")) /
+              sqrt((col("n") * col("s11") - col("s1") * col("s1")) *
+                (col("n") * col("s22") - col("s2") * col("s2"))),
+            6).as("autocorr_lag7"))
+    },
+    Some(
+      "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, " +
+        "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev FROM orders GROUP BY 1), " +
+        "p AS (SELECT d.rev AS x, l.rev AS y FROM daily d JOIN daily l ON l.day = d.day - 7), " +
+        "m AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(x) AS DOUBLE) AS s1, " +
+        "CAST(sum(y) AS DOUBLE) AS s2, CAST(sum(x*x) AS DOUBLE) AS s11, " +
+        "CAST(sum(y*y) AS DOUBLE) AS s22, CAST(sum(x*y) AS DOUBLE) AS s12 FROM p) " +
+        "SELECT CAST(n AS BIGINT) AS n_pairs, " +
+        "round((n*s12 - s1*s2) / sqrt((n*s11 - s1*s1)*(n*s22 - s2*s2)), 6) AS autocorr_lag7 FROM m"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q167 — dominant supplier–part positions (the TPC-H Q20 shape,
+  // partsupp emulated from shipped facts): suppliers that shipped more
+  // than half of a part's 1997 volume, counted per supplier. The
+  // correlated "exceeds a share of the group total" predicate becomes
+  // two aggregates of the SAME filtered fact joined on the group key —
+  // Catalyst's decorrelation target shape, written directly.
+  //
+  // Determinism: quantities sum as exact decimals; the half-share
+  // compare is decimal·2 vs decimal (no division anywhere).
+  //
+  // Scale: both aggregates partial-agg map-side off one shipdate-pruned
+  // scan; the join key (partkey) is the natural shuffle key and the
+  // per-part group is supplier-bounded. Output ≤ |suppliers|.
+  val q167: QuerySpec = QuerySpec(
+    "q167_dominant_supplier",
+    (s, d) => {
+      val dec = DecimalType(18, 2)
+      val li97 = lineitem(s, d)
+        .where(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01")
+      val sp = li97.groupBy("l_suppkey", "l_partkey")
+        .agg(sum(col("l_quantity").cast(dec)).as("sq"))
+      val pt = li97.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity").cast(dec)).as("pq"))
+      sp.join(pt, col("l_partkey") === col("pk"))
+        .where(col("sq") * 2 > col("pq"))
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_dominant_parts"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_dominant_parts"))
+        .orderBy(desc("n_dominant_parts"), col("s_suppkey"))
+    },
+    Some(
+      "WITH li97 AS (SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1998-01-01'), " +
+        "sp AS (SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq " +
+        "FROM li97 GROUP BY 1, 2), " +
+        "pt AS (SELECT l_partkey AS pk, sum(CAST(l_quantity AS DECIMAL(18,2))) AS pq " +
+        "FROM li97 GROUP BY 1), " +
+        "dom AS (SELECT l_suppkey, count(*) AS n_dominant_parts " +
+        "FROM sp JOIN pt ON l_partkey = pk WHERE sq * 2 > pq GROUP BY 1) " +
+        "SELECT s_suppkey, s_name, n_dominant_parts FROM dom " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "ORDER BY n_dominant_parts DESC, s_suppkey"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q87, q90, q93, q94, q95, q96, q97, q100, q101, q102, q105, q106, q107,
       q108, q109, q110, q112, q124, q129, q132, q133, q144, q147, q148, q154,
-      q155, q158, q159)
+      q155, q158, q159, q160, q161, q162, q163, q165, q166, q167)
 }

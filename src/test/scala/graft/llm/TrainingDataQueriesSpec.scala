@@ -250,4 +250,22 @@ class TrainingDataQueriesSpec extends SparkSpec {
         x.getAs[Long]("n_leaks")).toMap
     assert(r == Map(("test", "train") -> 1L, ("train", "val") -> 1L))
   }
+
+  test("q164: padding waste is ceil-to-512 capacity minus tokens, per source") {
+    val dir = java.nio.file.Files.createTempDirectory("q164fix").toString
+    def doc(n: Int): String = Seq.fill(n)("a").mkString(" ")
+    // s1: 100 tokens (cap 512, waste 412) + 512 tokens (cap 512, waste 0)
+    // s2: 513 tokens (cap 1024, waste 511)
+    Seq((1L, doc(100), "s1"), (2L, doc(512), "s1"), (3L, doc(513), "s2"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = TrainingDataQueries.q164.run(spark, dir).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("n_tokens"),
+          x.getAs[Long]("n_padding"), x.getAs[Long]("capacity"),
+          x.getAs[Long]("waste_bp"))).toMap
+    assert(r == Map(
+      "s1" -> ((2L, 612L, 412L, 1024L, 4023L)),
+      "s2" -> ((1L, 513L, 511L, 1024L, 4990L))))
+  }
 }

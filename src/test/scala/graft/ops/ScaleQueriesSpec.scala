@@ -255,4 +255,128 @@ class ScaleQueriesSpec extends SparkSpec {
       ("A", 0L) -> (8L, 500L), ("A", 1L) -> (-8L, 500L),
       ("B", 0L) -> (-8L, 500L), ("B", 1L) -> (8L, 500L)))
   }
+
+  test("q160 promo share: one month, promo 100 of 400 total → 2500 bp") {
+    val dir = java.nio.file.Files.createTempDirectory("q160fix").toString
+    Seq((1L, "PROMO"), (2L, "STANDARD"))
+      .toDF("p_partkey", "p_type").write.parquet(s"$dir/part.parquet")
+    val t = Timestamp.valueOf("1995-01-15 00:00:00")
+    Seq((1L, t, 100.0, 0.0), (2L, t, 300.0, 0.0))
+      .toDF("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = ScaleQueries.q160.run(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("ship_month") == 199501L)
+    assert(r.head.getAs[Double]("promo_rev") == 100.0)
+    assert(r.head.getAs[Double]("total_rev") == 400.0)
+    assert(r.head.getAs[Long]("promo_share_bp") == 2500L)
+  }
+
+  test("q161 volume shipping keeps only the two directed nation pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("q161fix").toString
+    Seq((1, "NATION_1"), (2, "NATION_2"), (3, "NATION_3"))
+      .toDF("n_nationkey", "n_name").write.parquet(s"$dir/nation.parquet")
+    Seq((1L, 1), (2L, 2), (3L, 3))
+      .toDF("s_suppkey", "s_nationkey").write.parquet(s"$dir/supplier.parquet")
+    Seq((1L, 2), (2L, 1), (3L, 3))
+      .toDF("c_custkey", "c_nationkey").write.parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L), (20L, 2L), (30L, 3L))
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$dir/orders.parquet")
+    val t = Timestamp.valueOf("1995-06-01 00:00:00")
+    // N1→N2 kept, N2→N1 kept, N3→N3 dropped, N3→N2 dropped
+    Seq((10L, 1L, t, 100.0, 0.0), (20L, 2L, t, 200.0, 0.0),
+      (30L, 3L, t, 999.0, 0.0), (10L, 3L, t, 999.0, 0.0))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = ScaleQueries.q161.run(spark, dir).collect()
+      .map(x => (x.getAs[String]("supp_nation"), x.getAs[String]("cust_nation"),
+        x.getAs[Long]("ship_year")) -> x.getAs[Double]("revenue")).toMap
+    assert(r == Map(
+      ("NATION_1", "NATION_2", 1995L) -> 100.0,
+      ("NATION_2", "NATION_1", 1995L) -> 200.0))
+  }
+
+  test("q162 KS distance on a perfectly interleaved design is 0.5") {
+    val dir = java.nio.file.Files.createTempDirectory("q162fix").toString
+    // A = {1,3}, R = {2,4}: the CDF gap peaks at 1/2 right after each
+    // A step; the N row must be ignored.
+    Seq(
+      ("A", 1.0, 1L, 1), ("R", 2.0, 2L, 1), ("A", 3.0, 3L, 1), ("R", 4.0, 4L, 1),
+      ("N", 0.5, 5L, 1),
+    ).toDF("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = ScaleQueries.q162.run(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_a") == 2L && r.head.getAs[Long]("n_r") == 2L)
+    assert(r.head.getAs[Long]("d_scaled") == 2L) // |1·2 − 0·2| at g=1
+    assert(r.head.getAs[Long]("d_bp") == 5000L)
+  }
+
+  test("q163 entropy: a 2+2 user is ln 2 nats, a single-type user is 0") {
+    val dir = java.nio.file.Files.createTempDirectory("q163fix").toString
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = Seq(
+      (1L, t0, 10L, "click"), (2L, t0, 10L, "click"),
+      (3L, t0, 10L, "view"), (4L, t0, 10L, "view"),
+      (5L, t0, 21L, "click"), (6L, t0, 21L, "click"), (7L, t0, 21L, "click"))
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val r = ScaleQueries.q163.run(spark, dir).collect()
+      .map(x => x.getAs[Long]("cohort") ->
+        (x.getAs[Long]("n_users"), x.getAs[Double]("avg_entropy_nats"))).toMap
+    assert(r == Map(0L -> ((1L, 0.6931)), 1L -> ((1L, 0.0))))
+  }
+
+  test("q165 seasonality index: 100 vs 300 over two weekdays → 5000/15000 bp") {
+    val dir = java.nio.file.Files.createTempDirectory("q165fix").toString
+    // epoch day 0 (dow 0) revenue 100; epoch day 1 (dow 1) revenue 300
+    Seq(
+      (1L, Timestamp.valueOf("1970-01-01 00:00:00"), 100.0),
+      (2L, Timestamp.valueOf("1970-01-02 00:00:00"), 300.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = ScaleQueries.q165.run(spark, dir).collect()
+      .map(x => x.getAs[Long]("dow") ->
+        (x.getAs[Long]("n_days"), x.getAs[Double]("revenue"), x.getAs[Long]("index_bp")))
+      .toMap
+    assert(r == Map(0L -> ((1L, 100.0, 5000L)), 1L -> ((1L, 300.0, 15000L))))
+  }
+
+  test("q166 lag-7 autocorrelation of a proportional series is 1.0") {
+    val dir = java.nio.file.Files.createTempDirectory("q166fix").toString
+    // pairs (2,1) and (6,3): y = x/2 exactly → r = 1. The unpaired
+    // day-1/day-2 rows must not contribute.
+    Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (2L, Timestamp.valueOf("2024-01-02 00:00:00"), 3.0),
+      (3L, Timestamp.valueOf("2024-01-08 00:00:00"), 2.0),
+      (4L, Timestamp.valueOf("2024-01-09 00:00:00"), 6.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = ScaleQueries.q166.run(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_pairs") == 2L)
+    assert(r.head.getAs[Double]("autocorr_lag7") == 1.0)
+  }
+
+  test("q167 dominant supplier counts >half-share parts inside the window only") {
+    val dir = java.nio.file.Files.createTempDirectory("q167fix").toString
+    Seq((1L, "S1"), (2L, "S2"))
+      .toDF("s_suppkey", "s_name").write.parquet(s"$dir/supplier.parquet")
+    val in = Timestamp.valueOf("1997-06-01 00:00:00")
+    val out = Timestamp.valueOf("1996-06-01 00:00:00")
+    // part 1: s1 60 vs s2 40 → s1 dominant; part 2: s1 30 vs s2 70 →
+    // s2 dominant; part 3: s1 sole shipper → dominant; the 1996 row
+    // (s2 ships 1000 of part 3) must be excluded or it would flip p3.
+    Seq(
+      (1L, 1L, 60.0, in), (2L, 1L, 40.0, in),
+      (1L, 2L, 30.0, in), (2L, 2L, 70.0, in),
+      (1L, 3L, 10.0, in), (2L, 3L, 1000.0, out))
+      .toDF("l_suppkey", "l_partkey", "l_quantity", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = ScaleQueries.q167.run(spark, dir).collect()
+      .map(x => (x.getAs[Long]("s_suppkey"), x.getAs[String]("s_name"),
+        x.getAs[Long]("n_dominant_parts")))
+    assert(r.toSeq == Seq((1L, "S1", 2L), (2L, "S2", 1L)))
+  }
 }
