@@ -64,7 +64,7 @@ object LlmQueries {
     (s, d) =>
       graft.ops.Sessionize
         .sessions(
-          events(s, d).select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us")),
+          events(s, d).select(col("user_id"), col("event_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us")),
           gapUs = 30L * 60L * 1000000L,
         )
         .orderBy("user_id", "session_id"),
@@ -87,7 +87,7 @@ object LlmQueries {
       events(s, d)
         .groupBy(
           col("user_id"),
-          unix_seconds(date_trunc("hour", col("ts"))).as("hour_epoch"),
+          unix_seconds(date_trunc("hour", col("ts")).cast("timestamp")).as("hour_epoch"),
         )
         .agg(count(lit(1)).as("n_events"), dsum("value").as("sum_value"))
         .orderBy("user_id", "hour_epoch"),
@@ -530,11 +530,11 @@ object LlmQueries {
     (s, d) => {
       val ev = events(s, d)
       val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("purchase_id"),
-          unix_micros(col("ts")).as("ts_us"),
-          unix_micros(col("ts")).as("purchase_us"), round(col("value"), 4).as("purchase_value"))
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          unix_micros(col("ts").cast("timestamp")).as("purchase_us"), round(col("value"), 4).as("purchase_value"))
       // (user_id, ts) is unique in the corpus so ties cannot occur, but
       // the deterministic tie-break costs nothing and guards a future
       // corpus regeneration
@@ -568,11 +568,11 @@ object LlmQueries {
       val hourUs = 3600L * 1000000L
       val ev = events(s, d)
       val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("event_id").as("click_id"), unix_micros(col("ts")).as("ts_us"))
+        .select(col("user_id"), col("event_id").as("click_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))
       val windows = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("purchase_id"),
-          unix_micros(col("ts")).as("start_us"),
-          (unix_micros(col("ts")) + hourUs).as("end_us"))
+          unix_micros(col("ts").cast("timestamp")).as("start_us"),
+          (unix_micros(col("ts").cast("timestamp")) + hourUs).as("end_us"))
       graft.ops.RangeJoin.bucketedRangeJoin(
         clicks, windows, keys = Seq("user_id"),
         pointCol = "ts_us", startCol = "start_us", endCol = "end_us",

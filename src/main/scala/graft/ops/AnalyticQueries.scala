@@ -251,7 +251,7 @@ object AnalyticQueries {
         )
         .agg(count(lit(1)).as("n_events"), dsum("value").as("sum_value"))
         .select(
-          unix_seconds(col("window.start")).as("win_start_epoch"),
+          unix_seconds(col("window.start").cast("timestamp")).as("win_start_epoch"),
           col("event_type"),
           col("n_events"),
           col("sum_value"),
@@ -721,7 +721,7 @@ object AnalyticQueries {
       events(s, d)
         .select(
           col("user_id"), col("event_id"), col("event_type"),
-          unix_micros(col("ts")).as("ts_us"))
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
         .withColumn("prev_type", lag(col("event_type"), 1).over(w1))
         .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
         .select(
@@ -991,7 +991,7 @@ object AnalyticQueries {
       events(s, d)
         .select(
           col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .withColumn("dt", lead(col("ts_us"), 1).over(w) - col("ts_us"))
         .where(col("dt").isNotNull)

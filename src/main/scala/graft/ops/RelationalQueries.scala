@@ -169,8 +169,8 @@ object RelationalQueries {
       events(s, d)
         .groupBy("event_type")
         .agg(
-          min(unix_micros(col("ts"))).as("first_us"),
-          max(unix_micros(col("ts"))).as("last_us"),
+          min(unix_micros(col("ts").cast("timestamp"))).as("first_us"),
+          max(unix_micros(col("ts").cast("timestamp"))).as("last_us"),
         )
         .orderBy("event_type"),
     Some(
@@ -232,7 +232,7 @@ object RelationalQueries {
           col("user_id"),
           col("event_id"),
           col("event_type"),
-          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
           col("value"),
         )
         .orderBy("user_id")
@@ -252,7 +252,7 @@ object RelationalQueries {
       events(s, d)
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 5)
-        .select(col("event_type"), col("rn"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        .select(col("event_type"), col("rn"), col("event_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))
         .orderBy("event_type", "rn")
     },
     Some(
@@ -424,7 +424,7 @@ object RelationalQueries {
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select(col("user_id"), col("event_type"), col("event_id"),
-          unix_micros(col("ts")).as("ts_us"), col("value"))
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
         .orderBy("user_id", "event_type")
     },
     Some(

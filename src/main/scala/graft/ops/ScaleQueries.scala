@@ -1417,9 +1417,9 @@ object ScaleQueries {
   //
   // Scale: both nation sides and supplier broadcast; the only real
   // exchanges are lineitem⋈orders (fact-to-fact on orderkey) and the
-  // customer join. The pair filter ((n1,n2) ∈ {(1,2),(2,1)}) prunes
-  // AFTER the dims resolve but BEFORE the fact join output aggregates,
-  // so the rollup sees only qualifying rows.
+  // customer join. The pair filter (both nations in {1,2,3}, distinct)
+  // prunes AFTER the dims resolve but BEFORE the fact join output
+  // aggregates, so the rollup sees only qualifying rows.
   val q161: QuerySpec = QuerySpec(
     "q161_volume_shipping",
     (s, d) => {
@@ -1434,8 +1434,9 @@ object ScaleQueries {
         .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(cn, col("c_nationkey") === col("cn_key"))
         .where(
-          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          col("supp_nation").isin("NATION_1", "NATION_2", "NATION_3") &&
+            col("cust_nation").isin("NATION_1", "NATION_2", "NATION_3") &&
+            col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("ship_year"))
         .agg(revenueExpr.as("revenue"))
@@ -1449,8 +1450,9 @@ object ScaleQueries {
         "JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation cn ON c_nationkey = cn.n_nationkey " +
-        "WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2') " +
-        "OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1') " +
+        "WHERE sn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3') " +
+        "AND cn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3') " +
+        "AND sn.n_name <> cn.n_name " +
         "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
     ),
   )

@@ -25,11 +25,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark has no native type for (PARQUET_TYPE_ILLEGAL). We read nanos
-    * as long (legacy conf) and truncate to a microsecond TimestampType —
-    * the same ns→µs truncation DuckDB's `epoch_us` applies, keeping the
-    * oracle comparable.
+  /** The events table's `ts` has shifted annotation across testdata
+    * generations, and this reader absorbs both:
+    *  - TIMESTAMP(NANOS): no native Spark type (PARQUET_TYPE_ILLEGAL) —
+    *    read nanos as long (legacy conf) and truncate to µs, the same
+    *    truncation DuckDB's `epoch_us` applies;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *    TIMESTAMP_NTZ and stays NTZ, matching DuckDB's naive TIMESTAMP
+    *    read of the same file — so timestamp-typed outputs compare
+    *    equal. Epoch arithmetic sites cast NTZ→LTZ first (identity on
+    *    the wall-clock under the pinned UTC session) because unix_*
+    *    functions reject NTZ input.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

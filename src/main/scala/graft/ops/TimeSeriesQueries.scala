@@ -408,7 +408,7 @@ object TimeSeriesQueries {
       val big = DecimalType(38, 0)
       val w = Window.partitionBy("user_id").orderBy("us", "event_id")
       events(s, d)
-        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"))
         .withColumn("prev", lag("us", 1).over(w))
         .where(col("prev").isNotNull)
         .select(col("user_id"), expr("(us - prev) div 1000000").cast(big).as("gs"))
@@ -518,11 +518,11 @@ object TimeSeriesQueries {
       val fiveMinUs = 300L * 1000000L
       val ev = events(s, d)
       val points = ev.select(
-        col("user_id"), col("event_type").as("type_b"), unix_micros(col("ts")).as("us_b"))
+        col("user_id"), col("event_type").as("type_b"), unix_micros(col("ts").cast("timestamp")).as("us_b"))
       val windows = ev.select(
         col("user_id"), col("event_type").as("type_a"),
-        (unix_micros(col("ts")) + 1).as("start_us"),
-        (unix_micros(col("ts")) + fiveMinUs + 1).as("end_us"))
+        (unix_micros(col("ts").cast("timestamp")) + 1).as("start_us"),
+        (unix_micros(col("ts").cast("timestamp")) + fiveMinUs + 1).as("end_us"))
       RangeJoin.bucketedRangeJoin(
         points, windows, keys = Seq("user_id"),
         pointCol = "us_b", startCol = "start_us", endCol = "end_us",

@@ -335,7 +335,7 @@ class AnalyticQueriesSpec extends SparkSpec {
   test("q85: interval durations telescope to the user's time span; TWA bounded by k range") {
     val rows = AnalyticQueries.q85.run(spark, sfDir).collect()
     val spans = Tables.events(spark, sfDir)
-      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy("user_id")
       .agg((max("us") - min("us")).as("span"), min("k").as("klo"), max("k").as("khi"),

@@ -272,7 +272,7 @@ class ScaleQueriesSpec extends SparkSpec {
     assert(r.head.getAs[Long]("promo_share_bp") == 2500L)
   }
 
-  test("q161 volume shipping keeps only the two directed nation pairs") {
+  test("q161 volume shipping keeps distinct pairs within the nation set") {
     val dir = java.nio.file.Files.createTempDirectory("q161fix").toString
     Seq((1, "NATION_1"), (2, "NATION_2"), (3, "NATION_3"))
       .toDF("n_nationkey", "n_name").write.parquet(s"$dir/nation.parquet")
@@ -283,9 +283,9 @@ class ScaleQueriesSpec extends SparkSpec {
     Seq((10L, 1L), (20L, 2L), (30L, 3L))
       .toDF("o_orderkey", "o_custkey").write.parquet(s"$dir/orders.parquet")
     val t = Timestamp.valueOf("1995-06-01 00:00:00")
-    // N1→N2 kept, N2→N1 kept, N3→N3 dropped, N3→N2 dropped
+    // N1→N2 kept, N2→N1 kept, N3→N3 dropped (same nation), N3→N2 kept
     Seq((10L, 1L, t, 100.0, 0.0), (20L, 2L, t, 200.0, 0.0),
-      (30L, 3L, t, 999.0, 0.0), (10L, 3L, t, 999.0, 0.0))
+      (30L, 3L, t, 999.0, 0.0), (10L, 3L, t, 300.0, 0.0))
       .toDF("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
       .write.parquet(s"$dir/lineitem.parquet")
     val r = ScaleQueries.q161.run(spark, dir).collect()
@@ -293,7 +293,8 @@ class ScaleQueriesSpec extends SparkSpec {
         x.getAs[Long]("ship_year")) -> x.getAs[Double]("revenue")).toMap
     assert(r == Map(
       ("NATION_1", "NATION_2", 1995L) -> 100.0,
-      ("NATION_2", "NATION_1", 1995L) -> 200.0))
+      ("NATION_2", "NATION_1", 1995L) -> 200.0,
+      ("NATION_3", "NATION_2", 1995L) -> 300.0))
   }
 
   test("q162 KS distance on a perfectly interleaved design is 0.5") {

@@ -29,7 +29,7 @@ class StatefulSessionizerSpec extends SparkSpec {
 
   test("batch parity with the window-based Sessionize operator") {
     val ev = graft.ops.Tables.events(spark, sfDir)
-      .selectExpr("user_id", "event_id", "unix_micros(ts) as ts_us")
+      .selectExpr("user_id", "event_id", "unix_micros(cast(ts as timestamp)) as ts_us")
     val viaState = sessionizeBatch(ev.as[Event], gapUs = 30 * m)
       .select("user_id", "start_us", "end_us", "n_events")
       .as[(Long, Long, Long, Long)].collect().toSet
