@@ -753,7 +753,124 @@ object TrainingDataQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q173 — water-filling token-budget allocation: given per-source
+  // token counts and a budget B = ⌊0.6·total⌋, find the uniform cap τ
+  // (the "water level") such that Σ min(cᵢ, τ) ≤ B with τ maximal —
+  // the OPTIMAL version of q77's fixed per-domain cap, and the actual
+  // planning step behind "rebalance the mixture without starving small
+  // domains": small sources keep everything, large sources clip to τ.
+  //
+  // Mechanism: sort sources ascending by count; for prefix k the
+  // candidate level is (B − P_{k−1})/(m − k + 1) ("spread what's left
+  // over everyone not yet fully kept"), and the true level is the MAX
+  // over candidates (λ̂ is attained at the correct uncapped-count k;
+  // all other prefixes under-estimate it). Floors commute with max, so
+  // integer τ = max_k ⌊·⌋; numerators clamp at 0 so both engines'
+  // integer division agree (Spark `div` truncates, DuckDB `//` floors
+  // — equal on non-negatives). The rank/prefix pass is
+  // [[graft.ops.Ranks.withGlobalPrefixSum]] — range-partitioned, no
+  // single-task sort however many domains exist (the q109 lesson:
+  // domain dimensions grow with the business).
+  //
+  // The spec pins optimality by brute force: capacity(τ) ≤ B < capacity(τ+1).
+  val q173: QuerySpec = QuerySpec(
+    "q173_token_budget_waterfill",
+    (s, d) => {
+      val counts = documents(s, d)
+        .select(col("source"), TF.tokenCountWs(col("text")).as("t"))
+        .groupBy("source")
+        .agg(sum(col("t")).as("c"))
+      val ranked = graft.ops.Ranks.withGlobalPrefixSum(
+        counts, Seq(col("c").asc, col("source").asc), col("c"), "rn", "pfx")
+      val tot = counts.agg(
+        count(lit(1)).as("m"),
+        sum(col("c")).as("tt"),
+        expr("(6 * sum(c)) div 10").as("b"))
+      val tau = ranked.crossJoin(tot) // 1-row totals anchor
+        .select(expr("greatest(b - (pfx - c), 0) div (m - rn + 1)").as("tau_k"))
+        .agg(max(col("tau_k")).as("tau"))
+      counts.crossJoin(tau) // 1-row level anchor
+        .select(
+          col("source"),
+          col("c").as("n_tokens"),
+          least(col("c"), col("tau")).as("alloc_tokens"),
+          (col("c") > col("tau")).as("capped"))
+        .orderBy("source")
+    },
+    Some(
+      "WITH c AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS c " +
+        "FROM documents GROUP BY 1), " +
+        "t AS (SELECT count(*) AS m, sum(c) AS tt, (6 * sum(c)) // 10 AS b FROM c), " +
+        "r AS (SELECT c, row_number() OVER (ORDER BY c, source) AS rn, " +
+        "sum(c) OVER (ORDER BY c, source) AS pfx FROM c), " +
+        "tau AS (SELECT max(greatest(b - (pfx - c), 0) // (m - rn + 1)) AS tau FROM r, t) " +
+        "SELECT source, c AS n_tokens, least(c, tau) AS alloc_tokens, c > tau AS capped " +
+        "FROM c, tau ORDER BY source"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q174 — per-source length winsorization report: the P05/P95
+  // character-length bounds per source (exact type-1 percentiles) and
+  // the clip mass a winsorize-to-bounds pass would remove — the
+  // length-outlier trim every corpus-cleaning pipeline applies before
+  // length-sensitive steps (tokenizer batching, q70 packing).
+  //
+  // Scale mechanism: percentiles come from a per-source LENGTH
+  // HISTOGRAM, not a per-source sort — distinct lengths are
+  // value-bounded (≤ max document chars), so the per-group window
+  // rides a domain-bounded frame however many documents a source has
+  // (the q83 equidepth discipline applied per group; the naive
+  // row-level `row_number() OVER (PARTITION BY source)` would put a
+  // corpus-sized group in one task — the q109 trap).
+  //
+  // Determinism: ranks and bounds are exact integers; ceil via
+  // (k·n + 99) div 100 on non-negatives.
+  val q174: QuerySpec = QuerySpec(
+    "q174_length_winsorize",
+    (s, d) => {
+      val hist = documents(s, d)
+        .groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("source").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = hist
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .join(hist.groupBy("source").agg(sum(col("cnt")).as("n")), Seq("source"))
+      val bounds = cum
+        .groupBy("source", "n")
+        .agg(
+          min(when(col("cum") >= expr("(5 * n + 99) div 100"), col("n_chars"))).as("lo"),
+          min(when(col("cum") >= expr("(95 * n + 99) div 100"), col("n_chars"))).as("hi"))
+      hist.join(bounds, Seq("source"))
+        .groupBy(col("source"), col("n").as("n_docs"), col("lo").as("p05_chars"),
+          col("hi").as("p95_chars"))
+        .agg(
+          sum(when(col("n_chars") < col("lo") || col("n_chars") > col("hi"), col("cnt"))
+            .otherwise(lit(0L))).as("n_clipped"),
+          sum(col("cnt") * (greatest(col("n_chars") - col("hi"), lit(0L)) +
+            greatest(col("lo") - col("n_chars"), lit(0L)))).as("clipped_char_mass"))
+        .orderBy("source")
+    },
+    Some(
+      "WITH h AS (SELECT source, n_chars, count(*) AS cnt FROM documents GROUP BY 1, 2), " +
+        "c AS (SELECT source, n_chars, cnt, " +
+        "sum(cnt) OVER (PARTITION BY source ORDER BY n_chars " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "sum(cnt) OVER (PARTITION BY source) AS n FROM h), " +
+        "b AS (SELECT source, n, " +
+        "min(CASE WHEN cum >= (5 * n + 99) // 100 THEN n_chars END) AS lo, " +
+        "min(CASE WHEN cum >= (95 * n + 99) // 100 THEN n_chars END) AS hi " +
+        "FROM c GROUP BY 1, 2) " +
+        "SELECT h.source, n AS n_docs, lo AS p05_chars, hi AS p95_chars, " +
+        "sum(CASE WHEN n_chars < lo OR n_chars > hi THEN cnt ELSE 0 END) AS n_clipped, " +
+        "sum(cnt * (greatest(n_chars - hi, 0) + greatest(lo - n_chars, 0))) AS clipped_char_mass " +
+        "FROM h JOIN b ON h.source = b.source GROUP BY 1, 2, 3, 4 ORDER BY h.source"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q65, q66, q68, q69, q70, q75, q76, q77, q78, q79, q86, q120, q134, q142,
-      q149, q164)
+      q149, q164, q173, q174)
 }

@@ -57,6 +57,58 @@ object Ranks {
       .drop("__pid", "__off")
   }
 
+  /** Adds BOTH `outRank` = the 1-based global row_number and `outSum` =
+    * the inclusive global running sum of `value`, under the total order
+    * `order`, without a single-task sort — the distributed prefix-sum
+    * (scan) primitive.
+    *
+    * Same two-level mechanism as [[withGlobalRank]]: range-partition on
+    * the order keys, per-partition local rank/cumsum, then add each
+    * partition's (row-count, value-total) offsets — a P-row frame whose
+    * own prefix sum is the only unpartitioned window, broadcast back.
+    * This is what replaces the `sum(x) OVER (ORDER BY …)` single-task
+    * window for frames that grow with the data (water-filling caps,
+    * quantile boundaries, cumulative-share curves).
+    */
+  def withGlobalPrefixSum(
+      df: DataFrame,
+      order: Seq[Column],
+      value: Column,
+      outRank: String,
+      outSum: String,
+  ): DataFrame = {
+    val p = df
+      .withColumn("__v", value)
+      .repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .localCheckpoint(true)
+    val offs = p
+      .groupBy("__pid")
+      .agg(count(lit(1)).as("__c"), sum(col("__v")).as("__s"))
+      // P rows total — config-bounded, not data-bounded
+      .withColumn(
+        "__off",
+        coalesce(
+          sum(col("__c")).over(
+            Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn(
+        "__soff",
+        coalesce(
+          sum(col("__s")).over(
+            Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__pid", "__off", "__soff")
+    val local = Window.partitionBy("__pid").orderBy(order: _*)
+    p.join(broadcast(offs), Seq("__pid"))
+      .withColumn(outRank,
+        row_number().over(local).cast("long") + col("__off"))
+      .withColumn(outSum,
+        sum(col("__v")).over(local.rowsBetween(Window.unboundedPreceding, 0)) +
+          col("__soff"))
+      .drop("__pid", "__off", "__soff", "__v")
+  }
+
   /** SQL `ntile(k)` bucket from a gap-free 1-based global rank over n
     * rows — pure arithmetic, no window: n rows split into k buckets,
     * the first n % k of size ⌈n/k⌉ (the exact ANSI ntile rule, same as

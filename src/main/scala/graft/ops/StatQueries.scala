@@ -1,0 +1,379 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** q168–q176: agreement/divergence statistics, corpus-law diagnostics,
+  * physical-layout planning (compaction bins, Z-order), and the two
+  * remaining classic TPC-H join shapes (Q10 returned-item top-N, Q9
+  * product profit).
+  *
+  * Extensions in the q39–q63 spirit: no reference counterpart (the
+  * reference's analytics stop at counts/min/max/avg, SURVEY.md §2.1
+  * A1–A7), but operators a 100 TB training-data engine needs as
+  * first-class, oracle-checked citizens. House determinism rules
+  * (SURVEY.md §7.0) throughout: exact integer/decimal accumulation,
+  * one double step at the end, total ORDER BY.
+  */
+object StatQueries {
+  import Exact._
+  import Tables._
+
+  // ---------------------------------------------------------------------
+  // q168 — Cohen's kappa between two binary raters derived from the
+  // fact row (discount-band vs tax-band): chance-corrected agreement,
+  // completing the q158/q159/q162 test-statistic family (rank-sum, χ²,
+  // KS, now inter-rater agreement — the label-quality statistic every
+  // annotation pipeline reports).
+  //
+  // Determinism: the confusion matrix is four exact integer counts from
+  // ONE aggregate; kappa assembles from them in a single double step
+  // (κ = (n·agree − Σ marginal products) / (n² − Σ marginal products))
+  // and rounds to 6 (the q61 budget).
+  //
+  // Scale: one map-side-combined aggregate over the fact; output is a
+  // single row. Nothing grows with data but the scan.
+  val q168: QuerySpec = QuerySpec(
+    "q168_cohens_kappa",
+    (s, d) => {
+      val r1 = col("l_discount") >= 0.05
+      val r2 = col("l_tax") >= 0.04
+      lineitem(s, d)
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(r1 && r2, 1L).otherwise(0L)).as("n11"),
+          sum(when(r1 && !r2, 1L).otherwise(0L)).as("n10"),
+          sum(when(!r1 && r2, 1L).otherwise(0L)).as("n01"),
+          sum(when(!r1 && !r2, 1L).otherwise(0L)).as("n00"))
+        .select(
+          col("n"),
+          (col("n11") + col("n00")).as("n_agree"),
+          round(
+            (col("n").cast("double") * (col("n11") + col("n00")) -
+              ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+                (col("n01") + col("n00")) * (col("n10") + col("n00"))).cast("double")) /
+              (col("n").cast("double") * col("n") -
+                ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+                  (col("n01") + col("n00")) * (col("n10") + col("n00"))).cast("double")),
+            6).as("kappa"))
+    },
+    Some(
+      "WITH m AS (SELECT count(*) AS n, " +
+        "sum(CASE WHEN l_discount >= 0.05 AND l_tax >= 0.04 THEN 1 ELSE 0 END) AS n11, " +
+        "sum(CASE WHEN l_discount >= 0.05 AND NOT l_tax >= 0.04 THEN 1 ELSE 0 END) AS n10, " +
+        "sum(CASE WHEN NOT l_discount >= 0.05 AND l_tax >= 0.04 THEN 1 ELSE 0 END) AS n01, " +
+        "sum(CASE WHEN NOT l_discount >= 0.05 AND NOT l_tax >= 0.04 THEN 1 ELSE 0 END) AS n00 " +
+        "FROM lineitem) " +
+        "SELECT n, n11 + n00 AS n_agree, " +
+        "round((CAST(n AS DOUBLE) * (n11 + n00) - " +
+        "CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE) * n - " +
+        "CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE)), 6) AS kappa " +
+        "FROM m"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q169 — Jensen–Shannon divergence between the token distributions of
+  // two corpus slices (en vs fr): the distribution-drift statistic a
+  // training pipeline runs between snapshots / sources before deciding
+  // a mixture change. JSD(P,Q) = ½KL(P‖M) + ½KL(Q‖M), M = ½(P+Q),
+  // computed per-token from exact integer counts.
+  //
+  // Determinism: counts are exact; each token contributes one double
+  // term and the vocab-bounded sum rounds to 4 AFTER aggregation (the
+  // q163 budget — values O(1), error 1e-15).
+  //
+  // Scale: token counts partial-aggregate map-side; the per-token frame
+  // is vocab-sized (Heaps-bounded, the q78 rule), so the full-outer
+  // alignment join and the final fold never grow with the corpus.
+  val q169: QuerySpec = QuerySpec(
+    "q169_js_divergence",
+    (s, d) => {
+      val tok = documents(s, d)
+        .where(col("lang").isin("en", "fr"))
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+      val counts = tok.groupBy("w")
+        .agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("lang") === "fr", 1L).otherwise(0L)).as("cb"))
+      val tot = counts.agg(
+        sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        count(lit(1)).as("vocab"))
+      val p = col("ca").cast("double") / col("na")
+      val q = col("cb").cast("double") / col("nb")
+      val m = (p + q) / 2
+      counts.crossJoin(tot) // 1-row totals anchor
+        .select(col("na"), col("nb"), col("vocab"),
+          (when(col("ca") > 0, p * log(p / m)).otherwise(lit(0.0)) +
+            when(col("cb") > 0, q * log(q / m)).otherwise(lit(0.0))).as("t"))
+        .groupBy("na", "nb", "vocab")
+        .agg(round(sum(col("t")) / 2, 4).as("jsd_nats"))
+        .select(col("na").as("n_tokens_a"), col("nb").as("n_tokens_b"),
+          col("vocab").as("vocab_union"), col("jsd_nats"))
+    },
+    Some(
+      "WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w " +
+        "FROM documents WHERE lang IN ('en', 'fr')), " +
+        "c AS (SELECT w, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca, " +
+        "sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS cb FROM tok WHERE w <> '' GROUP BY 1), " +
+        "t AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS vocab FROM c), " +
+        "terms AS (SELECT na, nb, vocab, " +
+        "CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE)/na) * ln((CAST(ca AS DOUBLE)/na) / " +
+        "((CAST(ca AS DOUBLE)/na + CAST(cb AS DOUBLE)/nb)/2)) ELSE 0 END + " +
+        "CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE)/nb) * ln((CAST(cb AS DOUBLE)/nb) / " +
+        "((CAST(ca AS DOUBLE)/na + CAST(cb AS DOUBLE)/nb)/2)) ELSE 0 END AS term " +
+        "FROM c, t) " +
+        "SELECT na AS n_tokens_a, nb AS n_tokens_b, vocab AS vocab_union, " +
+        "round(sum(term) / 2, 4) AS jsd_nats FROM terms GROUP BY na, nb, vocab"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q170 — Zipf-law fit: OLS slope of ln(freq) on ln(rank) over the
+  // top-1000 vocabulary — the "is this corpus natural-language-shaped"
+  // diagnostic (natural text ≈ −1; synthetic/repetitive corpora
+  // flatten). Companion to q78's coverage and q103's diversity.
+  //
+  // Determinism: ranks come from the §7.0 total order (cnt DESC, w ASC)
+  // over an explicitly LIMITed frame; the five regression moments
+  // accumulate per-rank doubles over ≤1000 rows and the slope rounds
+  // to 4.
+  //
+  // Scale: the only full-corpus work is the token count (map-side
+  // combined); ranking applies to a TakeOrdered'd constant-size head,
+  // so the unpartitioned window rides ≤1000 rows by construction (the
+  // q78 bounded-frame exception, bounded by LIMIT rather than Heaps).
+  val q170: QuerySpec = QuerySpec(
+    "q170_zipf_slope",
+    (s, d) => {
+      val top = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("w"))
+        .limit(1000)
+      val xy = top
+        .withColumn("rnk", row_number().over(Window.orderBy(desc("cnt"), asc("w"))))
+        .select(log(col("rnk").cast("double")).as("x"), log(col("cnt").cast("double")).as("y"))
+      xy.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("s1"), sum(col("y")).as("s2"),
+        sum(col("x") * col("x")).as("s11"), sum(col("x") * col("y")).as("s12"))
+        .select(
+          col("n").cast("long").as("n_ranks"),
+          round((col("n") * col("s12") - col("s1") * col("s2")) /
+            (col("n") * col("s11") - col("s1") * col("s1")), 4).as("zipf_slope"),
+          round((col("s2") - col("s1") *
+            ((col("n") * col("s12") - col("s1") * col("s2")) /
+              (col("n") * col("s11") - col("s1") * col("s1")))) / col("n"), 4)
+            .as("intercept"))
+    },
+    Some(
+      "WITH v AS (SELECT w, count(*) AS cnt FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
+        "WHERE w <> '' GROUP BY 1 ORDER BY cnt DESC, w LIMIT 1000), " +
+        "xy AS (SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, w) AS DOUBLE)) AS x, " +
+        "ln(CAST(cnt AS DOUBLE)) AS y FROM v), " +
+        "m AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS s1, sum(y) AS s2, " +
+        "sum(x*x) AS s11, sum(x*y) AS s12 FROM xy) " +
+        "SELECT CAST(n AS BIGINT) AS n_ranks, " +
+        "round((n*s12 - s1*s2) / (n*s11 - s1*s1), 4) AS zipf_slope, " +
+        "round((s2 - s1 * ((n*s12 - s1*s2) / (n*s11 - s1*s1))) / n, 4) AS intercept FROM m"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q171 — small-file compaction plan: model each (day, event_type)
+  // partition slice as a "file" (bytes = 96 header + 48/row, a fixed
+  // documented estimate), then pack each day's files into target-sized
+  // compaction bins by prefix-sum division — the plan a lakehouse
+  // maintenance job executes. Greedy in-order packing (bin = cumulative
+  // bytes BEFORE the file, div target) is the deterministic, one-pass
+  // assignment; it never splits a file and overshoots a bin by at most
+  // one file — the standard compaction-planner trade.
+  //
+  // Scale: file stats are one fact aggregate; the pack window
+  // partitions BY DAY (thousands of independent groups at 100 TB, each
+  // |event_type|-bounded) — no global sort anywhere.
+  val q171: QuerySpec = QuerySpec(
+    "q171_compaction_plan",
+    (s, d) => {
+      val target = 65536L // 64 KiB compaction-bin target at bench scale
+      val files = events(s, d)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg((lit(96L) + lit(48L) * count(lit(1))).as("bytes"))
+      val w = Window.partitionBy("day").orderBy("event_type")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files
+        .withColumn("bin", (coalesce(sum(col("bytes")).over(w), lit(0L)) / target)
+          .cast("long"))
+        .groupBy("day", "bin")
+        .agg(
+          count(lit(1)).as("n_files"),
+          sum(col("bytes")).as("bin_bytes"))
+        .orderBy("day", "bin")
+    },
+    Some(
+      "WITH f AS (SELECT CAST(ts AS DATE) AS day, event_type, " +
+        "96 + 48 * count(*) AS bytes FROM events GROUP BY 1, 2), " +
+        "b AS (SELECT day, bytes, " +
+        "COALESCE(sum(bytes) OVER (PARTITION BY day ORDER BY event_type " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 65536 AS bin FROM f) " +
+        "SELECT day, bin, count(*) AS n_files, sum(bytes) AS bin_bytes " +
+        "FROM b GROUP BY 1, 2 ORDER BY day, bin"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q172 — Z-order (Morton) layout profile: interleave the low 8 bits
+  // of two join-key buckets (partkey, suppkey) into a space-filling
+  // curve value, assign rows to 256 equal curve ranges ("files"), and
+  // profile each file's key locality. The point of Z-ordering a table
+  // is that a predicate on EITHER key touches few files; the profile's
+  // distinct-bucket counts per file are exactly that locality measure
+  // (≈16 of 256 x-buckets per file vs 256 under a single-key sort).
+  //
+  // The interleave is 16 codegen'd integer ops (shift/and/or) — a pure
+  // scan-side expression, no custom UDF (SURVEY §4 rule), identical
+  // arithmetic in the oracle.
+  //
+  // Scale: one map-side expression + one groupBy on a 256-value key.
+  // This is the layout pass a real table rewrite would run as
+  // `df.repartitionByRange(morton).sortWithinPartitions(morton)`.
+  private def mortonCol(x: Column, y: Column): Column =
+    (0 until 8).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  private def mortonSql(x: String, y: String): String =
+    (0 until 8).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", ") | (", ")")
+
+  val q172: QuerySpec = QuerySpec(
+    "q172_zorder_layout",
+    (s, d) =>
+      lineitem(s, d)
+        .select(
+          pmod(col("l_partkey"), lit(256L)).as("xb"),
+          pmod(col("l_suppkey"), lit(256L)).as("yb"))
+        .withColumn("z", mortonCol(col("xb"), col("yb")))
+        .withColumn("file_id", (col("z") / 256).cast("long"))
+        .groupBy("file_id")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("xb")).as("x_buckets"),
+          countDistinct(col("yb")).as("y_buckets"),
+          min(col("z")).as("z_min"),
+          max(col("z")).as("z_max"))
+        .orderBy("file_id"),
+    Some(
+      "WITH z AS (SELECT xb, yb, " + mortonSql("xb", "yb") + " AS z FROM " +
+        "(SELECT l_partkey % 256 AS xb, l_suppkey % 256 AS yb FROM lineitem)) " +
+        "SELECT z // 256 AS file_id, count(*) AS n_rows, " +
+        "count(DISTINCT xb) AS x_buckets, count(DISTINCT yb) AS y_buckets, " +
+        "min(z) AS z_min, max(z) AS z_max " +
+        "FROM z GROUP BY 1 ORDER BY file_id"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q175 — returned-item revenue report (the TPC-H Q10 shape): top 20
+  // customers by revenue lost to returns in one quarter, with their
+  // nation. Fact⋈fact on orderkey (date-pruned scan-side), dims
+  // broadcast, TakeOrdered head — the canonical "who do we call"
+  // operational query.
+  //
+  // Determinism: revenue is the exact-decimal house expression; the
+  // top-20 order is total (revenue DESC, custkey ASC).
+  val q175: QuerySpec = QuerySpec(
+    "q175_returned_top_customers",
+    (s, d) =>
+      lineitem(s, d)
+        .where(col("l_returnflag") === "R")
+        .join(
+          orders(s, d)
+            .where(col("o_orderdate") >= "1995-10-01" && col("o_orderdate") < "1996-01-01")
+            .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(revenueExpr.as("revenue"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name").as("nation"),
+          col("c_acctbal"), col("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20),
+    Some(
+      "WITH r AS (SELECT o_custkey, " + revenueSql + " AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1995-10-01' " +
+        "AND o_orderdate < TIMESTAMP '1996-01-01' GROUP BY 1) " +
+        "SELECT c_custkey, c_name, n_name AS nation, c_acctbal, revenue " +
+        "FROM r JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q176 — product-type profit rollup (the TPC-H Q9 shape): per
+  // supplier-nation per order-year profit on one part family, with
+  // cost emulated as a fixed retail-price fraction (the schema has no
+  // partsupp; the emulation is documented, deterministic, and keeps
+  // Q9's join topology intact: fact⋈part⋈supplier⋈nation⋈orders).
+  //
+  // Determinism: profit = Σ(extprice·(1−disc) − 0.60·retail·qty) in
+  // exact decimal end-to-end, surfaced double once.
+  //
+  // Scale: part/supplier/nation broadcast; lineitem⋈orders is the one
+  // fact exchange (orderkey); the part-name filter prunes scan-side
+  // BEFORE the fact join via the broadcast hash semi-side.
+  val q176: QuerySpec = QuerySpec(
+    "q176_product_profit",
+    (s, d) => {
+      val profit =
+        col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))) -
+          lit(0.60).cast(DecimalType(4, 2)) *
+          col("p_retailprice").cast(DecimalType(18, 2)) *
+          col("l_quantity").cast(DecimalType(18, 2))
+      lineitem(s, d)
+        .join(
+          part(s, d).where(col("p_name").contains("red"))
+            .select("p_partkey", "p_retailprice"),
+          col("l_partkey") === col("p_partkey"))
+        .join(supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(nation(s, d).select("n_nationkey", "n_name"),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(profit).cast("double").as("profit"))
+        .orderBy(asc("nation"), desc("o_year"))
+    },
+    Some(
+      "SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) - " +
+        "CAST(0.60 AS DECIMAL(4,2)) * CAST(p_retailprice AS DECIMAL(18,2)) * " +
+        "CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE p_name LIKE '%red%' " +
+        "GROUP BY 1, 2 ORDER BY nation, o_year DESC"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q168, q169, q170, q171, q172, q175, q176)
+}

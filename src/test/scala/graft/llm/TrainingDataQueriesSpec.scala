@@ -268,4 +268,44 @@ class TrainingDataQueriesSpec extends SparkSpec {
       "s1" -> ((2L, 612L, 412L, 1024L, 4023L)),
       "s2" -> ((1L, 513L, 511L, 1024L, 4990L))))
   }
+
+  test("q173: hand water-fill level; brute force confirms the cap is maximal at sf") {
+    val dir = java.nio.file.Files.createTempDirectory("q173fix").toString
+    def doc(n: Int): String = Seq.fill(n)("a").mkString(" ")
+    // counts 1/5/10, budget ⌊0.6·16⌋ = 9 → τ = 4: alloc 1+4+4 = 9
+    Seq((1L, doc(1), "s1"), (2L, doc(5), "s2"), (3L, doc(10), "s3"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    val r = TrainingDataQueries.q173.run(spark, dir).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("alloc_tokens"), x.getAs[Boolean]("capped"))).toMap
+    assert(r == Map("s1" -> ((1L, false)), "s2" -> ((4L, true)), "s3" -> ((4L, true))))
+
+    // optimality on real data: capacity(τ) ≤ B < capacity(τ+1)
+    val rows = TrainingDataQueries.q173.run(spark, sfDir).collect()
+      .map(x => (x.getAs[Long]("n_tokens"), x.getAs[Long]("alloc_tokens"),
+        x.getAs[Boolean]("capped")))
+    val budget = (6L * rows.map(_._1).sum) / 10L
+    assert(rows.map(_._2).sum <= budget, "allocation must fit the budget")
+    val capped = rows.filter(_._3)
+    assert(capped.nonEmpty, "a 60% budget must cap the largest sources")
+    val tau = capped.map(_._2).max
+    assert(capped.forall(_._2 == tau), "all capped sources sit at the water level")
+    val capacityUp = rows.map(r => math.min(r._1, tau + 1)).sum
+    assert(capacityUp > budget, s"cap $tau must be maximal (τ+1 capacity $capacityUp ≤ $budget)")
+  }
+
+  test("q174: P05/P95 bounds and clip mass on a 1..20 length ladder") {
+    val dir = java.nio.file.Files.createTempDirectory("q174fix").toString
+    // lengths 1..20: lo = rank ⌈0.05·20⌉ = 1 → 1; hi = rank 19 → 19;
+    // clipped: the length-20 doc, mass 20 − 19 = 1
+    (1 to 20).map(i => (i.toLong, s"d$i", "s1", i.toLong))
+      .toDF("doc_id", "text", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = TrainingDataQueries.q174.run(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_docs") == 20L)
+    assert(row.getAs[Long]("p05_chars") == 1L && row.getAs[Long]("p95_chars") == 19L)
+    assert(row.getAs[Long]("n_clipped") == 1L && row.getAs[Long]("clipped_char_mass") == 1L)
+  }
 }

@@ -34,6 +34,21 @@ class RanksSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("withGlobalPrefixSum equals the unpartitioned running sum and rank") {
+    val df = frame(400)
+    val got = Ranks
+      .withGlobalPrefixSum(df, Seq(col("v"), col("id")), col("v"), "rk", "ps")
+      .select("id", "rk", "ps").as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val w = Window.orderBy(col("v"), col("id"))
+    val want = df
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("ps", sum(col("v")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select("id", "rk", "ps").as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got == want)
+  }
+
   test("ntileFromRank reproduces SQL ntile for every (n, k) shape including n < k") {
     for (n <- Seq(1, 3, 4, 5, 17, 100); k <- Seq(2, 4, 7)) {
       val df = frame(n)

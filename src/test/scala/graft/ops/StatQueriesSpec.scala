@@ -1,0 +1,143 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic pins for the q168–q176 statistics/layout/TPC-H family (the
+  * DuckDB oracle pins exact values at sf0.01; these pin the meaning on
+  * hand-checkable fixtures).
+  */
+class StatQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q168: hand confusion matrix gives the textbook kappa; perfect agreement gives 1") {
+    val dir = java.nio.file.Files.createTempDirectory("q168fix").toString
+    // (r1=disc≥.05, r2=tax≥.04): n11=2 n00=2 n10=1 n01=1 →
+    // po=4/6, pe=(3·3+3·3)/36=1/2 → κ=(6·4−18)/(36−18)=1/3
+    Seq(
+      (0.06, 0.05), (0.07, 0.06), // n11
+      (0.01, 0.01), (0.02, 0.02), // n00
+      (0.06, 0.01), // n10
+      (0.01, 0.05), // n01
+    ).toDF("l_discount", "l_tax").write.parquet(s"$dir/lineitem.parquet")
+    val r = StatQueries.q168.run(spark, dir).collect().head
+    assert(r.getAs[Long]("n") == 6L && r.getAs[Long]("n_agree") == 4L)
+    assert(r.getAs[Double]("kappa") == 0.333333)
+
+    val dir2 = java.nio.file.Files.createTempDirectory("q168fix2").toString
+    Seq((0.06, 0.05), (0.01, 0.01), (0.07, 0.09), (0.0, 0.0))
+      .toDF("l_discount", "l_tax").write.parquet(s"$dir2/lineitem.parquet")
+    assert(StatQueries.q168.run(spark, dir2).collect().head.getAs[Double]("kappa") == 1.0)
+  }
+
+  test("q169: identical distributions give JSD 0; disjoint vocabularies give ln 2") {
+    val dir = java.nio.file.Files.createTempDirectory("q169fix").toString
+    Seq((1L, "a b a", "en"), (2L, "a a b", "fr"))
+      .toDF("doc_id", "text", "lang").write.parquet(s"$dir/documents.parquet")
+    val same = StatQueries.q169.run(spark, dir).collect().head
+    assert(same.getAs[Double]("jsd_nats") == 0.0)
+    assert(same.getAs[Long]("vocab_union") == 2L)
+
+    val dir2 = java.nio.file.Files.createTempDirectory("q169fix2").toString
+    Seq((1L, "a b", "en"), (2L, "c d", "fr"))
+      .toDF("doc_id", "text", "lang").write.parquet(s"$dir2/documents.parquet")
+    val disj = StatQueries.q169.run(spark, dir2).collect().head
+    assert(disj.getAs[Double]("jsd_nats") == 0.6931, "disjoint JSD must be ln 2")
+  }
+
+  test("q170: an exact power-law corpus fits slope −1") {
+    val dir = java.nio.file.Files.createTempDirectory("q170fix").toString
+    // counts 12/r for r=1..4 → ln(cnt) = ln 12 − ln(rank) exactly
+    val words = Seq.fill(12)("w1") ++ Seq.fill(6)("w2") ++ Seq.fill(4)("w3") ++ Seq.fill(3)("w4")
+    Seq((1L, words.mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val r = StatQueries.q170.run(spark, dir).collect().head
+    assert(r.getAs[Long]("n_ranks") == 4L)
+    assert(r.getAs[Double]("zipf_slope") == -1.0)
+  }
+
+  test("q171: files pack into bins by prefix bytes; a new day resets the packing") {
+    val dir = java.nio.file.Files.createTempDirectory("q171fix").toString
+    val d1 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val d2 = Timestamp.valueOf("2024-01-02 10:00:00")
+    // day1: A=1000 rows (48096 B), B=500 (24096 B), C=10 (576 B):
+    // cum-before 0 / 48096 / 72192 → bins 0,0,1. day2: D alone → bin 0.
+    val rows =
+      (1 to 1000).map(i => (d1, "A")) ++ (1 to 500).map(_ => (d1, "B")) ++
+        (1 to 10).map(_ => (d1, "C")) ++ (1 to 7).map(_ => (d2, "D"))
+    rows.toDF("ts", "event_type").write.parquet(s"$dir/events.parquet")
+    val got = StatQueries.q171.run(spark, dir).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("bin")) ->
+        (r.getAs[Long]("n_files"), r.getAs[Long]("bin_bytes"))).toMap
+    assert(got == Map(
+      ("2024-01-01", 0L) -> (2L, 72192L),
+      ("2024-01-01", 1L) -> (1L, 576L),
+      ("2024-01-02", 0L) -> (1L, 432L)))
+  }
+
+  test("q172: morton interleave matches hand bit-weaving; locality beats a linear layout") {
+    val dir = java.nio.file.Files.createTempDirectory("q172fix").toString
+    // (x=3,y=5): x bits 011, y bits 101 → z = 1+2+4+32 = 39
+    Seq((3L, 5L), (1L, 0L), (0L, 1L))
+      .toDF("l_partkey", "l_suppkey").write.parquet(s"$dir/lineitem.parquet")
+    // all three land in curve range 0 (z < 256): z values 1, 2, 39
+    val z = StatQueries.q172.run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("file_id"), r.getAs[Long]("z_min"),
+        r.getAs[Long]("z_max"), r.getAs[Long]("n_rows")))
+    assert(z.toSet == Set((0L, 1L, 39L, 3L)))
+
+    // locality: on the full bench table each 256-wide curve range must
+    // touch ≤ 32 of 256 x-buckets (a partkey-sorted layout would put
+    // all 256 y-buckets in nearly every file)
+    val prof = StatQueries.q172.run(spark, sfDir).collect()
+    assert(prof.nonEmpty)
+    prof.foreach { r =>
+      assert(r.getAs[Long]("x_buckets") <= 32L && r.getAs[Long]("y_buckets") <= 32L,
+        s"curve range ${r.getAs[Long]("file_id")} spans too many buckets")
+    }
+  }
+
+  test("q175: only returned items inside the quarter count; top order is total") {
+    val dir = java.nio.file.Files.createTempDirectory("q175fix").toString
+    val in = Timestamp.valueOf("1995-11-01 00:00:00")
+    val out = Timestamp.valueOf("1996-03-01 00:00:00")
+    Seq((1L, 101L, in), (2L, 102L, in), (3L, 101L, out))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate").write.parquet(s"$dir/orders.parquet")
+    Seq(
+      (1L, "R", 100.0, 0.0), // kept → cust 101
+      (1L, "N", 999.0, 0.0), // not returned
+      (2L, "R", 200.0, 0.5), // kept → cust 102, revenue 100
+      (3L, "R", 999.0, 0.0), // outside the window
+    ).toDF("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((101L, "alice", 1, 10.0), (102L, "bob", 1, 20.0))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1, "NATION_1")).toDF("n_nationkey", "n_name").write.parquet(s"$dir/nation.parquet")
+    val got = StatQueries.q175.run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Double]("revenue")))
+    assert(got.toSeq == Seq((101L, 100.0), (102L, 100.0)),
+      "ties broken by custkey ascending; out-of-window and non-R rows excluded")
+  }
+
+  test("q176: profit is revenue minus the 0.6-retail cost basis, only for matching parts") {
+    val dir = java.nio.file.Files.createTempDirectory("q176fix").toString
+    Seq((1L, "red widget", 10.0), (2L, "blue bolt", 10.0))
+      .toDF("p_partkey", "p_name", "p_retailprice").write.parquet(s"$dir/part.parquet")
+    Seq((7L, 3)).toDF("s_suppkey", "s_nationkey").write.parquet(s"$dir/supplier.parquet")
+    Seq((3, "NATION_3")).toDF("n_nationkey", "n_name").write.parquet(s"$dir/nation.parquet")
+    Seq((5L, Timestamp.valueOf("1997-06-01 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate").write.parquet(s"$dir/orders.parquet")
+    Seq(
+      (5L, 1L, 7L, 100.0, 0.0, 5.0), // red: 100 − 0.6·10·5 = 70
+      (5L, 2L, 7L, 999.0, 0.0, 5.0), // blue: filtered out
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount", "l_quantity")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = StatQueries.q176.run(spark, dir).collect()
+      .map(r => (r.getAs[String]("nation"), r.getAs[Long]("o_year"), r.getAs[Double]("profit")))
+    assert(got.toSeq == Seq(("NATION_3", 1997L, 70.0)))
+  }
+}
