@@ -670,6 +670,132 @@ object CorpusQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q177 — sorted-neighborhood dedup (SNM): the third classic blocking
+  // strategy alongside LSH banding (q31) and rare-shingle blocking
+  // (q111). Sort the corpus by a cheap blocking key (here: character
+  // length — near-dups have near-equal lengths), compare only rows
+  // within a rank window w = 10, verify candidates with the exact
+  // 3-shingle Jaccard (the q30 verify stage — the cascade discipline:
+  // candidates-then-verify, never all-pairs).
+  //
+  // Scale: candidates = N·w by construction (linear, tunable), found
+  // by a rank-bucket equijoin — the global sort is
+  // [[graft.ops.Ranks.withGlobalRank]] (range-partitioned, no
+  // single-task window); the verify join is keyed on (doc, shingle).
+  // SNM's trade vs LSH: deterministic candidate volume and no
+  // signature computation, but recall depends on the key ordering —
+  // which the spec measures against q30's exact pairs.
+  val SnmWindow = 10
+  val q177: QuerySpec = QuerySpec(
+    "q177_sorted_neighborhood",
+    (s, d) => {
+      val ranked = graft.ops.Ranks
+        .withGlobalRank(
+          documents(s, d).select("doc_id", "n_chars"),
+          Seq(col("n_chars").asc, col("doc_id").asc), "rn")
+        .withColumn("bkt", expr(s"(rn - 1) div $SnmWindow"))
+      val a = ranked.select(col("doc_id").as("da"), col("rn").as("ra"), col("bkt"))
+      val b = ranked.select(col("doc_id").as("db"), col("rn").as("rb"),
+        col("bkt").as("bktb"))
+      val cand = a.join(b, col("bkt") === col("bktb"))
+        .unionByName(a.join(b, col("bkt") + 1 === col("bktb")))
+        .where(col("rb") > col("ra") && col("rb") <= col("ra") + SnmWindow)
+        .select(col("da"), col("db"), (col("rb") - col("ra")).as("rank_dist"))
+      val sh = TextPipeline.docShingles(documents(s, d).select("doc_id", "text"))
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val common = cand
+        .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
+        .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+        .groupBy("da", "db", "rank_dist")
+        .agg(count(lit(1)).as("common"))
+      val jac = col("common").cast("double") /
+        (col("na") + col("nb") - col("common")).cast("double")
+      common
+        .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+        .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+        // threshold the UNROUNDED value in both engines (the q79 rule)
+        .where(jac >= 0.5)
+        .select(col("da"), col("db"), col("rank_dist"), round(jac, 4).as("jaccard"))
+        .orderBy("da", "db")
+    },
+    Some(
+      s"WITH ${LlmQueries.shinglePairsCteSql}, " +
+        "r AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) AS rn " +
+        "FROM documents), " +
+        "cand AS (SELECT a.doc_id AS da, b.doc_id AS db, b.rn - a.rn AS rank_dist " +
+        s"FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + $SnmWindow), " +
+        "com AS (SELECT c.da, c.db, c.rank_dist, count(*) AS common FROM cand c " +
+        "JOIN sh x ON x.doc_id = c.da JOIN sh y ON y.doc_id = c.db AND y.s = x.s " +
+        "GROUP BY 1, 2, 3) " +
+        "SELECT da, db, rank_dist, " +
+        "round(common * 1.0 / (ca.n + cb.n - common), 4) AS jaccard " +
+        "FROM com JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db " +
+        "WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5 ORDER BY da, db"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q178 — per-document mean BIGRAM surprisal (add-1 smoothed): the
+  // sequence-aware upgrade of q131's unigram score — a proper
+  // perplexity-proxy under a bigram LM trained on the corpus itself,
+  // the filter that separates fluent text from bag-of-frequent-words
+  // spam (which unigram surprisal scores as "easy").
+  //
+  // s(a,b) = ⌊ln((c(a) + V) / (c(a,b) + 1)) · 10⁶⌋ — each conditional
+  // surprisal floors to an exact integer BEFORE the per-doc sum (the
+  // q131 trick that makes an oracle possible for a float-valued
+  // score); the per-doc mean is integer division.
+  //
+  // Scale: bigram explode is executor-local (q79's rule); the scoring
+  // join is keyed on the bigram (uniform-ish keys, q63 flags the
+  // heavy hitters if a corpus needs salting); V rides a 1-row anchor.
+  val q178: QuerySpec = QuerySpec(
+    "q178_bigram_surprisal",
+    (s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .where(size(col("ws")) >= 2)
+      val big = toks
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("ws")) - 1)).as("i"), col("ws"))
+        .select(col("doc_id"),
+          element_at(col("ws"), col("i")).as("a"),
+          element_at(col("ws"), col("i") + 1).as("b"))
+      val bcnt = big.groupBy("a", "b").agg(count(lit(1)).as("nab"))
+      val ucnt = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("a"))
+        .groupBy("a").agg(count(lit(1)).as("na"))
+      val vocab = ucnt.agg(count(lit(1)).as("v")) // 1-row anchor
+      val sur = bcnt
+        .join(ucnt, Seq("a"))
+        .crossJoin(vocab)
+        .select(col("a"), col("b"),
+          floor(log((col("na") + col("v")).cast("double") /
+            (col("nab") + 1).cast("double")) * 1e6).cast("long").as("sb"))
+      big.join(sur, Seq("a", "b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("sb").as("ssum"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("ssum div n_bigrams").as("bigram_surprisal_micro"))
+        .orderBy("doc_id")
+    },
+    Some(
+      "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "big AS (SELECT doc_id, ws[i] AS a, ws[i+1] AS b FROM toks, " +
+        "LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) t WHERE len(ws) >= 2), " +
+        "bcnt AS (SELECT a, b, count(*) AS nab FROM big GROUP BY 1, 2), " +
+        "ucnt AS (SELECT unnest(string_split(text, ' ')) AS a FROM documents), " +
+        "uc AS (SELECT a, count(*) AS na FROM ucnt GROUP BY 1), " +
+        "voc AS (SELECT count(*) AS v FROM uc), " +
+        "sur AS (SELECT a, b, CAST(floor(ln(CAST(na + v AS DOUBLE) / (nab + 1)) * 1e6) AS BIGINT) AS sb " +
+        "FROM bcnt JOIN uc USING (a), voc) " +
+        "SELECT doc_id, count(*) AS n_bigrams, sum(sb) // count(*) AS bigram_surprisal_micro " +
+        "FROM big JOIN sur USING (a, b) GROUP BY 1 ORDER BY doc_id"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q88, q89, q91, q92, q98, q99, q103, q104, q111, q117, q131, q137, q140)
+    Seq(q88, q89, q91, q92, q98, q99, q103, q104, q111, q117, q131, q137, q140,
+      q177, q178)
 }

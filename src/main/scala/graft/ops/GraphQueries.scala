@@ -160,5 +160,52 @@ object GraphQueries {
     },
   )
 
-  val all: Seq[QuerySpec] = Seq(q121, q122, q139, q150)
+  // ---------------------------------------------------------------------
+  // q180 — local clustering coefficient: cc(v) = 2·tri(v) /
+  // (deg(v)·(deg(v)−1)) — the "how cliquish is this node's
+  // neighborhood" statistic that separates hub-and-spoke structure
+  // (cc → 0) from community structure (cc → 1); the per-node
+  // companion to q121's raw triangle counts and q150's communities.
+  //
+  // Determinism: triangles and degrees are exact integers;
+  // cc_bp = (2·10⁴·tri) div (deg·(deg−1)) floors to an integer (0 for
+  // deg < 2 — an isolated edge endpoint has no possible triangle).
+  //
+  // Scale: degrees are one edge aggregate; triangles ride
+  // [[GraphOps.triangleCounts]]' degree-ordered orientation (wedges
+  // O(m^1.5), not hub-quadratic); the final join is |V|-sized.
+  val q180: QuerySpec = QuerySpec(
+    "q180_clustering_coeff",
+    (s, d) => {
+      val edges = copurchaseEdges(s, d)
+      val deg = edges.select(col("a").as("v"))
+        .unionAll(edges.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("degree"))
+      GraphOps.triangleCounts(edges, "a", "b")
+        .join(deg, Seq("v"))
+        .select(col("v").as("part_key"), col("degree"), col("n_tri"),
+          when(col("degree") >= 2,
+            expr("(20000 * n_tri) div (degree * (degree - 1))"))
+            .otherwise(lit(0L)).as("cc_bp"))
+        .orderBy("part_key")
+    },
+    Some(
+      s"WITH $edgesCteSql, " +
+        "verts AS (SELECT a AS v FROM edges UNION SELECT b FROM edges), " +
+        "deg AS (SELECT v, count(*) AS degree FROM " +
+        "(SELECT a AS v FROM edges UNION ALL SELECT b FROM edges) GROUP BY 1), " +
+        "tris AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM edges e1 " +
+        "JOIN edges e2 ON e1.b = e2.a JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        "pernode AS (SELECT v, count(*) AS n_tri FROM (SELECT x AS v FROM tris " +
+        "UNION ALL SELECT y FROM tris UNION ALL SELECT z FROM tris) GROUP BY 1) " +
+        "SELECT verts.v AS part_key, degree, " +
+        "CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri, " +
+        "CASE WHEN degree >= 2 THEN (20000 * CAST(coalesce(n_tri, 0) AS BIGINT)) " +
+        "// (degree * (degree - 1)) ELSE 0 END AS cc_bp " +
+        "FROM verts JOIN deg USING (v) LEFT JOIN pernode ON pernode.v = verts.v " +
+        "ORDER BY part_key"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q121, q122, q139, q150, q180)
 }

@@ -172,5 +172,51 @@ object InteropQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q71, q72, q153, q156)
+  // ---------------------------------------------------------------------
+  // q179 — bucketed co-located join: both fact sides land as bucketed
+  // tables (16 buckets on the join key, sorted within buckets), and
+  // the join then runs WITHOUT a shuffle on either side — the layout
+  // investment that pays back every downstream join on that key. This
+  // is THE co-location tool the 100 TB design brief names: at scale
+  // the bucketed write happens once at ingestion, and every
+  // fact⋈fact on the bucket key afterwards skips both exchanges
+  // (spec pins the no-Exchange plan with broadcast disabled).
+  //
+  // The tables register in the session catalog with an explicit
+  // external path under the interop scratch root (in-memory catalog —
+  // the same registration a production metastore would hold).
+  //
+  // The oracle computes the identical aggregate from the plain
+  // parquet tables: the hash-match proves bucketing changed the
+  // PLAN, not the answer.
+  val q179: QuerySpec = QuerySpec(
+    "q179_bucketed_join",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+      li.write.mode("overwrite")
+        .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"${roundTripDir("bucketed")}/li")
+        .saveAsTable("graft_li_bucketed")
+      ord.write.mode("overwrite")
+        .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"${roundTripDir("bucketed")}/ord")
+        .saveAsTable("graft_ord_bucketed")
+      s.table("graft_li_bucketed")
+        .join(s.table("graft_ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), Exact.revenueExpr.as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+    Some(
+      "SELECT o_orderpriority, count(*) AS n_items, " +
+        s"${Exact.revenueSql} AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1 ORDER BY o_orderpriority"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q71, q72, q153, q156, q179)
 }

@@ -159,4 +159,53 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(sizes.max - sizes.min <= 1, sizes.toString)
     assert(sizes == sizes.sortBy(-_), s"larger buckets must come first: $sizes")
   }
+
+  test("q177: SNM candidates recover nearly all exact near-dup pairs on the corpus") {
+    // SNM is a blocking strategy: its pairs must be a SUBSET of q30's
+    // exact pairs (same verify threshold), and on this corpus the
+    // length ordering should recover almost all of them.
+    // q177 orients pairs by LENGTH RANK (da = shorter-ranked side);
+    // normalize to id order for comparison with q30's canonical pairs
+    val snm = CorpusQueries.q177.run(spark, sfDir).collect()
+      .map { r =>
+        val (x, y) = (r.getAs[Long]("da"), r.getAs[Long]("db"))
+        (math.min(x, y), math.max(x, y))
+      }.toSet
+    val exact = LlmQueries.q30.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(snm.subsetOf(exact), s"SNM found non-near-dup pairs: ${snm -- exact}")
+    assert(snm.size.toDouble >= 0.85 * exact.size,
+      s"SNM recall ${snm.size}/${exact.size} below 85% — window or key regressed")
+  }
+
+  test("q177: adjacent-length duplicates are found; far-rank duplicates are the known miss") {
+    val dir = java.nio.file.Files.createTempDirectory("q177fix").toString
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    // two identical docs, adjacent under the length order (ranked
+    // behind 12 mutually-DISTINCT shorter spacer docs) — inside the
+    // w=10 neighborhood
+    val spacers = (10L to 21L).map(i =>
+      (i, (1 to i.toInt).map(j => s"s${i}x$j").mkString(" "), 2 * i))
+    val rows = Seq((1L, text, 100L), (2L, text, 100L)) ++ spacers
+    rows.toDF("doc_id", "text", "n_chars").write.parquet(s"$dir/documents.parquet")
+    val got = CorpusQueries.q177.run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"), r.getAs[Double]("jaccard")))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)),
+      "identical adjacent-rank docs must pair with Jaccard 1.0")
+  }
+
+  test("q178: hand bigram LM — repetitive doc scores below the rarer-sequence doc") {
+    val dir = java.nio.file.Files.createTempDirectory("q178fix").toString
+    import spark.implicits._
+    // corpus: d1 = "x x x" (bigrams (x,x)*2), d2 = "x y". unigrams:
+    // x:4 y:1 V=2. s(x,x) = floor(ln((4+2)/(2+1))*1e6) = 693147;
+    // s(x,y) = floor(ln((4+2)/(1+1))*1e6) = 1098612.
+    Seq((1L, "x x x"), (2L, "x y"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = CorpusQueries.q178.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("bigram_surprisal_micro"))).toMap
+    assert(got == Map(1L -> ((2L, 693147L)), 2L -> ((1L, 1098612L))))
+  }
 }

@@ -113,4 +113,21 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(r2 == r)
   }
+
+  test("q180: triangle corner vs pendant clustering coefficients on a hand graph") {
+    val dir = java.nio.file.Files.createTempDirectory("q180fix").toString
+    // order 1 co-purchases parts {1,2,3} (a triangle), order 2 adds the
+    // pendant edge 1-4: deg(1)=3 tri(1)=1 -> cc = 20000/(3*2) = 3333;
+    // deg(2)=deg(3)=2 tri=1 -> 10000; deg(4)=1 -> 0
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 4L))
+      .toDF("l_orderkey", "l_partkey").write.parquet(s"$dir/lineitem.parquet")
+    val got = GraphQueries.q180.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("part_key") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("n_tri"), r.getAs[Long]("cc_bp"))).toMap
+    assert(got == Map(
+      1L -> ((3L, 1L, 3333L)),
+      2L -> ((2L, 1L, 10000L)),
+      3L -> ((2L, 1L, 10000L)),
+      4L -> ((1L, 0L, 0L))))
+  }
 }

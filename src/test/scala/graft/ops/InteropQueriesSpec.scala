@@ -62,4 +62,33 @@ class InteropQueriesSpec extends SparkSpec {
       .collect().toSeq
     assert(InteropQueries.q156.run(spark, sfDir).collect().toSeq == direct)
   }
+
+  test("q179: bucketed join answer matches the plain join; plan has no shuffle under the join") {
+    val plain = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), Exact.revenueExpr.as("revenue"))
+      .orderBy("o_orderpriority")
+      .collect().toSeq
+    assert(InteropQueries.q179.run(spark, sfDir).collect().toSeq == plain)
+
+    // with broadcast off, the bucketed fact-to-fact join must run with
+    // ZERO exchanges — bucket co-location replaces both shuffles (the
+    // property the layout investment buys)
+    val conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_li_bucketed")
+        .join(spark.table("graft_ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!joinPart.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", conf)
+  }
 }
