@@ -41,20 +41,31 @@ import org.apache.spark.sql.types.BinaryType
 object BloomJoin {
 
   /** The sketch inserts and probes raw LONGS end to end
-    * (`putLong`/`mightContainLong`); a non-integral key column would
-    * insert one representation (e.g. UTF8 bytes) and probe another
-    * (a null cast), silently returning empty semi-joins and wrong
-    * anti-joins. The contract fails loudly instead.
+    * (`putLong`/`mightContainLong`). Integral keys ride through
+    * directly; any other type (string ids, dates, binary digests) is
+    * bridged by hashing to a long with the codegen'd `xxhash64` ON
+    * BOTH SIDES — a hash collision is just one more false positive,
+    * and the exact join cleans those by contract. (Before the bridge,
+    * a non-integral key would insert UTF8 bytes but probe a null cast
+    * — silently-empty semi-joins; the type switch makes the
+    * representation agreement structural.)
+    *
+    * NULL keys under the hash bridge: `xxhash64(NULL)` is the seed,
+    * not NULL — a phantom insert on the key side (inflates fpp only)
+    * and a non-NULL probe on the fact side; either probe outcome is
+    * correct because the exact join/anti-join decides NULL semantics.
     */
-  private def requireIntegralKey(df: DataFrame, c: String, role: String): Unit = {
+  private def isIntegral(df: DataFrame, c: String): Boolean = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val dt = df.schema(c).dataType
-    require(
-      dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType,
-      s"bloom $role column '$c' must be integral (byte/short/int/long), got $dt — " +
-        "the bloom sketch hashes raw longs; hash a non-integral key to a long first " +
-        "(e.g. xxhash64) on BOTH sides")
+    df.schema(c).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
   }
+
+  private def probeExpr(df: DataFrame, c: String): Column =
+    if (isIntegral(df, c)) df(c).cast("long")
+    else org.apache.spark.sql.functions.xxhash64(df(c))
 
   /** Sentinel: size the filter from a cheap `approx_count_distinct`
     * pre-pass over the key side (one HLL aggregate — O(key rows) scan,
@@ -75,14 +86,18 @@ object BloomJoin {
       math.max(64L, approx + approx / 4)
     }
 
-  /** Distributed bloom build over `keys.col(keyCol)` (integral type —
-    * enforced). Returns the serialized filter — `O(numBits)` bytes on
-    * the driver, the same order as any broadcast relation, NOT
-    * O(keys). `expectedItems = AutoSize` sizes from key-side stats.
+  /** Distributed bloom build over `keys.col(keyCol)` (integral keys
+    * insert raw; any other type inserts `xxhash64(key)` — probe with
+    * the same bridge). Returns the serialized filter — `O(numBits)`
+    * bytes on the driver, the same order as any broadcast relation,
+    * NOT O(keys). `expectedItems = AutoSize` sizes from key-side stats.
     */
   def buildBloom(keys: DataFrame, keyCol: String, expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
-    requireIntegralKey(keys, keyCol, "key")
-    val bf = keys.stat.bloomFilter(keyCol, math.max(1L, resolveItems(keys, keyCol, expectedItems)), fpp)
+    val longKeys =
+      if (isIntegral(keys, keyCol)) keys
+      else keys.select(probeExpr(keys, keyCol).as(keyCol))
+    val bf = longKeys.stat.bloomFilter(
+      keyCol, math.max(1L, resolveItems(longKeys, keyCol, expectedItems)), fpp)
     val bos = new ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray
@@ -118,11 +133,10 @@ object BloomJoin {
       fpp: Double = 0.01,
       expectedItems: Long = AutoSize,
   ): DataFrame = {
-    requireIntegralKey(fact, factKey, "fact probe")
     val keyFrame = keys.select(keyCol).distinct()
     val bloom = buildBloom(keyFrame, keyCol, expectedItems, fpp)
     fact
-      .where(mightContain(bloom, fact(factKey)))
+      .where(mightContain(bloom, probeExpr(fact, factKey)))
       .join(keyFrame, fact(factKey) === keyFrame(keyCol), "left_semi")
   }
 
@@ -155,7 +169,6 @@ object BloomJoin {
       fpp: Double = 0.01,
       expectedItems: Long = AutoSize,
   ): DataFrame = {
-    requireIntegralKey(fact, factKey, "fact probe")
     val keyFrame = keys.select(keyCol).distinct()
     val bloom = buildBloom(keyFrame, keyCol, expectedItems, fpp)
     // NULL keys: mightContain(null) is NULL, which `where` treats as
@@ -165,7 +178,7 @@ object BloomJoin {
     // The serialized filter bits appear once per branch in the plan —
     // an accepted cost of the two-branch shape (persist the fact and
     // project the probe once if the doubled literal matters).
-    val maybe = coalesce(mightContain(bloom, fact(factKey)), lit(false))
+    val maybe = coalesce(mightContain(bloom, probeExpr(fact, factKey)), lit(false))
     fact
       .where(!maybe)
       .unionByName(

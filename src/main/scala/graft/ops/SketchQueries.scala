@@ -39,5 +39,38 @@ object SketchQueries {
     None, // sketch estimates are implementation-defined — rows-only; accuracy/merge/algebra pinned in SketchQueriesSpec
   )
 
-  val all: Seq[QuerySpec] = Seq(q119)
+  // ---------------------------------------------------------------------
+  // q181 — mergeable quantile sketch (DataSketches KLL): per-group
+  // approximate P50/P95/P99 of the price distribution. The REAGGREGATION
+  // story q119 tells for cardinality, applied to quantiles: exact
+  // percentiles (q49) must re-sort raw values for every new grouping,
+  // while KLL partials merge into any coarser grain carrying kilobytes
+  // — the only per-group-quantile design that survives 100 TB × many
+  // grains. Spark 4's kll_* functions are codegen'd native aggregates
+  // (no UDF); the exchange moves sketches, not values.
+  //
+  // No DuckDB oracle by design (sketch estimates are implementation-
+  // defined): registered rows-only like q119/q29; the spec pins the
+  // KLL rank-error contract against exact ranks (±3% ≫ the k=200
+  // sketch's ~1.65% bound) and the merge identity (union of monthly
+  // sketches ≈ one-shot sketch).
+  val q181: QuerySpec = QuerySpec(
+    "q181_kll_quantiles",
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("kll_sketch_agg_double(l_extendedprice)").as("sk"),
+          count(lit(1)).as("n_rows"))
+        .select(
+          col("l_returnflag"),
+          col("n_rows"),
+          expr("kll_sketch_get_quantile_double(sk, 0.5)").as("p50"),
+          expr("kll_sketch_get_quantile_double(sk, 0.95)").as("p95"),
+          expr("kll_sketch_get_quantile_double(sk, 0.99)").as("p99"))
+        .orderBy("l_returnflag"),
+    None, // sketch estimates are implementation-defined — rows-only; error/merge contracts pinned in SketchQueriesSpec
+  )
+
+  val all: Seq[QuerySpec] = Seq(q119, q181)
 }

@@ -375,5 +375,76 @@ object StatQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q168, q169, q170, q171, q172, q175, q176)
+  // ---------------------------------------------------------------------
+  // q182 — zone-map skipping forecast: for the SAME predicate
+  // (partkey bucket = 7), how many files could a min/max zone map
+  // skip under two physical layouts — the q172 Z-order curve ranges
+  // vs an arrival-hash placement? This is the quantified version of
+  // "layout determines scan cost": zone maps (parquet row-group
+  // stats, Delta/Iceberg file stats) only prune when the layout
+  // CLUSTERS the predicate column; the report computes, per layout,
+  // files hit, rows scanned, and the floored-bp skip fraction.
+  //
+  // Everything is exact integer arithmetic over per-file min/max/count
+  // aggregates — the same stats a lakehouse manifest stores. The
+  // Z-order side must skip ~15/16 of files (each 256-wide curve range
+  // spans one 16-value xb tile); the hash side can skip ~nothing.
+  //
+  // Scale: one scan builds both layouts' (layout, file) zone frames
+  // (512 groups total); the verdict is a 2-row rollup.
+  val q182: QuerySpec = QuerySpec(
+    "q182_zonemap_skipping",
+    (s, d) => {
+      val rows = lineitem(s, d)
+        .select(
+          pmod(col("l_partkey"), lit(256L)).as("xb"),
+          pmod(col("l_suppkey"), lit(256L)).as("yb"),
+          col("l_orderkey"))
+        .withColumn("z", mortonCol(col("xb"), col("yb")))
+      val layouts = rows
+        .select(lit("zorder").as("layout"),
+          (col("z") / 256).cast("long").as("file_id"), col("xb"))
+        .unionByName(rows.select(lit("linear_hash").as("layout"),
+          pmod(col("l_orderkey"), lit(256L)).as("file_id"), col("xb")))
+      val zones = layouts.groupBy("layout", "file_id")
+        .agg(
+          min(col("xb")).as("zmin"),
+          max(col("xb")).as("zmax"),
+          count(lit(1)).as("rows_in_file"),
+          sum(when(col("xb") === 7, 1L).otherwise(0L)).as("matched"))
+      zones.groupBy("layout")
+        .agg(
+          count(lit(1)).as("n_files"),
+          sum(when(col("zmin") <= 7 && col("zmax") >= 7, 1L).otherwise(0L))
+            .as("files_hit"),
+          sum(when(col("zmin") <= 7 && col("zmax") >= 7, col("rows_in_file"))
+            .otherwise(0L)).as("rows_scanned"),
+          sum(col("matched")).as("rows_matched"),
+          sum(col("rows_in_file")).as("rows_total"))
+        .withColumn("skip_bp",
+          expr("(10000 * (rows_total - rows_scanned)) div rows_total"))
+        .orderBy("layout")
+    },
+    Some(
+      "WITH r AS (SELECT l_partkey % 256 AS xb, l_suppkey % 256 AS yb, l_orderkey " +
+        "FROM lineitem), " +
+        "z AS (SELECT xb, yb, l_orderkey, " + mortonSql("xb", "yb") + " AS z FROM r), " +
+        "lay AS (SELECT 'zorder' AS layout, z // 256 AS file_id, xb FROM z " +
+        "UNION ALL SELECT 'linear_hash', l_orderkey % 256, xb FROM z), " +
+        "zones AS (SELECT layout, file_id, min(xb) AS zmin, max(xb) AS zmax, " +
+        "count(*) AS rows_in_file, " +
+        "sum(CASE WHEN xb = 7 THEN 1 ELSE 0 END) AS matched " +
+        "FROM lay GROUP BY 1, 2) " +
+        "SELECT layout, count(*) AS n_files, " +
+        "sum(CASE WHEN zmin <= 7 AND zmax >= 7 THEN 1 ELSE 0 END) AS files_hit, " +
+        "sum(CASE WHEN zmin <= 7 AND zmax >= 7 THEN rows_in_file ELSE 0 END) AS rows_scanned, " +
+        "sum(matched) AS rows_matched, sum(rows_in_file) AS rows_total, " +
+        "(10000 * (sum(rows_in_file) - " +
+        "sum(CASE WHEN zmin <= 7 AND zmax >= 7 THEN rows_in_file ELSE 0 END))) " +
+        "// sum(rows_in_file) AS skip_bp " +
+        "FROM zones GROUP BY 1 ORDER BY layout"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q168, q169, q170, q171, q172, q175, q176, q182)
 }

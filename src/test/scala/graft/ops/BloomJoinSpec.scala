@@ -77,15 +77,19 @@ class BloomJoinSpec extends SparkSpec {
     assert(ks.where(!BloomJoin.mightContain(auto, col("k"))).isEmpty)
   }
 
-  test("non-integral key columns fail loudly instead of returning wrong results") {
-    val fact = Seq((1L, "a")).toDF("k", "v")
-    val strKeys = Seq("x", "y").toDF("key")
-    intercept[IllegalArgumentException](BloomJoin.buildBloom(strKeys, "key", 16))
-    intercept[IllegalArgumentException](
-      BloomJoin.bloomSemiJoin(fact, strKeys, "k", "key"))
-    val strFact = Seq(("1", "a")).toDF("k", "v")
-    intercept[IllegalArgumentException](
-      BloomJoin.bloomAntiJoin(strFact, Seq(1L).toDF("key"), "k", "key"))
+  test("string keys ride the xxhash64 bridge: semi/anti equal their exact twins") {
+    val fact = Seq(("c1", 1L), ("c2", 2L), ("c3", 3L), (null, 4L), ("c1", 5L))
+      .toDF("cust", "v")
+    val strKeys = Seq("c1", "c3", "zz").toDF("key")
+    val k = strKeys.distinct()
+    val semi = BloomJoin.bloomSemiJoin(fact, strKeys, "cust", "key")
+    val wantSemi = fact.join(k, fact("cust") === k("key"), "left_semi")
+    assert(semi.exceptAll(wantSemi).isEmpty && wantSemi.exceptAll(semi).isEmpty)
+    val anti = BloomJoin.bloomAntiJoin(fact, strKeys, "cust", "key")
+    val wantAnti = fact.join(k, fact("cust") === k("key"), "left_anti")
+    assert(anti.exceptAll(wantAnti).isEmpty && wantAnti.exceptAll(anti).isEmpty)
+    // the NULL-keyed fact row is anti-join output (NULL matches no key)
+    assert(anti.where(col("cust").isNull).count() == 1L)
   }
 
   test("q90 MAD fixture: hand-computed robust gate") {

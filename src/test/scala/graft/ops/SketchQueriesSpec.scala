@@ -53,4 +53,35 @@ class SketchQueriesSpec extends SparkSpec {
     assert(exact > 0, "fixture must have overlapping audiences")
     assert(math.abs(both - exact) / exact < 0.10, s"theta∩=$both exact=$exact")
   }
+
+  test("q181: KLL quantiles respect the rank-error contract against exact ranks") {
+    val rows = SketchQueries.q181.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(spark, sfDir)
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val n = r.getAs[Long]("n_rows").toDouble
+      for ((cname, q) <- Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99))) {
+        val v = r.getAs[Double](cname)
+        val rank = li.where(col("l_returnflag") === flag &&
+          col("l_extendedprice") <= v).count().toDouble / n
+        // k=200 KLL: ~1.65% normalized rank error at 99% confidence
+        assert(math.abs(rank - q) <= 0.03,
+          s"$flag $cname: estimated value sits at rank $rank, wanted $q +- 0.03")
+      }
+    }
+  }
+
+  test("q181: monthly KLL sketches merge to the one-shot sketch's quantiles (rank-bounded)") {
+    val li = Tables.lineitem(spark, sfDir)
+    val merged = li
+      .groupBy(month(col("l_shipdate")).as("m"))
+      .agg(expr("kll_sketch_agg_double(l_extendedprice)").as("sk"))
+      .agg(expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5)").as("p50"))
+      .head().getAs[Double]("p50")
+    val n = li.count().toDouble
+    val rank = li.where(col("l_extendedprice") <= merged).count().toDouble / n
+    assert(math.abs(rank - 0.5) <= 0.03,
+      s"merged-monthly P50 sits at rank $rank — mergeability broken")
+  }
 }

@@ -140,4 +140,27 @@ class StatQueriesSpec extends SparkSpec {
       .map(r => (r.getAs[String]("nation"), r.getAs[Long]("o_year"), r.getAs[Double]("profit")))
     assert(got.toSeq == Seq(("NATION_3", 1997L, 70.0)))
   }
+
+  test("q182: zone maps skip most files under Z-order and nearly none under hash placement") {
+    val got = StatQueries.q182.run(spark, sfDir).collect()
+      .map(r => r.getAs[String]("layout") ->
+        (r.getAs[Long]("n_files"), r.getAs[Long]("files_hit"), r.getAs[Long]("skip_bp"))).toMap
+    val (zf, zh, zskip) = got("zorder")
+    val (lf, lh, lskip) = got("linear_hash")
+    // each 256-wide curve range spans one 16-value xb tile -> only the
+    // ranges whose tile contains 7 can be hit
+    assert(zh.toDouble / zf <= 0.10, s"zorder hit $zh of $zf files")
+    assert(zskip >= 8000L, s"zorder skip_bp $zskip")
+    // hash placement scatters xb=7 rows across files: at bench scale it
+    // hits ~every file; at the spec's tiny sf some files genuinely lack
+    // an xb=7 row, so pin the RELATIVE claim — hash hits several times
+    // the fraction Z-order does, and skips far less
+    assert(lh.toDouble / lf >= 4.0 * zh.toDouble / zf,
+      s"hash layout should hit far more files: $lh/$lf vs zorder $zh/$zf")
+    assert(lskip < zskip - 3000L, s"hash skip_bp $lskip should trail zorder $zskip")
+    // both layouts agree on the true match count (zone maps never lose rows)
+    val zm = StatQueries.q182.run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("rows_matched")).toSet
+    assert(zm.size == 1)
+  }
 }
