@@ -446,5 +446,147 @@ object StatQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q168, q169, q170, q171, q172, q175, q176, q182)
+  // ---------------------------------------------------------------------
+  // q183 — decile lift table: rank customers by a score (account
+  // balance as the stand-in model score), split into 10 equal-count
+  // deciles, and report each decile's conversion rate (placed an
+  // URGENT order) as floored-bp lift over the base rate — the
+  // model-evaluation staple for targeting/propensity scores.
+  //
+  // Determinism: deciles are ANSI ntile on the TOTAL order
+  // (score DESC, custkey) — computed WITHOUT a single-task sort via
+  // [[Ranks.withGlobalRank]] + [[Ranks.ntileFromRank]] (the q140
+  // machinery; RanksSpec pins exact ntile equivalence); lift is pure
+  // integer arithmetic over exact counts.
+  //
+  // Scale: the conversion flag is a semi-style left join keyed on
+  // custkey; ranking range-partitions the customer dimension (which
+  // grows with the business — the q109 lesson); output is 10 rows.
+  val q183: QuerySpec = QuerySpec(
+    "q183_decile_lift",
+    (s, d) => {
+      val conv = orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")).distinct()
+      val scored = customer(s, d).select("c_custkey", "c_acctbal")
+        .join(conv, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_acctbal"),
+          col("o_custkey").isNotNull.as("conv"))
+      val ranked = Ranks.withGlobalRank(
+        scored, Seq(col("c_acctbal").desc, col("c_custkey").asc), "rk")
+      val tot = scored.agg(
+        count(lit(1)).as("n_all"),
+        sum(when(col("conv"), 1L).otherwise(0L)).as("conv_all"))
+      ranked.crossJoin(tot) // 1-row totals anchor
+        .select(Ranks.ntileFromRank(col("rk"), col("n_all"), 10).as("decile"),
+          col("conv"), col("n_all"), col("conv_all"))
+        .groupBy("decile", "n_all", "conv_all")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(when(col("conv"), 1L).otherwise(0L)).as("n_converted"))
+        .select(col("decile"), col("n_customers"), col("n_converted"),
+          expr("(10000 * n_converted * n_all) div (n_customers * conv_all)")
+            .as("lift_bp"))
+        .orderBy("decile")
+    },
+    Some(
+      "WITH conv AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'), " +
+        "sc AS (SELECT c_custkey, c_acctbal, o_custkey IS NOT NULL AS conv " +
+        "FROM customer LEFT JOIN conv ON c_custkey = o_custkey), " +
+        "t AS (SELECT count(*) AS n_all, sum(CASE WHEN conv THEN 1 ELSE 0 END) AS conv_all FROM sc), " +
+        "dec AS (SELECT ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile, conv FROM sc) " +
+        "SELECT decile, count(*) AS n_customers, " +
+        "sum(CASE WHEN conv THEN 1 ELSE 0 END) AS n_converted, " +
+        "(10000 * sum(CASE WHEN conv THEN 1 ELSE 0 END) * n_all) " +
+        "// (count(*) * conv_all) AS lift_bp " +
+        "FROM dec, t GROUP BY decile, n_all, conv_all ORDER BY decile"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q184 — attribution model comparison: the SAME purchase episodes
+  // credited under last-touch, first-touch, and linear models, side by
+  // side per channel — the report a marketing team reads before
+  // picking an attribution policy (q94 ships last-touch alone; the
+  // models disagree exactly when journeys are multi-touch).
+  //
+  // Episode = the touches between consecutive purchases of a user
+  // (episode id = running count of PRECEDING purchases); a purchase
+  // credits its own episode. Linear credit is ⌊1000/k⌋ milli-credits
+  // per touch (k = episode touches) — floored integers, a DEFINED
+  // statistic (the q79 rule); touchless purchases credit 'none' with
+  // the full 1000.
+  //
+  // Scale: one user shuffle for the episode window; per-episode
+  // windows are journey-bounded; the three models assemble by
+  // UNION ALL + one channel rollup — no full-outer join chain.
+  val q184: QuerySpec = QuerySpec(
+    "q184_attribution_models",
+    (s, d) => {
+      val wEp = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ev = events(s, d)
+        .withColumn("ep",
+          coalesce(sum(when(col("event_type") === "purchase", 1L)).over(wEp), lit(0L)))
+      val tou = ev.where(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ep"), col("event_type"), col("ts"), col("event_id"))
+      val closed = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ep"))
+      val credited = tou.join(closed, Seq("user_id", "ep"), "left_semi")
+      val wLast = Window.partitionBy("user_id", "ep")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val wFirst = Window.partitionBy("user_id", "ep")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val k = credited.groupBy("user_id", "ep").agg(count(lit(1)).as("k"))
+      val lastC = credited.withColumn("rn", row_number().over(wLast))
+        .where(col("rn") === 1)
+        .select(col("event_type").as("channel"), lit(0L).as("first_touch"),
+          lit(1L).as("last_touch"), lit(0L).as("linear_milli"))
+      val firstC = credited.withColumn("rn", row_number().over(wFirst))
+        .where(col("rn") === 1)
+        .select(col("event_type").as("channel"), lit(1L).as("first_touch"),
+          lit(0L).as("last_touch"), lit(0L).as("linear_milli"))
+      val linC = credited.join(k, Seq("user_id", "ep"))
+        .select(col("event_type").as("channel"), lit(0L).as("first_touch"),
+          lit(0L).as("last_touch"), expr("1000 div k").as("linear_milli"))
+      val noneC = closed.join(tou, Seq("user_id", "ep"), "left_anti")
+        .select(lit("none").as("channel"), lit(1L).as("first_touch"),
+          lit(1L).as("last_touch"), lit(1000L).as("linear_milli"))
+      lastC.unionByName(firstC).unionByName(linC).unionByName(noneC)
+        .groupBy("channel")
+        .agg(
+          sum(col("first_touch")).as("first_touch"),
+          sum(col("last_touch")).as("last_touch"),
+          sum(col("linear_milli")).as("linear_milli"))
+        .orderBy("channel")
+    },
+    Some(
+      "WITH ev AS (SELECT user_id, event_type, ts, event_id, " +
+        "COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 END) " +
+        "OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ep FROM events), " +
+        "tou AS (SELECT user_id, ep, event_type, ts, event_id FROM ev " +
+        "WHERE event_type <> 'purchase'), " +
+        "closed AS (SELECT user_id, ep FROM ev WHERE event_type = 'purchase'), " +
+        "credited AS (SELECT t.* FROM tou t WHERE EXISTS " +
+        "(SELECT 1 FROM closed c WHERE c.user_id = t.user_id AND c.ep = t.ep)), " +
+        "k AS (SELECT user_id, ep, count(*) AS k FROM credited GROUP BY 1, 2), " +
+        "lastc AS (SELECT event_type AS channel, 0 AS ft, 1 AS lt, 0 AS lm FROM " +
+        "(SELECT event_type, row_number() OVER (PARTITION BY user_id, ep " +
+        "ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM credited) WHERE rn = 1), " +
+        "firstc AS (SELECT event_type, 1, 0, 0 FROM " +
+        "(SELECT event_type, row_number() OVER (PARTITION BY user_id, ep " +
+        "ORDER BY epoch_us(ts), event_id) AS rn FROM credited) WHERE rn = 1), " +
+        "linc AS (SELECT event_type, 0, 0, 1000 // k FROM credited JOIN k USING (user_id, ep)), " +
+        "nonec AS (SELECT 'none', 1, 1, 1000 FROM closed c WHERE NOT EXISTS " +
+        "(SELECT 1 FROM tou t WHERE t.user_id = c.user_id AND t.ep = c.ep)), " +
+        "u AS (SELECT * FROM lastc UNION ALL SELECT * FROM firstc " +
+        "UNION ALL SELECT * FROM linc UNION ALL SELECT * FROM nonec) " +
+        "SELECT channel, sum(ft) AS first_touch, sum(lt) AS last_touch, " +
+        "sum(lm) AS linear_milli FROM u GROUP BY 1 ORDER BY channel"
+    ),
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(q168, q169, q170, q171, q172, q175, q176, q182, q183, q184)
 }

@@ -141,6 +141,46 @@ class StatQueriesSpec extends SparkSpec {
     assert(got.toSeq == Seq(("NATION_3", 1997L, 70.0)))
   }
 
+  test("q183: one-customer deciles put all lift in the converting deciles") {
+    val dir = java.nio.file.Files.createTempDirectory("q183fix").toString
+    // balances 10..1 → decile = 11 − balance; custkeys 1..10 convert
+    // iff balance ≥ 8 (custkeys 1..3): deciles 1-3 convert, base rate
+    // 3/10 → lift_bp = (10⁴·1·10)/(1·3) = 33333; others 0
+    (1L to 10L).map(i => (i, 11.0 - i))
+      .toDF("c_custkey", "c_acctbal").write.parquet(s"$dir/customer.parquet")
+    (1L to 3L).map(i => (i * 100, i, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val got = StatQueries.q183.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("decile") ->
+        (r.getAs[Long]("n_customers"), r.getAs[Long]("n_converted"),
+          r.getAs[Long]("lift_bp"))).toMap
+    assert(got.keySet == (1L to 10L).toSet)
+    (1L to 3L).foreach(d => assert(got(d) == ((1L, 1L, 33333L)), s"decile $d"))
+    (4L to 10L).foreach(d => assert(got(d) == ((1L, 0L, 0L)), s"decile $d"))
+  }
+
+  test("q184: the three models split hand-built journeys exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("q184fix").toString
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1: a, b, purchase | c, purchase | purchase (touchless)
+    Seq(
+      (1L, 1L, t(1), "a"), (2L, 1L, t(2), "b"), (3L, 1L, t(3), "purchase"),
+      (4L, 1L, t(4), "c"), (5L, 1L, t(5), "purchase"),
+      (6L, 1L, t(6), "purchase"),
+    ).toDF("event_id", "user_id", "ts", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val got = StatQueries.q184.run(spark, dir).collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("first_touch"), r.getAs[Long]("last_touch"),
+          r.getAs[Long]("linear_milli"))).toMap
+    assert(got == Map(
+      "a" -> ((1L, 0L, 500L)),
+      "b" -> ((0L, 1L, 500L)),
+      "c" -> ((1L, 1L, 1000L)),
+      "none" -> ((1L, 1L, 1000L))))
+  }
+
   test("q182: zone maps skip most files under Z-order and nearly none under hash placement") {
     val got = StatQueries.q182.run(spark, sfDir).collect()
       .map(r => r.getAs[String]("layout") ->
