@@ -177,7 +177,10 @@ object GraphQueries {
   val q180: QuerySpec = QuerySpec(
     "q180_clustering_coeff",
     (s, d) => {
-      val edges = copurchaseEdges(s, d)
+      // both consumers (degrees, triangle orientation) read the edge
+      // frame — one eager checkpoint pins ONE derivation of the
+      // distinct co-purchase self-join instead of two full recomputes
+      val edges = copurchaseEdges(s, d).localCheckpoint(true)
       val deg = edges.select(col("a").as("v"))
         .unionAll(edges.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("degree"))
