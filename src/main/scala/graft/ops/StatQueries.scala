@@ -587,6 +587,81 @@ object StatQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q185 — consistent-hashing rebalance forecast: assign every
+  // customer key to a shard on a 32-vnode-per-shard hash ring, then
+  // report the movement matrix when the ring grows 8 → 9 shards. The
+  // defining property of consistent hashing — ONLY keys claimed by
+  // the new shard's vnodes move (≈1/9 of them), everything else stays
+  // — falls out of the math and is what the report quantifies; it's
+  // the capacity-planning question every sharded store answers before
+  // a scale-out.
+  //
+  // Positions are 32-bit md5 prefixes (the q126 conv idiom — identical
+  // in both engines); a vnode's position depends only on (shard,
+  // vnode), never on ring size, which is WHY growth is incremental.
+  // Ownership: nearest vnode clockwise (min position ≥ key position,
+  // wrapping to the ring's global min); encoded as one integer
+  // min-aggregate over pos·512+shard (no struct, no window).
+  //
+  // Scale: the ring is CONFIG-bounded (288 vnodes) and broadcasts; the
+  // assignment is a map-side ×288 fold per key (linear, constant
+  // factor) — at production volume swap the fold for a broadcast
+  // sorted-array binary-search expression; the report is an
+  // |shards|²-bounded rollup. Keys shuffle once for the final matrix.
+  private def pos32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private def pos32Sql(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
+
+  val q185: QuerySpec = QuerySpec(
+    "q185_consistent_hashing",
+    (s, d) => {
+      val vnodes = s.range(9L * 32L)
+        .select((col("id") / 32).cast("long").as("shard"),
+          pmod(col("id"), lit(32L)).as("v"))
+        .select(col("shard"),
+          pos32(concat(lit("ring:"), col("shard"), lit(":"), col("v")))
+            .as("vpos"))
+        .withColumn("comb", col("vpos") * 512 + col("shard"))
+      def assign(ring: org.apache.spark.sql.DataFrame, out: String) = {
+        val fallback = ring.agg(min(col("comb")).as("fb"))
+        customer(s, d)
+          .select(col("c_custkey"),
+            pos32(concat(lit("key:"), col("c_custkey"))).as("kpos"))
+          .join(broadcast(ring), col("vpos") >= col("kpos"), "left")
+          .groupBy("c_custkey", "kpos")
+          .agg(min(col("comb")).as("own"))
+          .crossJoin(broadcast(fallback)) // 1-row wraparound anchor
+          .select(col("c_custkey"),
+            pmod(coalesce(col("own"), col("fb")), lit(512L)).as(out))
+      }
+      assign(vnodes.where(col("shard") < 8), "old_shard")
+        .join(assign(vnodes, "new_shard"), Seq("c_custkey"))
+        .groupBy("old_shard", "new_shard")
+        .agg(count(lit(1)).as("n_keys"))
+        .orderBy("old_shard", "new_shard")
+    },
+    Some(
+      "WITH ids AS (SELECT unnest(generate_series(0, 287)) AS id), " +
+        "vn AS (SELECT id // 32 AS shard, " +
+        pos32Sql("'ring:' || CAST(id // 32 AS VARCHAR) || ':' || CAST(id % 32 AS VARCHAR)") +
+        " AS vpos FROM ids), " +
+        "vc AS (SELECT shard, vpos, vpos * 512 + shard AS comb FROM vn), " +
+        "k AS (SELECT c_custkey, " + pos32Sql("'key:' || CAST(c_custkey AS VARCHAR)") +
+        " AS kpos FROM customer), " +
+        "a8 AS (SELECT c_custkey, COALESCE(min(CASE WHEN vpos >= kpos THEN comb END), " +
+        "(SELECT min(comb) FROM vc WHERE shard < 8)) % 512 AS old_shard " +
+        "FROM k CROSS JOIN (SELECT * FROM vc WHERE shard < 8) GROUP BY c_custkey, kpos), " +
+        "a9 AS (SELECT c_custkey, COALESCE(min(CASE WHEN vpos >= kpos THEN comb END), " +
+        "(SELECT min(comb) FROM vc)) % 512 AS new_shard " +
+        "FROM k CROSS JOIN vc GROUP BY c_custkey, kpos) " +
+        "SELECT old_shard, new_shard, count(*) AS n_keys " +
+        "FROM a8 JOIN a9 USING (c_custkey) GROUP BY 1, 2 ORDER BY old_shard, new_shard"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q168, q169, q170, q171, q172, q175, q176, q182, q183, q184)
+    Seq(q168, q169, q170, q171, q172, q175, q176, q182, q183, q184, q185)
 }

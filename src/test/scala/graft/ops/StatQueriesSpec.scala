@@ -181,6 +181,21 @@ class StatQueriesSpec extends SparkSpec {
       "none" -> ((1L, 1L, 1000L))))
   }
 
+  test("q185: growing the ring only moves keys TO the new shard, at about a 1/9 share") {
+    val rows = StatQueries.q185.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("old_shard"), r.getAs[Long]("new_shard"),
+        r.getAs[Long]("n_keys")))
+    val total = rows.map(_._3).sum
+    assert(total == Tables.customer(spark, sfDir).count(),
+      "every key must appear exactly once in the matrix")
+    val moved = rows.filter(r => r._1 != r._2)
+    assert(moved.nonEmpty && moved.forall(_._2 == 8L),
+      s"consistent hashing moves keys only to the NEW shard: $moved")
+    val frac = moved.map(_._3).sum.toDouble / total
+    // expected share = 32/288 = 1/9 ≈ 0.111; wide band for a small ring
+    assert(frac > 0.02 && frac < 0.30, s"moved share $frac far from 1/9")
+  }
+
   test("q182: zone maps skip most files under Z-order and nearly none under hash placement") {
     val got = StatQueries.q182.run(spark, sfDir).collect()
       .map(r => r.getAs[String]("layout") ->
