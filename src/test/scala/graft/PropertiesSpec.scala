@@ -259,4 +259,42 @@ object GraftProperties extends Properties("graft") {
       r.getAs[Long]("covered_days") == runs.map { case (s, e) => e - s + 1 }.sum.toLong &&
       r.getAs[Long]("longest_days") == runs.map { case (s, e) => e - s + 1 }.max.toLong
     }
+
+  // --- q173's water level: the claim that makes the query correct —
+  // τ = max over ascending prefixes of ⌊max(B − P_{k−1}, 0)/(m−k+1)⌋
+  // is FEASIBLE (Σ min(cᵢ, τ) ≤ B) and MAXIMAL (τ+1 overshoots, unless
+  // nothing is capped). Pure arithmetic, so this runs 500 seeded cases
+  // instead of the suite's small Spark-backed case count.
+  property("water-fill max-over-prefixes cap is feasible and maximal") = {
+    val rnd = new scala.util.Random(42)
+    (1 to 500).forall { _ =>
+      val counts = List.fill(1 + rnd.nextInt(12))(rnd.nextInt(200).toLong)
+      val total = counts.sum
+      val b = total * (1 + rnd.nextInt(99)) / 100
+      val sorted = counts.sorted
+      val m = sorted.length.toLong
+      val prefix = sorted.scanLeft(0L)(_ + _)
+      val tau = (1 to sorted.length).map { k =>
+        math.max(b - prefix(k - 1), 0L) / (m - k + 1)
+      }.max
+      def cap(t: Long) = counts.map(math.min(_, t)).sum
+      cap(tau) <= b && (tau >= sorted.max || cap(tau + 1) > b)
+    }
+  }
+
+  // --- q172/q182's layout claims, exhaustively: the 8-bit Morton
+  // interleave is a bijection (both coordinates invert), and a
+  // 256-wide curve range determines BOTH 16-value coordinate tiles —
+  // the zone-map locality the z-order queries assert on data.
+  property("morton interleave inverts and 256-ranges are 16x16 tiles") = {
+    def spread(v: Int) = (0 until 8).map(i => ((v >> i) & 1) << (2 * i)).sum
+    def unspread(z: Int) = (0 until 8).map(i => ((z >> (2 * i)) & 1) << i).sum
+    (0 until 256).forall { x =>
+      (0 until 256).forall { y =>
+        val z = spread(x) | (spread(y) << 1)
+        unspread(z) == x && unspread(z >> 1) == y &&
+        unspread(z >> 8) == x / 16 && unspread(z >> 9) == y / 16
+      }
+    }
+  }
 }
