@@ -153,6 +153,32 @@ object JsonlPartitionSource {
     walk(rootPath, Map.empty, 0)
   }
 
+  /** Like [[listSealed]] but stops at sealed RUN directories — the
+    * granularity aggregate pushdown serves from (one seal = one
+    * authoritative record_count).
+    */
+  private[sources] def listSealedRuns(root: String, filters: Array[Filter]): Seq[JsonlRunPartition] = {
+    val fs = new Path(root).getFileSystem(hadoopConf())
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) return Seq.empty
+
+    def walk(dir: Path, values: Map[String, String], depth: Int): Seq[JsonlRunPartition] =
+      if (depth == PartitionCols.length) {
+        if (fs.exists(new Path(dir, SealFile))) Seq(JsonlRunPartition(dir.toString, values))
+        else Seq.empty
+      } else {
+        val colName = PartitionCols(depth)
+        val prefix = s"$colName="
+        fs.listStatus(dir)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+          .map(st => (st.getPath, st.getPath.getName.stripPrefix(prefix)))
+          .filter { case (_, v) => filters.forall(partitionFilterAdmits(_, colName, v)) }
+          .flatMap { case (p, v) => walk(p, values + (colName -> v), depth + 1) }
+          .toSeq
+      }
+    walk(rootPath, Map.empty, 0)
+  }
+
   /** Can this filter be claimed as fully pushed? Only when EVERY node
     * is a shape [[partitionFilterAdmits]] evaluates exactly against
     * directory values. Claiming anything looser (Or/Not/StartsWith over
@@ -205,6 +231,10 @@ object JsonlPartitionSource {
 final case class JsonlFilePartition(file: String, values: Map[String, String])
     extends InputPartition
 
+/** One sealed RUN directory (aggregate-pushdown granularity). */
+final case class JsonlRunPartition(dir: String, values: Map[String, String])
+    extends InputPartition
+
 class JsonlTable(tableSchema: StructType, path: String) extends Table with SupportsRead {
   override def name(): String = s"graft_jsonl(`$path`)"
   override def schema(): StructType = tableSchema
@@ -217,10 +247,14 @@ class JsonlTable(tableSchema: StructType, path: String) extends Table with Suppo
 class JsonlScanBuilder(fullSchema: StructType, path: String)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var residual = false
+  private var aggGroupCols: Seq[String] = Seq.empty
+  private var aggSchema: Option[StructType] = None
 
   /** Accept partition-column filters (they prune directories exactly);
     * everything else is returned for Spark to evaluate post-scan.
@@ -228,18 +262,144 @@ class JsonlScanBuilder(fullSchema: StructType, path: String)
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (part, rest) = filters.partition(JsonlPartitionSource.isPartitionFilter)
     pushed = part
+    residual = rest.nonEmpty
     rest
   }
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def pruneColumns(requiredSchema: StructType): Unit = {
-    // preserve this source's field order (payload fields then keys)
-    val keep = requiredSchema.fieldNames.toSet
-    required = StructType(fullSchema.fields.filter(f => keep.contains(f.name)))
+  /** COUNT(*) grouped by partition-key columns is answered from seal
+    * metadata — the reference's own `record_count` (validator A6,
+    * raw_sink_contract.md metadata) served as an aggregate, without
+    * opening a single payload file. PARTIAL pushdown
+    * ([[supportCompletePushDown]] = false): this scan emits one
+    * (group keys, count) row per sealed RUN, and Spark's final
+    * aggregate sums runs into groups — so multi-run partitions and
+    * empty group-bys (global COUNT) compose correctly.
+    *
+    * Anything else — residual row filters, payload group keys,
+    * non-count aggregates — declines, and the plan falls back to the
+    * row scan unchanged.
+    */
+  override def supportCompletePushDown(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
+
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    if (residual) return false
+    val groupCols = agg.groupByExpressions.toSeq.map {
+      case f: NamedReference if f.fieldNames.length == 1 => f.fieldNames()(0)
+      case _ => return false
+    }
+    if (!groupCols.forall(JsonlPartitionSource.PartitionCols.contains)) return false
+    val aggs = agg.aggregateExpressions.toSeq
+    if (aggs.length != 1 || !aggs.head.isInstanceOf[CountStar]) return false
+    aggGroupCols = groupCols
+    aggSchema = Some(StructType(
+      groupCols.map(c => fullSchema(c)) :+
+        StructField("count_star", LongType, nullable = false)))
+    true
   }
 
-  override def build(): Scan = new JsonlScan(path, required, pushed)
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // after aggregate pushdown the "required" schema IS the aggregate
+    // output — nothing to intersect with payload fields
+    if (aggSchema.isEmpty) {
+      // preserve this source's field order (payload fields then keys)
+      val keep = requiredSchema.fieldNames.toSet
+      required = StructType(fullSchema.fields.filter(f => keep.contains(f.name)))
+    }
+  }
+
+  override def build(): Scan = aggSchema match {
+    case Some(s) => new JsonlCountScan(path, s, aggGroupCols, pushed)
+    case None => new JsonlScan(path, required, pushed)
+  }
+}
+
+/** Aggregate-pushdown scan: one row per sealed run — group-key values
+  * from the directory path, count from the seal's `record_count`
+  * (falling back to a payload line count for legacy seals without it,
+  * with the same blank-line tolerance as the row reader).
+  */
+class JsonlCountScan(
+    path: String,
+    aggSchema: StructType,
+    groupCols: Seq[String],
+    pushed: Array[Filter],
+) extends Scan with Batch {
+
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_jsonl $path, PushedFilters: [${pushed.mkString(", ")}], " +
+      "PushedAggregation: [COUNT(*)]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    JsonlPartitionSource.listSealedRuns(path, pushed).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val confFactory = org.apache.spark.sql.graftshim.ConfShim.confFactory(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    val schema = aggSchema
+    val cols = groupCols
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new JsonlCountReader(partition.asInstanceOf[JsonlRunPartition], schema, cols, confFactory())
+    }
+  }
+}
+
+/** Emits exactly one (group keys, run count) row. The payload is never
+  * opened when the seal carries `record_count` — the metadata IS the
+  * count, per the sink contract (K2 + A6).
+  */
+class JsonlCountReader(
+    p: JsonlRunPartition,
+    schema: StructType,
+    groupCols: Seq[String],
+    conf: Configuration,
+) extends PartitionReader[InternalRow] {
+
+  private var done = false
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (done) return false
+    val fs = new Path(p.dir).getFileSystem(conf)
+    val sealPath = new Path(p.dir, JsonlPartitionSource.SealFile)
+    val sealNode = {
+      val in = fs.open(sealPath)
+      try new ObjectMapper().readTree(in) finally in.close()
+    }
+    val rc = sealNode.get("record_count")
+    val count =
+      if (rc != null && rc.canConvertToLong) rc.asLong()
+      else { // legacy seal: count non-blank payload lines (reader parity)
+        fs.listStatus(new Path(p.dir))
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".jsonl"))
+          .map { st =>
+            val in = fs.open(st.getPath)
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+              .count(_.trim.nonEmpty).toLong
+            finally in.close()
+          }.sum
+      }
+    val vals = new Array[Any](schema.length)
+    groupCols.zipWithIndex.foreach { case (c, i) =>
+      val raw = p.values(c)
+      vals(i) =
+        if (schema(i).dataType == DateType) java.time.LocalDate.parse(raw).toEpochDay.toInt
+        else UTF8String.fromString(raw)
+    }
+    vals(schema.length - 1) = count
+    current = new GenericInternalRow(vals)
+    done = true
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 class JsonlScan(path: String, requiredSchema: StructType, pushed: Array[Filter])

@@ -143,4 +143,71 @@ class JsonlSourceSpec extends SparkSpec {
     assert(out.select("__query_name").distinct().as[String].collect().toSeq ==
       Seq("campaign_daily"))
   }
+
+  /** Sealed layout WITH record_count, including a run whose payload is
+    * deliberately CORRUPT: metadata-served counts must not open it.
+    */
+  private lazy val countedRoot: Path = {
+    val r = Files.createTempDirectory("jsonl_counted")
+    def run(c: String, d: String, n: Int, corrupt: Boolean): Unit = {
+      val dir = r.resolve(
+        s"source=gads/customer_id=$c/query_name=q/logical_date=$d/run_id=r1")
+      Files.createDirectories(dir)
+      val body =
+        if (corrupt) "THIS IS NOT JSON {{{\n"
+        else (1 to n).map(i => s"""{"x":"$i","__query_name":"q"}""").mkString("", "\n", "\n")
+      Files.writeString(dir.resolve("payload.jsonl"), body)
+      Files.writeString(dir.resolve("_SEAL.json"),
+        s"""{"record_count":$n,"schema_version":"v1","sealed":true}""")
+    }
+    run("c1", "2024-01-01", 3, corrupt = false)
+    run("c1", "2024-01-02", 5, corrupt = true) // unreadable payload
+    run("c2", "2024-01-01", 2, corrupt = false)
+    r
+  }
+
+  private def countedDf = spark.read
+    .format("graft.sources.JsonlPartitionSource")
+    .schema(org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.StringType) ,
+        org.apache.spark.sql.types.StructField("__query_name",
+          org.apache.spark.sql.types.StringType)) ++
+        JsonlPartitionSource.partitionSchema))
+    .option("path", countedRoot.toString).load()
+
+  test("COUNT(*) group by partition keys is served from seal metadata, payloads unopened") {
+    val perCust = countedDf.groupBy("customer_id").count()
+    val plan = perCust.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation: [COUNT(*)]"),
+      s"aggregate must push into the scan:\n$plan")
+    // the corrupt run's 5 rows come from its seal — a row scan would throw
+    assert(perCust.as[(String, Long)].collect().toMap == Map("c1" -> 8L, "c2" -> 2L))
+    // global count: empty group-by also rides the seal counts
+    assert(countedDf.count() == 10L)
+    // pushed partition filter composes: only the admitted dirs count
+    assert(countedDf.where(col("logical_date") === "2024-01-01").count() == 5L)
+  }
+
+  test("aggregate pushdown declines for payload grouping or residual filters") {
+    // grouping by a payload column needs real rows — no pushdown, and
+    // the corrupt run now fails loudly on read (proving the metadata
+    // path above never touched it)
+    val byPayload = countedDf
+      .where(col("logical_date") === "2024-01-01") // avoid the corrupt run
+      .groupBy("x").count()
+    assert(!byPayload.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(byPayload.collect().map(_.getAs[Long]("count")).sum == 5L)
+    // residual (payload) filter: count must come from rows, not seals
+    val filtered = countedDf.where(col("logical_date") === "2024-01-01" && col("x") =!= "1")
+    assert(!filtered.groupBy("customer_id").count()
+      .queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(filtered.count() == 3L)
+  }
+
+  test("legacy seals without record_count fall back to counting payload lines") {
+    val counted = sinkDf.groupBy("customer_id").count()
+    assert(counted.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(counted.as[(String, Long)].collect().toMap == Map("c1" -> 6L, "c2" -> 6L))
+  }
 }
