@@ -558,7 +558,7 @@ object CorpusQueries {
     (s, d) => surprisalPerDoc(s, d).orderBy("doc_id"),
     Some(
       s"WITH $surprisalCteSql " +
-        "SELECT doc_id, n_tokens, ssum // n_tokens AS surprisal_micro FROM per ORDER BY doc_id"
+        "SELECT doc_id, n_tokens, CAST(ssum // n_tokens AS BIGINT) AS surprisal_micro FROM per ORDER BY doc_id"
     ),
   )
 
@@ -790,7 +790,7 @@ object CorpusQueries {
         "voc AS (SELECT count(*) AS v FROM uc), " +
         "sur AS (SELECT a, b, CAST(floor(ln(CAST(na + v AS DOUBLE) / (nab + 1)) * 1e6) AS BIGINT) AS sb " +
         "FROM bcnt JOIN uc USING (a), voc) " +
-        "SELECT doc_id, count(*) AS n_bigrams, sum(sb) // count(*) AS bigram_surprisal_micro " +
+        "SELECT doc_id, count(*) AS n_bigrams, CAST(sum(sb) // count(*) AS BIGINT) AS bigram_surprisal_micro " +
         "FROM big JOIN sur USING (a, b) GROUP BY 1 ORDER BY doc_id"
     ),
   )

@@ -746,9 +746,9 @@ object TrainingDataQueries {
       "WITH t AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS t, " +
         "512 * ((CAST(len(string_split(text, ' ')) AS BIGINT) + 511) // 512) AS cap " +
         "FROM documents) " +
-        "SELECT source, count(*) AS n_docs, sum(t) AS n_tokens, " +
-        "sum(cap - t) AS n_padding, sum(cap) AS capacity, " +
-        "(10000 * sum(cap - t)) // sum(cap) AS waste_bp " +
+        "SELECT source, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(cap - t) AS BIGINT) AS n_padding, CAST(sum(cap) AS BIGINT) AS capacity, " +
+        "CAST((10000 * sum(cap - t)) // sum(cap) AS BIGINT) AS waste_bp " +
         "FROM t GROUP BY 1 ORDER BY source"
     ),
   )
@@ -805,7 +805,7 @@ object TrainingDataQueries {
         "r AS (SELECT c, row_number() OVER (ORDER BY c, source) AS rn, " +
         "sum(c) OVER (ORDER BY c, source) AS pfx FROM c), " +
         "tau AS (SELECT max(greatest(b - (pfx - c), 0) // (m - rn + 1)) AS tau FROM r, t) " +
-        "SELECT source, c AS n_tokens, least(c, tau) AS alloc_tokens, c > tau AS capped " +
+        "SELECT source, c AS n_tokens, CAST(least(c, tau) AS BIGINT) AS alloc_tokens, c > tau AS capped " +
         "FROM c, tau ORDER BY source"
     ),
   )
@@ -863,9 +863,9 @@ object TrainingDataQueries {
         "min(CASE WHEN cum >= (5 * n + 99) // 100 THEN n_chars END) AS lo, " +
         "min(CASE WHEN cum >= (95 * n + 99) // 100 THEN n_chars END) AS hi " +
         "FROM c GROUP BY 1, 2) " +
-        "SELECT h.source, n AS n_docs, lo AS p05_chars, hi AS p95_chars, " +
-        "sum(CASE WHEN n_chars < lo OR n_chars > hi THEN cnt ELSE 0 END) AS n_clipped, " +
-        "sum(cnt * (greatest(n_chars - hi, 0) + greatest(lo - n_chars, 0))) AS clipped_char_mass " +
+        "SELECT h.source, CAST(n AS BIGINT) AS n_docs, lo AS p05_chars, hi AS p95_chars, " +
+        "CAST(sum(CASE WHEN n_chars < lo OR n_chars > hi THEN cnt ELSE 0 END) AS BIGINT) AS n_clipped, " +
+        "CAST(sum(cnt * (greatest(n_chars - hi, 0) + greatest(lo - n_chars, 0))) AS BIGINT) AS clipped_char_mass " +
         "FROM h JOIN b ON h.source = b.source GROUP BY 1, 2, 3, 4 ORDER BY h.source"
     ),
   )

@@ -66,7 +66,7 @@ object StatQueries {
         "sum(CASE WHEN NOT l_discount >= 0.05 AND l_tax >= 0.04 THEN 1 ELSE 0 END) AS n01, " +
         "sum(CASE WHEN NOT l_discount >= 0.05 AND NOT l_tax >= 0.04 THEN 1 ELSE 0 END) AS n00 " +
         "FROM lineitem) " +
-        "SELECT n, n11 + n00 AS n_agree, " +
+        "SELECT n, CAST(n11 + n00 AS BIGINT) AS n_agree, " +
         "round((CAST(n AS DOUBLE) * (n11 + n00) - " +
         "CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE)) / " +
         "(CAST(n AS DOUBLE) * n - " +
@@ -127,7 +127,7 @@ object StatQueries {
         "CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE)/nb) * ln((CAST(cb AS DOUBLE)/nb) / " +
         "((CAST(ca AS DOUBLE)/na + CAST(cb AS DOUBLE)/nb)/2)) ELSE 0 END AS term " +
         "FROM c, t) " +
-        "SELECT na AS n_tokens_a, nb AS n_tokens_b, vocab AS vocab_union, " +
+        "SELECT CAST(na AS BIGINT) AS n_tokens_a, CAST(nb AS BIGINT) AS n_tokens_b, vocab AS vocab_union, " +
         "round(sum(term) / 2, 4) AS jsd_nats FROM terms GROUP BY na, nb, vocab"
     ),
   )
@@ -222,9 +222,9 @@ object StatQueries {
       "WITH f AS (SELECT CAST(ts AS DATE) AS day, event_type, " +
         "96 + 48 * count(*) AS bytes FROM events GROUP BY 1, 2), " +
         "b AS (SELECT day, bytes, " +
-        "COALESCE(sum(bytes) OVER (PARTITION BY day ORDER BY event_type " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 65536 AS bin FROM f) " +
-        "SELECT day, bin, count(*) AS n_files, sum(bytes) AS bin_bytes " +
+        "CAST(COALESCE(sum(bytes) OVER (PARTITION BY day ORDER BY event_type " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 65536 AS BIGINT) AS bin FROM f) " +
+        "SELECT day, bin, count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bin_bytes " +
         "FROM b GROUP BY 1, 2 ORDER BY day, bin"
     ),
   )
@@ -436,12 +436,12 @@ object StatQueries {
         "sum(CASE WHEN xb = 7 THEN 1 ELSE 0 END) AS matched " +
         "FROM lay GROUP BY 1, 2) " +
         "SELECT layout, count(*) AS n_files, " +
-        "sum(CASE WHEN zmin <= 7 AND zmax >= 7 THEN 1 ELSE 0 END) AS files_hit, " +
-        "sum(CASE WHEN zmin <= 7 AND zmax >= 7 THEN rows_in_file ELSE 0 END) AS rows_scanned, " +
-        "sum(matched) AS rows_matched, sum(rows_in_file) AS rows_total, " +
-        "(10000 * (sum(rows_in_file) - " +
+        "CAST(sum(CASE WHEN zmin <= 7 AND zmax >= 7 THEN 1 ELSE 0 END) AS BIGINT) AS files_hit, " +
+        "CAST(sum(CASE WHEN zmin <= 7 AND zmax >= 7 THEN rows_in_file ELSE 0 END) AS BIGINT) AS rows_scanned, " +
+        "CAST(sum(matched) AS BIGINT) AS rows_matched, CAST(sum(rows_in_file) AS BIGINT) AS rows_total, " +
+        "CAST((10000 * (sum(rows_in_file) - " +
         "sum(CASE WHEN zmin <= 7 AND zmax >= 7 THEN rows_in_file ELSE 0 END))) " +
-        "// sum(rows_in_file) AS skip_bp " +
+        "// sum(rows_in_file) AS BIGINT) AS skip_bp " +
         "FROM zones GROUP BY 1 ORDER BY layout"
     ),
   )
@@ -485,7 +485,9 @@ object StatQueries {
           count(lit(1)).as("n_customers"),
           sum(when(col("conv"), 1L).otherwise(0L)).as("n_converted"))
         .select(col("decile"), col("n_customers"), col("n_converted"),
-          expr("(10000 * n_converted * n_all) div (n_customers * conv_all)")
+          // nullif guard: zero conversions overall → NULL lift, matching the
+          // oracle's NULLIF (DuckDB // would otherwise raise on /0).
+          expr("(10000 * n_converted * n_all) div nullif(n_customers * conv_all, 0)")
             .as("lift_bp"))
         .orderBy("decile")
     },
@@ -496,9 +498,9 @@ object StatQueries {
         "t AS (SELECT count(*) AS n_all, sum(CASE WHEN conv THEN 1 ELSE 0 END) AS conv_all FROM sc), " +
         "dec AS (SELECT ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile, conv FROM sc) " +
         "SELECT decile, count(*) AS n_customers, " +
-        "sum(CASE WHEN conv THEN 1 ELSE 0 END) AS n_converted, " +
-        "(10000 * sum(CASE WHEN conv THEN 1 ELSE 0 END) * n_all) " +
-        "// (count(*) * conv_all) AS lift_bp " +
+        "CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS n_converted, " +
+        "CAST((10000 * sum(CASE WHEN conv THEN 1 ELSE 0 END) * n_all) " +
+        "// NULLIF(count(*) * conv_all, 0) AS BIGINT) AS lift_bp " +
         "FROM dec, t GROUP BY decile, n_all, conv_all ORDER BY decile"
     ),
   )
@@ -582,8 +584,9 @@ object StatQueries {
         "(SELECT 1 FROM tou t WHERE t.user_id = c.user_id AND t.ep = c.ep)), " +
         "u AS (SELECT * FROM lastc UNION ALL SELECT * FROM firstc " +
         "UNION ALL SELECT * FROM linc UNION ALL SELECT * FROM nonec) " +
-        "SELECT channel, sum(ft) AS first_touch, sum(lt) AS last_touch, " +
-        "sum(lm) AS linear_milli FROM u GROUP BY 1 ORDER BY channel"
+        "SELECT channel, CAST(sum(ft) AS BIGINT) AS first_touch, " +
+        "CAST(sum(lt) AS BIGINT) AS last_touch, " +
+        "CAST(sum(lm) AS BIGINT) AS linear_milli FROM u GROUP BY 1 ORDER BY channel"
     ),
   )
 
