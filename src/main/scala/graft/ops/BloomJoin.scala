@@ -67,6 +67,29 @@ object BloomJoin {
     if (isIntegral(df, c)) df(c).cast("long")
     else org.apache.spark.sql.functions.xxhash64(df(c))
 
+  /** The build and probe sides must agree on the bridge REPRESENTATION,
+    * not just each pick one: integral keys insert raw longs while
+    * everything else inserts `xxhash64(key)`, so a string key side
+    * against a long fact side would insert one representation and probe
+    * another — bloomSemiJoin would silently drop true matches and
+    * bloomAntiJoin would emit matching rows as definite non-members.
+    * Disagreement is a caller bug (the exact join downstream would also
+    * be comparing through an implicit coercion); fail loudly and make
+    * the caller cast one side. Integral widths may differ (both ride
+    * `putLong`); non-integral sides must share the exact type because
+    * `xxhash64` hashes the type's byte representation.
+    */
+  private def requireBridgeAgreement(
+      fact: DataFrame, factKey: String, keys: DataFrame, keyCol: String): Unit = {
+    val ft = fact.schema(factKey).dataType
+    val kt = keys.schema(keyCol).dataType
+    val ok = (isIntegral(fact, factKey) && isIntegral(keys, keyCol)) || ft == kt
+    require(ok,
+      s"bloom bridge mismatch: fact[$factKey]=$ft vs keys[$keyCol]=$kt — the filter " +
+        "would insert one representation and probe another (silent false negatives). " +
+        "Cast one side so both are integral or both share the same type.")
+  }
+
   /** Sentinel: size the filter from a cheap `approx_count_distinct`
     * pre-pass over the key side (one HLL aggregate — O(key rows) scan,
     * constant state, no exact count job). A fixed guess degrades the
@@ -133,6 +156,7 @@ object BloomJoin {
       fpp: Double = 0.01,
       expectedItems: Long = AutoSize,
   ): DataFrame = {
+    requireBridgeAgreement(fact, factKey, keys, keyCol)
     val keyFrame = keys.select(keyCol).distinct()
     val bloom = buildBloom(keyFrame, keyCol, expectedItems, fpp)
     fact
@@ -169,6 +193,7 @@ object BloomJoin {
       fpp: Double = 0.01,
       expectedItems: Long = AutoSize,
   ): DataFrame = {
+    requireBridgeAgreement(fact, factKey, keys, keyCol)
     val keyFrame = keys.select(keyCol).distinct()
     val bloom = buildBloom(keyFrame, keyCol, expectedItems, fpp)
     // NULL keys: mightContain(null) is NULL, which `where` treats as

@@ -112,10 +112,15 @@ object StreamingHeavyHitters {
             HHState(wins.toVector.sortBy(_._1).map { case (w, es) => WinSummary(w, es) })
           }
         val (ready, open) = merged.wins.partition(w => w.win + windowMs < wmMs)
-        state.update(HHState(open))
-        if (open.nonEmpty)
+        // State is OPEN WINDOWS ONLY: when every window finalized, remove
+        // the entry outright — an empty HHState with no timeout would sit
+        // in the store forever (one per bucket ever seen).
+        if (open.isEmpty) state.remove()
+        else {
+          state.update(HHState(open))
           state.setTimeoutTimestamp(
             math.max(open.iterator.map(_.win + windowMs).min, wmMs + 1L))
+        }
         ready.sortBy(_.win).iterator.flatMap { w =>
           w.entries.sortBy(e => (-e.est, e.key)).iterator
             .map(e => HeavyHitter(bucket, w.win, e.key, e.est, e.err))

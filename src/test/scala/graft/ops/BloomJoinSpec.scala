@@ -92,6 +92,31 @@ class BloomJoinSpec extends SparkSpec {
     assert(anti.where(col("cust").isNull).count() == 1L)
   }
 
+  test("mixed bridge representations fail loudly instead of silently dropping matches") {
+    // string key side vs long fact side: the build would insert
+    // xxhash64(string) while the probe sends raw longs — every true
+    // match silently filtered. The join entry points must refuse.
+    val fact = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val strKeys = Seq("1", "2").toDF("key")
+    val e1 = intercept[IllegalArgumentException] {
+      BloomJoin.bloomSemiJoin(fact, strKeys, "k", "key")
+    }
+    assert(e1.getMessage.contains("bloom bridge mismatch"))
+    val e2 = intercept[IllegalArgumentException] {
+      BloomJoin.bloomAntiJoin(fact, strKeys, "k", "key")
+    }
+    assert(e2.getMessage.contains("bloom bridge mismatch"))
+    // differing non-integral types diverge under xxhash64 too: refuse
+    val dateKeys = Seq(java.sql.Date.valueOf("2024-01-01")).toDF("key")
+    val strFact = Seq(("2024-01-01", 1L)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      BloomJoin.bloomSemiJoin(strFact, dateKeys, "k", "key")
+    }
+    // integral widths may differ freely (both ride putLong)
+    val intKeys = Seq(1, 2).toDF("key")
+    assert(BloomJoin.bloomSemiJoin(fact, intKeys, "k", "key").count() == 2L)
+  }
+
   test("q90 MAD fixture: hand-computed robust gate") {
     val df = Seq(
       ("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 100.0),
