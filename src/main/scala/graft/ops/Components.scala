@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.ops.Pin.PinOps
+
 /** Connected components over an edge list by iterated min-label
   * propagation — the step that turns near-duplicate PAIRS (q30/q41/q38
   * output) into dedup CLUSTERS so a pipeline can keep one canonical
@@ -19,7 +21,7 @@ import org.apache.spark.sql.functions._
   * are short-diameter (near-dup similarity is transitive-ish), so
   * this converges in a handful of rounds. The driver only runs the
   * loop and a 1-row convergence probe per round; all data stays
-  * distributed. Each round `localCheckpoint`s the label frame: without
+  * distributed. Each round pins the label frame ([[Pin]]: localCheckpoint, or reliable checkpoint under [[Pin.Flag]]): without
   * it the plan lineage doubles per iteration and planning time, not
   * data, becomes the bottleneck (the iterative-algorithm analog of the
   * q41 cascade's materialization barrier).
@@ -44,10 +46,10 @@ object Components {
     // undirected: propagate both ways
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
-      .localCheckpoint(eager = true) // edges are re-joined every round
+      .pinLineage(eager = true) // edges are re-joined every round
     var labels = sym.select(col("a").as("v")).distinct()
       .withColumn("comp", col("v"))
-      .localCheckpoint(eager = true)
+      .pinLineage(eager = true)
     // Convergence probe: per-vertex labels only ever DECREASE (min of
     // a set containing the old label), so the exact label sum is
     // strictly monotone in every changing round — sum equality ⇔ no
@@ -73,7 +75,7 @@ object Components {
         .select(col("b").as("v"), col("comp"))
         .union(labels.select(col("v"), col("comp")))
         .groupBy("v").agg(min(col("comp")).as("comp"))
-        .localCheckpoint(eager = false)
+        .pinLineage(eager = false)
       val s = labelSum(prop)
       labels = prop
       done = s.compareTo(prevSum) == 0
@@ -118,7 +120,7 @@ object Components {
     val verts = edges.select(col(srcCol).as("v"))
       .union(edges.select(col(dstCol).as("v")))
       .distinct()
-      .localCheckpoint(eager = true)
+      .pinLineage(eager = true)
 
     def canon(e: DataFrame): DataFrame =
       e.where(col("a") =!= col("b"))
@@ -160,7 +162,7 @@ object Components {
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
     var e = canon(edges.select(col(srcCol).as("a"), col(dstCol).as("b")))
-      .localCheckpoint(eager = false) // the init aggregate materializes it
+      .pinLineage(eager = false) // the init aggregate materializes it
     val init = e.agg(
       sum((col("a") + col("b")).cast(dec38)),
       min(col("a")), count(lit(1))).head()
@@ -172,7 +174,7 @@ object Components {
     while (!done && round < maxIter) {
       // lazy checkpoint + probe-as-materializer: one action per round
       // (same rule as the propagation loop)
-      val next = canon(smallStar(largeStar(e))).localCheckpoint(eager = false)
+      val next = canon(smallStar(largeStar(e))).pinLineage(eager = false)
       val s = edgeSum(next)
       done = s.compareTo(prevSum) == 0
       e = next

@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.ops.Pin.PinOps
+
 /** Whole-graph analytics over edge-list frames — triangle counting and
   * fixed-point PageRank — completing the DataFrame-native graph
   * surface [[Components]] starts. Same contract: the graph IS an edge
@@ -43,11 +45,11 @@ object GraphOps {
     // (deg ×3, or ×2 via the wedge self-join), and self-join alias
     // dedup breaks exchange-reuse canonicalization — without their own
     // checkpoints each reference recomputes a full-edge aggregation.
-    val e = canon(edges, srcCol, dstCol).localCheckpoint(eager = true)
+    val e = canon(edges, srcCol, dstCol).pinLineage(eager = true)
     val deg = e.select(col("a").as("v"))
       .union(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
-      .localCheckpoint(eager = true) // |V| rows
+      .pinLineage(eager = true) // |V| rows
     val lower = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
     val or = e
@@ -56,7 +58,7 @@ object GraphOps {
       .select(
         when(lower, col("a")).otherwise(col("b")).as("u"),
         when(lower, col("b")).otherwise(col("a")).as("w"))
-      .localCheckpoint(eager = true) // |E| rows, read twice by the wedge self-join
+      .pinLineage(eager = true) // |E| rows, read twice by the wedge self-join
     val wedges = or.as("e1")
       .join(or.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
@@ -101,7 +103,7 @@ object GraphOps {
       iters: Int = 3,
       scale: Long = 1000000000L,
   ): DataFrame = {
-    val e = canon(edges, srcCol, dstCol).localCheckpoint(eager = true)
+    val e = canon(edges, srcCol, dstCol).pinLineage(eager = true)
     // The symmetrized edge list is the streamed side of one join PER
     // ITERATION, always on the same key. Cache it pre-partitioned and
     // pre-sorted on that key (persist, not localCheckpoint — an
@@ -115,7 +117,7 @@ object GraphOps {
     // deg: |V| rows, referenced every iteration — freeze it once (the
     // groupBy rides sym's partitioning, so this costs no exchange)
     val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(eager = true)
+      .pinLineage(eager = true)
     var pr = deg.select(col("v"), lit(scale).as("pr"), col("deg"))
     for (_ <- 1 to iters) {
       val contrib = sym.as("s")
@@ -165,14 +167,14 @@ object GraphOps {
       seedCol: String,
       maxHops: Int = 20,
   ): DataFrame = {
-    val e = canon(edges, srcCol, dstCol).localCheckpoint(eager = true)
+    val e = canon(edges, srcCol, dstCol).pinLineage(eager = true)
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .repartition(col("a"))
       .sortWithinPartitions("a")
       .persist()
     var frontier = seeds.select(col(seedCol).as("v")).distinct()
       .join(sym.select(col("a").as("v")), Seq("v"), "left_semi")
-      .localCheckpoint(eager = true)
+      .pinLineage(eager = true)
     var dist = frontier.withColumn("d", lit(0L))
     var k = 0
     var done = frontier.isEmpty
@@ -182,11 +184,11 @@ object GraphOps {
         .join(frontier.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
         .select(col("b").as("v")).distinct()
         .join(dist, Seq("v"), "left_anti")
-        .localCheckpoint(eager = true) // probed + expanded next round
+        .pinLineage(eager = true) // probed + expanded next round
       if (next.isEmpty) done = true
       else {
         dist = dist.union(next.withColumn("d", lit(k.toLong)))
-          .localCheckpoint(eager = false) // pinned by next round's job
+          .pinLineage(eager = false) // pinned by next round's job
         frontier = next
       }
     }
@@ -226,7 +228,7 @@ object GraphOps {
       dstCol: String,
       rounds: Int = 3,
   ): DataFrame = {
-    val e = canon(edges, srcCol, dstCol).localCheckpoint(eager = true)
+    val e = canon(edges, srcCol, dstCol).pinLineage(eager = true)
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .repartition(col("a"))
       .sortWithinPartitions("a")

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage pinning for iterative loops ([[Components]], [[GraphOps]],
+  * [[Ranks]]): every round must cut the plan lineage or planning time
+  * doubles per iteration. The DEFAULT is `localCheckpoint` — executor
+  * block storage, no extra I/O, the right call on a healthy cluster
+  * and in local mode.
+  *
+  * The escape hatch: `localCheckpoint` blocks live on executors, so on
+  * a real multi-executor cluster LOSING an executor mid-loop kills the
+  * computation (local checkpoints are non-recoverable by design —
+  * public Spark scaladoc on `Dataset.localCheckpoint`). For long loops
+  * on preemptible/spot executors, set
+  *
+  * {{{
+  * spark.conf.set(Pin.Flag, "true")
+  * spark.sparkContext.setCheckpointDir("hdfs://…/checkpoints") // or s3a://
+  * }}}
+  *
+  * and every loop round writes a RELIABLE checkpoint to the fault-
+  * tolerant store instead — survivable at the price of one write+read
+  * of the (small, shrinking) per-round frame. No query signature
+  * changes: the flag is session-scoped runtime conf, flippable per job
+  * (`--conf spark.graft.reliableCheckpoints=true`).
+  *
+  * Mirrors the durability contract the reference states for its
+  * control-plane persistence (gads-etl `docs/storage_realism.md:35-40`):
+  * transient state may be fast-but-lossy only where a retry can
+  * rebuild it; anything a long computation depends on needs a durable
+  * home.
+  */
+object Pin {
+
+  /** Session conf flag: "true" → reliable `checkpoint()` into the
+    * configured checkpoint dir; anything else → `localCheckpoint()`.
+    */
+  val Flag = "spark.graft.reliableCheckpoints"
+
+  def apply(df: DataFrame, eager: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    val reliable = spark.conf.getOption(Flag).exists(_.equalsIgnoreCase("true"))
+    if (reliable) {
+      require(
+        spark.sparkContext.getCheckpointDir.isDefined,
+        s"$Flag=true requires spark.sparkContext.setCheckpointDir(<fault-tolerant dir>)")
+      df.checkpoint(eager)
+    } else df.localCheckpoint(eager)
+  }
+
+  /** `df.pinLineage(eager)` — chainable form of [[Pin.apply]]. */
+  implicit class PinOps(private val df: DataFrame) extends AnyVal {
+    def pinLineage(eager: Boolean = true): DataFrame = Pin(df, eager)
+  }
+}

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ops.Pin.PinOps
+
 /** Distributed global ranking — the scalable replacement for an
   * unpartitioned `Window.orderBy` (which Spark executes as ONE task
   * holding the whole frame, the q67/q83 few-groups-window bottleneck).
@@ -26,7 +28,7 @@ object Ranks {
   /** Adds column `out` = the 1-based global row_number of each row
     * under the total order `order`, without a single-task sort.
     *
-    * The pid-stamped frame is localCheckpoint'd: the partition-count
+    * The pid-stamped frame is lineage-pinned ([[Pin]]): the partition-count
     * branch and the rank branch both read it, and the checkpoint pins
     * one materialization (and one pid assignment) for both. Intended
     * input is a REDUCED frame (per-entity aggregates, ≪ facts) — the
@@ -37,7 +39,7 @@ object Ranks {
     val p = df
       .repartitionByRange(order: _*)
       .withColumn("__pid", spark_partition_id().cast("long"))
-      .localCheckpoint(true)
+      .pinLineage(true)
     val offs = p
       .groupBy("__pid")
       .agg(count(lit(1)).as("__c"))
@@ -81,7 +83,7 @@ object Ranks {
       .withColumn("__v", value)
       .repartitionByRange(order: _*)
       .withColumn("__pid", spark_partition_id().cast("long"))
-      .localCheckpoint(true)
+      .pinLineage(true)
     val offs = p
       .groupBy("__pid")
       .agg(count(lit(1)).as("__c"), sum(col("__v")).as("__s"))

@@ -36,6 +36,35 @@ class ComponentsSpec extends SparkSpec {
     intercept[IllegalArgumentException](cc(path, maxIter = 2))
   }
 
+  test("reliable-checkpoint mode (Pin.Flag) gives identical answers and writes to the dir") {
+    val dir = java.nio.file.Files.createTempDirectory("relckpt").toString
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (7L, 7L))
+    val want = cc(edges)
+    spark.conf.set(Pin.Flag, "true")
+    try {
+      // flag without a checkpoint dir: loud refusal, not a silent fallback
+      val sc = spark.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        intercept[IllegalArgumentException](cc(edges))
+      sc.setCheckpointDir(dir)
+      assert(cc(edges) == want)
+      assert(Components
+        .connectedComponentsStar(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap == want)
+      val ranked = Ranks.withGlobalRank(
+        (1L to 100L).toDF("x"), Seq(col("x").desc), "rk")
+        .as[(Long, Long)].collect().toMap
+      assert(ranked(100L) == 1L && ranked(1L) == 100L)
+      // the loops really checkpointed into the reliable dir
+      def files(f: java.io.File): Seq[java.io.File] = {
+        val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        kids ++ kids.flatMap(files)
+      }
+      assert(files(new java.io.File(dir)).exists(_.isFile),
+        s"expected checkpoint files under $dir")
+    } finally spark.conf.unset(Pin.Flag)
+  }
+
   private def ccStar(edges: Seq[(Long, Long)], maxIter: Int = 50): Map[Long, Long] =
     Components
       .connectedComponentsStar(edges.toDF("a", "b"), "a", "b", maxIter)
