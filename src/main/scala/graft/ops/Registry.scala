@@ -13,7 +13,8 @@ object Registry {
       graft.llm.TrainingDataQueries.all ++ InteropQueries.all ++
       ScaleQueries.all ++ graft.llm.CorpusQueries.all ++ SubqueryQueries.all ++
       TimeSeriesQueries.all ++ SketchQueries.all ++ GraphQueries.all ++
-      graft.llm.RetrievalQueries.all ++ StatQueries.all
+      graft.llm.RetrievalQueries.all ++ StatQueries.all ++
+      graft.warehouse.CatalogQueries.all
 
   val byName: Map[String, QuerySpec] = ListMap(all.map(q => q.name -> q): _*)
 

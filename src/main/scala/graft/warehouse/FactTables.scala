@@ -50,6 +50,67 @@ object FactTables {
       .withColumn("cost", EtlFunctions.microsToCurrency(col("cost_micros")))
   }
 
+  /** Build fact_ad_group_daily rows (reference
+    * database/schema/warehouse_tables.sql:13-23) from raw ad-group
+    * daily payloads (columns: customer_id, ad_group_id, campaign_id,
+    * device, date, conversions, cost_micros, value_per_conversion,
+    * run_id). Same authority rule as [[campaignDaily]]: newest run per
+    * PK grain wins, then re-aggregate to the grain. The carried
+    * dimensions (campaign_id, device) take the grain's maximum — they
+    * are functionally dependent on the grain in well-formed payloads,
+    * and a deterministic tiebreak beats a nondeterministic `first`.
+    * `value_per_conversion` is a RATIO, so it re-aggregates as the
+    * conversions-weighted mean, NULL when the grain has no conversions.
+    */
+  def adGroupDaily(payload: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(AdGroupGrain.map(col): _*)
+    val dec = "decimal(18,4)"
+    payload
+      .withColumn("__max_run", max("run_id").over(w))
+      .where(col("run_id") === col("__max_run"))
+      .groupBy(AdGroupGrain.map(col): _*)
+      .agg(
+        max("campaign_id").as("campaign_id"),
+        max("device").as("device"),
+        sum(col("conversions").cast(dec)).cast(dec).as("conversions"),
+        sum("cost_micros").as("cost_micros"),
+        (sum(col("value_per_conversion").cast(dec) * col("conversions").cast(dec)) /
+          nullif(sum(col("conversions").cast(dec)), lit(0).cast(dec)))
+          .cast(dec).as("value_per_conversion"),
+      )
+  }
+
+  /** Register a daily fact in the session catalog, PARTITIONED BY date
+    * — the serving layout `database/schema/warehouse_tables.sql`
+    * implies (every PK ends in `date`; replace/backfill operates on
+    * date slices). Consumers read `spark.table(tableName)`; partition
+    * pruning serves date-ranged queries from the touched slices only.
+    * Pass `path` for an external location (a metastore-managed
+    * warehouse dir otherwise).
+    */
+  def registerPartitioned(df: DataFrame, tableName: String, path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").partitionBy("date").format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(tableName)
+  }
+
+  /** D3 through the CATALOG: replace exactly the date partitions
+    * present in `rows`, leaving every other date untouched (dynamic
+    * partition overwrite — the INSERT OVERWRITE ... PARTITION(date)
+    * semantics the reference's replace-by-partition contract names).
+    * Column order follows the catalog schema, so callers pass rows in
+    * any column order.
+    */
+  def replaceDatePartitions(spark: SparkSession, tableName: String, rows: DataFrame): Unit = {
+    val cols = spark.table(tableName).columns
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rows.select(cols.map(col): _*).write.mode("overwrite").insertInto(tableName)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Write a fact table bucketed on customer_id (co-located joins). */
   def writeBucketed(df: DataFrame, tableName: String, buckets: Int = 16): Unit =
     df.write

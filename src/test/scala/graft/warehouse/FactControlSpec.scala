@@ -32,6 +32,59 @@ class FactTablesSpec extends SparkSpec {
       .where(col("count") > 1).count() == 0)
   }
 
+  test("adGroupDaily: newest run wins, ratio re-aggregates conversions-weighted, NULL at 0 conv") {
+    val payload = Seq(
+      // grain (c1, ag1, d): run 2 wins; its two split rows re-aggregate
+      ("c1", 10L, 1L, "MOBILE", Date.valueOf("2024-01-01"), 2.0, 1000000L, 5.0, 1L),
+      ("c1", 10L, 1L, "MOBILE", Date.valueOf("2024-01-01"), 1.0, 500000L, 8.0, 2L),
+      ("c1", 10L, 1L, "MOBILE", Date.valueOf("2024-01-01"), 3.0, 900000L, 4.0, 2L),
+      // grain (c2, 20, d): zero conversions → value_per_conversion NULL
+      ("c2", 20L, 2L, "DESKTOP", Date.valueOf("2024-01-01"), 0.0, 700000L, 0.0, 1L),
+    ).toDF("customer_id", "ad_group_id", "campaign_id", "device", "date",
+      "conversions", "cost_micros", "value_per_conversion", "run_id")
+    val fact = FactTables.adGroupDaily(payload).orderBy("customer_id")
+    val rows = fact.collect()
+    assert(rows.length == 2)
+    val r1 = rows(0)
+    assert(r1.getAs[java.math.BigDecimal]("conversions").doubleValue() == 4.0)
+    assert(r1.getAs[Long]("cost_micros") == 1400000L)
+    // weighted mean: (1·8 + 3·4) / 4 = 5
+    assert(r1.getAs[java.math.BigDecimal]("value_per_conversion").doubleValue() == 5.0)
+    val r2 = rows(1)
+    assert(r2.isNullAt(r2.fieldIndex("value_per_conversion")))
+    assert(fact.groupBy(FactTables.AdGroupGrain.map(col): _*).count()
+      .where(col("count") > 1).count() == 0)
+  }
+
+  test("replaceDatePartitions through the catalog replaces ONLY the touched date slices") {
+    val dir = java.nio.file.Files.createTempDirectory("catfact").toString
+    def rows(d: String, imp: Long) = Seq(
+      ("c1", 1L, Date.valueOf(d), imp),
+      ("c2", 2L, Date.valueOf(d), imp + 1),
+    ).toDF("customer_id", "campaign_id", "date", "impressions")
+    val full = rows("2024-01-01", 10L)
+      .unionByName(rows("2024-01-02", 20L))
+      .unionByName(rows("2024-01-03", 30L))
+    try {
+      FactTables.registerPartitioned(full, "graft_cat_test", Some(s"$dir/t"))
+      // backfill re-lands ONLY Jan 2 with new numbers
+      FactTables.replaceDatePartitions(
+        spark, "graft_cat_test", rows("2024-01-02", 999L))
+      val got = spark.table("graft_cat_test")
+        .groupBy("date").agg(sum("impressions").as("s"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set(
+        ("2024-01-01", 21L, 2L), // untouched
+        ("2024-01-02", 1999L, 2L), // replaced, not appended
+        ("2024-01-03", 61L, 2L), // untouched
+      ))
+      // date-pruned read plans against the single touched partition
+      val pruned = spark.table("graft_cat_test")
+        .where(col("date") === lit("2024-01-02").cast("date"))
+      assert(pruned.count() == 2L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_cat_test")
+  }
+
   test("bucketed fact⋈fact join on customer_id plans with NO shuffle exchange") {
     val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
