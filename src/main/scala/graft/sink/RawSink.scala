@@ -359,6 +359,16 @@ object RawSink {
     p.getFileSystem(conf).exists(p)
   }
 
+  /** Schemes whose FileSystems are OBJECT STORES: (a) an in-progress
+    * create is INVISIBLE until close (a PUT materializes whole objects
+    * only — no partial-file visibility), and (b) rename is a
+    * non-atomic copy+delete, so the tmp+rename claim used elsewhere
+    * offers no atomicity there. On these, the claim is the single-shot
+    * conditional create below.
+    */
+  private val ObjectStoreSchemes =
+    Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos", "swift")
+
   /** Executor-side metadata-last seal write. `overwrite = false` makes
     * the create an atomic claim. An already-present seal is tolerated
     * ONLY when its content is byte-identical to what this task would
@@ -370,6 +380,33 @@ object RawSink {
     * failures are inspected; unrelated IO errors (missing parent dir,
     * permissions) propagate and fail the write job before the manifest
     * is appended.
+    *
+    * CLAIM STRATEGY BY STORAGE CLASS (the reference's object-backend
+    * finalize refuses when `metadata.json` exists —
+    * gads-etl `raw_sink_object.py:115-133`, `docs/storage_realism.md:35-40`
+    * — but a bare exists-check has a TOCTOU window; each backend gets
+    * the strongest primitive it actually offers):
+    *
+    *  - POSIX `file:` — hard-link publish: `link(2)` fails EEXIST
+    *    atomically in the kernel.
+    *  - HDFS-like (default) — write-temp-then-rename: rename without
+    *    overwrite is atomic at the NameNode and rejects an existing
+    *    destination.
+    *  - Object stores ([[ObjectStoreSchemes]]) — CONDITIONAL PUT:
+    *    one `create(seal, overwrite=false)` writing the whole (tiny)
+    *    seal. No tmp object is needed — a PUT that dies mid-write
+    *    materializes nothing. On connectors with conditional-write
+    *    support (e.g. S3A's `fs.s3a.create.conditional.enabled`,
+    *    which maps close() to an `If-None-Match: *` PUT), the claim is
+    *    atomic AT THE STORE; enable it in production. Connectors
+    *    without it degrade to HEAD-then-PUT — a narrow double-PUT
+    *    window between two writers racing the SAME (key, run_id),
+    *    which the run-fence contract already forbids; and because both
+    *    racers' payloads are complete by seal time, the clobber is
+    *    between byte-identical seals of equal-validity runs. The
+    *    MANIFEST stays the arbiter of record either way: consumers
+    *    discover runs through the manifest index, which is appended
+    *    exactly once per writeRun AFTER all seals land.
     */
   private[sink] def writeSealFile(
       conf: org.apache.hadoop.conf.Configuration, root: String, s: SealRow): Unit = {
@@ -391,6 +428,30 @@ object RawSink {
         throw new IllegalStateException(
           s"seal conflict at $sealPath: existing seal differs from this run's " +
             "(concurrent writers sharing a run_id violate the run-fence contract)")
+    if (ObjectStoreSchemes.contains(fs.getScheme)) {
+      // Conditional-put claim: whole-object PUT-if-absent. A partial
+      // write materializes nothing on an object store, so there is no
+      // partial-seal hazard and no tmp object. The connector surfaces a
+      // lost conditional write as FileAlreadyExistsException at create
+      // (HEAD path) or as a remote-conflict IOException at close (true
+      // If-None-Match path) — both mean "lost the claim", both routes
+      // content-check the winner.
+      val claimed =
+        try {
+          val out = fs.create(sealPath, false)
+          try out.write(json.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case e: java.io.IOException
+              if e.getClass.getSimpleName == "RemoteFileChangedException" =>
+            false
+        }
+      if (!claimed) verifyOrThrow()
+      return
+    }
     // Write-temp-then-rename: a bare create-then-write would let a task
     // that died mid-write leave a PARTIAL seal which every retry then
     // misreads as a foreign conflict. The rename publishes the complete

@@ -9,6 +9,18 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.model.{PartitionKey, PartitionState}
 
+/** A local FileSystem that ANSWERS as an object store (`getScheme` =
+  * "s3a") so the seal writer's conditional-put branch runs against
+  * local disk: create(overwrite=false) on an existing path throws
+  * FileAlreadyExistsException — the same "lost the claim" signal the
+  * real connector raises (at create on the HEAD path, at close on the
+  * If-None-Match path).
+  */
+class FakeObjectStoreFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "s3a"
+  override def getUri: java.net.URI = java.net.URI.create("s3a:///")
+}
+
 class RawSinkSpec extends SparkSpec {
   import spark.implicits._
 
@@ -163,6 +175,31 @@ class RawSinkSpec extends SparkSpec {
     val surviving = RawSink.readSealRow(conf, root,
       RawSink.Tuple5RowCase("s", "c", "q", Date.valueOf("2024-01-01"), "r1"))
     assert(surviving.record_count == 5L, "original seal content must survive a conflicting claim")
+  }
+
+  test("object-store seal claim: conditional PUT path — idempotent retry, conflict throws, no tmp objects") {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("fs.s3a.impl", classOf[FakeObjectStoreFs].getName)
+    conf.set("fs.s3a.impl.disable.cache", "true")
+    val localRoot = Files.createTempDirectory("sealobj").toString
+    val root = s"s3a:$localRoot"
+    val row = RawSink.SealRow("s", "c", "q", Date.valueOf("2024-01-01"), 5L, "r1", "v1")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(RawSink.runDirPath(localRoot, row).toString))
+    RawSink.writeSealFile(conf, root, row)
+    RawSink.writeSealFile(conf, root, row) // identical retry: lost claim, content matches
+    val e = intercept[IllegalStateException](
+      RawSink.writeSealFile(conf, root, row.copy(record_count = 99L)))
+    assert(e.getMessage.contains("seal conflict"))
+    // single-shot PUT path: no tmp artifacts ever touch the store
+    val dir = new java.io.File(RawSink.runDirPath(localRoot, row).toString)
+    assert(dir.listFiles().forall(f => !f.getName.contains(".tmp-")),
+      s"object-store claim must not write tmp objects: ${dir.listFiles().map(_.getName).mkString(",")}")
+    // and the original seal survived both the retry and the conflict
+    val surviving = RawSink.readSealRow(conf, root,
+      RawSink.Tuple5RowCase("s", "c", "q", Date.valueOf("2024-01-01"), "r1"))
+    assert(surviving.record_count == 5L)
   }
 
   test("repairManifest reconciles a lost index from the directory tree") {
