@@ -61,6 +61,45 @@ object ScaleQueries {
   )
 
   // ---------------------------------------------------------------------
+  // q187 — bloom-prefiltered ANTI-join: revenue of lineitems whose
+  // order is NOT in the urgent key set — the decontamination shape
+  // (q75/q117/q149 remove benchmark-tainted training rows the same
+  // way: "everything EXCEPT members of this key set"). The bloom can
+  // only err toward false POSITIVES, so `NOT mightContain` rows are
+  // definitely-clean and BYPASS the join entirely; only the ~member
+  // fraction + fpp routes through the exact anti-join
+  // ([[BloomJoin.bloomAntiJoin]]'s two-branch union). The oracle is
+  // the plain NOT EXISTS — the bloom changes the exchange volume,
+  // never the answer.
+  //
+  // Scale: at 100 TB the anti-join is the EXPENSIVE direction of
+  // membership (every clean row — the vast majority — would ride the
+  // shuffle in a plain anti-join); the definite-non-member branch
+  // turns that majority into a scan-side filter, so the exchange
+  // carries only the contaminated-ish sliver. Complements q87, which
+  // proves the semi direction.
+  val q187: QuerySpec = QuerySpec(
+    "q187_bloom_anti_join",
+    (s, d) => {
+      val keys = orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+      BloomJoin
+        .bloomAntiJoin(lineitem(s, d), keys, "l_orderkey", "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"), revenueExpr.as("revenue"))
+        .orderBy("l_returnflag")
+    },
+    Some(
+      "SELECT l_returnflag, count(*) AS n_items, " +
+        s"$revenueSql AS revenue " +
+        "FROM lineitem l WHERE NOT EXISTS (" +
+        "SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey " +
+        "AND o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'F') " +
+        "GROUP BY 1 ORDER BY l_returnflag"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
   // q90 — robust outlier detection: per order priority, the median and
   // MAD (median absolute deviation) of o_totalprice, and how many
   // orders sit beyond the standard robust z-score gate
@@ -1714,7 +1753,7 @@ object ScaleQueries {
   )
 
   val all: Seq[QuerySpec] =
-    Seq(q87, q90, q93, q94, q95, q96, q97, q100, q101, q102, q105, q106, q107,
+    Seq(q87, q187, q90, q93, q94, q95, q96, q97, q100, q101, q102, q105, q106, q107,
       q108, q109, q110, q112, q124, q129, q132, q133, q144, q147, q148, q154,
       q155, q158, q159, q160, q161, q162, q163, q165, q166, q167)
 }
