@@ -92,6 +92,27 @@ class BloomJoinSpec extends SparkSpec {
     assert(anti.where(col("cust").isNull).count() == 1L)
   }
 
+  test("q187 plan: bloom probe on both branches, exactly one anti-join (the member-ish sliver)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // registry lookup keeps the spec in lockstep with the shipped plan
+    val q = Registry.byName("q187_bloom_anti_join").run(spark, sfDir)
+    q.count() // settle AQE
+    val physical = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val s = physical.toString
+    // both branches carry the codegen'd probe as a row-level Filter —
+    // the economics contract: non-members never reach any exchange
+    assert(s.contains("might_contain"), s"bloom probe missing from plan:\n$s")
+    val antiJoins = physical.collect {
+      case j: BaseJoinExec if j.joinType.toString == "LeftAnti" => j
+    }
+    assert(antiJoins.size == 1,
+      s"exactly the member-ish branch routes through one exact anti-join:\n$s")
+  }
+
   test("mixed bridge representations fail loudly instead of silently dropping matches") {
     // string key side vs long fact side: the build would insert
     // xxhash64(string) while the probe sends raw longs — every true
