@@ -160,6 +160,23 @@ class StatQueriesSpec extends SparkSpec {
     (4L to 10L).foreach(d => assert(got(d) == ((1L, 0L, 0L)), s"decile $d"))
   }
 
+  test("q183: zero conversions overall yields NULL lift, not a crash (the NULLIF guard)") {
+    val dir = java.nio.file.Files.createTempDirectory("q183zero").toString
+    (1L to 10L).map(i => (i, 11.0 - i))
+      .toDF("c_custkey", "c_acctbal").write.parquet(s"$dir/customer.parquet")
+    // urgent orders exist for NO customer in the table ⇒ conv_all = 0
+    Seq((999L, 999L, "3-MEDIUM"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val rows = StatQueries.q183.run(spark, dir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_converted") == 0L)
+      assert(r.isNullAt(r.fieldIndex("lift_bp")),
+        "lift over a zero base rate is NULL in both engines (NULLIF), not a div error")
+    }
+  }
+
   test("q184: the three models split hand-built journeys exactly") {
     val dir = java.nio.file.Files.createTempDirectory("q184fix").toString
     def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
