@@ -120,6 +120,26 @@ object EndToEnd {
     println(s"""{"stage":"consume","visible_rows":${gated.count()},"sampled":${sample.count()},"runs":"${runsVisible.mkString(",")}"}""")
     require(runsVisible.contains(run2.runId), "superseding run must be visible")
 
+    // ---- 6. serve (K5 + warehouse_tables.sql): daily facts built from
+    //      the gated consumer rows, PK-deduped (newest run wins — the
+    //      superseding run2 from stage 4 takes its grain), registered
+    //      in the session catalog partitioned by date, read back via
+    //      spark.table — the serving surface a reporting tool queries.
+    val factPayload = gated.select(
+      col("customer_id"),
+      col("event_type").as("campaign_id"),
+      col("logical_date").as("date"),
+      lit(1L).as("impressions"),
+      when(col("value") > 0, 1L).otherwise(0L).as("clicks"),
+      col("value").cast("decimal(18,4)").as("conversions"),
+      (col("value").cast("decimal(18,4)") * 1000000).cast("long").as("cost_micros"),
+      col("run_id"))
+    val fact = graft.warehouse.FactTables.campaignDaily(factPayload)
+    graft.warehouse.FactTables.registerPartitioned(
+      fact, "e2e_fact_campaign_daily", Some(s"$work/serving/fact_campaign_daily"))
+    val served = spark.table("e2e_fact_campaign_daily")
+    println(s"""{"stage":"serve","fact_rows":${served.count()},"dates":${served.select("date").distinct().count()}}""")
+
     println(s"""{"stage":"done","work_dir":"$work"}""")
     spark.stop()
   }
