@@ -46,6 +46,12 @@ object FactTables {
         sum("clicks").as("clicks"),
         sum(col("conversions").cast("decimal(18,4)")).cast("decimal(18,4)").as("conversions"),
         sum("cost_micros").as("cost_micros"),
+        // the authority that produced this grain row — all surviving
+        // rows share the grain's max run, so max ≡ that run. Carried so
+        // incremental maintenance (StreamingFactMaintenance) can fold
+        // NEW runs against stored grains, and a replayed batch can
+        // disown its own earlier contribution (idempotent re-fold).
+        max("run_id").as("last_run_id"),
       )
       .withColumn("cost", EtlFunctions.microsToCurrency(col("cost_micros")))
   }

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.sql.Date
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StreamingFactMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def payload(rows: Seq[(String, Long, String, Long, Long, Double, Long)]): DataFrame =
+    rows.toDF("customer_id", "campaign_id", "date_s", "impressions", "clicks",
+      "conversions", "cost_micros")
+      .withColumn("date", col("date_s").cast("date")).drop("date_s")
+
+  private def snapshot(t: String): Map[(String, Long, String), (Long, Long, String)] =
+    spark.table(t)
+      .select("customer_id", "campaign_id", "date", "impressions", "clicks", "last_run_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDate(2).toString) ->
+        (r.getLong(3), r.getLong(4), r.getString(5)))
+      .toMap
+
+  test("batches fold under newest-run-wins; replay is idempotent; untouched dates never move") {
+    val t = "graft_stream_fact"
+    val dir = java.nio.file.Files.createTempDirectory("streamfact").toString
+    try {
+      // batch 0 creates the table: two dates, split rows of one grain sum
+      StreamingFactMaintenance.maintainBatch(t, s"$dir/t")(payload(Seq(
+        ("c1", 10L, "2024-03-01", 5L, 1L, 1.0, 100L),
+        ("c1", 10L, "2024-03-01", 7L, 2L, 2.0, 200L), // same grain, same run: sums
+        ("c2", 20L, "2024-03-02", 3L, 1L, 0.5, 50L),
+      )), 0L)
+      val after0 = snapshot(t)
+      assert(after0(("c1", 10L, "2024-03-01")) == ((12L, 3L, "stream_000000000000")))
+      assert(after0(("c2", 20L, "2024-03-02")) == ((3L, 1L, "stream_000000000000")))
+
+      // batch 1: supersedes the (c1, 10, 03-01) grain and adds a new date
+      val b1 = payload(Seq(
+        ("c1", 10L, "2024-03-01", 100L, 9L, 9.0, 900L), // newer run wins the grain
+        ("c3", 30L, "2024-03-03", 1L, 0L, 0.0, 10L),
+      ))
+      StreamingFactMaintenance.maintainBatch(t, s"$dir/t")(b1, 1L)
+      val after1 = snapshot(t)
+      assert(after1(("c1", 10L, "2024-03-01")) == ((100L, 9L, "stream_000000000001")))
+      assert(after1(("c2", 20L, "2024-03-02")) == ((3L, 1L, "stream_000000000000")),
+        "untouched date keeps its run")
+      assert(after1(("c3", 30L, "2024-03-03")) == ((1L, 0L, "stream_000000000001")))
+
+      // replay of batch 1 (foreachBatch crash contract): identical table
+      StreamingFactMaintenance.maintainBatch(t, s"$dir/t")(b1, 1L)
+      assert(snapshot(t) == after1, "replayed batch must not double-count")
+
+      // empty batch: no-op
+      StreamingFactMaintenance.maintainBatch(t, s"$dir/t")(b1.limit(0), 2L)
+      assert(snapshot(t) == after1)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+}
