@@ -12,6 +12,33 @@ import math
 import sys
 
 import duckdb
+import pyarrow as pa
+
+
+def family(t):
+    """Arrow type FAMILY, mirroring the driver's typed hash: empirically
+    the driver is WIDTH-insensitive (int32 vs int64 hashes green — r04
+    q53/q62) but FAMILY-sensitive (decimal vs int hashes red — r04's 11
+    fails), and naive vs tz-aware timestamps differ."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return ("timestamp", t.tz is not None)
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return ("list", family(t.value_type))
+    return str(t)
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -37,34 +64,9 @@ for name, sql in sorted(oracle.items()):
             continue
         # The driver hashes TYPED output: a DuckDB DECIMAL(38,0)/HUGEINT vs a
         # Spark BIGINT is a hash mismatch even when every value compares equal
-        # in Python (1.0 == Decimal(1)). Empirically the driver is
-        # WIDTH-insensitive (int32 vs int64 hashes green — r04 q53/q62) but
-        # FAMILY-sensitive (decimal vs int hashes red — r04's 11 fails), so
-        # compare type FAMILIES, not exact Arrow types. Both sides come
-        # through DuckDB's fetch_arrow_table, so types share one Arrow space.
-        import pyarrow as pa  # noqa: PLC0415
-
-        def family(t):
-            if pa.types.is_integer(t):
-                return "int"
-            if pa.types.is_floating(t):
-                return "float"
-            if pa.types.is_decimal(t):
-                return "decimal"
-            if pa.types.is_string(t) or pa.types.is_large_string(t):
-                return "string"
-            if pa.types.is_binary(t) or pa.types.is_large_binary(t):
-                return "binary"
-            if pa.types.is_timestamp(t):
-                return ("timestamp", t.tz is not None)  # naive vs aware differ
-            if pa.types.is_date(t):
-                return "date"
-            if pa.types.is_boolean(t):
-                return "bool"
-            if pa.types.is_list(t) or pa.types.is_large_list(t):
-                return ("list", family(t.value_type))
-            return str(t)
-
+        # in Python (1.0 == Decimal(1)). Compare type FAMILIES (see family())
+        # — both sides come through DuckDB's fetch_arrow_table, so types
+        # share one Arrow space.
         tbad = None
         for c in wcols:
             wt = want.schema.field(c).type

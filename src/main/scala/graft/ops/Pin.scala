@@ -45,7 +45,21 @@ object Pin {
       require(
         spark.sparkContext.getCheckpointDir.isDefined,
         s"$Flag=true requires spark.sparkContext.setCheckpointDir(<fault-tolerant dir>)")
-      df.checkpoint(eager)
+      // Persist first: `checkpoint` computes the plan once for its
+      // action and AGAIN in the separate job that writes the
+      // checkpoint files — the cache turns the second pass into a
+      // read. Always eager here (the caller's lazy probe-as-
+      // materializer trick saves one job in local mode; in reliable
+      // mode the files must exist before unpersist anyway).
+      // Cleanup: Spark never deletes reliable checkpoints on its own —
+      // set spark.cleaner.referenceTracking.cleanCheckpoints=true so
+      // superseded rounds' files are removed as their frames are GC'd,
+      // and point the checkpoint dir at a per-job path that the job
+      // runner can delete at exit.
+      val persisted = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = persisted.checkpoint(eager = true)
+      persisted.unpersist()
+      out
     } else df.localCheckpoint(eager)
   }
 

@@ -12,24 +12,30 @@ import graft.warehouse.FactTables
   * `campaignDaily` + `replaceDatePartitions`, completing the "streams
   * are the same semantics" rule for the warehouse serve surface.
   *
-  * Mechanics per batch (its own run, `run_id` = zero-padded batch id —
-  * lexicographic ≡ arrival order, the T5 rule):
+  * The cross-batch authority is ARRIVAL ORDER — a batch's grains
+  * REPLACE the stored grains outright, by grain membership, never by
+  * comparing run-id strings. (An earlier draft arbitrated via
+  * `max(run_id)` over zero-padded batch ids; that silently discards
+  * new data after a stream restart with a fresh checkpoint — batch ids
+  * reset to 0 and sort below every stored id — and lets two streams
+  * sharing a prefix disown each other's rows. Grain membership has
+  * neither failure mode: the stream's later word is authoritative
+  * because it IS later, not because its name sorts higher.)
   *
-  *  1. stored grain rows of the TOUCHED dates re-enter the fold as
-  *     pseudo-payload under their recorded `last_run_id` (each grain
-  *     row is attributable to exactly ONE run — the grain's max);
-  *  2. rows whose `last_run_id` IS this batch's run are DROPPED first:
-  *     they are a replayed attempt's own output, and the replay
-  *     carries the full batch again (idempotent re-fold — the
-  *     foreachBatch replay contract);
-  *  3. `campaignDaily` re-runs the authority + grain aggregation over
-  *     pseudo + batch rows (a single-row pseudo payload reproduces
-  *     itself exactly: sums of one row are identities);
-  *  4. `replaceDatePartitions` rewrites ONLY the touched dates.
+  * Mechanics per batch:
   *
-  * Crash between partition replaces is self-healing: a half-applied
-  * batch's rows are recognized by `last_run_id` on replay and rebuilt
-  * from scratch, untouched runs re-enter as pseudo-payload unchanged.
+  *  1. the batch folds through `campaignDaily` alone — intra-batch
+  *     split rows sum, and the grain's `last_run_id` records this
+  *     batch's zero-padded id (provenance, not authority);
+  *  2. stored rows of the TOUCHED dates are kept only where their
+  *     grain does NOT appear in the batch (anti-join on the PK);
+  *  3. `replaceDatePartitions` rewrites ONLY the touched dates with
+  *     kept ∪ batch grains.
+  *
+  * Replay (the foreachBatch crash contract) is idempotent by
+  * construction: the batch's grains are rebuilt from the batch alone,
+  * and kept rows don't depend on who wrote them. A crash between
+  * partition replaces self-heals the same way.
   *
   * Scale: per batch, work is ∝ batch rows + stored rows of the touched
   * dates (partition-pruned read), never the whole fact; the write
@@ -46,28 +52,23 @@ object StreamingFactMaintenance {
   def maintainBatch(tableName: String, path: String, runPrefix: String = "stream")(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    if (batch.take(1).isEmpty) return
-    val runId = f"${runPrefix}_$batchId%012d"
+    if (batch.isEmpty) return
     val payload = batch
       .select(
         col("customer_id"), col("campaign_id"), col("date"),
         col("impressions"), col("clicks"), col("conversions"), col("cost_micros"))
-      .withColumn("run_id", lit(runId))
+      .withColumn("run_id", lit(f"${runPrefix}_$batchId%012d"))
+    val batchFact = FactTables.campaignDaily(payload)
     if (!spark.catalog.tableExists(tableName)) {
-      FactTables.registerPartitioned(
-        FactTables.campaignDaily(payload), tableName, Some(path))
+      FactTables.registerPartitioned(batchFact, tableName, Some(path))
       return
     }
     val touched = payload.select("date").distinct()
-    val pseudo = spark.table(tableName)
+    val kept = spark.table(tableName)
       .join(touched, Seq("date"), "left_semi") // partition-pruned slice
-      .where(col("last_run_id") =!= runId) // disown a replayed attempt's own output
-      .select(
-        col("customer_id"), col("campaign_id"), col("date"),
-        col("impressions"), col("clicks"), col("conversions"), col("cost_micros"),
-        col("last_run_id").as("run_id"))
-    val merged = FactTables.campaignDaily(pseudo.unionByName(payload))
-    FactTables.replaceDatePartitions(spark, tableName, merged)
+      .join(batchFact.select(FactTables.CampaignGrain.map(col): _*),
+        FactTables.CampaignGrain, "left_anti") // batch grains replace stored outright
+    FactTables.replaceDatePartitions(spark, tableName, kept.unionByName(batchFact))
   }
 
   /** Attach the maintainer to a streaming payload frame; caller picks

@@ -115,16 +115,30 @@ object FactTables {
     * Column order follows the catalog schema, so callers pass rows in
     * any column order.
     */
-  def replaceDatePartitions(spark: SparkSession, tableName: String, rows: DataFrame): Unit = {
-    val cols = spark.table(tableName).columns
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try rows.select(cols.map(col): _*).write.mode("overwrite").insertInto(tableName)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+  /** Serializes the session-conf flip in [[replaceDatePartitions]]:
+    * `insertInto` reads partitionOverwriteMode from the SESSION conf
+    * only (writer-level options are ignored on the insertInto path —
+    * measured: a concurrent restore window plans the insert in STATIC
+    * mode and wipes every untouched partition). The lock makes
+    * set→write→restore atomic across graft writers on one session;
+    * dynamic mode also (by design) permits the self-read that
+    * incremental maintenance does — staged files commit only after the
+    * job succeeds.
+    */
+  private val overwriteModeLock = new Object
+
+  def replaceDatePartitions(spark: SparkSession, tableName: String, rows: DataFrame): Unit =
+    overwriteModeLock.synchronized {
+      val cols = spark.table(tableName).columns
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try rows.select(cols.map(col): _*).write.mode("overwrite").insertInto(tableName)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
-  }
 
   /** Write a fact table bucketed on customer_id (co-located joins). */
   def writeBucketed(df: DataFrame, tableName: String, buckets: Int = 16): Unit =

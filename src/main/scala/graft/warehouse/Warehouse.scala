@@ -72,17 +72,14 @@ object Warehouse {
     // ledger (millions of rows at scale) — let Spark/AQE pick; the
     // 5-column semi join is cheap either way.
     val toWrite = rawRows.join(targets, PartitionKey.columns :+ "run_id", "left_semi")
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      toWrite.write
-        .partitionBy(PartitionKey.columns: _*)
-        .mode("overwrite") // dynamic: only partitions present in toWrite are replaced
-        .parquet(curatedRoot)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // Per-write option, not a session-conf flip: a concurrent publisher
+    // on the same session could otherwise plan its write in the restore
+    // window under STATIC overwrite and erase untouched partitions.
+    toWrite.write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(PartitionKey.columns: _*)
+      .mode("overwrite") // dynamic: only partitions present in toWrite are replaced
+      .parquet(curatedRoot)
   }
 
   /** Pointer-table update for a reconcile plan: load/replace upsert the

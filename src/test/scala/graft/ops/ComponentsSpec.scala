@@ -62,7 +62,10 @@ class ComponentsSpec extends SparkSpec {
       }
       assert(files(new java.io.File(dir)).exists(_.isFile),
         s"expected checkpoint files under $dir")
-    } finally spark.conf.unset(Pin.Flag)
+    } finally {
+      spark.conf.unset(Pin.Flag)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
   }
 
   private def ccStar(edges: Seq[(Long, Long)], maxIter: Int = 50): Map[Long, Long] =

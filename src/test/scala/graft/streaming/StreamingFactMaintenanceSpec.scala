@@ -56,6 +56,18 @@ class StreamingFactMaintenanceSpec extends SparkSpec {
       // empty batch: no-op
       StreamingFactMaintenance.maintainBatch(t, s"$dir/t")(b1.limit(0), 2L)
       assert(snapshot(t) == after1)
+
+      // stream RESTART with a fresh checkpoint: batch ids reset to 0,
+      // which sorts BELOW every stored id — arrival order must still
+      // win (grain membership, not run-id string comparison)
+      StreamingFactMaintenance.maintainBatch(t, s"$dir/t", "restart")(payload(Seq(
+        ("c1", 10L, "2024-03-01", 55L, 5L, 5.0, 500L),
+      )), 0L)
+      val afterRestart = snapshot(t)
+      assert(afterRestart(("c1", 10L, "2024-03-01")) == ((55L, 5L, "restart_000000000000")),
+        "a fresh incarnation's data must replace stored grains, not be discarded")
+      assert(afterRestart(("c2", 20L, "2024-03-02")) == after1(("c2", 20L, "2024-03-02")))
+      assert(afterRestart(("c3", 30L, "2024-03-03")) == after1(("c3", 30L, "2024-03-03")))
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 }
