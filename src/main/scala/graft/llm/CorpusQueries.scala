@@ -795,7 +795,66 @@ object CorpusQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q188 — exact-substring duplication profile: for every document,
+  // how many of its k-token windows (k = 8) appear verbatim in at
+  // least one OTHER document, and the floored-bp duplicated fraction —
+  // the per-document signal behind exact-substring dedup (Lee et al.
+  // 2022, "Deduplicating Training Data Makes Language Models Better":
+  // remove verbatim spans shared across documents, the complement of
+  // q41's whole-document near-dup and q99's set containment). A
+  // pipeline thresholds dup_bp to route documents to span-removal.
+  //
+  // Determinism: windows are exact strings on the §7.0 total order;
+  // all outputs are integer counts and a floored basis-point ratio.
+  //
+  // Scale: the window stream is tokens-sized (n−k+1 windows per doc —
+  // the q178 explode idiom, no HOFs); the share test is one groupBy on
+  // the window key + a semi-join back — candidates ∝ corpus, never
+  // doc-pairs. The group key here is the k-token STRING (oracle
+  // exactness); production swaps it for xxhash64(gram) and shuffles
+  // 8-byte keys instead — counts identical short of 2⁻⁶⁴ collisions.
+  val q188: QuerySpec = QuerySpec(
+    "q188_exact_substring_dup",
+    (s, d) => {
+      val k = 8
+      val toks = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .where(size(col("ws")) >= k)
+      val wins = toks
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("ws")) - (k - 1))).as("i"), col("ws"))
+        .select(col("doc_id"), expr(s"array_join(slice(ws, i, $k), ' ')").as("g"))
+      val shared = wins.groupBy("g")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") >= 2).select("g")
+      val per = wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+      val sh = wins.join(shared, Seq("g"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      per.join(sh, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_windows"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+        .withColumn("dup_bp", expr("(10000 * n_shared) div n_windows"))
+        .orderBy("doc_id")
+    },
+    Some(
+      "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 8), " +
+        "wins AS (SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS g FROM toks, " +
+        "LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) AS i) t), " +
+        "shared AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd " +
+        "FROM wins GROUP BY 1) WHERE nd >= 2), " +
+        "per AS (SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY 1), " +
+        "sh AS (SELECT doc_id, count(*) AS n_shared FROM wins " +
+        "WHERE g IN (SELECT g FROM shared) GROUP BY 1) " +
+        "SELECT p.doc_id, p.n_windows, " +
+        "CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared, " +
+        "CAST((10000 * COALESCE(sh.n_shared, 0)) // p.n_windows AS BIGINT) AS dup_bp " +
+        "FROM per p LEFT JOIN sh USING (doc_id) ORDER BY doc_id"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q88, q89, q91, q92, q98, q99, q103, q104, q111, q117, q131, q137, q140,
-      q177, q178)
+      q177, q178, q188)
 }
