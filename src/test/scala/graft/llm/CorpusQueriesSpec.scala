@@ -208,4 +208,29 @@ class CorpusQueriesSpec extends SparkSpec {
         (r.getAs[Long]("n_bigrams"), r.getAs[Long]("bigram_surprisal_micro"))).toMap
     assert(got == Map(1L -> ((2L, 693147L)), 2L -> ((1L, 1098612L))))
   }
+
+  test("q188: planted verbatim span is counted window-exactly; intra-doc repeats don't count") {
+    val dir = java.nio.file.Files.createTempDirectory("q188fix").toString
+    import spark.implicits._
+    val span = (1 to 9).map(i => s"s$i").mkString(" ") // 9 shared tokens = 2 shared 8-windows
+    // d1: span + 3 unique tokens (12 tokens, 5 windows, 2 shared)
+    // d2: 2 unique + span (11 tokens, 4 windows, 2 shared)
+    // d3: the same 8-token window TWICE within itself, nowhere else
+    //     (17 tokens, 10 windows, 0 shared — intra-doc only)
+    // d4: 8 tokens, all unique (1 window, 0 shared)
+    Seq(
+      (1L, s"$span u1 u2 u3"),
+      (2L, s"v1 v2 $span"),
+      (3L, ((1 to 8).map(i => s"r$i") ++ Seq("m") ++ (1 to 8).map(i => s"r$i")).mkString(" ")),
+      (4L, (1 to 8).map(i => s"w$i").mkString(" ")),
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = CorpusQueries.q188.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_shared"), r.getAs[Long]("dup_bp")))
+      .toMap
+    assert(got(1L) == ((5L, 2L, 4000L)))
+    assert(got(2L) == ((4L, 2L, 5000L)))
+    assert(got(3L) == ((10L, 0L, 0L)), "a window repeated only WITHIN one doc is not a dup")
+    assert(got(4L) == ((1L, 0L, 0L)))
+  }
 }
