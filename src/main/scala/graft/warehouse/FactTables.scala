@@ -130,10 +130,17 @@ object FactTables {
   def replaceDatePartitions(spark: SparkSession, tableName: String, rows: DataFrame): Unit =
     overwriteModeLock.synchronized {
       val cols = spark.table(tableName).columns
+      // Materialize BEFORE the overwrite: replacement rows are
+      // routinely derived from the target (incremental maintenance
+      // keeps the untouched stored grains), and a lazy plan would read
+      // the very files the insert replaces — measured as
+      // FAILED_READ_FILE mid-stream. The checkpoint is bounded by the
+      // touched slices.
+      val snap = rows.select(cols.map(col): _*).localCheckpoint(true)
       val key = "spark.sql.sources.partitionOverwriteMode"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "dynamic")
-      try rows.select(cols.map(col): _*).write.mode("overwrite").insertInto(tableName)
+      try snap.write.mode("overwrite").insertInto(tableName)
       finally prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)

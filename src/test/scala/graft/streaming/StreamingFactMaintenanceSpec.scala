@@ -7,6 +7,10 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
+case class FactPayloadRow(
+    customer_id: String, campaign_id: Long, date: java.sql.Date,
+    impressions: Long, clicks: Long, conversions: Double, cost_micros: Long)
+
 class StreamingFactMaintenanceSpec extends SparkSpec {
   import spark.implicits._
 
@@ -15,13 +19,19 @@ class StreamingFactMaintenanceSpec extends SparkSpec {
       "conversions", "cost_micros")
       .withColumn("date", col("date_s").cast("date")).drop("date_s")
 
-  private def snapshot(t: String): Map[(String, Long, String), (Long, Long, String)] =
+  private def snapshot(t: String): Map[(String, Long, String), (Long, Long, String)] = {
+    // foreachBatch maintains the table from a CLONED session; a reader
+    // session's relation cache holds the pre-replace file listing and
+    // must refresh (standard cross-session Spark semantics — the same
+    // instruction any external reader of a maintained table follows)
+    spark.catalog.refreshTable(t)
     spark.table(t)
       .select("customer_id", "campaign_id", "date", "impressions", "clicks", "last_run_id")
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDate(2).toString) ->
         (r.getLong(3), r.getLong(4), r.getString(5)))
       .toMap
+  }
 
   test("batches fold under newest-run-wins; replay is idempotent; untouched dates never move") {
     val t = "graft_stream_fact"
@@ -69,5 +79,34 @@ class StreamingFactMaintenanceSpec extends SparkSpec {
       assert(afterRestart(("c2", 20L, "2024-03-02")) == after1(("c2", 20L, "2024-03-02")))
       assert(afterRestart(("c3", 30L, "2024-03-03")) == after1(("c3", 30L, "2024-03-03")))
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("toCatalogFact end to end: a live stream maintains the served table across triggers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val t = "graft_stream_fact_live"
+    val dir = java.nio.file.Files.createTempDirectory("streamfactlive").toString
+    val in = MemoryStream[FactPayloadRow]
+    val q = StreamingFactMaintenance
+      .toCatalogFact(in.toDF(), t, s"$dir/t")
+      .option("checkpointLocation", s"$dir/ck")
+      .start()
+    try {
+      in.addData(
+        FactPayloadRow("c1", 10L, java.sql.Date.valueOf("2024-04-01"), 5L, 1L, 1.0, 100L),
+        FactPayloadRow("c1", 10L, java.sql.Date.valueOf("2024-04-01"), 7L, 2L, 2.0, 200L))
+      q.processAllAvailable()
+      assert(snapshot(t)(("c1", 10L, "2024-04-01"))._1 == 12L, "split rows of one batch sum")
+      in.addData(
+        FactPayloadRow("c1", 10L, java.sql.Date.valueOf("2024-04-01"), 50L, 5L, 5.0, 500L),
+        FactPayloadRow("c2", 20L, java.sql.Date.valueOf("2024-04-02"), 3L, 1L, 0.5, 50L))
+      q.processAllAvailable()
+      val after = snapshot(t)
+      assert(after(("c1", 10L, "2024-04-01"))._1 == 50L, "later trigger's grain replaces")
+      assert(after(("c2", 20L, "2024-04-02"))._1 == 3L)
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
   }
 }
