@@ -117,6 +117,84 @@ final class RawSink(spark: SparkSession, root: String) {
     seals.collect().map(_.toSealedPartition).toSeq
   }
 
+  /** Maintenance: rewrite each logical partition's AUTHORITATIVE rows
+    * (the J3 ledger gate) as ONE file per partition under a new sealed
+    * run — executing the small-file consolidation the q171 planner
+    * sizes. Sealed data is immutable (K3), so compaction never
+    * rewrites in place: the consolidated copy is an ordinary new run;
+    * the caller re-validates it into the ledger like any extraction
+    * run, after which [[vacuumSuperseded]] reclaims the fragmented
+    * originals. At 100 TB this is the periodic job that keeps
+    * files ∝ logical partitions instead of ∝ (partitions × writer
+    * tasks × runs).
+    */
+  def compactRuns(
+      states: DataFrame,
+      newRunId: String,
+      schemaVersion: String = "v1",
+  ): Seq[SealedPartition] = {
+    val rows = authoritativeRows(states).drop("run_id")
+    // co-locate each logical partition in one task → one output file
+    // per partition dir under the new run
+    writeRun(rows.repartition(PartitionKey.columns.map(col): _*), newRunId, schemaVersion)
+  }
+
+  /** Maintenance: delete run directories that are BOTH superseded
+    * (not among the newest `keepRuns` sealed runs of their logical
+    * partition) AND not the ledger-authoritative run — the retention
+    * pass that stops superseded extractions accumulating forever.
+    * The ledger guard matters: authority follows `current_run_id`,
+    * which can legitimately trail the newest seal (a sealed but
+    * never-validated re-extraction), and retention must never delete
+    * what the consumer gate serves.
+    *
+    * Returns the number of run directories removed, and rewrites the
+    * manifest to the survivors. OFFLINE maintenance: the manifest
+    * rewrite is not atomic for concurrent readers — run it in the
+    * same maintenance window as any VACUUM.
+    */
+  def vacuumSuperseded(states: DataFrame, keepRuns: Int = 1): Long = {
+    require(keepRuns >= 1, "keepRuns must be >= 1")
+    repairManifest(): Unit // make the index authoritative before editing it
+    val manifest = manifestFiles() match {
+      case Some(files) => spark.read.parquet(files: _*)
+      case None => return 0L // empty sink
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(PartitionKey.columns.map(col): _*)
+      .orderBy(col("run_id").desc)
+    val auth = states
+      .where(col("status") === graft.model.PartitionState.Success &&
+        col("current_run_id").isNotNull)
+      .select(PartitionKey.columns.map(col) :+ col("current_run_id").as("run_id"): _*)
+    // pinned: the manifest rewrite below replaces the files this derives from
+    val victims = manifest
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") > keepRuns)
+      .drop("__rk")
+      .join(auth, PartitionKey.columns :+ "run_id", "left_anti")
+      .localCheckpoint(true)
+    val n = victims.count()
+    if (n > 0) {
+      val confFactory = org.apache.spark.sql.graftshim.ConfShim.confFactory(hadoopConf)
+      val rootStr = root
+      import spark.implicits._
+      victims.as[RawSink.SealRow].foreachPartition { (it: Iterator[RawSink.SealRow]) =>
+        val conf = confFactory()
+        it.foreach { s =>
+          val dir = RawSink.runDirPath(rootStr, s)
+          dir.getFileSystem(conf).delete(dir, true): Unit
+        }
+      }
+      val survivors = spark.read.parquet(manifestFiles().get: _*)
+        .join(victims.select(RawSink.Tuple5Row.schema.fieldNames.map(col): _*),
+          RawSink.Tuple5Row.schema.fieldNames.toSeq, "left_anti")
+        .localCheckpoint(true)
+      survivors.write.mode("overwrite").parquet(manifestDir)
+    }
+    n
+  }
+
   private def manifestDir: String = s"$root/$ManifestDir"
 
   /** S5: read one seal back (driver-side; seals are tiny). */

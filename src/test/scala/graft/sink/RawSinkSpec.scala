@@ -202,6 +202,62 @@ class RawSinkSpec extends SparkSpec {
     assert(surviving.record_count == 5L)
   }
 
+  test("compactRuns consolidates authoritative rows to one file per partition as a new sealed run") {
+    val root = freshRoot()
+    val sink = new RawSink(spark, root)
+    // fragmented write: repartition(4) → up to 4 files per partition dir
+    sink.writeRun(payload("2024-01-01", 40).repartition(4), "r1")
+    sink.writeRun(payload("2024-01-02", 20).repartition(4), "r1")
+    val states = Seq(
+      ("google_ads", "c1", "campaign_daily", Date.valueOf("2024-01-01"), "success", "r1"),
+      ("google_ads", "c1", "campaign_daily", Date.valueOf("2024-01-02"), "success", "r1"),
+    ).toDF("source", "customer_id", "query_name", "logical_date", "status", "current_run_id")
+    def dataFiles(date: String, run: String): Int =
+      new java.io.File(s"$root/source=google_ads/customer_id=c1/query_name=campaign_daily" +
+        s"/logical_date=$date/run_id=$run")
+        .listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles("2024-01-01", "r1") > 1, "fixture must start fragmented")
+    val sealedParts = sink.compactRuns(states, "r2")
+    assert(sealedParts.map(_.recordCount).sum == 60L)
+    assert(dataFiles("2024-01-01", "r2") == 1 && dataFiles("2024-01-02", "r2") == 1)
+    // content identical: same rows, now under the new authoritative run
+    val states2 = states.withColumn("current_run_id", lit("r2"))
+    val got = sink.authoritativeRows(states2)
+    assert(got.count() == 60L)
+    assert(got.agg(sum("metric")).head().getLong(0) ==
+      (1 to 40).map(_.toLong).sum + (1 to 20).map(_.toLong).sum)
+  }
+
+  test("vacuumSuperseded keeps the newest AND the ledger-authoritative run, deletes the rest") {
+    val root = freshRoot()
+    val sink = new RawSink(spark, root)
+    // key A: r1 < r2 < r3, ledger authority = r3 (normal) → r1, r2 deleted
+    sink.writeRun(payload("2024-01-01", 3), "r1")
+    sink.writeRun(payload("2024-01-01", 4), "r2")
+    sink.writeRun(payload("2024-01-01", 5), "r3")
+    // key B: r1 < r2, but the ledger STILL points at r1 (r2 sealed,
+    // never validated) → nothing deletable: r2 is newest, r1 is served
+    sink.writeRun(payload("2024-01-02", 6), "r1")
+    sink.writeRun(payload("2024-01-02", 7), "r2")
+    val states = Seq(
+      ("google_ads", "c1", "campaign_daily", Date.valueOf("2024-01-01"), "success", "r3"),
+      ("google_ads", "c1", "campaign_daily", Date.valueOf("2024-01-02"), "success", "r1"),
+    ).toDF("source", "customer_id", "query_name", "logical_date", "status", "current_run_id")
+    assert(sink.vacuumSuperseded(states) == 2L) // key A's r1, r2 only
+    val left = sink.sealedRuns().select("logical_date", "run_id")
+      .as[(Date, String)].collect().toSet
+    assert(left == Set(
+      (Date.valueOf("2024-01-01"), "r3"),
+      (Date.valueOf("2024-01-02"), "r1"), (Date.valueOf("2024-01-02"), "r2")))
+    // dirs really gone + manifest agrees with the tree (idempotent repair finds nothing)
+    assert(sink.listRuns(key("2024-01-01")) == Seq("r3"))
+    assert(sink.repairManifest() == 0L)
+    // the consumer gate still serves exactly what the ledger says
+    assert(sink.authoritativeRows(states).count() == 5L + 6L)
+    // idempotent: second vacuum removes nothing
+    assert(sink.vacuumSuperseded(states) == 0L)
+  }
+
   test("repairManifest reconciles a lost index from the directory tree") {
     val root = freshRoot()
     val sink = new RawSink(spark, root)
