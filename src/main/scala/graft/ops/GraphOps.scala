@@ -222,6 +222,60 @@ object GraphOps {
     *
     * @return (v, lbl) over edge endpoints after `rounds` rounds.
     */
+  /** Bounded k-core peel: `rounds` synchronous rounds of dropping every
+    * vertex with degree < `k` (and the edges touching it), then the
+    * per-vertex degree inside the surviving subgraph. The k-core is the
+    * classic graph-quality filter (Seidman 1983): link-graph corpus
+    * curation keeps pages that survive the peel, fraud/bot analysis
+    * looks at what a deep core retains.
+    *
+    * Bounded rounds are the oracle-checkable statistic (the q122
+    * fixed-iteration rule): both engines run exactly `rounds`
+    * synchronous peels, so every surviving (vertex, degree) pair is a
+    * pure function of the graph. Once a round drops nothing the peel
+    * is at ITS fixpoint — the true k-core — and remaining rounds are
+    * no-ops; the loop detects that with a 1-row probe on the
+    * materialized degree frame and exits early (identical result,
+    * fewer jobs). Production use runs rounds = a diameter rail (each
+    * round only cascades one deletion "layer", so depth needed =
+    * longest deletion chain, small for real heavy-tailed graphs).
+    *
+    * Scale: per round one map-side-combined degree aggregate (|V'|
+    * rows) and two semi-joins that keep edges whose BOTH endpoints
+    * survive — shuffle ≤ |E'| on uniform edge keys, frames only ever
+    * shrink, each round pins lineage (loop hygiene per [[Pin]]).
+    *
+    * @return (v, deg) for vertices surviving `rounds` peels, with
+    *         degree counted inside the surviving subgraph.
+    */
+  def kCorePeel(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      rounds: Int,
+  ): DataFrame = {
+    var e = canon(edges, srcCol, dstCol).pinLineage(eager = true)
+    var stable = false
+    for (_ <- 1 to rounds if !stable) {
+      val deg = e.select(col("a").as("v"))
+        .union(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+        .pinLineage(eager = true) // probed + joined below, one materialization
+      if (deg.where(col("dg") < k).isEmpty) stable = true
+      else {
+        val keep = deg.where(col("dg") >= k).select("v")
+        e = e
+          .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+          .select("a", "b")
+          .pinLineage(eager = true)
+      }
+    }
+    e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+  }
+
   def labelPropagation(
       edges: DataFrame,
       srcCol: String,

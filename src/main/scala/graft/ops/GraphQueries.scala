@@ -210,5 +210,45 @@ object GraphQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q121, q122, q139, q150, q180)
+  // ---------------------------------------------------------------------
+  // q190 — bounded k-core peel ([[GraphOps.kCorePeel]]): 4 synchronous
+  // rounds of dropping co-purchase vertices with degree < 80, then
+  // each survivor's in-core degree. The graph-quality filter the
+  // family lacks (components: "connected at all", PageRank: "how
+  // central", triangles: "how clustered" — the core answers "how
+  // EMBEDDED": survives only with ≥k similarly-embedded neighbors),
+  // and the filter link-graph corpus curation runs before trusting
+  // pages (Seidman 1983 k-cores).
+  //
+  // Bounded rounds are the oracle-checkable statistic (the q122
+  // fixed-iteration rule); at sf0.01 the 80-peel has real cascade
+  // (115.7k → 105.3k edges over 4 rounds, fixpoint at 6) so the pin
+  // exercises genuine attrition, not a no-op. The oracle replays the
+  // same 4 rounds as MATERIALIZED CTEs — without MATERIALIZED,
+  // DuckDB inlines each round's frame into its 3 consumers and the
+  // chain re-executes exponentially (the engine-side analog is
+  // exactly why the loop pins lineage per round).
+  val q190: QuerySpec = QuerySpec(
+    "q190_kcore_peel",
+    (s, d) =>
+      GraphOps.kCorePeel(copurchaseEdges(s, d), "a", "b", k = 80, rounds = 4)
+        .select(col("v").as("part_key"), col("deg").as("core_deg"))
+        .orderBy("part_key"),
+    Some {
+      val rounds = (1 to 4).map { r =>
+        val prev = if (r == 1) "e0" else s"e${r - 1}"
+        s"d$r AS MATERIALIZED (SELECT v, count(*) AS dg FROM " +
+          s"(SELECT a AS v FROM $prev UNION ALL SELECT b FROM $prev) GROUP BY 1), " +
+          s"k$r AS MATERIALIZED (SELECT v FROM d$r WHERE dg >= 80), " +
+          s"e$r AS MATERIALIZED (SELECT a, b FROM $prev " +
+          s"WHERE a IN (SELECT v FROM k$r) AND b IN (SELECT v FROM k$r))"
+      }.mkString(", ")
+      s"WITH $edgesCteSql, e0 AS MATERIALIZED (SELECT a, b FROM edges), $rounds " +
+        "SELECT v AS part_key, CAST(count(*) AS BIGINT) AS core_deg FROM " +
+        "(SELECT a AS v FROM e4 UNION ALL SELECT b FROM e4) " +
+        "GROUP BY 1 ORDER BY part_key"
+    },
+  )
+
+  val all: Seq[QuerySpec] = Seq(q121, q122, q139, q150, q180, q190)
 }

@@ -14,7 +14,7 @@ object Registry {
       ScaleQueries.all ++ graft.llm.CorpusQueries.all ++ SubqueryQueries.all ++
       TimeSeriesQueries.all ++ SketchQueries.all ++ GraphQueries.all ++
       graft.llm.RetrievalQueries.all ++ StatQueries.all ++
-      graft.warehouse.CatalogQueries.all
+      graft.warehouse.CatalogQueries.all ++ graft.llm.TokenizerQueries.all
 
   val byName: Map[String, QuerySpec] = ListMap(all.map(q => q.name -> q): _*)
 

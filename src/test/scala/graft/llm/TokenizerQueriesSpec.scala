@@ -1,0 +1,62 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** Semantic pins for q189 BPE induction (the DuckDB oracle pins exact
+  * values at sf0.01; these pin the merge semantics on hand-traced
+  * fixtures, including the overlapping-run greedy edge).
+  */
+class TokenizerQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(dir: String) =
+    TokenizerQueries.q189.run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_count"), r.getAs[Long]("corpus_tokens_after")))
+
+  test("q189: hand-traced merges on banana/bandana, ties break to the smaller pair") {
+    val dir = java.nio.file.Files.createTempDirectory("q189fix").toString
+    // vocab: banana ×2, bandana ×1.
+    // round 1 adjacencies: (a,n)=6 (n,a)=5 (b,a)=3 (n,d)=1 (d,a)=1 → merge (a,n);
+    //   banana → [b,an,an,a] (4 tok ×2), bandana → [b,an,d,an,a] (5) → 13 after.
+    // round 2: (b,an)=3 (an,a)=3 (an,an)=2 (an,d)=1 (d,an)=1 — tie 3=3
+    //   breaks on left asc: "an" < "b" → merge (an,a);
+    //   banana → [b,an,ana] (3 ×2), bandana → [b,an,d,ana] (4) → 10 after.
+    Seq((1L, "banana bandana"), (2L, "banana"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = run(dir)
+    assert(rows(0) == ((1L, "a", "n", "an", 6L, 13L)))
+    assert(rows(1) == ((1L + 1L, "an", "a", "ana", 3L, 10L)))
+    // compression curve never goes up
+    assert(rows.map(_._6).sliding(2).forall(w => w(1) <= w(0)))
+  }
+
+  test("q189: overlapping runs merge greedily left-to-right, counts stay adjacency") {
+    val dir = java.nio.file.Files.createTempDirectory("q189run").toString
+    // vocab: aaa ×2, aaaa ×1. round 1: adjacency (a,a) = 2·2 + 3 = 7,
+    // but greedy application gives aaa → [aa,a], aaaa → [aa,aa]:
+    // corpus tokens 2·2 + 2 = 6 (an overlap-blind merge would claim 5).
+    // round 2: (aa,a)=2 beats (aa,aa)=1 → aaa → [aaa], aaaa stays [aa,aa]
+    // → tokens 1·2 + 2 = 4.
+    Seq((1L, "aaa aaa aaaa")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = run(dir)
+    assert(rows(0) == ((1L, "a", "a", "aa", 7L, 6L)))
+    assert(rows(1) == ((2L, "aa", "a", "aaa", 2L, 4L)))
+  }
+
+  test("q189: merged symbols never match across symbol boundaries") {
+    val dir = java.nio.file.Files.createTempDirectory("q189bound").toString
+    // vocab: xy ×3, axb ×2, ayb ×2. round 1 merges (x,y) → "xy" (count 3).
+    // round 2 candidates come from axb/ayb only: (a,x)=(x,b)=(a,y)=(y,b)=2 —
+    // the single-symbol word [xy] must contribute NO pairs, and the 'y'
+    // inside merged "xy" must not pair with 'b' anywhere. Tie breaks to
+    // (a,x) → axb → [ax,b].
+    Seq((1L, "xy xy xy axb axb ayb ayb")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = run(dir)
+    assert(rows(0) == ((1L, "x", "y", "xy", 3L, 15L)))
+    assert(rows(1)._2 == "a" && rows(1)._3 == "x" && rows(1)._5 == 2L)
+  }
+}

@@ -130,4 +130,51 @@ class GraphOpsSpec extends SparkSpec {
       3L -> ((2L, 1L, 10000L)),
       4L -> ((1L, 0L, 0L))))
   }
+
+  /** Brute-force k-core fixpoint: peel until stable, return in-core degrees. */
+  private def kCoreBrute(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var es = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    var changed = true
+    while (changed) {
+      val deg = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (v, o) => v -> o.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = es.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != es.size
+      es = next
+    }
+    es.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (v, o) => v -> o.size.toLong }
+  }
+
+  private def kCore(edges: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] =
+    GraphOps.kCorePeel(edges.toDF("a", "b"), "a", "b", k, rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("kCorePeel: triangle survives the 2-peel, pendant and path cascade away") {
+    // triangle {1,2,3} + pendant 3-4: round 1 drops 4 (deg 1), stable after
+    val g1 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    assert(kCore(g1, k = 2, rounds = 4) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // path graph: 2-peel cascades from both ends to empty
+    val g2 = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(kCore(g2, k = 2, rounds = 4) == Map.empty[Long, Long])
+    // noise invariance: duplicates/reversals/self-loops don't change the core
+    val noisy = g1 ++ g1.map(e => (e._2, e._1)) ++ Seq((5L, 5L))
+    assert(kCore(noisy, k = 2, rounds = 4) == kCore(g1, k = 2, rounds = 4))
+  }
+
+  test("kCorePeel with ample rounds matches the brute-force fixpoint core") {
+    // deterministic pseudo-random graph: moderate density, some low-degree fringe
+    val rnd = new scala.util.Random(421)
+    val edges = Seq.fill(160)((rnd.nextInt(28).toLong, rnd.nextInt(28).toLong))
+    for (k <- Seq(2, 4, 6, 9)) {
+      assert(kCore(edges, k, rounds = 30) == kCoreBrute(edges, k), s"k=$k")
+    }
+  }
+
+  test("kCorePeel bounded rounds stop mid-cascade: each round peels one layer") {
+    // path 1-2-3-4-5-6: 2-peel drops one layer of endpoints per round
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    // round 1 drops {1,6}; round 2 drops {2,5}; rounds=2 leaves edge 3-4
+    assert(kCore(path, k = 2, rounds = 2) == Map(3L -> 1L, 4L -> 1L))
+  }
 }

@@ -12,8 +12,11 @@ class QueriesSpec extends SparkSpec {
 
   // q13 filters to a single user and q30/q31 need planted near-dups —
   // at sf0.001 those slices may be empty; running without error is the
-  // assertion there.
-  private val mayBeEmpty = Set("q13_gap_detection", "q17_anti_join_demote")
+  // assertion there. q190's 80-core is scale-dependent by nature: at
+  // sf0.001 the co-purchase graph has no 80-embedded subgraph and the
+  // empty core IS the answer (the oracle agrees on empty).
+  private val mayBeEmpty =
+    Set("q13_gap_detection", "q17_anti_join_demote", "q190_kcore_peel")
 
   Registry.all.foreach { q =>
     test(s"${q.name} runs at sf0.001") {
