@@ -68,6 +68,56 @@ object TokenizerQueries {
       s"AS corpus_tokens_after FROM b$r)"
   }
 
+  /** The learn loop: (final vocab frame (w, cnt, sp), per-round stat
+    * rows). Shared by q189 (the curve) and q191 (the applied-symbol
+    * inventory).
+    */
+  private def learn(s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, Seq[DataFrame]) = {
+    var vocab = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("sp", regexp_replace(col("w"), "(.)", " $1 "))
+      .pinLineage(eager = true) // the ONLY corpus-sized pass; |V| rows out
+    val stats = Seq.newBuilder[DataFrame]
+    for (r <- 1 to Rounds) {
+      val toks = vocab.withColumn("toks", split(trim(col("sp")), "  "))
+      val pairs = toks.where(size(col("toks")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS x, toks[i+1] AS y))"))
+          .as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("cnt")).as("pc"))
+      // 1-row frame read twice (merge anchor + stat row): pin it so the
+      // pairs aggregation runs once per round, not once per consumer.
+      val best = pairs.orderBy(desc("pc"), asc("x"), asc("y")).limit(1)
+        .pinLineage(eager = true)
+      vocab = vocab.crossJoin(broadcast(best)) // 1-row merge-rule anchor
+        .withColumn("sp",
+          expr("replace(sp, ' ' || x || '  ' || y || ' ', ' ' || x || y || ' ')"))
+        .select("w", "cnt", "sp")
+        .pinLineage(eager = true) // loop hygiene + feeds stats AND next round
+      stats += vocab
+        .agg(sum(col("cnt") * size(split(trim(col("sp")), "  ")))
+          .as("corpus_tokens_after"))
+        .crossJoin(best) // 1-row × 1-row
+        .select(lit(r.toLong).as("round"), col("x").as("left_sym"),
+          col("y").as("right_sym"), concat(col("x"), col("y")).as("merged"),
+          col("pc").as("pair_count"), col("corpus_tokens_after"))
+    }
+    (vocab, stats.result())
+  }
+
+  /** The round CTE chain shared by both oracles. */
+  private def learnSql: String =
+    "WITH w0 AS (SELECT w, count(*) AS cnt FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
+      "WHERE w <> '' GROUP BY 1), " +
+      "v0 AS MATERIALIZED (SELECT w, cnt, " +
+      "regexp_replace(w, '(.)', ' \\1 ', 'g') AS sp FROM w0), " +
+      (1 to Rounds).map(roundSql).mkString(", ")
+
   // ---------------------------------------------------------------------
   // q189 — one row per merge round: the learned pair, its (weighted,
   // adjacency-counted) frequency when chosen, and the corpus token
@@ -79,52 +129,40 @@ object TokenizerQueries {
   // in both engines because both derive from the same strings.
   val q189: QuerySpec = QuerySpec(
     "q189_bpe_merges",
-    (s, d) => {
-      var vocab = documents(s, d)
-        .select(explode(split(col("text"), " ")).as("w"))
-        .where(col("w") =!= "")
-        .groupBy("w").agg(count(lit(1)).as("cnt"))
-        .withColumn("sp", regexp_replace(col("w"), "(.)", " $1 "))
-        .pinLineage(eager = true) // the ONLY corpus-sized pass; |V| rows out
-      val stats = Seq.newBuilder[DataFrame]
-      for (r <- 1 to Rounds) {
-        val toks = vocab.withColumn("toks", split(trim(col("sp")), "  "))
-        val pairs = toks.where(size(col("toks")) >= 2)
-          .select(col("cnt"), explode(expr(
-            "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS x, toks[i+1] AS y))"))
-            .as("p"))
-          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
-          .agg(sum(col("cnt")).as("pc"))
-        // 1-row frame read twice (merge anchor + stat row): pin it so the
-        // pairs aggregation runs once per round, not once per consumer.
-        val best = pairs.orderBy(desc("pc"), asc("x"), asc("y")).limit(1)
-          .pinLineage(eager = true)
-        vocab = vocab.crossJoin(broadcast(best)) // 1-row merge-rule anchor
-          .withColumn("sp",
-            expr("replace(sp, ' ' || x || '  ' || y || ' ', ' ' || x || y || ' ')"))
-          .select("w", "cnt", "sp")
-          .pinLineage(eager = true) // loop hygiene + feeds stats AND next round
-        stats += vocab
-          .agg(sum(col("cnt") * size(split(trim(col("sp")), "  ")))
-            .as("corpus_tokens_after"))
-          .crossJoin(best) // 1-row × 1-row
-          .select(lit(r.toLong).as("round"), col("x").as("left_sym"),
-            col("y").as("right_sym"), concat(col("x"), col("y")).as("merged"),
-            col("pc").as("pair_count"), col("corpus_tokens_after"))
-      }
-      stats.result().reduce(_ unionByName _).orderBy("round")
-    },
+    (s, d) => learn(s, d)._2.reduce(_ unionByName _).orderBy("round"),
     Some(
-      "WITH w0 AS (SELECT w, count(*) AS cnt FROM " +
-        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
-        "WHERE w <> '' GROUP BY 1), " +
-        "v0 AS MATERIALIZED (SELECT w, cnt, " +
-        "regexp_replace(w, '(.)', ' \\1 ', 'g') AS sp FROM w0), " +
-        (1 to Rounds).map(roundSql).mkString(", ") + " " +
+      learnSql + " " +
         (1 to Rounds).map(r => s"SELECT * FROM s$r").mkString(" UNION ALL ") +
         " ORDER BY round"
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q189)
+  // ---------------------------------------------------------------------
+  // q191 — the APPLY surface: the symbol inventory after the learned
+  // merges, with corpus frequencies — the "vocabulary usage" report a
+  // tokenizer run prints, and the frequency table a token-budgeting
+  // pass (q173) would consume. Tokenizing the corpus with a learned
+  // BPE never re-touches documents: a document's tokens are the
+  // concatenation of its WORDS' tokenizations, so frequencies come
+  // from one explode of the merged vocab frame weighted by word count
+  // (at 100 TB the apply path is a broadcast join of the vocab's
+  // word→tokens map against the corpus — the learner's output IS the
+  // lookup table; here the inventory aggregates on the vocab side
+  // alone).
+  val q191: QuerySpec = QuerySpec(
+    "q191_bpe_token_freq",
+    (s, d) =>
+      learn(s, d)._1
+        .select(col("cnt"), explode(split(trim(col("sp")), "  ")).as("sym"))
+        .groupBy("sym").agg(sum(col("cnt")).as("freq"))
+        .orderBy(desc("freq"), asc("sym")),
+    Some(
+      learnSql + " " +
+        s"SELECT sym, CAST(sum(cnt) AS BIGINT) AS freq FROM " +
+        s"(SELECT cnt, unnest(string_split(trim(sp), '  ')) AS sym FROM v$Rounds) " +
+        "GROUP BY 1 ORDER BY freq DESC, sym"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q189, q191)
 }

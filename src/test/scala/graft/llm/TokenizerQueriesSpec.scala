@@ -59,4 +59,21 @@ class TokenizerQueriesSpec extends SparkSpec {
     assert(rows(0) == ((1L, "x", "y", "xy", 3L, 15L)))
     assert(rows(1)._2 == "a" && rows(1)._3 == "x" && rows(1)._5 == 2L)
   }
+
+  test("q191: inventory conserves token and character mass against q189") {
+    val dir = java.nio.file.Files.createTempDirectory("q191fix").toString
+    Seq((1L, "banana bandana split split splits"), (2L, "banana split"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val inv = TokenizerQueries.q191.run(spark, dir).collect()
+      .map(r => r.getAs[String]("sym") -> r.getAs[Long]("freq"))
+    // ordered by freq desc then sym asc
+    assert(inv.sortBy { case (s, f) => (-f, s) }.toSeq == inv.toSeq)
+    // token mass: Σ freq == corpus tokens after the final learned merge
+    val lastTokens = run(dir).last._6
+    assert(inv.map(_._2).sum == lastTokens)
+    // character mass: Σ freq·len(sym) == Σ chars over the corpus words
+    val chars = Seq("banana", "bandana", "split", "split", "splits", "banana", "split")
+      .map(_.length).sum
+    assert(inv.map { case (s, f) => s.length * f }.sum == chars)
+  }
 }
