@@ -60,8 +60,9 @@ object TokenizerQueries {
       s"pc$r AS MATERIALIZED (SELECT toks[i] AS x, toks[i+1] AS y, sum(cnt) AS pc FROM tk$r, " +
       s"(SELECT unnest(generate_series(1, len(toks)-1)) AS i) GROUP BY 1, 2), " +
       s"b$r AS MATERIALIZED (SELECT x, y, pc FROM pc$r ORDER BY pc DESC, x, y LIMIT 1), " +
-      s"v$r AS MATERIALIZED (SELECT w, cnt, " +
-      s"replace(sp, ' ' || x || '  ' || y || ' ', ' ' || x || y || ' ') AS sp FROM tk$r, b$r), " +
+      s"v$r AS MATERIALIZED (SELECT w, cnt, CASE WHEN x IS NULL THEN sp ELSE " +
+      s"replace(sp, ' ' || x || '  ' || y || ' ', ' ' || x || y || ' ') END AS sp " +
+      s"FROM tk$r LEFT JOIN b$r ON TRUE), " +
       s"s$r AS (SELECT CAST($r AS BIGINT) AS round, x AS left_sym, y AS right_sym, " +
       s"x || y AS merged, CAST(pc AS BIGINT) AS pair_count, " +
       s"CAST((SELECT sum(cnt * len(string_split(trim(sp), '  '))) FROM v$r) AS BIGINT) " +
@@ -93,9 +94,14 @@ object TokenizerQueries {
       // pairs aggregation runs once per round, not once per consumer.
       val best = pairs.orderBy(desc("pc"), asc("x"), asc("y")).limit(1)
         .pinLineage(eager = true)
-      vocab = vocab.crossJoin(broadcast(best)) // 1-row merge-rule anchor
-        .withColumn("sp",
-          expr("replace(sp, ' ' || x || '  ' || y || ' ', ' ' || x || y || ' ')"))
+      // LEFT join on the 0-or-1-row rule, not a crossJoin: on a fully
+      // merged corpus a round learns NOTHING (best is EMPTY) and a
+      // cross join would destroy the vocab — the apply surface (q191)
+      // must still see the final vocabulary. No merge → sp unchanged,
+      // and the round contributes no stats row (below).
+      vocab = vocab.join(broadcast(best), lit(true), "left")
+        .withColumn("sp", when(col("x").isNull, col("sp")).otherwise(
+          expr("replace(sp, ' ' || x || '  ' || y || ' ', ' ' || x || y || ' ')")))
         .select("w", "cnt", "sp")
         .pinLineage(eager = true) // loop hygiene + feeds stats AND next round
       stats += vocab

@@ -60,6 +60,73 @@ class TokenizerQueriesSpec extends SparkSpec {
     assert(rows(1)._2 == "a" && rows(1)._3 == "x" && rows(1)._5 == 2L)
   }
 
+  /** Reference BPE (Sennrich et al. 2016): adjacency-counted pair
+    * statistics, total-order argmax (count desc, left asc, right asc),
+    * greedy left-to-right non-overlapping merge. Returns the per-round
+    * stats and the final symbol inventory.
+    */
+  private def bpeBrute(words: Seq[String], rounds: Int)
+      : (Seq[(Long, String, String, String, Long, Long)], Map[String, Long]) = {
+    var vocab: Seq[(Vector[String], Long)] = words.groupBy(identity).toSeq
+      .map { case (w, o) => w.map(_.toString).toVector -> o.size.toLong }
+    val stats = Seq.newBuilder[(Long, String, String, String, Long, Long)]
+    for (r <- 1 to rounds) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, cnt) <- vocab; i <- 0 until syms.length - 1)
+        pc((syms(i), syms(i + 1))) = pc.getOrElse((syms(i), syms(i + 1)), 0L) + cnt
+      if (pc.nonEmpty) {
+        val ((x, y), c) = pc.minBy { case ((x, y), c) => (-c, x, y) }
+        vocab = vocab.map { case (syms, cnt) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) { out += x + y; i += 2 }
+            else { out += syms(i); i += 1 }
+          }
+          out.result() -> cnt
+        }
+        stats += ((r.toLong, x, y, x + y, c, vocab.map { case (s, n) => s.length * n }.sum))
+      }
+    }
+    val inv = vocab.flatMap { case (s, n) => s.map(_ -> n) }
+      .groupBy(_._1).map { case (sym, o) => sym -> o.map(_._2).sum }
+    (stats.result(), inv)
+  }
+
+  test("q189/q191 match the reference BPE on seeded random two-letter corpora") {
+    // {a,b} alphabet maximizes runs and count ties — the edges where
+    // greedy overlap handling and the total-order tie-break matter.
+    for (seed <- Seq(7, 21, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val words = Seq.fill(3 + rnd.nextInt(6)) {
+        val w = Seq.fill(1 + rnd.nextInt(6))(if (rnd.nextBoolean()) "a" else "b").mkString
+        Seq.fill(1 + rnd.nextInt(4))(w)
+      }.flatten
+      val dir = java.nio.file.Files.createTempDirectory(s"q189p$seed").toString
+      Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+        .write.parquet(s"$dir/documents.parquet")
+      val (wantStats, wantInv) = bpeBrute(words, TokenizerQueries.Rounds)
+      assert(run(dir).toSeq == wantStats, s"seed=$seed stats")
+      val inv = TokenizerQueries.q191.run(spark, dir).collect()
+        .map(r => r.getAs[String]("sym") -> r.getAs[Long]("freq")).toMap
+      assert(inv == wantInv, s"seed=$seed inventory")
+    }
+  }
+
+  test("q189/q191: a fully merged corpus stops learning but keeps its vocabulary") {
+    val dir = java.nio.file.Files.createTempDirectory("q189stop").toString
+    // 'ab' x3 merges to one symbol in round 1; rounds 2-5 have no pairs.
+    // The learner must emit ONE stats row and q191 must still see the
+    // final single-symbol vocabulary (the empty-best left-join guard).
+    Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = run(dir)
+    assert(rows.toSeq == Seq((1L, "a", "b", "ab", 3L, 3L)))
+    val inv = TokenizerQueries.q191.run(spark, dir).collect()
+      .map(r => r.getAs[String]("sym") -> r.getAs[Long]("freq")).toMap
+    assert(inv == Map("ab" -> 3L))
+  }
+
   test("q191: inventory conserves token and character mass against q189") {
     val dir = java.nio.file.Files.createTempDirectory("q191fix").toString
     Seq((1L, "banana bandana split split splits"), (2L, "banana split"))
