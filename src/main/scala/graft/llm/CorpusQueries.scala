@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.functions._
 
+import graft.ops.Pin.PinOps
 import graft.ops.QuerySpec
 import graft.ops.Tables._
 
@@ -821,10 +822,15 @@ object CorpusQueries {
       val toks = documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .where(size(col("ws")) >= k)
+      // wins (the tokens-sized window stream, the largest frame here)
+      // feeds THREE consumers with different exchange shapes (shared,
+      // per, sh) — pin it once or the corpus re-scans and re-explodes
+      // per consumer (the q190 multi-consumer rule).
       val wins = toks
         .select(col("doc_id"),
           explode(sequence(lit(1), size(col("ws")) - (k - 1))).as("i"), col("ws"))
         .select(col("doc_id"), expr(s"array_join(slice(ws, i, $k), ' ')").as("g"))
+        .pinLineage(eager = true)
       val shared = wins.groupBy("g")
         .agg(countDistinct(col("doc_id")).as("nd"))
         .where(col("nd") >= 2).select("g")
@@ -840,7 +846,7 @@ object CorpusQueries {
     Some(
       "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents " +
         "WHERE len(string_split(text, ' ')) >= 8), " +
-        "wins AS (SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS g FROM toks, " +
+        "wins AS MATERIALIZED (SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS g FROM toks, " +
         "LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) AS i) t), " +
         "shared AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd " +
         "FROM wins GROUP BY 1) WHERE nd >= 2), " +

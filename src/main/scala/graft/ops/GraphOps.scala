@@ -222,6 +222,31 @@ object GraphOps {
     *
     * @return (v, lbl) over edge endpoints after `rounds` rounds.
     */
+
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int = 3,
+  ): DataFrame = {
+    val e = canon(edges, srcCol, dstCol).pinLineage(eager = true)
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a"))
+      .sortWithinPartitions("a")
+      .persist()
+    var labels = sym.select(col("a").as("v")).distinct().withColumn("lbl", col("v"))
+    for (_ <- 1 to rounds) {
+      labels = sym.as("s")
+        .join(labels.as("p"), col("s.b") === col("p.v"))
+        .groupBy(col("s.a").as("v"), col("p.lbl").as("nl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("v")
+        .agg(max(struct(col("c"), (-col("nl")).as("neg"))).as("m"))
+        .select(col("v"), (-col("m.neg")).as("lbl"))
+    }
+    labels
+  }
+
   /** Bounded k-core peel: `rounds` synchronous rounds of dropping every
     * vertex with degree < `k` (and the edges touching it), then the
     * per-vertex degree inside the surviving subgraph. The k-core is the
@@ -274,29 +299,5 @@ object GraphOps {
     }
     e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
-  }
-
-  def labelPropagation(
-      edges: DataFrame,
-      srcCol: String,
-      dstCol: String,
-      rounds: Int = 3,
-  ): DataFrame = {
-    val e = canon(edges, srcCol, dstCol).pinLineage(eager = true)
-    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .repartition(col("a"))
-      .sortWithinPartitions("a")
-      .persist()
-    var labels = sym.select(col("a").as("v")).distinct().withColumn("lbl", col("v"))
-    for (_ <- 1 to rounds) {
-      labels = sym.as("s")
-        .join(labels.as("p"), col("s.b") === col("p.v"))
-        .groupBy(col("s.a").as("v"), col("p.lbl").as("nl"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy("v")
-        .agg(max(struct(col("c"), (-col("nl")).as("neg"))).as("m"))
-        .select(col("v"), (-col("m.neg")).as("lbl"))
-    }
-    labels
   }
 }

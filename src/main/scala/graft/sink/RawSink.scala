@@ -139,14 +139,24 @@ final class RawSink(spark: SparkSession, root: String) {
     writeRun(rows.repartition(PartitionKey.columns.map(col): _*), newRunId, schemaVersion)
   }
 
-  /** Maintenance: delete run directories that are BOTH superseded
-    * (not among the newest `keepRuns` sealed runs of their logical
-    * partition) AND not the ledger-authoritative run — the retention
-    * pass that stops superseded extractions accumulating forever.
-    * The ledger guard matters: authority follows `current_run_id`,
-    * which can legitimately trail the newest seal (a sealed but
-    * never-validated re-extraction), and retention must never delete
-    * what the consumer gate serves.
+  /** Maintenance: delete run directories that are superseded — not
+    * among the newest `keepRuns` sealed runs of their logical
+    * partition AND strictly older than that partition's
+    * ledger-VALIDATED (Success) run — the retention pass that stops
+    * superseded extractions accumulating forever.
+    *
+    * The validated-supersession guard is the safety core: a run is
+    * reclaimable only once a NEWER run of the same partition has
+    * passed validation. That covers both ledger-trailing shapes the
+    * naive "keep newest + keep authority" rule gets wrong:
+    *  - a sealed but never-validated re-extraction (authority
+    *    legitimately trails the newest seal) — the served run stays;
+    *  - a re-extraction that FAILED validation: the ledger's
+    *    last-writer row for the key is now `Failed` (run-id order
+    *    outranks status in [[graft.state.StateStore.upsert]]'s total
+    *    order), so the key has NO Success row — and retention must
+    *    then delete nothing for that key, or it would destroy the
+    *    last validated data (run r1) while the key is mid-retry.
     *
     * Returns the number of run directories removed, and rewrites the
     * manifest to the survivors. OFFLINE maintenance: the manifest
@@ -166,13 +176,16 @@ final class RawSink(spark: SparkSession, root: String) {
     val auth = states
       .where(col("status") === graft.model.PartitionState.Success &&
         col("current_run_id").isNotNull)
-      .select(PartitionKey.columns.map(col) :+ col("current_run_id").as("run_id"): _*)
+      .select(PartitionKey.columns.map(col) :+ col("current_run_id").as("__auth_run"): _*)
     // pinned: the manifest rewrite below replaces the files this derives from
     val victims = manifest
       .withColumn("__rk", row_number().over(w))
       .where(col("__rk") > keepRuns)
       .drop("__rk")
-      .join(auth, PartitionKey.columns :+ "run_id", "left_anti")
+      // inner join: keys with no validated run contribute NO victims
+      .join(auth, PartitionKey.columns)
+      .where(col("run_id") < col("__auth_run"))
+      .drop("__auth_run")
       .localCheckpoint(true)
     val n = victims.count()
     if (n > 0) {

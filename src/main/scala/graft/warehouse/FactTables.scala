@@ -66,7 +66,11 @@ object FactTables {
     * are functionally dependent on the grain in well-formed payloads,
     * and a deterministic tiebreak beats a nondeterministic `first`.
     * `value_per_conversion` is a RATIO, so it re-aggregates as the
-    * conversions-weighted mean, NULL when the grain has no conversions.
+    * conversions-weighted mean over the rows where the ratio is KNOWN
+    * (numerator and denominator both skip NULL-ratio rows — counting
+    * their conversions in the denominator alone would silently deflate
+    * the mean), NULL when no surviving row has both a ratio and
+    * conversions.
     */
   def adGroupDaily(payload: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(AdGroupGrain.map(col): _*)
@@ -81,7 +85,8 @@ object FactTables {
         sum(col("conversions").cast(dec)).cast(dec).as("conversions"),
         sum("cost_micros").as("cost_micros"),
         (sum(col("value_per_conversion").cast(dec) * col("conversions").cast(dec)) /
-          nullif(sum(col("conversions").cast(dec)), lit(0).cast(dec)))
+          nullif(sum(when(col("value_per_conversion").isNotNull,
+            col("conversions").cast(dec))), lit(0).cast(dec)))
           .cast(dec).as("value_per_conversion"),
       )
   }

@@ -258,6 +258,32 @@ class RawSinkSpec extends SparkSpec {
     assert(sink.vacuumSuperseded(states) == 0L)
   }
 
+  test("vacuumSuperseded never deletes the last validated run of a key mid-retry") {
+    val root = freshRoot()
+    val sink = new RawSink(spark, root)
+    // r1 validated, then re-extraction r2 sealed but FAILED validation:
+    // the ledger's last-writer row for the key is (failed, r2) — run-id
+    // order outranks status in the upsert total order — so the key has
+    // NO Success row. Retention must then keep BOTH runs: r2 is the
+    // newest seal, and r1 is the only validated data the key has (the
+    // retry path re-points to it or re-extracts; deleting it would be
+    // unrecoverable data loss).
+    sink.writeRun(payload("2024-01-01", 3), "r1")
+    sink.writeRun(payload("2024-01-01", 4), "r2")
+    val states = Seq(
+      ("google_ads", "c1", "campaign_daily", Date.valueOf("2024-01-01"), "failed", "r2"),
+    ).toDF("source", "customer_id", "query_name", "logical_date", "status", "current_run_id")
+    assert(sink.vacuumSuperseded(states, keepRuns = 1) == 0L)
+    assert(sink.listRuns(key("2024-01-01")) == Seq("r1", "r2"))
+    // once a LATER re-extraction validates, r1 and r2 become reclaimable
+    sink.writeRun(payload("2024-01-01", 5), "r3")
+    val healed = Seq(
+      ("google_ads", "c1", "campaign_daily", Date.valueOf("2024-01-01"), "success", "r3"),
+    ).toDF("source", "customer_id", "query_name", "logical_date", "status", "current_run_id")
+    assert(sink.vacuumSuperseded(healed, keepRuns = 1) == 2L)
+    assert(sink.listRuns(key("2024-01-01")) == Seq("r3"))
+  }
+
   test("repairManifest reconciles a lost index from the directory tree") {
     val root = freshRoot()
     val sink = new RawSink(spark, root)

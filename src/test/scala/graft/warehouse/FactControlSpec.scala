@@ -56,6 +56,22 @@ class FactTablesSpec extends SparkSpec {
       .where(col("count") > 1).count() == 0)
   }
 
+  test("adGroupDaily: NULL-ratio rows are excluded from BOTH sides of the weighted mean") {
+    // (vpc=NULL, conv=3) carries no ratio information: the mean must be
+    // 10 (the known row's ratio), not 10/4 = 2.5 (the deflation bug of
+    // counting unknown-ratio conversions in the denominator alone).
+    val payload = Seq(
+      ("c1", 10L, 1L, "MOBILE", Date.valueOf("2024-01-01"),
+        Some(3.0), 1000000L, None: Option[Double], 1L),
+      ("c1", 10L, 1L, "MOBILE", Date.valueOf("2024-01-01"),
+        Some(1.0), 500000L, Some(10.0), 1L),
+    ).toDF("customer_id", "ad_group_id", "campaign_id", "device", "date",
+      "conversions", "cost_micros", "value_per_conversion", "run_id")
+    val r = FactTables.adGroupDaily(payload).collect().head
+    assert(r.getAs[java.math.BigDecimal]("value_per_conversion").doubleValue() == 10.0)
+    assert(r.getAs[java.math.BigDecimal]("conversions").doubleValue() == 4.0)
+  }
+
   test("replaceDatePartitions through the catalog replaces ONLY the touched date slices") {
     val dir = java.nio.file.Files.createTempDirectory("catfact").toString
     def rows(d: String, imp: Long) = Seq(
