@@ -140,6 +140,26 @@ object EndToEnd {
     val served = spark.table("e2e_fact_campaign_daily")
     println(s"""{"stage":"serve","fact_rows":${served.count()},"dates":${served.select("date").distinct().count()}}""")
 
+    // ---- 7. maintain: compact the (now fragmented) authoritative rows
+    //      into one file per partition as a new sealed+validated run,
+    //      then vacuum runs superseded by it — the periodic job that
+    //      keeps files ∝ partitions. Retention only reclaims runs
+    //      strictly OLDER than each key's ledger-validated run, so the
+    //      superseded originals go and nothing mid-retry ever would.
+    val run3 = RunContext.mint(Instant.parse("2024-02-03T00:00:00Z"))
+    val compacted = sink.compactRuns(ledger.snapshot(), run3.runId)
+    val recompacted = ledger.snapshot()
+      .withColumn("current_run_id", lit(run3.runId))
+      .withColumn("updated_at", lit(Timestamp.from(run3.startedAt)))
+    ledger.upsert(recompacted)
+    // snapshot the pre-maintenance served count NOW: `gated`'s plan
+    // holds pre-vacuum file paths and cannot re-execute after deletion
+    val servedBefore = gated.count()
+    val removed = sink.vacuumSuperseded(ledger.snapshot(), keepRuns = 1)
+    val after = sink.authoritativeRows(ledger.snapshot())
+    require(after.count() == servedBefore, "maintenance must not change served rows")
+    println(s"""{"stage":"maintain","compacted_partitions":${compacted.size},"runs_removed":$removed}""")
+
     println(s"""{"stage":"done","work_dir":"$work"}""")
     spark.stop()
   }
