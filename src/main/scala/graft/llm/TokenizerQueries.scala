@@ -170,5 +170,37 @@ object TokenizerQueries {
     ),
   )
 
+  /** The corpus-side apply path: tokenize `docs` (doc_id, text) with a
+    * learned vocab frame — [[learn]]'s (w, sp) output, or any frame
+    * with a word column and its double-space-encoded tokenization.
+    * BPE tokenization is word-local, so this is ONE broadcast join of
+    * the Heaps-bounded word→tokens map against the exploded corpus —
+    * the corpus never shuffles; per-doc reassembly orders by word
+    * position (deterministic, no window).
+    *
+    * Out-of-vocabulary words (the reason an apply path exists at all —
+    * tokenizing NEW documents with a frozen tokenizer) fall back to
+    * character symbols, the same base encoding the learner starts
+    * from; production BPE appliers additionally replay the merge list
+    * on OOV words, which is a per-word map-side loop over the (tiny,
+    * broadcast) merge table.
+    *
+    * @return (doc_id, tokens array<string>, n_tokens)
+    */
+  def tokenize(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .where(col("w") =!= "")
+    words
+      .join(broadcast(vocab.select(col("w"), col("sp"))), Seq("w"), "left")
+      .withColumn("sp",
+        coalesce(col("sp"), regexp_replace(col("w"), "(.)", " $1 ")))
+      .select(col("doc_id"), col("pos"), split(trim(col("sp")), "  ").as("wt"))
+      .groupBy("doc_id")
+      .agg(flatten(expr("transform(sort_array(collect_list(struct(pos, wt))), x -> x.wt)"))
+        .as("tokens"))
+      .select(col("doc_id"), col("tokens"), size(col("tokens")).cast("long").as("n_tokens"))
+  }
+
   val all: Seq[QuerySpec] = Seq(q189, q191)
 }

@@ -127,6 +127,44 @@ class TokenizerQueriesSpec extends SparkSpec {
     assert(inv == Map("ab" -> 3L))
   }
 
+  test("tokenize: applies the learned vocab per word-position, chars for OOV") {
+    val dir = java.nio.file.Files.createTempDirectory("q189tok").toString
+    Seq((1L, "banana bandana banana")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    // learned vocab after 5 rounds on this corpus; apply to a NEW doc
+    // mixing known words (their learned tokenizations, in order) and
+    // an OOV word (character fallback)
+    val vocab = {
+      // private learn() isn't exposed; rebuild the final vocab the
+      // public way — q191's underlying frame is (sym,freq), so derive
+      // (w, sp) from a learn-equivalent: run q189 for merges, then
+      // apply them to words by the same replace chain
+      import org.apache.spark.sql.functions._
+      val merges = TokenizerQueries.q189.run(spark, dir)
+        .select("left_sym", "right_sym").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val base = spark.createDataFrame(Seq(Tuple1("banana"), Tuple1("bandana")))
+        .toDF("w")
+        .withColumn("sp", regexp_replace(col("w"), "(.)", " $1 "))
+      merges.foldLeft(base) { case (df, (x, y)) =>
+        df.withColumn("sp",
+          regexp_replace(col("sp"),
+            java.util.regex.Pattern.quote(s" $x  $y "), s" ${x}${y} "))
+      }
+    }
+    val docs = Seq((9L, "banana zebra bandana")).toDF("doc_id", "text")
+    val out = TokenizerQueries.tokenize(docs, vocab).collect().head
+    val toks = out.getAs[scala.collection.Seq[String]]("tokens").toSeq
+    // word order preserved; zebra (OOV) → chars; known words use vocab
+    assert(toks.mkString("") == "bananazebrabandana")
+    assert(toks.containsSlice(Seq("z", "e", "b", "r", "a")))
+    assert(out.getAs[Long]("n_tokens") == toks.length.toLong)
+    // the known words' spans match their vocab tokenizations
+    val vmap = vocab.collect().map(r =>
+      r.getString(0) -> r.getString(1).trim.split("  ").toSeq).toMap
+    assert(toks.startsWith(vmap("banana")) && toks.endsWith(vmap("bandana")))
+  }
+
   test("q191: inventory conserves token and character mass against q189") {
     val dir = java.nio.file.Files.createTempDirectory("q191fix").toString
     Seq((1L, "banana bandana split split splits"), (2L, "banana split"))
