@@ -368,6 +368,40 @@ object CorpusQueries {
   )
 
   // ---------------------------------------------------------------------
+  // q192 — near-dup pairs, the LOSSLESS scale plan: identical
+  // semantics and oracle to q30, but candidates come from
+  // prefix-filtering ([[TextPipeline.prefixFilterPairs]], the
+  // AllPairs/PPJoin family) instead of the full inverted-index
+  // self-join. Where q41's LSH banding trades recall geometry for
+  // candidate economy (0.9998 at j = 0.8, ~0.64 at j = 0.5), the
+  // prefix filter's recall is 1.0 BY CONSTRUCTION at every j ≥ t —
+  // the rare-first prefixes of any ≥t pair must share their smallest
+  // common shingle — so this is the form to run when pairs AT the
+  // threshold are must-keeps and no banding geometry suffices. The
+  // hash match against q30's exact SQL is simultaneously the
+  // correctness proof and the recall proof.
+  //
+  // Scale: candidates cost Σ df² over PREFIX shingles only — the
+  // rare-first order pushes hot boilerplate shingles into suffixes
+  // where they never pair — plus the t·|B| ≤ |A| ≤ |B|/t size filter
+  // before any pair materializes. Exact verify runs on candidates
+  // only (the q41/q111 cascade discipline).
+  val q192: QuerySpec = QuerySpec(
+    "q192_prefix_filter_pairs",
+    (s, d) =>
+      TextPipeline
+        .prefixFilterPairs(documents(s, d).select("doc_id", "text"), 3, 0.5)
+        .select(col("da"), col("db"), round(col("jac"), 4).as("jaccard"))
+        .orderBy("da", "db"),
+    Some(
+      s"WITH ${LlmQueries.shinglePairsCteSql} " +
+        "SELECT da, db, round(common * 1.0 / (ca.n + cb.n - common), 4) AS jaccard " +
+        "FROM pairs JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db " +
+        "WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5 ORDER BY da, db"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
   // q103 — lexical diversity (Simpson): per source, 1 − Σnᵢ(nᵢ−1) /
   // (N(N−1)) over its token counts — the probability two tokens drawn
   // without replacement differ. The diversity gate that needs NO
@@ -862,5 +896,5 @@ object CorpusQueries {
 
   val all: Seq[QuerySpec] =
     Seq(q88, q89, q91, q92, q98, q99, q103, q104, q111, q117, q131, q137, q140,
-      q177, q178, q188)
+      q177, q178, q188, q192)
 }

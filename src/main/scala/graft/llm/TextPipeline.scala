@@ -315,6 +315,64 @@ object TextPipeline {
         threshold)
     }
 
+  /** Prefix-filtering set-similarity join (the AllPairs/PPJoin family,
+    * Bayardo et al. 2007 / Xiao et al. 2008): the LOSSLESS scalable
+    * candidate generator for exact Jaccard ≥ `threshold`.
+    *
+    * Order each doc's shingles by a canonical global total order —
+    * (document frequency ASC, shingle ASC), rarest first — and keep
+    * only each doc's PREFIX of the first |A| − ⌈t·|A|⌉ + 1 shingles.
+    * Two sets with J(A,B) ≥ t must share at least one prefix shingle
+    * (if all common shingles sat past both prefixes, the overlap
+    * could not reach the ⌈t/(1+t)·(|A|+|B|)⌉ needed), so the
+    * prefix-only inverted-index join has RECALL 1.0 BY CONSTRUCTION —
+    * unlike LSH banding, no probabilistic geometry to tune, which is
+    * why its q192 form can be hash-matched against the exact q30
+    * oracle rather than property-pinned. The size filter
+    * t·|B| ≤ |A| ≤ |B|/t (a consequence of J ≥ t) prunes further
+    * before any pair materializes.
+    *
+    * Scale: the join touches only prefix tokens — rare-first ordering
+    * makes prefixes the LOW-df end of the vocabulary, so candidate
+    * volume is Σ_prefix-shingle df² over rare shingles (small df),
+    * while hot boilerplate shingles land in suffixes and never
+    * generate a candidate. At t = 0.5 the prefix is ~half of each
+    * doc; at t = 0.8 it is ~a fifth — economy grows with the
+    * threshold exactly where near-dup detection operates. Exact
+    * verify then runs on candidates only (the cascade discipline).
+    */
+  def prefixFilterPairs(docs: DataFrame, k: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1]: $threshold")
+    withPersisted(withDocCounts(docShingles(docs, k))) { sh =>
+      // Canonical rare-first rank of each shingle within its doc. df
+      // comes from a window over the shingle (one exchange keyed by s,
+      // the same key the inverted-index join shuffles on); the per-doc
+      // rank is one exchange keyed by doc_id.
+      val ranked = sh
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+        .withColumn(
+          "rnk",
+          row_number().over(Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+      val prefix = ranked
+        .where(col("rnk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+        .select("doc_id", "s", "n")
+      val cand = prefix.as("a")
+        .join(
+          prefix.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.n") >= lit(threshold) * col("b.n") &&
+            col("b.n") >= lit(threshold) * col("a.n"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      jaccardFromCommon(
+        cand
+          .join(sh.select(col("doc_id").as("da"), col("s"), col("n").as("na")), Seq("da"))
+          .join(sh.select(col("doc_id").as("db"), col("s"), col("n").as("nb")), Seq("db", "s"))
+          .select("da", "db", "na", "nb"),
+        threshold)
+    }
+  }
+
   /** Incremental (batch-vs-base) near-dup cascade: which `incoming`
     * docs are ≥`threshold`-Jaccard similar to some `base` doc — the
     * cascade's machinery ([[docShingles]] → [[minHashSignatures]] →

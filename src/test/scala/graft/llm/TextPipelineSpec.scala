@@ -77,6 +77,34 @@ class TextPipelineSpec extends SparkSpec {
       s"cascade missed ${exact -- cascade}, extra ${cascade -- exact}")
   }
 
+  test("prefixFilterPairs ≡ exactJaccardPairs on the corpus (q192 contract)") {
+    def norm(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select(col("da"), col("db"), round(col("jac"), 4).as("j"))
+        .as[(Long, Long, Double)].collect().toSet
+    val exact = norm(TextPipeline.exactJaccardPairs(docs, 3, 0.5))
+    val prefixed = norm(TextPipeline.prefixFilterPairs(docs, 3, 0.5))
+    assert(prefixed == exact,
+      s"prefix filter missed ${exact -- prefixed}, extra ${prefixed -- exact}")
+  }
+
+  test("prefixFilterPairs: lossless AT the threshold where LSH geometry is not") {
+    // Two docs engineered to sit exactly at jaccard = 0.5: shingle sets
+    // of size 8 sharing wa..wd+3 window overlap — the regime where 16×4
+    // banding recall is ~0.64 and a pair is only PROBABLY found. The
+    // prefix filter must find it always.
+    val fixture = Seq(
+      (1L, "wa wb wc wd we wf wg wh wi wj"), // 8 shingles
+      (2L, "wa wb wc wd we wf xx yy zz qq"), // shares the 4-shingle head run
+      (3L, "aa bb cc dd ee ff gg hh ii jj"), // disjoint
+    ).toDF("doc_id", "text")
+    val exact = TextPipeline.exactJaccardPairs(fixture, 3, 0.5)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val prefixed = TextPipeline.prefixFilterPairs(fixture, 3, 0.5)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(prefixed == exact, s"at-threshold pair lost: ${exact -- prefixed}")
+    assert(!prefixed.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("bandingFor: most-selective geometry meeting the recall target") {
     import TextPipeline.bandingFor
     assert(bandingFor(0.8) == (16, 4))
