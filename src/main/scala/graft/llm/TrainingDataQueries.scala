@@ -870,7 +870,71 @@ object TrainingDataQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q193 — multi-class PII scrub: the full form of q68's redaction
+  // shape. Emails, phone numbers, and long id runs are scrubbed
+  // SEQUENTIALLY (each class counted on the text as the previous
+  // class left it — an email's digit run must not double-count as an
+  // id), with per-class counts emitted as the audit trail a scrub job
+  // owes downstream. The corpus text is digit-free, so the fixture
+  // synthesizes deterministic PII-bearing text from customer-key
+  // arithmetic — identical construction in both engines, with
+  // per-customer variation (no email for key%3=0, no phone for odd
+  // keys) so the counts genuinely vary per row and the oracle hashes
+  // the scrubbed STRING, not just totals.
+  //
+  // Scale: pure per-row codegen'd regexp chain — zero shuffles before
+  // the output sort; on 100 TB this is a map-only pass. Engine note:
+  // Spark's regexp_replace replaces all matches, DuckDB needs the
+  // explicit 'g' flag (the q68 lesson); Java-regex and RE2 agree on
+  // this pattern class (character classes, bounded repetition, greedy
+  // matching — no backtracking constructs).
+  val q193: QuerySpec = QuerySpec(
+    "q193_pii_scrub",
+    (s, d) => {
+      val emailPat = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+      val phonePat = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val idPat = "[0-9]{5,}"
+      val email = concat(lower(regexp_replace(col("c_name"), "#", ".")), lit("@corp.example"))
+      val phone = concat(
+        lit("+1-"), lpad((col("c_custkey") % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad((col("c_custkey") * 7 % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad((col("c_custkey") * 13 % 10000).cast("string"), 4, "0"))
+      val ref = lpad((col("c_custkey") * 37 % 1000000000L).cast("string"), 9, "0")
+      val text = concat(
+        col("c_mktsegment"), lit(" account"),
+        when(col("c_custkey") % 3 > 0, concat(lit(" mail "), email)).otherwise(lit("")),
+        when(col("c_custkey") % 2 === 0, concat(lit(" call "), phone)).otherwise(lit("")),
+        lit(" ref "), ref)
+      customer(s, d)
+        .select(col("c_custkey"), text.as("t"))
+        .withColumn("n_emails", regexp_count(col("t"), lit(emailPat)).cast("long"))
+        .withColumn("t1", regexp_replace(col("t"), emailPat, "<EMAIL>"))
+        .withColumn("n_phones", regexp_count(col("t1"), lit(phonePat)).cast("long"))
+        .withColumn("t2", regexp_replace(col("t1"), phonePat, "<PHONE>"))
+        .withColumn("n_ids", regexp_count(col("t2"), lit(idPat)).cast("long"))
+        .select(
+          col("c_custkey"),
+          regexp_replace(col("t2"), idPat, "<ID>").as("scrubbed"),
+          col("n_emails"), col("n_phones"), col("n_ids"))
+        .orderBy("c_custkey")
+    },
+    Some(
+      "WITH t AS (SELECT c_custkey, c_mktsegment || ' account' || " +
+        "CASE WHEN c_custkey % 3 > 0 THEN ' mail ' || lower(replace(c_name, '#', '.')) || '@corp.example' ELSE '' END || " +
+        "CASE WHEN c_custkey % 2 = 0 THEN ' call +1-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' || " +
+        "lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(c_custkey * 13 % 10000 AS VARCHAR), 4, '0') ELSE '' END || " +
+        "' ref ' || lpad(CAST(c_custkey * 37 % 1000000000 AS VARCHAR), 9, '0') AS t FROM customer), " +
+        "e AS (SELECT c_custkey, CAST(len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+[a-z]')) AS BIGINT) AS n_emails, " +
+        "regexp_replace(t, '[a-z0-9.]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g') AS t1 FROM t), " +
+        "p AS (SELECT c_custkey, n_emails, CAST(len(regexp_extract_all(t1, '\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones, " +
+        "regexp_replace(t1, '\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS t2 FROM e) " +
+        "SELECT c_custkey, regexp_replace(t2, '[0-9]{5,}', '<ID>', 'g') AS scrubbed, n_emails, n_phones, " +
+        "CAST(len(regexp_extract_all(t2, '[0-9]{5,}')) AS BIGINT) AS n_ids FROM p ORDER BY c_custkey"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q65, q66, q68, q69, q70, q75, q76, q77, q78, q79, q86, q120, q134, q142,
-      q149, q164, q173, q174)
+      q149, q164, q173, q174, q193)
 }

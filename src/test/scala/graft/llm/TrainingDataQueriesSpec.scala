@@ -308,4 +308,24 @@ class TrainingDataQueriesSpec extends SparkSpec {
     assert(row.getAs[Long]("p05_chars") == 1L && row.getAs[Long]("p95_chars") == 19L)
     assert(row.getAs[Long]("n_clipped") == 1L && row.getAs[Long]("clipped_char_mass") == 1L)
   }
+
+  test("q193: sequential scrub — each PII class counted once, nothing leaks through") {
+    val rows = TrainingDataQueries.q193.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (key, scrubbed) = (r.getAs[Long]("c_custkey"), r.getAs[String]("scrubbed"))
+      // counts follow the deterministic fixture arithmetic exactly
+      assert(r.getAs[Long]("n_emails") == (if (key % 3 > 0) 1L else 0L), s"key=$key")
+      assert(r.getAs[Long]("n_phones") == (if (key % 2 == 0) 1L else 0L), s"key=$key")
+      // the ref id is ALWAYS present and must be the only id counted —
+      // an email's 9-digit run redacts as part of <EMAIL>, never as <ID>
+      assert(r.getAs[Long]("n_ids") == 1L, s"key=$key")
+      // nothing PII-shaped survives the scrub
+      assert(!scrubbed.contains("@"), s"email leaked: $scrubbed")
+      assert(!scrubbed.matches(".*[0-9]{5,}.*"), s"id leaked: $scrubbed")
+      assert(scrubbed.contains("<ID>"))
+      if (key % 3 > 0) assert(scrubbed.contains("<EMAIL>"))
+      if (key % 2 == 0) assert(scrubbed.contains("<PHONE>"))
+    }
+  }
 }
