@@ -368,36 +368,41 @@ object CorpusQueries {
   )
 
   // ---------------------------------------------------------------------
-  // q192 — near-dup pairs, the LOSSLESS scale plan: identical
-  // semantics and oracle to q30, but candidates come from
-  // prefix-filtering ([[TextPipeline.prefixFilterPairs]], the
-  // AllPairs/PPJoin family) instead of the full inverted-index
-  // self-join. Where q41's LSH banding trades recall geometry for
-  // candidate economy (0.9998 at j = 0.8, ~0.64 at j = 0.5), the
-  // prefix filter's recall is 1.0 BY CONSTRUCTION at every j ≥ t —
-  // the rare-first prefixes of any ≥t pair must share their smallest
-  // common shingle — so this is the form to run when pairs AT the
-  // threshold are must-keeps and no banding geometry suffices. The
-  // hash match against q30's exact SQL is simultaneously the
-  // correctness proof and the recall proof.
+  // q192 — near-dup pairs at the high-precision threshold (0.8), the
+  // LOSSLESS scale plan: same semantics as q30's exact operator run
+  // at 0.8, but candidates come from prefix-filtering
+  // ([[TextPipeline.prefixFilterPairs]], the AllPairs/PPJoin family)
+  // instead of the full inverted-index self-join. Where q41's LSH
+  // banding trades recall geometry for candidate economy (0.9998 at
+  // j = 0.8 — probable, not guaranteed), the prefix filter's recall
+  // is 1.0 BY CONSTRUCTION at every j ≥ t — the rare-first prefixes
+  // of any ≥t pair must share their smallest common shingle — so
+  // this is the form to run when pairs AT the threshold are
+  // must-keeps and no banding geometry suffices. The hash match
+  // against the exact-family SQL is simultaneously the correctness
+  // proof and the recall proof.
   //
-  // Scale: candidates cost Σ df² over PREFIX shingles only — the
-  // rare-first order pushes hot boilerplate shingles into suffixes
-  // where they never pair — plus the t·|B| ≤ |A| ≤ |B|/t size filter
-  // before any pair materializes. Exact verify runs on candidates
-  // only (the q41/q111 cascade discipline).
+  // Scale: prefixes are |A| − ⌈0.8·|A|⌉ + 1 ≈ a fifth of each doc,
+  // and the rare-first order fills them with the LOW-df end of the
+  // vocabulary — hot boilerplate shingles land in suffixes and never
+  // generate a candidate (candidate volume is Σ df² over prefix
+  // shingles; spec-pinned on a planted-boilerplate corpus where the
+  // inverted index floods and the prefix join doesn't). Verify ships
+  // each doc's hashed shingle set once per candidate and intersects
+  // executor-locally — no per-candidate fanout through the shingle
+  // table.
   val q192: QuerySpec = QuerySpec(
     "q192_prefix_filter_pairs",
     (s, d) =>
       TextPipeline
-        .prefixFilterPairs(documents(s, d).select("doc_id", "text"), 3, 0.5)
+        .prefixFilterPairs(documents(s, d).select("doc_id", "text"), 3, 0.8)
         .select(col("da"), col("db"), round(col("jac"), 4).as("jaccard"))
         .orderBy("da", "db"),
     Some(
       s"WITH ${LlmQueries.shinglePairsCteSql} " +
         "SELECT da, db, round(common * 1.0 / (ca.n + cb.n - common), 4) AS jaccard " +
         "FROM pairs JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db " +
-        "WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5 ORDER BY da, db"
+        "WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.8 ORDER BY da, db"
     ),
   )
 

@@ -341,35 +341,71 @@ object TextPipeline {
     * threshold exactly where near-dup detection operates. Exact
     * verify then runs on candidates only (the cascade discipline).
     */
+  /** Candidate pairs from prefix filtering over a distinct
+    * (doc_id, s) shingle frame — the stage [[prefixFilterPairs]]
+    * composes, public so its candidate economy is testable on its
+    * own. Rare-first prefixes WITHOUT any global sort: df is a
+    * map-side-combined aggregate (|V| rows) joined back on s — the
+    * same key the candidate join shuffles on — and the canonical
+    * (df, s) order is imposed per doc by an executor-local
+    * array_sort over that doc's own shingles (bounded by doc length,
+    * the q69 array discipline). The first form of this operator
+    * ranked with two WindowExecs — two full sorts of the corpus-
+    * sized shingle stream, measured 8.2× at the 16× probe — this
+    * form has zero corpus-wide sorts. The t·|B| ≤ |A| ≤ |B|/t size
+    * consequence of J ≥ t is enforced inside the join condition, so
+    * pairs failing it never materialize.
+    */
+  def prefixCandidates(shingles: DataFrame, threshold: Double): DataFrame = {
+    val df = shingles.groupBy("s").agg(count(lit(1)).as("df"))
+    val prefix = shingles.select("doc_id", "s")
+      .join(df, Seq("s"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("arr"))
+      .select(
+        col("doc_id"),
+        size(col("arr")).cast("long").as("n"),
+        explode(slice(
+          col("arr"), lit(1),
+          (size(col("arr")) - ceil(lit(threshold) * size(col("arr"))) + 1).cast("int"),
+        )).as("p"))
+      .select(col("doc_id"), col("p.s").as("s"), col("n"))
+    prefix.as("a")
+      .join(
+        prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") >= lit(threshold) * col("b.n") &&
+          col("b.n") >= lit(threshold) * col("a.n"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+  }
+
   def prefixFilterPairs(docs: DataFrame, k: Int, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1]: $threshold")
-    withPersisted(withDocCounts(docShingles(docs, k))) { sh =>
-      // Canonical rare-first rank of each shingle within its doc. df
-      // comes from a window over the shingle (one exchange keyed by s,
-      // the same key the inverted-index join shuffles on); the per-doc
-      // rank is one exchange keyed by doc_id.
-      val ranked = sh
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
-        .withColumn(
-          "rnk",
-          row_number().over(Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
-      val prefix = ranked
-        .where(col("rnk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-        .select("doc_id", "s", "n")
-      val cand = prefix.as("a")
+    withPersisted(docShingles(docs, k)) { sh =>
+      val cand = prefixCandidates(sh, threshold)
+      // Exact verify by executor-local set intersection: each doc's
+      // shingle set travels ONCE as a compact hashed array (sets are
+      // distinct by construction; 64-bit collisions across a pair are
+      // ~|A|·|B|/2⁶⁴ — vanishing, and the oracle hash-match would
+      // catch one). The earlier verify joined candidates back through
+      // the shingle table — a per-candidate fanout of |A| rows that
+      // dominated the probe (70s of an 84s run at 16×); this ships
+      // 2 arrays per candidate instead.
+      val sets = sh
+        .groupBy("doc_id")
+        .agg(collect_list(xxhash64(col("s"))).as("hs"), count(lit(1)).as("n"))
+      cand
         .join(
-          prefix.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-            col("a.n") >= lit(threshold) * col("b.n") &&
-            col("b.n") >= lit(threshold) * col("a.n"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .distinct()
-      jaccardFromCommon(
-        cand
-          .join(sh.select(col("doc_id").as("da"), col("s"), col("n").as("na")), Seq("da"))
-          .join(sh.select(col("doc_id").as("db"), col("s"), col("n").as("nb")), Seq("db", "s"))
-          .select("da", "db", "na", "nb"),
-        threshold)
+          sets.select(col("doc_id").as("da"), col("hs").as("ha"), col("n").as("na")),
+          Seq("da"))
+        .join(
+          sets.select(col("doc_id").as("db"), col("hs").as("hb"), col("n").as("nb")),
+          Seq("db"))
+        .withColumn("common", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+        .withColumn("jac", col("common").cast("double") / (col("na") + col("nb") - col("common")))
+        .where(col("jac") >= threshold)
+        .select("da", "db", "na", "nb", "common", "jac")
     }
   }
 

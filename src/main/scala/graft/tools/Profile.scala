@@ -38,6 +38,17 @@ object Profile {
     time("band keys")(banded.count())
     time("lsh candidates")(
       graft.llm.TextPipeline.lshCandidates(docs, 3, 64, 16, 4).count())
+    // prefix-filter (q192) stage anatomy: where do rows/time go, and
+    // how does candidate volume compare with the full inverted index
+    val shN = graft.llm.TextPipeline.withDocCounts(sh)
+    time("exact pair-base (shared-shingle rows)")(
+      shN.as("a").join(shN.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")).count())
+    time("prefix candidates t=0.8")(
+      graft.llm.TextPipeline.prefixCandidates(sh, 0.8).count())
+    time("prefix candidates t=0.5")(
+      graft.llm.TextPipeline.prefixCandidates(sh, 0.5).count())
+    time("q192 full (t=0.8)")(graft.llm.TextPipeline.prefixFilterPairs(docs, 3, 0.8).count())
     time("q30 full")(graft.llm.LlmQueries.q30.run(spark, sfDir).count())
     time("q31 full")(graft.llm.LlmQueries.q31.run(spark, sfDir).count())
     time("q32 full")(graft.llm.LlmQueries.q32.run(spark, sfDir).count())

@@ -77,32 +77,57 @@ class TextPipelineSpec extends SparkSpec {
       s"cascade missed ${exact -- cascade}, extra ${cascade -- exact}")
   }
 
-  test("prefixFilterPairs ≡ exactJaccardPairs on the corpus (q192 contract)") {
-    def norm(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+  test("prefixFilterPairs ≡ exactJaccardPairs on the corpus (q192 contract, both thresholds)") {
+    def norm(df: org.apache.spark.sql.DataFrame, t: Double): Set[(Long, Long, Double)] =
       df.select(col("da"), col("db"), round(col("jac"), 4).as("j"))
         .as[(Long, Long, Double)].collect().toSet
-    val exact = norm(TextPipeline.exactJaccardPairs(docs, 3, 0.5))
-    val prefixed = norm(TextPipeline.prefixFilterPairs(docs, 3, 0.5))
-    assert(prefixed == exact,
-      s"prefix filter missed ${exact -- prefixed}, extra ${prefixed -- exact}")
+    for (t <- Seq(0.5, 0.8)) {
+      val exact = norm(TextPipeline.exactJaccardPairs(docs, 3, t), t)
+      val prefixed = norm(TextPipeline.prefixFilterPairs(docs, 3, t), t)
+      assert(prefixed == exact,
+        s"t=$t: prefix filter missed ${exact -- prefixed}, extra ${prefixed -- exact}")
+    }
   }
 
-  test("prefixFilterPairs: lossless AT the threshold where LSH geometry is not") {
-    // Two docs engineered to sit exactly at jaccard = 0.5: shingle sets
-    // of size 8 sharing wa..wd+3 window overlap — the regime where 16×4
-    // banding recall is ~0.64 and a pair is only PROBABLY found. The
-    // prefix filter must find it always.
+  test("prefixFilterPairs: lossless AT the threshold — guaranteed, not probable") {
+    // A pair engineered to sit just above jaccard = 0.8 (10-shingle
+    // docs sharing 9: j = 9/11 ≈ 0.818): LSH finds such a pair with
+    // probability < 1 at any banding geometry; the prefix filter must
+    // find it always.
     val fixture = Seq(
-      (1L, "wa wb wc wd we wf wg wh wi wj"), // 8 shingles
-      (2L, "wa wb wc wd we wf xx yy zz qq"), // shares the 4-shingle head run
-      (3L, "aa bb cc dd ee ff gg hh ii jj"), // disjoint
+      (1L, "wa wb wc wd we wf wg wh wi wj wk wl"),
+      (2L, "wa wb wc wd we wf wg wh wi wj wk xx"), // last word differs → 9/11
+      (3L, "aa bb cc dd ee ff gg hh ii jj kk ll"), // disjoint
     ).toDF("doc_id", "text")
-    val exact = TextPipeline.exactJaccardPairs(fixture, 3, 0.5)
+    val exact = TextPipeline.exactJaccardPairs(fixture, 3, 0.8)
       .select("da", "db").as[(Long, Long)].collect().toSet
-    val prefixed = TextPipeline.prefixFilterPairs(fixture, 3, 0.5)
+    val prefixed = TextPipeline.prefixFilterPairs(fixture, 3, 0.8)
       .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(exact == Set((1L, 2L)), s"fixture must sit above the threshold: $exact")
     assert(prefixed == exact, s"at-threshold pair lost: ${exact -- prefixed}")
-    assert(!prefixed.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("prefixCandidates: boilerplate shingles never generate candidates") {
+    // 120 docs sharing an identical 12-word boilerplate head with
+    // unique 12-word tails: every boilerplate shingle has df = 120, so
+    // the inverted-index pair base holds ≥ C(120,2)·10 ≈ 71k rows of
+    // pure boilerplate collisions, while rare-first prefixes contain
+    // ONLY the unique-tail shingles — zero cross-doc candidates. This
+    // is the df²-flood robustness the prefix filter exists for.
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
+    val fixture = (0 until 120)
+      .map(i => (i.toLong, boiler + " " + (1 to 12).map(j => s"u${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sh = TextPipeline.docShingles(fixture, 3)
+    val invertedRows = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .count()
+    assert(invertedRows >= 71000L, s"fixture must flood the inverted index: $invertedRows")
+    val nCand = TextPipeline.prefixCandidates(sh, 0.8).count()
+    assert(nCand == 0L, s"boilerplate must stay out of prefixes, got $nCand candidates")
+    // and the end-to-end answer still matches the exact operator (empty here)
+    assert(TextPipeline.prefixFilterPairs(fixture, 3, 0.8).count() ==
+      TextPipeline.exactJaccardPairs(fixture, 3, 0.8).count())
   }
 
   test("bandingFor: most-selective geometry meeting the recall target") {
