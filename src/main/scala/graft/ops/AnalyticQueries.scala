@@ -1133,7 +1133,69 @@ object AnalyticQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q194 — CDC apply: replay a change-data-capture log (the
+  // Debezium/MERGE INTO shape) into the final snapshot. The event
+  // stream is read as a per-user op log — signup ⇒ insert, error ⇒
+  // delete, everything else ⇒ upsert — ordered by (epoch-µs,
+  // event_id), and the apply is LAST-OP-WINS with tombstone
+  // semantics: a key whose final op is a delete is ABSENT from the
+  // snapshot (what separates this from q19's LWW upsert, which never
+  // removes), while an update after a delete re-materializes the row
+  // (upsert semantics — no "row must exist" precondition to break
+  // replay idempotence). Per surviving key the snapshot carries the
+  // last value and the replay audit counts every MERGE emits
+  // (ops/upserts/deletes seen).
+  //
+  // Scale: ONE shuffle on user_id — the ranking window and the
+  // replay-count aggregation share the partitioning (q56/q58 rule);
+  // at 100 TB this is the standard log-compaction pass, and because
+  // last-op-wins is associative over (ts, event_id)-max it can fold
+  // incrementally batch-by-batch (the q88 base-state discipline)
+  // without replaying history.
+  val q194: QuerySpec = QuerySpec(
+    "q194_cdc_apply",
+    (s, d) => {
+      val op = when(col("event_type") === "signup", lit("I"))
+        .when(col("event_type") === "error", lit("D"))
+        .otherwise(lit("U"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      events(s, d)
+        .select(
+          col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          op.as("op"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+          max(when(col("rn") === 1, col("op"))).as("last_op"),
+          max(when(col("rn") === 1, col("ts_us"))).as("last_ts_us"),
+          max(when(col("rn") === 1, round(col("value"), 2))).as("last_value"),
+          count(lit(1)).as("n_ops"),
+          sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deletes_replayed"),
+        )
+        .where(col("last_op") =!= "D")
+        .select("user_id", "last_op", "last_ts_us", "last_value", "n_ops",
+          "n_deletes_replayed")
+        .orderBy("user_id")
+    },
+    Some(
+      "WITH log AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us, " +
+        "CASE WHEN event_type = 'signup' THEN 'I' WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn " +
+        "FROM events) " +
+        "SELECT user_id, max(CASE WHEN rn = 1 THEN op END) AS last_op, " +
+        "max(CASE WHEN rn = 1 THEN ts_us END) AS last_ts_us, " +
+        "max(CASE WHEN rn = 1 THEN round(value, 2) END) AS last_value, " +
+        "count(*) AS n_ops, " +
+        "CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes_replayed " +
+        "FROM log GROUP BY user_id " +
+        "HAVING max(CASE WHEN rn = 1 THEN op END) <> 'D' ORDER BY user_id"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q49, q50, q51, q52, q53, q54, q56, q57, q58, q59, q60, q61, q62, q63, q64, q67,
-      q73, q74, q80, q81, q82, q83, q84, q85, q130, q157)
+      q73, q74, q80, q81, q82, q83, q84, q85, q130, q157, q194)
 }

@@ -386,4 +386,38 @@ class AnalyticQueriesSpec extends SparkSpec {
     val rshares = byRegion.map(_._2.head.getAs[Long]("region_share_bp")).sum
     assert(rshares <= 10000L && rshares > 10000L - byRegion.size)
   }
+
+  test("q194: CDC tombstones drop keys, updates after deletes re-materialize") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q194fix").toString
+    // user 1: I,U          → survives as U
+    // user 2: I,U,D        → tombstoned, absent
+    // user 3: I,D,U        → delete then update → re-materialized
+    // user 4: D            → delete of a never-inserted key → absent
+    // user 5: U            → update without insert → upsert, survives
+    Seq(
+      (1L, "2024-01-01 00:00:01", 1L, "signup", 1.0),
+      (2L, "2024-01-01 00:00:02", 1L, "click", 2.0),
+      (3L, "2024-01-01 00:00:01", 2L, "signup", 3.0),
+      (4L, "2024-01-01 00:00:02", 2L, "view", 4.0),
+      (5L, "2024-01-01 00:00:03", 2L, "error", 5.0),
+      (6L, "2024-01-01 00:00:01", 3L, "signup", 6.0),
+      (7L, "2024-01-01 00:00:02", 3L, "error", 7.0),
+      (8L, "2024-01-01 00:00:03", 3L, "purchase", 8.5),
+      (9L, "2024-01-01 00:00:01", 4L, "error", 9.0),
+      (10L, "2024-01-01 00:00:01", 5L, "click", 10.0),
+    ).toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), lit("{}").as("props"))
+      .write.parquet(s"$dir/events.parquet")
+    val rows = AnalyticQueries.q194.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(rows.keySet == Set(1L, 3L, 5L), s"got ${rows.keySet}")
+    assert(rows(1L).getAs[String]("last_op") == "U" &&
+      rows(1L).getAs[Double]("last_value") == 2.0)
+    assert(rows(3L).getAs[String]("last_op") == "U" &&
+      rows(3L).getAs[Double]("last_value") == 8.5 &&
+      rows(3L).getAs[Long]("n_deletes_replayed") == 1L)
+    assert(rows(5L).getAs[Long]("n_ops") == 1L)
+  }
 }
