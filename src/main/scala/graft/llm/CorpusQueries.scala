@@ -407,6 +407,66 @@ object CorpusQueries {
   )
 
   // ---------------------------------------------------------------------
+  // q195 — Gopher-style quality rule table (Rae et al. 2021 §A1.1):
+  // the composed document-quality GATE, distinct from q34's raw
+  // signals — each named rule is a boolean a filtering pipeline
+  // thresholds on, and the per-doc flag vector (not just the final
+  // verdict) is what a corpus audit needs to see to know WHY a doc
+  // was dropped. Rules (bounds adapted to this corpus's scale):
+  // r_len (word count in [20, 1000]), r_mwl (mean word length in
+  // [3, 10]), r_stop (≥ 2 distinct common stopwords — the Gopher
+  // "stop word" gibberish guard), r_rep (top-word frequency ≤ 1/8 —
+  // the repetition guard, q89's signal as a gate). All integer/
+  // boolean arithmetic except mean word length, which is one
+  // int-by-int IEEE division — bit-identical across engines.
+  //
+  // Scale: one (doc_id, word) count (uniform keys, map-side
+  // combined), one per-doc fold — the q103 shape; booleans compute
+  // codegen'd from the fold's integers. No joins, no windows.
+  val q195: QuerySpec = QuerySpec(
+    "q195_gopher_rules",
+    (s, d) => {
+      val stops = Seq("the", "a", "of", "and", "to")
+      val cnt = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w")
+        .agg(count(lit(1)).as("c"))
+      cnt
+        .groupBy("doc_id")
+        .agg(
+          sum(col("c")).as("n_words"),
+          max(col("c")).as("top_c"),
+          (sum(length(col("w")) * col("c")).cast("double") / sum(col("c"))).as("mwl"),
+          count(when(col("w").isInCollection(stops), 1)).as("n_stop"),
+        )
+        .select(
+          col("doc_id"),
+          col("n_words"),
+          (col("n_words") >= 20 && col("n_words") <= 1000).as("r_len"),
+          (col("mwl") >= 3.0 && col("mwl") <= 10.0).as("r_mwl"),
+          (col("n_stop") >= 2).as("r_stop"),
+          (col("top_c").cast("double") / col("n_words") <= 0.125).as("r_rep"),
+        )
+        .withColumn("pass", col("r_len") && col("r_mwl") && col("r_stop") && col("r_rep"))
+        .orderBy("doc_id")
+    },
+    Some(
+      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2), " +
+        "d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, max(c) AS top_c, " +
+        "sum(length(w) * c) * 1.0 / sum(c) AS mwl, " +
+        "count(CASE WHEN w IN ('the', 'a', 'of', 'and', 'to') THEN 1 END) AS n_stop " +
+        "FROM cnt GROUP BY 1) " +
+        "SELECT doc_id, n_words, n_words >= 20 AND n_words <= 1000 AS r_len, " +
+        "mwl >= 3.0 AND mwl <= 10.0 AS r_mwl, n_stop >= 2 AS r_stop, " +
+        "top_c * 1.0 / n_words <= 0.125 AS r_rep, " +
+        "(n_words >= 20 AND n_words <= 1000) AND (mwl >= 3.0 AND mwl <= 10.0) " +
+        "AND n_stop >= 2 AND top_c * 1.0 / n_words <= 0.125 AS pass " +
+        "FROM d ORDER BY doc_id"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
   // q103 — lexical diversity (Simpson): per source, 1 − Σnᵢ(nᵢ−1) /
   // (N(N−1)) over its token counts — the probability two tokens drawn
   // without replacement differ. The diversity gate that needs NO
@@ -901,5 +961,5 @@ object CorpusQueries {
 
   val all: Seq[QuerySpec] =
     Seq(q88, q89, q91, q92, q98, q99, q103, q104, q111, q117, q131, q137, q140,
-      q177, q178, q188, q192)
+      q177, q178, q188, q192, q195)
 }
