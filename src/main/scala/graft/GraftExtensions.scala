@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{FloatVecCosine, FloatVecDot}
+import graft.expressions.{CmsEstimate, CmsMergeAll, FloatVecCosine, FloatVecDot}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql("SELECT vec_cosine(a,b)")`
@@ -28,6 +28,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "vec_cosine(a, b) takes exactly two arguments")
         FloatVecCosine(children.head, children(1))
+      },
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("cms_merge_all"),
+      new ExpressionInfo(classOf[CmsMergeAll].getName, "cms_merge_all"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "cms_merge_all(sketches) takes exactly one argument")
+        CmsMergeAll(children.head)
+      },
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "cms_estimate(sketch, item) takes exactly two arguments")
+        CmsEstimate(children.head, children(1))
       },
     ))
     // Column-composition functions surfaced to SQL: the builder wraps

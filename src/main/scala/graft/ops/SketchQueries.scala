@@ -72,5 +72,52 @@ object SketchQueries {
     None, // sketch estimates are implementation-defined — rows-only; error/merge contracts pinned in SketchQueriesSpec
   )
 
-  val all: Seq[QuerySpec] = Seq(q119, q181)
+  // ---------------------------------------------------------------------
+  // q196 — mergeable frequency sketch (CountMin): the q119/q181
+  // reaggregation story for POINT FREQUENCIES. Per-shard sketches
+  // (the builtin codegen'd `count_min_sketch` aggregate — binary
+  // partials, map-side combined) merge via [[graft.expressions
+  // .SketchExpressions.cmsMergeAll]] into any coarser grain — and the
+  // CMS merge is EXACT (counter arrays add), so the per-shard route
+  // is bit-identical to a one-shot sketch, spec-pinned as equality
+  // rather than approximation. Point queries answer from the KB
+  // sketch without touching raw data ([[graft.expressions
+  // .SketchExpressions.cmsEstimate]]); exact counts ride along for
+  // the one-sided-error contract (est ≥ exact, overshoot ≤ ε·N).
+  //
+  // Scale: raw data is touched once by the sharded aggregate; the
+  // merge and every estimate operate on sketch tables whose size is
+  // per-group KB, independent of corpus scale. No DuckDB oracle by
+  // design (hash-defined estimates): rows-only like q119, contracts
+  // pinned in SketchQueriesSpec.
+  val q196: QuerySpec = QuerySpec(
+    "q196_cms_topk_freq",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.expressions.SketchExpressions
+      val ev = events(s, d).select(col("event_type"), col("user_id"))
+      val merged = ev
+        .withColumn("shard", pmod(col("user_id"), lit(8)))
+        .groupBy("event_type", "shard")
+        .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("cms"))
+        .groupBy("event_type")
+        .agg(collect_list(col("cms")).as("sks"))
+        .select(col("event_type"), SketchExpressions.cmsMergeAll(col("sks")).as("cms"))
+      val top = ev
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("exact_n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(desc("exact_n"), asc("user_id"))))
+        .where(col("rk") <= 3)
+      top
+        .join(merged, Seq("event_type"))
+        .select(
+          col("event_type"), col("user_id"), col("exact_n"),
+          SketchExpressions.cmsEstimate(col("cms"), col("user_id")).as("est_n"))
+        .orderBy("event_type", "user_id")
+    },
+    None, // hash-defined estimates — rows-only; one-sided error + exact-merge identity pinned in SketchQueriesSpec
+  )
+
+  val all: Seq[QuerySpec] = Seq(q119, q181, q196)
 }

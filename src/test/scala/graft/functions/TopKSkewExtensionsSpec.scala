@@ -103,6 +103,17 @@ class GraftExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
         spark.sql("SELECT graft_quality_score(text, text) FROM t").collect())
       assert(errQ.getMessage.toLowerCase.contains("literal") ||
         errQ.getMessage.toLowerCase.contains("stopwords"))
+      // CMS merge + point query reach SQL (q196's expressions)
+      Seq((1L, 7L), (1L, 7L), (2L, 7L), (2L, 9L)).toDF("g", "u")
+        .createOrReplaceTempView("cms_t")
+      val cmsRow = spark.sql(
+        """SELECT cms_estimate(cms_merge_all(sks), 7L) AS e7,
+          |       cms_estimate(cms_merge_all(sks), 9L) AS e9 FROM (
+          |  SELECT collect_list(cms) AS sks FROM (
+          |    SELECT count_min_sketch(u, 0.001d, 0.99d, 42) AS cms
+          |    FROM cms_t GROUP BY g))""".stripMargin).head()
+      assert(cmsRow.getLong(0) >= 3L && cmsRow.getLong(1) >= 1L,
+        s"CMS SQL path must be one-sided: $cmsRow")
     } finally {
       spark.catalog.dropTempView("v")
       SparkSession.setDefaultSession(shared)

@@ -84,4 +84,43 @@ class SketchQueriesSpec extends SparkSpec {
     assert(math.abs(rank - 0.5) <= 0.03,
       s"merged-monthly P50 sits at rank $rank — mergeability broken")
   }
+
+  test("q196: CMS estimates are one-sided (est ≥ exact) and ε-bounded") {
+    val rows = SketchQueries.q196.run(spark, sfDir).collect()
+    assert(rows.length >= 10, "3 top users per event type expected")
+    val totals = ev.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    rows.foreach { r =>
+      val (t, exact, est) = (r.getAs[String]("event_type"),
+        r.getAs[Long]("exact_n"), r.getAs[Long]("est_n"))
+      assert(est >= exact, s"$t: CMS must never under-count (est=$est exact=$exact)")
+      // ε = 0.001 ⇒ overshoot ≤ ε·N (deterministic for the fixed seed;
+      // the 3× slack keeps this robust to testdata regeneration)
+      assert(est - exact <= math.max(3L, (0.003 * totals(t)).toLong),
+        s"$t: overshoot ${est - exact} beyond ε·N bound (N=${totals(t)})")
+    }
+  }
+
+  test("q196: merged per-shard sketches ≡ one-shot sketch — CMS merge is exact") {
+    import graft.expressions.SketchExpressions
+    val users = ev.select("event_type", "user_id")
+    val viaShards = users
+      .withColumn("shard", pmod(col("user_id"), lit(8)))
+      .groupBy("event_type", "shard")
+      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("cms"))
+      .groupBy("event_type")
+      .agg(collect_list(col("cms")).as("sks"))
+      .select(col("event_type"), SketchExpressions.cmsMergeAll(col("sks")).as("cms"))
+    val oneShot = users.groupBy("event_type")
+      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("cms"))
+    val probe = users.select("event_type", "user_id").distinct()
+    def estimates(sk: org.apache.spark.sql.DataFrame): Map[(String, Long), Long] =
+      probe.join(sk, Seq("event_type"))
+        .select(col("event_type"), col("user_id"),
+          SketchExpressions.cmsEstimate(col("cms"), col("user_id")).as("e"))
+        .as[(String, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(estimates(viaShards) == estimates(oneShot),
+      "shard-merged and one-shot CMS must answer every point query identically")
+  }
+
 }
