@@ -467,6 +467,56 @@ object CorpusQueries {
   )
 
   // ---------------------------------------------------------------------
+  // q197 — quality-classifier APPLY: score every document with a
+  // trained linear text classifier (the fastText-style bag-of-words
+  // shape every corpus pipeline runs after its heuristic gates). The
+  // model — (token, µ-weight) rows plus a bias — is a TABLE, not
+  // code: scoring is one broadcast left-join of the exploded token
+  // stream against the model and a per-doc sum. Weights are integer
+  // MICRO-units so the logit is exact integer arithmetic
+  // (order-independent, hash-stable — the X8 micros discipline
+  // applied to model inference); the label is a threshold on the
+  // logit. Missing tokens contribute 0 (the left join's coalesce),
+  // so out-of-vocabulary text scores bias-only.
+  //
+  // Scale: the corpus NEVER shuffles by token — the model broadcasts
+  // (a real vocabulary is ~10⁵ rows, KBs–MBs), the token stream
+  // joins map-side, and the only exchange is the per-doc sum, keyed
+  // by doc_id and map-side combined. Swapping the model = swapping
+  // one small table; the plan is identical for any vocabulary size
+  // that fits a broadcast.
+  private val clfModel: Seq[(String, Long)] = Seq(
+    "spark" -> 400000L, "fast" -> 250000L, "merge" -> 150000L,
+    "vector" -> 200000L, "query" -> 100000L, "window" -> 50000L,
+    "slow" -> -300000L, "batch" -> -100000L, "line" -> -150000L,
+    "row" -> -50000L, "scan" -> -75000L)
+  private val clfBiasMicro = -500000L
+
+  val q197: QuerySpec = QuerySpec(
+    "q197_classifier_score",
+    (s, d) => {
+      import s.implicits._
+      val model = clfModel.toDF("w", "wt_micro")
+      documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .join(broadcast(model), Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg((coalesce(sum(col("wt_micro")), lit(0L)) + clfBiasMicro).as("logit_micro"))
+        .withColumn("label", col("logit_micro") >= 0L)
+        .orderBy("doc_id")
+    },
+    Some {
+      val values = clfModel.map { case (w, m) => s"('$w', $m)" }.mkString(", ")
+      s"WITH model(w, wt_micro) AS (VALUES $values), " +
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) " +
+        "SELECT doc_id, " +
+        s"CAST(coalesce(sum(m.wt_micro), 0) + ($clfBiasMicro) AS BIGINT) AS logit_micro, " +
+        s"coalesce(sum(m.wt_micro), 0) + ($clfBiasMicro) >= 0 AS label " +
+        "FROM tok LEFT JOIN model m USING (w) GROUP BY doc_id ORDER BY doc_id"
+    },
+  )
+
+  // ---------------------------------------------------------------------
   // q103 — lexical diversity (Simpson): per source, 1 − Σnᵢ(nᵢ−1) /
   // (N(N−1)) over its token counts — the probability two tokens drawn
   // without replacement differ. The diversity gate that needs NO
@@ -961,5 +1011,5 @@ object CorpusQueries {
 
   val all: Seq[QuerySpec] =
     Seq(q88, q89, q91, q92, q98, q99, q103, q104, q111, q117, q131, q137, q140,
-      q177, q178, q188, q192, q195)
+      q177, q178, q188, q192, q195, q197)
 }

@@ -665,6 +665,76 @@ object StatQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q198 — Population Stability Index between two order cohorts
+  // (1994 vs 1995+, fixed price bins): the scorecard-monitoring drift
+  // statistic, complementing q169's JSD — PSI is the one risk/quality
+  // teams threshold on (<0.1 stable, >0.25 shifted), and unlike JSD
+  // it is symmetric-in-sign per bin, so the PER-BIN terms localize
+  // WHERE the distribution moved. Bin edges are fixed literals (a
+  // production PSI pins edges from the baseline period, never
+  // re-derives them), counts are exact integers, and each bin
+  // contributes one (p−q)·ln(p/q) double term — the q169/q163
+  // rounding budget: round AFTER the fold, terms to 6, total to 4.
+  // Zero-count bins contribute 0 by the guarded convention (both
+  // sides must be populated for the ratio to mean anything).
+  //
+  // Scale: one map-side-combined aggregate into |bins| rows; the
+  // fold over bins is constant-size. Nothing downstream of the scan
+  // grows with the data.
+  val q198: QuerySpec = QuerySpec(
+    "q198_psi_drift",
+    (s, d) => {
+      val edges = Seq(50000.0, 100000.0, 150000.0, 200000.0, 300000.0)
+      // fold from the LARGEST edge so the smallest lands outermost —
+      // each `when` must be reached only when all smaller edges failed
+      val binCol = edges.zipWithIndex.reverse.foldLeft(lit(edges.length)) {
+        case (acc, (e, i)) => when(col("o_totalprice") < e, lit(i)).otherwise(acc)
+      }
+      val binned = orders(s, d)
+        .select(
+          binCol.as("bin"),
+          (year(col("o_orderdate")) === 1994).as("is_a"),
+          (year(col("o_orderdate")) >= 1995).as("is_b"))
+        .where(col("is_a") || col("is_b"))
+        .groupBy("bin")
+        .agg(
+          sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("is_b"), 1L).otherwise(0L)).as("n_b"))
+      val tot = binned.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+      val p = col("n_a").cast("double") / col("ta")
+      val q = col("n_b").cast("double") / col("tb")
+      val terms = binned.crossJoin(tot) // 1-row totals anchor
+        .select(
+          col("bin"), col("n_a"), col("n_b"),
+          when(col("n_a") > 0 && col("n_b") > 0, (p - q) * log(p / q))
+            .otherwise(lit(0.0)).as("t"))
+      val psi = terms.agg(round(sum(col("t")), 4).as("psi")) // 1-row total
+      terms
+        .crossJoin(psi)
+        .select(
+          col("bin"), col("n_a"), col("n_b"),
+          round(col("t"), 6).as("psi_term"), col("psi"))
+        .orderBy("bin")
+    },
+    Some(
+      "WITH binned AS (SELECT CASE WHEN o_totalprice < 50000 THEN 0 " +
+        "WHEN o_totalprice < 100000 THEN 1 WHEN o_totalprice < 150000 THEN 2 " +
+        "WHEN o_totalprice < 200000 THEN 3 WHEN o_totalprice < 300000 THEN 4 ELSE 5 END AS bin, " +
+        "year(o_orderdate) = 1994 AS is_a, year(o_orderdate) >= 1995 AS is_b " +
+        "FROM orders WHERE year(o_orderdate) = 1994 OR year(o_orderdate) >= 1995), " +
+        "c AS (SELECT bin, CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b FROM binned GROUP BY 1), " +
+        "t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM c), " +
+        "terms AS (SELECT bin, n_a, n_b, CASE WHEN n_a > 0 AND n_b > 0 " +
+        "THEN (n_a * 1.0 / ta - n_b * 1.0 / tb) * ln((n_a * 1.0 / ta) / (n_b * 1.0 / tb)) " +
+        "ELSE 0.0 END AS t FROM c CROSS JOIN t), " +
+        "p AS (SELECT round(sum(t), 4) AS psi FROM terms) " +
+        "SELECT bin, n_a, n_b, round(t, 6) AS psi_term, psi " +
+        "FROM terms CROSS JOIN p ORDER BY bin"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q168, q169, q170, q171, q172, q175, q176, q182, q183, q184, q185)
+    Seq(q168, q169, q170, q171, q172, q175, q176, q182, q183, q184, q185, q198)
 }
