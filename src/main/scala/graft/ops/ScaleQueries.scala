@@ -1752,8 +1752,69 @@ object ScaleQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q199 — l-diversity audit, the homogeneity-attack complement to
+  // q148: k-anonymity only bounds CLASS SIZE, but a class of 50 rows
+  // all sharing one sensitive value still leaks it for everyone in
+  // the class. Here the quasi-identifiers are (nation, balance
+  // bucket) and the sensitive attribute is the market segment; per
+  // equivalence class we count DISTINCT sensitive values and the
+  // top-value share, then report classes/rows failing l ∈ {2, 3}
+  // alongside the worst single-value concentration (bp) among
+  // at-risk classes — the number an anonymization pass must drive
+  // down by generalizing buckets.
+  //
+  // Scale: one groupBy over (QI, sensitive) — key space bounded by
+  // domain products, map-side combined — then every later stage
+  // runs on the CLASS table (q148's discipline); the l explode
+  // re-aggregates classes, never rows.
+  val q199: QuerySpec = QuerySpec(
+    "q199_l_diversity",
+    (s, d) => {
+      val cells = customer(s, d)
+        .select(
+          col("c_nationkey").as("nk"),
+          expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) div 200000").as("bal_k"),
+          col("c_mktsegment").as("sens"))
+        .groupBy("nk", "bal_k", "sens")
+        .agg(count(lit(1)).as("cnt"))
+      val classes = cells
+        .groupBy("nk", "bal_k")
+        .agg(
+          count(lit(1)).as("diversity"),
+          sum(col("cnt")).as("sz"),
+          max(col("cnt")).as("top_cnt"))
+      classes
+        .select(col("diversity"), col("sz"), col("top_cnt"),
+          explode(array(lit(2L), lit(3L))).as("l"))
+        .groupBy("l")
+        .agg(
+          sum(when(col("diversity") < col("l"), 1L).otherwise(0L)).as("classes_at_risk"),
+          sum(when(col("diversity") < col("l"), col("sz")).otherwise(0L)).as("rows_at_risk"),
+          coalesce(
+            max(when(col("diversity") < col("l"),
+              expr("top_cnt * 10000 div sz"))),
+            lit(0L)).as("worst_share_bp"),
+          count(lit(1)).as("classes_total"))
+        .orderBy("l")
+    },
+    Some(
+      "WITH q AS (SELECT c_nationkey AS nk, " +
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) // 200000 AS bal_k, " +
+        "c_mktsegment AS sens FROM customer), " +
+        "cells AS (SELECT nk, bal_k, sens, count(*) AS cnt FROM q GROUP BY 1,2,3), " +
+        "cl AS (SELECT nk, bal_k, count(*) AS diversity, sum(cnt) AS sz, max(cnt) AS top_cnt " +
+        "FROM cells GROUP BY 1,2) " +
+        "SELECT l.l, CAST(count(*) FILTER (WHERE diversity < l.l) AS BIGINT) AS classes_at_risk, " +
+        "CAST(coalesce(sum(sz) FILTER (WHERE diversity < l.l), 0) AS BIGINT) AS rows_at_risk, " +
+        "CAST(coalesce(max(top_cnt * 10000 // sz) FILTER (WHERE diversity < l.l), 0) AS BIGINT) AS worst_share_bp, " +
+        "CAST(count(*) AS BIGINT) AS classes_total " +
+        "FROM cl, (SELECT unnest([2,3]) AS l) l GROUP BY 1 ORDER BY l"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q87, q187, q90, q93, q94, q95, q96, q97, q100, q101, q102, q105, q106, q107,
       q108, q109, q110, q112, q124, q129, q132, q133, q144, q147, q148, q154,
-      q155, q158, q159, q160, q161, q162, q163, q165, q166, q167)
+      q155, q158, q159, q160, q161, q162, q163, q165, q166, q167, q199)
 }
