@@ -446,11 +446,15 @@ object TimeSeriesQueries {
   // busy periods, how long" is the utilization question interval data
   // always gets asked.
   //
-  // Determinism: islands derive from a prefix-max over the total
-  // (start, end) order — rows with identical (start, end) are
-  // interchangeable under both the prefix-max and the island cumsum,
-  // so no tie can change any island's extent; days are epoch
-  // integers, inclusive spans.
+  // Determinism: islands derive from a prefix-max over the interval
+  // order — rows with identical (start, end) are interchangeable
+  // under both the prefix-max and the island cumsum, so ties are
+  // value-safe IN THEORY; the window nevertheless orders by the
+  // fully-unique (s, e, orderkey) so NO engine's tie handling is ever
+  // exercised (a one-off DuckDB full-gate run once returned a
+  // +3-day covered_days under load — unreproducible in 30 isolated
+  // and 2 full re-runs, but a total order removes the only legal
+  // degree of freedom). Days are epoch integers, inclusive spans.
   //
   // Scale: every window (prefix-max, island cumsum) and BOTH
   // aggregations ride ONE supplier hash partitioning — sk ⊆ every
@@ -459,7 +463,7 @@ object TimeSeriesQueries {
   val q151: QuerySpec = QuerySpec(
     "q151_interval_merge",
     (s, d) => {
-      val byStart = Window.partitionBy("sk").orderBy("s", "e")
+      val byStart = Window.partitionBy("sk").orderBy("s", "e", "l_orderkey")
       lineitem(s, d)
         .groupBy(col("l_suppkey").as("sk"), col("l_orderkey"))
         .agg(
@@ -481,14 +485,14 @@ object TimeSeriesQueries {
         .orderBy("sk")
     },
     Some(
-      "WITH iv AS (SELECT l_suppkey AS sk, " +
+      "WITH iv AS (SELECT l_suppkey AS sk, l_orderkey AS okey, " +
         "datediff('day', DATE '1970-01-01', CAST(min(l_shipdate) AS DATE)) AS s, " +
         "datediff('day', DATE '1970-01-01', CAST(max(l_shipdate) AS DATE)) AS e " +
         "FROM lineitem GROUP BY l_suppkey, l_orderkey), " +
-        "o AS (SELECT sk, s, e, max(e) OVER (PARTITION BY sk ORDER BY s, e " +
+        "o AS (SELECT sk, s, e, okey, max(e) OVER (PARTITION BY sk ORDER BY s, e, okey " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM iv), " +
-        "f AS (SELECT sk, s, e, CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS new_island FROM o), " +
-        "g AS (SELECT sk, s, e, sum(new_island) OVER (PARTITION BY sk ORDER BY s, e " +
+        "f AS (SELECT sk, s, e, okey, CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS new_island FROM o), " +
+        "g AS (SELECT sk, s, e, sum(new_island) OVER (PARTITION BY sk ORDER BY s, e, okey " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f), " +
         "m AS (SELECT sk, island, min(s) AS is_, max(e) AS ie FROM g GROUP BY 1, 2) " +
         "SELECT sk, count(*) AS n_episodes, CAST(sum(ie - is_ + 1) AS BIGINT) AS covered_days, " +
