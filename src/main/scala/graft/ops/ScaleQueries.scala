@@ -1813,8 +1813,94 @@ object ScaleQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q200 — Fellegi–Sunter probabilistic record linkage: score
+  // candidate pairs between two sources with per-field AGREEMENT
+  // LEVELS and log-likelihood weights, then classify match /
+  // possible / non-match — the principled form of entity resolution
+  // (q55's edit-distance linkage is one comparator inside this
+  // framework). Source B is a deterministically perturbed copy of
+  // customer (case noise at key%5=0, '#'→'-' format noise at %7=0,
+  // segment lost to UNKNOWN at %11=0, balance drifted ±0.5 by key%3)
+  // so every agreement level is genuinely exercised and both engines
+  // build the identical fixture (plus a hard name overhaul at %13
+  // and a 500-unit balance jump at %17, so every agreement level
+  // AND all three verdicts occur). Weights are integer MICRO-units
+  // (the q197 discipline — exact sums, hash-stable): name exact
+  // +4M / case-fold +3M / levenshtein≤2 +1M / else −2M; segment
+  // agree +1.5M / UNKNOWN 0 / disagree −1M; balance within 1.0 +2M
+  // / else −1.5M. Thresholds: ≥4M match, ≥0 possible.
+  //
+  // Scale: candidates come from blocking on the name's last-5-digit
+  // suffix — a key whose DOMAIN GROWS with the data (the blocking
+  // rule that keeps linkage subquadratic: fixed-domain blocks like
+  // nation alone go quadratic per block as data grows; production
+  // pipelines block on surname+zip-class keys for exactly this
+  // reason). Comparators run on candidate pairs only.
+  val q200: QuerySpec = QuerySpec(
+    "q200_record_linkage",
+    (s, d) => {
+      val a = customer(s, d).select(
+        col("c_custkey").as("a_id"), col("c_name").as("a_name"),
+        col("c_mktsegment").as("a_seg"), col("c_acctbal").as("a_bal"),
+        substring(col("c_name"), -5, 5).as("blk"))
+      val bName = when(col("c_custkey") % 5 === 0, lower(col("c_name")))
+        .when(col("c_custkey") % 7 === 0, regexp_replace(col("c_name"), "#", "-"))
+        .when(col("c_custkey") % 13 === 0, regexp_replace(col("c_name"), "Customer", "Client"))
+        .otherwise(col("c_name"))
+      val b = customer(s, d).select(
+        (col("c_custkey") + 1000000L).as("b_id"),
+        bName.as("b_name"),
+        when(col("c_custkey") % 11 === 0, lit("UNKNOWN"))
+          .otherwise(col("c_mktsegment")).as("b_seg"),
+        (col("c_acctbal") + (col("c_custkey") % 3 - 1) * 0.5 +
+          when(col("c_custkey") % 17 === 0, 500.0).otherwise(0.0)).as("b_bal"),
+        substring(bName, -5, 5).as("blk"))
+      val nameW = when(col("a_name") === col("b_name"), 4000000L)
+        .when(lower(col("a_name")) === lower(col("b_name")), 3000000L)
+        .when(levenshtein(col("a_name"), col("b_name")) <= 2, 1000000L)
+        .otherwise(-2000000L)
+      val segW = when(col("b_seg") === "UNKNOWN", 0L)
+        .when(col("a_seg") === col("b_seg"), 1500000L)
+        .otherwise(-1000000L)
+      val balW = when(abs(col("a_bal") - col("b_bal")) <= 1.0, 2000000L)
+        .otherwise(-1500000L)
+      a.join(b, Seq("blk"))
+        .select(col("a_id"), col("b_id"),
+          (nameW + segW + balW).as("score_micro"))
+        .withColumn("verdict",
+          when(col("score_micro") >= 4000000L, "match")
+            .when(col("score_micro") >= 0L, "possible")
+            .otherwise("non-match"))
+        .orderBy("a_id", "b_id")
+    },
+    Some(
+      "WITH a AS (SELECT c_custkey AS a_id, c_name AS a_name, c_mktsegment AS a_seg, " +
+        "c_acctbal AS a_bal, substring(c_name, -5, 5) AS blk FROM customer), " +
+        "b0 AS (SELECT c_custkey, CASE WHEN c_custkey % 5 = 0 THEN lower(c_name) " +
+        "WHEN c_custkey % 7 = 0 THEN replace(c_name, '#', '-') " +
+        "WHEN c_custkey % 13 = 0 THEN replace(c_name, 'Customer', 'Client') ELSE c_name END AS b_name, " +
+        "CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS b_seg, " +
+        "c_acctbal + (c_custkey % 3 - 1) * 0.5 + " +
+        "CASE WHEN c_custkey % 17 = 0 THEN 500.0 ELSE 0.0 END AS b_bal FROM customer), " +
+        "b AS (SELECT c_custkey + 1000000 AS b_id, b_name, b_seg, b_bal, " +
+        "substring(b_name, -5, 5) AS blk FROM b0), " +
+        "scored AS (SELECT a_id, b_id, " +
+        "(CASE WHEN a_name = b_name THEN 4000000 " +
+        "WHEN lower(a_name) = lower(b_name) THEN 3000000 " +
+        "WHEN levenshtein(a_name, b_name) <= 2 THEN 1000000 ELSE -2000000 END + " +
+        "CASE WHEN b_seg = 'UNKNOWN' THEN 0 WHEN a_seg = b_seg THEN 1500000 ELSE -1000000 END + " +
+        "CASE WHEN abs(a_bal - b_bal) <= 1.0 THEN 2000000 ELSE -1500000 END) AS score_micro " +
+        "FROM a JOIN b USING (blk)) " +
+        "SELECT a_id, b_id, CAST(score_micro AS BIGINT) AS score_micro, " +
+        "CASE WHEN score_micro >= 4000000 THEN 'match' " +
+        "WHEN score_micro >= 0 THEN 'possible' ELSE 'non-match' END AS verdict " +
+        "FROM scored ORDER BY a_id, b_id"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q87, q187, q90, q93, q94, q95, q96, q97, q100, q101, q102, q105, q106, q107,
       q108, q109, q110, q112, q124, q129, q132, q133, q144, q147, q148, q154,
-      q155, q158, q159, q160, q161, q162, q163, q165, q166, q167, q199)
+      q155, q158, q159, q160, q161, q162, q163, q165, q166, q167, q199, q200)
 }
