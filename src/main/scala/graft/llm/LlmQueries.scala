@@ -610,7 +610,52 @@ object LlmQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q201 — FORWARD as-of join: each click looks up the user's NEXT
+  // purchase at-or-after its timestamp, with the wait time — the
+  // time-to-conversion lookup that q47's backward form cannot answer
+  // (and a windowed-join shape Structured Streaming cannot do without
+  // buffering the future; batch owns it). Same union-tag machinery,
+  // one shuffle, timestamps scanned descending so the running
+  // last(ignoreNulls) is the earliest at-or-after match. Oracle:
+  // DuckDB's native ASOF with the inequality flipped (a.ts <= b.ts),
+  // which pins the nearest-forward + inclusivity semantics exactly.
+  val q201: QuerySpec = QuerySpec(
+    "q201_asof_forward",
+    (s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          unix_micros(col("ts").cast("timestamp")).as("purchase_us"),
+          round(col("value"), 4).as("purchase_value"))
+      graft.ops.AsOf.asOfJoin(
+        clicks, purchases,
+        keys = Seq("user_id"), tsCol = "ts_us",
+        rightValueCols = Seq("purchase_us", "purchase_value"),
+        rightTieBreak = Some("purchase_id"),
+        forward = true)
+        .select(
+          col("event_id"), col("user_id"), col("ts_us"),
+          col("purchase_us"),
+          (col("purchase_us") - col("ts_us")).as("wait_us"),
+          col("purchase_value"))
+        .orderBy("event_id")
+    },
+    Some(
+      "WITH a AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'), " +
+        "b AS (SELECT user_id, epoch_us(ts) AS purchase_us, round(value, 4) AS purchase_value " +
+        "FROM events WHERE event_type = 'purchase') " +
+        "SELECT a.event_id, a.user_id, a.ts_us, b.purchase_us, " +
+        "b.purchase_us - a.ts_us AS wait_us, b.purchase_value " +
+        "FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts_us <= b.purchase_us " +
+        "ORDER BY a.event_id"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42, q43, q44, q45, q46, q47, q48, q55)
+      q41, q42, q43, q44, q45, q46, q47, q48, q55, q201)
 }

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 
 /** As-of (event-time lookup) join — for each left row, the LATEST right
   * row with `right.ts <= left.ts` (or `<` in strict mode) within the
-  * same key group. Spark has no native as-of join; the naive encodings
+  * same key group; `forward = true` flips the direction to the
+  * EARLIEST right row with `right.ts >= left.ts` (next-event lookup). Spark has no native as-of join; the naive encodings
   * are a range join (O(left × right-in-range) row explosion) or a
   * per-left-row subquery. This implementation is the scale-correct
   * union-tag form:
@@ -41,6 +42,7 @@ object AsOf {
       rightValueCols: Seq[String],
       rightTieBreak: Option[String] = None,
       strict: Boolean = false,
+      forward: Boolean = false,
   ): DataFrame = {
     require(rightValueCols.nonEmpty, "need at least one right value column")
     require(rightValueCols.forall(right.columns.contains), "right value cols must exist")
@@ -81,9 +83,17 @@ object AsOf {
       .withColumn("__rtb", lit(null).cast(rtbType))
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
+    // Forward mode scans DESCENDING timestamps, so the running
+    // last(ignoreNulls) each left row sees is the EARLIEST right row
+    // at-or-after it — the symmetric dual, same single shuffle + sort.
+    // The side convention is unchanged (inclusive ⇒ right first in
+    // traversal order); the tie-break stays "max rtb wins" because
+    // within equal (ts, side) the traversal still ends on the largest
+    // __rtb.
+    val tsOrder = if (forward) col(tsCol).desc else col(tsCol).asc
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc, col("__rtb").asc)
+      .orderBy(tsOrder, col("__side").asc, col("__rtb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
     val unpacked = rightValueCols.foldLeft(filled) { (df, c) =>

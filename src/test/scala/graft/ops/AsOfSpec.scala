@@ -106,4 +106,31 @@ class AsOfSpec extends SparkSpec {
     }
     assert(shuffles.size <= 2, s"expected union+window shuffle shape, got ${shuffles.size}")
   }
+
+  test("forward as-of: earliest right row at-or-after each left ts; inclusive at equal ts") {
+    val out = AsOf.asOfJoin(left, right, Seq("user_id"), "ts",
+      rightValueCols = Seq("price"), rightTieBreak = Some("rid"), forward = true)
+      .select("tag", "price").as[(String, Option[Double])].collect().toMap
+    assert(out == Map(
+      "l1" -> Some(10.0), // equal ts visible forward too
+      "l2" -> Some(20.0), // next purchase at 250
+      "l3" -> None, // nothing after 300
+      "l4" -> Some(30.0), // right row at 400 IS ahead of 150
+      "l5" -> None,
+    ))
+  }
+
+  test("forward + strict: equal-ts right row excluded; forward ties pick max tiebreak") {
+    val out = AsOf.asOfJoin(left, right, Seq("user_id"), "ts",
+      rightValueCols = Seq("price"), rightTieBreak = Some("rid"),
+      strict = true, forward = true)
+      .select("tag", "price").as[(String, Option[Double])].collect().toMap
+    assert(out("l1") == Some(20.0), "equal-ts row must be skipped under strict forward")
+    val dupRight = Seq((1L, 250L, 20.0, 1001L), (1L, 250L, 25.0, 1005L))
+      .toDF("user_id", "ts", "price", "rid")
+    val tied = AsOf.asOfJoin(left, dupRight, Seq("user_id"), "ts",
+      rightValueCols = Seq("price"), rightTieBreak = Some("rid"), forward = true)
+      .select("tag", "price").as[(String, Option[Double])].collect().toMap
+    assert(tied("l2") == Some(25.0), "max rid must win forward ties too")
+  }
 }
