@@ -611,6 +611,28 @@ object LlmQueries {
   )
 
   // ---------------------------------------------------------------------
+  // q202 — PCA projection of the embedding corpus onto its top-2
+  // principal axes (declarative power iteration + Hotelling
+  // deflation, [[SimilarityPipeline.pcaProject]]): the dimensionality
+  // reduction that fronts ANN at scale. The corpus is touched twice
+  // (covariance pass, projection pass); everything between runs on
+  // d-row / d²-row frames with localCheckpoint-pinned iterates — no
+  // driver collect anywhere. No oracle (iterative float math);
+  // properties pinned in SimilarityPipelineSpec: PC1 variance ≥ PC2
+  // variance ≥ best coordinate axis, axes unit-norm and orthogonal,
+  // deterministic across runs. Sign convention: axes are normalized
+  // to non-negative loading sum so the output is sign-stable.
+  val q202: QuerySpec = QuerySpec(
+    "q202_pca_project",
+    (s, d) =>
+      SimilarityPipeline
+        .pcaProject(embeddings(s, d), iters = 15)
+        .select(col("vec_id"), round(col("p1"), 4).as("p1"), round(col("p2"), 4).as("p2"))
+        .orderBy("vec_id"),
+    None, // iterative float math — rows-only; variance/orthogonality/determinism pinned in SimilarityPipelineSpec
+  )
+
+  // ---------------------------------------------------------------------
   // q201 — FORWARD as-of join: each click looks up the user's NEXT
   // purchase at-or-after its timestamp, with the wait time — the
   // time-to-conversion lookup that q47's backward form cannot answer
@@ -657,5 +679,5 @@ object LlmQueries {
 
   val all: Seq[QuerySpec] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42, q43, q44, q45, q46, q47, q48, q55, q201)
+      q41, q42, q43, q44, q45, q46, q47, q48, q55, q201, q202)
 }

@@ -272,4 +272,106 @@ object SimilarityPipeline {
       .select(col("va"), col("vb"), VectorFunctions.cosine(col("ea"), col("eb")).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  // -------------------------------------------------------------------
+  // PCA — the dimensionality reduction that fronts ANN at scale
+  // (project 64-dim embeddings to a few principal axes before
+  // bucketing/search). Fully declarative power iteration, the
+  // kmeansCentroids discipline: every iterate is a d-row DataFrame
+  // pinned by localCheckpoint; NOTHING is collected to the driver.
+
+  /** Sample covariance of the embedding corpus as a (i, j, c) frame
+    * (d² rows). The corpus-sized pass is the DOUBLE EXPLODE into
+    * (i, j, xi·xj) — generator-in-codegen, zero joins, no shuffle of
+    * raw pairs: the groupBy(i, j) partial-aggregates map-side, so the
+    * exchange carries d² rows PER PARTITION, independent of N. Means
+    * fold in algebraically afterwards (Σxixj − n·mi·mj)/(n−1) via two
+    * broadcast joins of the d-row mean table.
+    */
+  def covariance(corpus: DataFrame): DataFrame = {
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    val e1 = emb.select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
+    val raw = e1
+      .select(col("i"), col("xi"), posexplode(col("embedding")).as(Seq("j", "xj")))
+      .groupBy("i", "j")
+      .agg(sum(col("xi").cast("double") * col("xj")).as("s"), count(lit(1)).as("n"))
+    val mean = emb
+      .select(posexplode(col("embedding")).as(Seq("i", "xi")))
+      .groupBy("i")
+      .agg(avg(col("xi").cast("double")).as("m"))
+    raw
+      .join(broadcast(mean.select(col("i"), col("m").as("mi"))), Seq("i"))
+      .join(broadcast(mean.select(col("i").as("j"), col("m").as("mj"))), Seq("j"))
+      .select(
+        col("i"), col("j"),
+        ((col("s") - col("n") * col("mi") * col("mj")) / (col("n") - 1)).as("c"))
+  }
+
+  /** One dominant eigenvector of a (i, j, c) matrix frame by power
+    * iteration: v ← normalize(C·v), `iters` times from the uniform
+    * 1/√d start. Every iterate is d rows; the matvec is one equijoin
+    * on j + a map-side-combined sum; the norm is a 1-row anchor
+    * (the q79 idiom). localCheckpoint per round pins lineage — the
+    * kmeans pattern, so 15 rounds cost 15 tiny jobs, not an
+    * exponentially nested plan.
+    */
+  def powerIteration(cov: DataFrame, iters: Int = 15): DataFrame = {
+    val d = cov.select(col("i")).distinct()
+    val dn = d.agg(count(lit(1)).as("dn")) // 1-row dimension anchor
+    var v = d.crossJoin(dn)
+      .select(col("i"), (lit(1.0) / sqrt(col("dn"))).as("v"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val w = cov
+        .join(v.select(col("i").as("j"), col("v").as("vj")), Seq("j"))
+        .groupBy("i")
+        .agg(sum(col("c") * col("vj")).as("w"))
+      val norm = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      v = w.crossJoin(norm) // 1-row norm anchor
+        .select(col("i"), (col("w") / col("nrm")).as("v"))
+        .localCheckpoint(true)
+    }
+    // ±v are both eigenvectors; pin the sign (non-negative loading
+    // sum) so downstream projections are orientation-stable.
+    val sgn = v.agg(when(sum(col("v")) >= 0, 1.0).otherwise(-1.0).as("sgn"))
+    v.crossJoin(sgn).select(col("i"), (col("v") * col("sgn")).as("v"))
+  }
+
+  /** Top-2 axes of a covariance frame: PC1 by power iteration, PC2 by
+    * Hotelling deflation (C₂ = C − λ₁·v₁v₁ᵀ, λ₁ = v₁ᵀCv₁) then power
+    * iteration again. Returns the d-row (i, a1, a2) loading table.
+    */
+  def topTwoAxes(cov: DataFrame, iters: Int = 15): DataFrame = {
+    val v1 = powerIteration(cov, iters)
+    val cv1 = cov
+      .join(v1.select(col("i").as("j"), col("v").as("vj")), Seq("j"))
+      .groupBy("i").agg(sum(col("c") * col("vj")).as("cv"))
+    val lambda1 = cv1.join(v1, Seq("i"))
+      .agg(sum(col("cv") * col("v")).as("l1")) // 1-row Rayleigh quotient
+    val deflated = cov
+      .join(v1.select(col("i"), col("v").as("vi")), Seq("i"))
+      .join(v1.select(col("i").as("j"), col("v").as("vj")), Seq("j"))
+      .crossJoin(lambda1)
+      .select(col("i"), col("j"), (col("c") - col("l1") * col("vi") * col("vj")).as("c"))
+      .localCheckpoint(true)
+    val v2 = powerIteration(deflated, iters)
+    v1.select(col("i"), col("v").as("a1"))
+      .join(v2.select(col("i"), col("v").as("a2")), Seq("i"))
+  }
+
+  /** Top-2 principal axes and the corpus projected onto them. Returns
+    * (vec_id, p1, p2). The projection is one broadcast join of the
+    * two d-row axes into the exploded corpus — the same shape as
+    * scoring against any fixed linear map.
+    */
+  def pcaProject(corpus: DataFrame, iters: Int = 15): DataFrame = {
+    val axes = topTwoAxes(covariance(corpus).localCheckpoint(true), iters)
+    corpus
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .join(broadcast(axes), Seq("i"))
+      .groupBy("vec_id")
+      .agg(
+        sum(col("x").cast("double") * col("a1")).as("p1"),
+        sum(col("x").cast("double") * col("a2")).as("p2"))
+  }
 }

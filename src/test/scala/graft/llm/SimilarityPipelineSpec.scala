@@ -153,6 +153,55 @@ class SimilarityPipelineSpec extends SparkSpec {
     assert(recall(km) >= 0.5, s"kmeans recall@3 = ${recall(km)}")
   }
 
+  test("pcaProject: recovers a planted principal direction, 10x variance dominance") {
+    // x = t·u + ε with u a fixed unit direction in 8-dim space and ε
+    // tiny deterministic noise: PC1 must align with u and dominate.
+    val d0 = 8
+    val u = Array.tabulate(d0)(i => math.sin(i + 1.0))
+    val un = { val n = math.sqrt(u.map(x => x * x).sum); u.map(x => (x / n).toFloat) }
+    val fixture = (0 until 200).map { k =>
+      val t = (k % 41) - 20.0 // spread along u
+      val vec = Array.tabulate(d0)(i =>
+        (t * un(i) + 0.01 * math.cos(k * (i + 1))).toFloat)
+      (k.toLong, vec.toSeq)
+    }.toDF("vec_id", "embedding")
+    val proj = SimilarityPipeline.pcaProject(fixture, iters = 20)
+      .as[(Long, Double, Double)].collect()
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+    }
+    val v1 = variance(proj.map(_._2).toSeq)
+    val v2 = variance(proj.map(_._3).toSeq)
+    assert(v1 > 10 * v2, s"planted direction must dominate: pc1=$v1 pc2=$v2")
+    val axes = SimilarityPipeline
+      .topTwoAxes(SimilarityPipeline.covariance(fixture).localCheckpoint(true), 20)
+      .as[(Int, Double, Double)].collect().sortBy(_._1)
+    val cosU = axes.map(_._2).zip(un).map { case (a, b) => a * b }.sum
+    assert(math.abs(cosU) > 0.99, s"PC1 must align with the planted direction, cos=$cosU")
+  }
+
+  test("pcaProject: orthonormal axes and deterministic projections on the corpus") {
+    import SimilarityPipeline.{covariance, pcaProject}
+    val proj = pcaProject(emb, iters = 15).as[(Long, Double, Double)].collect()
+    assert(proj.length == emb.count())
+    val axes = SimilarityPipeline.topTwoAxes(covariance(emb).localCheckpoint(true), 15)
+      .as[(Int, Double, Double)].collect().sortBy(_._1)
+    val (a1, a2) = (axes.map(_._2), axes.map(_._3))
+    assert(math.abs(a1.map(x => x * x).sum - 1.0) < 1e-9, "a1 unit norm")
+    assert(math.abs(a2.map(x => x * x).sum - 1.0) < 1e-9, "a2 unit norm")
+    val dot = a1.zip(a2).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot) < 0.05, s"axes must be near-orthogonal, dot=$dot")
+    // determinism: a second full run reproduces the projection
+    val again = pcaProject(emb, iters = 15).as[(Long, Double, Double)].collect()
+    val m1 = proj.map(r => r._1 -> (r._2, r._3)).toMap
+    again.foreach { r =>
+      val (p1, p2) = m1(r._1)
+      assert(math.abs(r._2 - p1) < 1e-9 && math.abs(r._3 - p2) < 1e-9,
+        s"vec ${r._1} projection not reproducible")
+    }
+  }
+
   test("quantizer scale probe: per-cell pair counts stay roughly flat across corpus sizes") {
     // cells ∝ N at fixed target occupancy ⇒ Σ c_i·(c_i−1)/2 / cells
     // (the same-cell candidate-pair load) must not grow with N — the
