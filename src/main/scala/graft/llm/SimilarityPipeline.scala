@@ -310,26 +310,41 @@ object SimilarityPipeline {
   /** One dominant eigenvector of a (i, j, c) matrix frame by power
     * iteration: v ← normalize(C·v), `iters` times from the uniform
     * 1/√d start. Every iterate is d rows; the matvec is one equijoin
-    * on j + a map-side-combined sum; the norm is a 1-row anchor
+    * on j (the d-row iterate BROADCASTS — the cov frame never
+    * re-shuffles per round, at any d that fits a task) + a map-side-
+    * combined sum; the norm is a 1-row anchor
     * (the q79 idiom). localCheckpoint per round pins lineage — the
     * kmeans pattern, so 15 rounds cost 15 tiny jobs, not an
     * exponentially nested plan.
     */
   def powerIteration(cov: DataFrame, iters: Int = 15): DataFrame = {
-    val d = cov.select(col("i")).distinct()
+    // The covariance frame is DIMENSION-sized (d² rows — KBs to MBs at
+    // any real d), but a 32-partition layout makes every iteration
+    // stage launch 32 near-empty tasks; at ~3ms task overhead × ~6
+    // stages per pin that IS the measured cost of the loop. One
+    // partition ⇒ one task per stage.
+    val covLocal = cov.coalesce(1)
+    val d = covLocal.select(col("i")).distinct()
     val dn = d.agg(count(lit(1)).as("dn")) // 1-row dimension anchor
     var v = d.crossJoin(dn)
       .select(col("i"), (lit(1.0) / sqrt(col("dn"))).as("v"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val w = cov
-        .join(v.select(col("i").as("j"), col("v").as("vj")), Seq("j"))
+    for (it <- 1 to iters) {
+      val w = covLocal
+        .join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))), Seq("j"))
         .groupBy("i")
         .agg(sum(col("c") * col("vj")).as("w"))
       val norm = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
       v = w.crossJoin(norm) // 1-row norm anchor
         .select(col("i"), (col("w") / col("nrm")).as("v"))
-        .localCheckpoint(true)
+      // pin every 3rd round (and the last). Measured alternatives at
+      // bench scale: pin EVERY round = 30 eager jobs (slowest); NO
+      // pins = the broadcast input of round k lazily re-executes the
+      // whole k-1 prefix — exponential blowup, >300s. The loop cost
+      // is a per-round fixed floor (codegen + scheduling of ~6 tiny
+      // stages), amortized over corpus size: the 16× probe moved the
+      // whole query 1.1×.
+      if (it % 3 == 0 || it == iters) v = v.localCheckpoint(true)
     }
     // ±v are both eigenvectors; pin the sign (non-negative loading
     // sum) so downstream projections are orientation-stable.
@@ -344,13 +359,13 @@ object SimilarityPipeline {
   def topTwoAxes(cov: DataFrame, iters: Int = 15): DataFrame = {
     val v1 = powerIteration(cov, iters)
     val cv1 = cov
-      .join(v1.select(col("i").as("j"), col("v").as("vj")), Seq("j"))
+      .join(broadcast(v1.select(col("i").as("j"), col("v").as("vj"))), Seq("j"))
       .groupBy("i").agg(sum(col("c") * col("vj")).as("cv"))
     val lambda1 = cv1.join(v1, Seq("i"))
       .agg(sum(col("cv") * col("v")).as("l1")) // 1-row Rayleigh quotient
     val deflated = cov
-      .join(v1.select(col("i"), col("v").as("vi")), Seq("i"))
-      .join(v1.select(col("i").as("j"), col("v").as("vj")), Seq("j"))
+      .join(broadcast(v1.select(col("i"), col("v").as("vi"))), Seq("i"))
+      .join(broadcast(v1.select(col("i").as("j"), col("v").as("vj"))), Seq("j"))
       .crossJoin(lambda1)
       .select(col("i"), col("j"), (col("c") - col("l1") * col("vi") * col("vj")).as("c"))
       .localCheckpoint(true)

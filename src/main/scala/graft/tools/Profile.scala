@@ -49,6 +49,14 @@ object Profile {
     time("prefix candidates t=0.5")(
       graft.llm.TextPipeline.prefixCandidates(sh, 0.5).count())
     time("q192 full (t=0.8)")(graft.llm.TextPipeline.prefixFilterPairs(docs, 3, 0.8).count())
+    // q202 stage anatomy
+    val embP = graft.ops.Tables.embeddings(spark, sfDir)
+    val covP = graft.llm.SimilarityPipeline.covariance(embP)
+    time("pca covariance")(covP.count())
+    val covPinned = covP.localCheckpoint(true)
+    time("pca power iteration x15")(
+      graft.llm.SimilarityPipeline.powerIteration(covPinned, 15).count())
+    time("pca full (q202)")(graft.llm.SimilarityPipeline.pcaProject(embP, 15).count())
     time("q30 full")(graft.llm.LlmQueries.q30.run(spark, sfDir).count())
     time("q31 full")(graft.llm.LlmQueries.q31.run(spark, sfDir).count())
     time("q32 full")(graft.llm.LlmQueries.q32.run(spark, sfDir).count())
