@@ -544,5 +544,72 @@ object TimeSeriesQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q118, q135, q136, q141, q143, q145, q146, q151, q152)
+  // ---------------------------------------------------------------------
+  // q203 — EWMA smoothing of the per-flag daily revenue series: the
+  // trend-following smoother every monitoring stack runs next to
+  // q135's z-score detector (EWMA reacts to level shifts the
+  // fixed-window mean dilutes). Weights are EXACT RATIONALS — decay
+  // 7/8 over a 16-observation memory, scaled to the integer family
+  // wᵢ = 7^i·8^(15−i) so the weighted sum is pure integer arithmetic
+  // (the q135/q145 discipline: no float pow, no rounding drift, two
+  // engines cannot disagree). The recursion is unrolled into 16
+  // lag() terms sharing ONE window pass; series edges normalize by
+  // the PRESENT weights (T sums only materialized lags), so the
+  // smoother is well-defined from the first observation.
+  //
+  // Scale: the fact collapses to per-(flag, day) aggregates before
+  // the window; 16 lags ride one partitioned sort with a 16-row
+  // buffer per partition — same cost class as a ROWS-16 frame.
+  private val ewmaWeights: Seq[Long] =
+    (0 until 16).map(i => (0 until i).foldLeft(1L)((a, _) => a * 7) *
+      (0 until (15 - i)).foldLeft(1L)((a, _) => a * 8))
+
+  val q203: QuerySpec = QuerySpec(
+    "q203_ewma_smoothing",
+    (s, d) => {
+      val dec = DecimalType(18, 2)
+      val big = DecimalType(38, 0)
+      val daily = lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"), col("l_shipdate").cast("date").as("day"))
+        .agg((sum(col("l_extendedprice").cast(dec)) * 100).cast("long").as("cents"))
+      val w = Window.partitionBy("flag").orderBy("day")
+      val sTerms = ewmaWeights.zipWithIndex.map { case (wt, i) =>
+        coalesce(lag(col("cents"), i).over(w).cast(big) * lit(wt), lit(0).cast(big))
+      }
+      val tTerms = ewmaWeights.zipWithIndex.map { case (wt, i) =>
+        when(lag(col("cents"), i).over(w).isNotNull, lit(wt).cast(big))
+          .otherwise(lit(0).cast(big))
+      }
+      daily
+        .withColumn("s", sTerms.reduce(_ + _))
+        .withColumn("t", tTerms.reduce(_ + _))
+        .select(
+          col("flag"),
+          unix_date(col("day")).cast("long").as("day"),
+          col("cents"),
+          expr("CAST(s div t AS BIGINT)").as("ewma_cents"))
+        .withColumn("dev_bp",
+          expr("CAST(abs(cents - ewma_cents) * 10000 div ewma_cents AS BIGINT)"))
+        .orderBy("flag", "day")
+    },
+    Some {
+      val sSum = ewmaWeights.zipWithIndex.map { case (wt, i) =>
+        s"coalesce(CAST(lag(cents, $i) OVER w AS DECIMAL(38,0)) * $wt, 0)"
+      }.mkString(" + ")
+      val tSum = ewmaWeights.zipWithIndex.map { case (wt, i) =>
+        s"CASE WHEN lag(cents, $i) OVER w IS NOT NULL THEN CAST($wt AS DECIMAL(38,0)) ELSE 0 END"
+      }.mkString(" + ")
+      "WITH daily AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents " +
+        "FROM lineitem GROUP BY 1, 2), " +
+        s"e AS (SELECT flag, day, cents, ($sSum) AS s, ($tSum) AS t FROM daily " +
+        "WINDOW w AS (PARTITION BY flag ORDER BY day)) " +
+        "SELECT flag, datediff('day', DATE '1970-01-01', day) AS day, cents, " +
+        "CAST(s // t AS BIGINT) AS ewma_cents, " +
+        "CAST(abs(cents - CAST(s // t AS BIGINT)) * 10000 // CAST(s // t AS BIGINT) AS BIGINT) AS dev_bp " +
+        "FROM e ORDER BY flag, day"
+    },
+  )
+
+  val all: Seq[QuerySpec] = Seq(q118, q135, q136, q141, q143, q145, q146, q151, q152, q203)
 }
