@@ -594,10 +594,10 @@ object TimeSeriesQueries {
     },
     Some {
       val sSum = ewmaWeights.zipWithIndex.map { case (wt, i) =>
-        s"coalesce(CAST(lag(cents, $i) OVER w AS DECIMAL(38,0)) * $wt, 0)"
+        s"coalesce(CAST(lag(cents, $i) OVER w AS HUGEINT) * $wt, 0)"
       }.mkString(" + ")
       val tSum = ewmaWeights.zipWithIndex.map { case (wt, i) =>
-        s"CASE WHEN lag(cents, $i) OVER w IS NOT NULL THEN CAST($wt AS DECIMAL(38,0)) ELSE 0 END"
+        s"CASE WHEN lag(cents, $i) OVER w IS NOT NULL THEN CAST($wt AS HUGEINT) ELSE 0 END"
       }.mkString(" + ")
       "WITH daily AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day, " +
         "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents " +
