@@ -1195,7 +1195,67 @@ object AnalyticQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q205 — effective-dated rate normalization: revalue every order in
+  // a reference currency using a GENERATED monthly rate dimension
+  // (the fx/effective-dated-dimension join every multi-currency
+  // warehouse runs on load). Rates are a deterministic function of
+  // the month index (both engines generate the identical 84-row
+  // table — a dimension can be an expression, not just a file);
+  // revenue accumulates DECIMAL-exact with the micro-rate multiply
+  // inside the decimal domain, double only on output (the X8 house
+  // rule).
+  //
+  // Scale: the rate dimension is calendar-sized — it BROADCASTS, and
+  // the join key (the order's month) derives in the scan, so the
+  // fact never shuffles for the join at all; the only exchange is
+  // the monthly rollup. When validity boundaries do NOT align to a
+  // calendar grain, the same dimension feeds [[graft.ops.AsOf]]
+  // instead (q47/q201) — grain-aligned equijoin is the cheaper plan
+  // and is chosen deliberately here.
+  val q205: QuerySpec = QuerySpec(
+    "q205_rate_normalized_revenue",
+    (s, d) => {
+      val dec = DecimalType(18, 2)
+      val rates = s.range(1)
+        .select(explode(sequence(
+          lit("1992-01-01").cast("date"), lit("1998-12-01").cast("date"),
+          expr("interval 1 month"))).as("month_start"))
+        .withColumn("mi",
+          months_between(col("month_start"), lit("1992-01-01").cast("date")).cast("long"))
+        .withColumn("rate_micro", lit(1000000L) + (col("mi") * 37939) % 500000)
+        .select("month_start", "rate_micro")
+      orders(s, d)
+        .select(
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          col("o_totalprice").cast(dec).as("price"))
+        .join(broadcast(rates), Seq("month_start"))
+        .groupBy("month_start")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          max(col("rate_micro")).as("rate_micro"),
+          ((sum(col("price") * col("rate_micro")) / 1000000)
+            .cast(DecimalType(38, 2))).cast("double").as("revenue_norm"))
+        .select(
+          unix_date(col("month_start")).cast("long").as("month_start"),
+          col("n_orders"), col("rate_micro"), col("revenue_norm"))
+        .orderBy("month_start")
+    },
+    Some(
+      "WITH rates AS (SELECT CAST(m AS DATE) AS month_start, " +
+        "CAST(datediff('month', DATE '1992-01-01', CAST(m AS DATE)) AS BIGINT) AS mi " +
+        "FROM (SELECT unnest(generate_series(DATE '1992-01-01', DATE '1998-12-01', INTERVAL 1 MONTH)) AS m)), " +
+        "r2 AS (SELECT month_start, 1000000 + (mi * 37939) % 500000 AS rate_micro FROM rates), " +
+        "o AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start, " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders) " +
+        "SELECT datediff('day', DATE '1970-01-01', o.month_start) AS month_start, " +
+        "count(*) AS n_orders, CAST(max(rate_micro) AS BIGINT) AS rate_micro, " +
+        "CAST(CAST(sum(price * rate_micro) / 1000000 AS DECIMAL(38,2)) AS DOUBLE) AS revenue_norm " +
+        "FROM o JOIN r2 USING (month_start) GROUP BY 1 ORDER BY month_start"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q49, q50, q51, q52, q53, q54, q56, q57, q58, q59, q60, q61, q62, q63, q64, q67,
-      q73, q74, q80, q81, q82, q83, q84, q85, q130, q157, q194)
+      q73, q74, q80, q81, q82, q83, q84, q85, q130, q157, q194, q205)
 }

@@ -1899,8 +1899,67 @@ object ScaleQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q204 — consistent ENTITY sampling: build a ~12.5% dev slice of the
+  // warehouse by hashing the CUSTOMER key (md5 first-hex-char < '2'),
+  // then pulling every order and lineitem OF SAMPLED CUSTOMERS — the
+  // families-stay-intact discipline that makes a sample queryable
+  // (row-level sampling breaks every join: an order without its
+  // customer, lineitems without their order). The report carries the
+  // per-segment entity/order/line counts plus the integrity count a
+  // sampler must emit: orders whose customer is missing from the
+  // slice — ZERO by construction here, and the column exists so a
+  // broken sampler shows a nonzero.
+  //
+  // Scale: the sample predicate is a pure function of the entity key
+  // — it pushes to every table's scan independently (no join needed
+  // to DECIDE membership, only to verify), so a 100 TB dev-slice job
+  // is three filtered scans plus key-partitioned joins of already-
+  // thinned tables.
+  val q204: QuerySpec = QuerySpec(
+    "q204_consistent_sample",
+    (s, d) => {
+      def keep(c: org.apache.spark.sql.Column) =
+        substring(md5(concat(lit("graft-slice:"), c.cast("string"))), 1, 1) < "2"
+      val cust = customer(s, d).where(keep(col("c_custkey")))
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      val ord = orders(s, d).where(keep(col("o_custkey")))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = lineitem(s, d).select(col("l_orderkey"))
+      val orphan = ord.join(cust, col("o_custkey") === col("c_custkey"), "left_anti")
+      val ordSeg = ord.join(cust, col("o_custkey") === col("c_custkey"))
+      val liSeg = li.join(ordSeg, col("l_orderkey") === col("o_orderkey"))
+      cust.groupBy("segment").agg(count(lit(1)).as("n_customers"))
+        .join(ordSeg.groupBy("segment").agg(count(lit(1)).as("n_orders")), Seq("segment"), "left")
+        .join(liSeg.groupBy("segment").agg(count(lit(1)).as("n_lineitems")), Seq("segment"), "left")
+        .crossJoin(orphan.agg(count(lit(1)).as("n_orphan_orders"))) // 1-row integrity anchor
+        .select(
+          col("segment"),
+          col("n_customers"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_lineitems"), lit(0L)).as("n_lineitems"),
+          col("n_orphan_orders"))
+        .orderBy("segment")
+    },
+    Some(
+      "WITH cust AS (SELECT c_custkey, c_mktsegment AS segment FROM customer " +
+        "WHERE substring(md5('graft-slice:' || CAST(c_custkey AS VARCHAR)), 1, 1) < '2'), " +
+        "ord AS (SELECT o_orderkey, o_custkey FROM orders " +
+        "WHERE substring(md5('graft-slice:' || CAST(o_custkey AS VARCHAR)), 1, 1) < '2'), " +
+        "orphan AS (SELECT CAST(count(*) AS BIGINT) AS n_orphan_orders FROM ord " +
+        "WHERE o_custkey NOT IN (SELECT c_custkey FROM cust)), " +
+        "os AS (SELECT o_orderkey, segment FROM ord JOIN cust ON o_custkey = c_custkey), " +
+        "ls AS (SELECT segment FROM lineitem JOIN os ON l_orderkey = o_orderkey) " +
+        "SELECT c.segment, CAST(count(*) AS BIGINT) AS n_customers, " +
+        "CAST(coalesce((SELECT count(*) FROM os WHERE os.segment = c.segment), 0) AS BIGINT) AS n_orders, " +
+        "CAST(coalesce((SELECT count(*) FROM ls WHERE ls.segment = c.segment), 0) AS BIGINT) AS n_lineitems, " +
+        "(SELECT n_orphan_orders FROM orphan) AS n_orphan_orders " +
+        "FROM cust c GROUP BY 1 ORDER BY segment"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q87, q187, q90, q93, q94, q95, q96, q97, q100, q101, q102, q105, q106, q107,
       q108, q109, q110, q112, q124, q129, q132, q133, q144, q147, q148, q154,
-      q155, q158, q159, q160, q161, q162, q163, q165, q166, q167, q199, q200)
+      q155, q158, q159, q160, q161, q162, q163, q165, q166, q167, q199, q200, q204)
 }
