@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{CmsEstimate, CmsMergeAll, FloatVecCosine, FloatVecDot}
+import graft.expressions.{CmsEstimate, CmsMergeAll, FloatVecCosine, FloatVecDot, JaroWinkler}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql("SELECT vec_cosine(a,b)")`
@@ -28,6 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "vec_cosine(a, b) takes exactly two arguments")
         FloatVecCosine(children.head, children(1))
+      },
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "jaro_winkler(a, b) takes exactly two arguments")
+        JaroWinkler(children.head, children(1))
       },
     ))
     ext.injectFunction((

@@ -1958,8 +1958,56 @@ object ScaleQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q206 — Jaro–Winkler name scoring over the q200 linkage fixture:
+  // the graded name comparator (levenshtein counts edits;
+  // Jaro–Winkler weights WHERE they happen — Winkler's prefix boost
+  // encodes that name typos cluster at the end). Scored by the native
+  // codegen'd [[graft.expressions.JaroWinkler]] expression and
+  // hash-crossed against DuckDB's INDEPENDENT
+  // jaro_winkler_similarity — two from-scratch implementations of
+  // the textbook algorithm agreeing cell-by-cell is the strongest
+  // correctness proof a similarity function can get.
+  //
+  // Scale: same blocking economics as q200 (suffix blocks, domain ∝
+  // data); the comparator is one static call inside
+  // WholeStageCodegen per candidate pair.
+  val q206: QuerySpec = QuerySpec(
+    "q206_jaro_winkler",
+    (s, d) => {
+      val bName = when(col("c_custkey") % 5 === 0, lower(col("c_name")))
+        .when(col("c_custkey") % 7 === 0, regexp_replace(col("c_name"), "#", "-"))
+        .when(col("c_custkey") % 13 === 0, regexp_replace(col("c_name"), "Customer", "Client"))
+        .otherwise(col("c_name"))
+      val a = customer(s, d).select(
+        col("c_custkey").as("a_id"), col("c_name").as("a_name"),
+        substring(col("c_name"), -5, 5).as("blk"))
+      val b = customer(s, d).select(
+        (col("c_custkey") + 1000000L).as("b_id"), bName.as("b_name"),
+        substring(bName, -5, 5).as("blk"))
+      a.join(b, Seq("blk"))
+        .select(
+          col("a_id"), col("b_id"),
+          round(graft.expressions.JaroWinkler.jaroWinkler(col("a_name"), col("b_name")), 4)
+            .as("jw"))
+        .orderBy("a_id", "b_id")
+    },
+    Some(
+      "WITH a AS (SELECT c_custkey AS a_id, c_name AS a_name, " +
+        "substring(c_name, -5, 5) AS blk FROM customer), " +
+        "b0 AS (SELECT c_custkey, CASE WHEN c_custkey % 5 = 0 THEN lower(c_name) " +
+        "WHEN c_custkey % 7 = 0 THEN replace(c_name, '#', '-') " +
+        "WHEN c_custkey % 13 = 0 THEN replace(c_name, 'Customer', 'Client') ELSE c_name END AS b_name " +
+        "FROM customer), " +
+        "b AS (SELECT c_custkey + 1000000 AS b_id, b_name, substring(b_name, -5, 5) AS blk FROM b0) " +
+        "SELECT a_id, b_id, round(jaro_winkler_similarity(a_name, b_name), 4) AS jw " +
+        "FROM a JOIN b USING (blk) ORDER BY a_id, b_id"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q87, q187, q90, q93, q94, q95, q96, q97, q100, q101, q102, q105, q106, q107,
       q108, q109, q110, q112, q124, q129, q132, q133, q144, q147, q148, q154,
-      q155, q158, q159, q160, q161, q162, q163, q165, q166, q167, q199, q200, q204)
+      q155, q158, q159, q160, q161, q162, q163, q165, q166, q167, q199, q200, q204,
+      q206)
 }
