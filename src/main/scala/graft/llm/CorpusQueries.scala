@@ -517,6 +517,69 @@ object CorpusQueries {
   )
 
   // ---------------------------------------------------------------------
+  // q208 — HELD-OUT perplexity: score the validation split under a
+  // unigram LM trained ONLY on the training split (add-1 smoothing)
+  // — the LM-eval loop itself, where q131 scores a corpus under its
+  // own statistics. The split is q65's rule
+  // ([[TrainingDataQueries.splitCol]] — the single source, so the
+  // eval can never see a different split than the pipeline ships);
+  // smoothing p(w) = (c(w)+1)/(N+V+1) handles OOV tokens (c = 0) in
+  // the same formula. Determinism is q131's trick: each token's
+  // surprisal is one integer division + one ln, floored to µnats
+  // BEFORE summation — per-doc sums are pure integer arithmetic.
+  //
+  // Scale: the train pass builds the Heaps-bounded freq table; the
+  // eval side left-joins it on token (broadcastable until vocab
+  // outgrows executors); per-doc sums partial-aggregate. Nothing
+  // joins corpus×corpus.
+  val q208: QuerySpec = QuerySpec(
+    "q208_heldout_perplexity",
+    (s, d) => {
+      val split = TrainingDataQueries.splitCol(col("doc_id"))
+      def tok(which: String) = documents(s, d)
+        .where(split === which)
+        .select(col("doc_id"), explode(split_part_tokens).as("t"))
+      val freq = tok("train").groupBy("t").agg(count(lit(1)).as("f"))
+      val anchor = freq.agg(
+        sum("f").as("n"), count(lit(1)).as("v")) // 1-row (N, V) anchor
+      tok("val")
+        .join(freq, Seq("t"), "left")
+        .crossJoin(anchor)
+        .select(
+          col("doc_id"),
+          floor(log((col("n").cast("double") + col("v") + 1) /
+            (coalesce(col("f"), lit(0L)) + 1)) * 1e6).cast("long").as("s"),
+          col("f").isNull.cast("long").as("oov"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum("oov").as("n_oov"),
+          sum("s").as("ssum"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          expr("ssum div n_tokens").as("mean_surprisal_micro"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val sc = TrainingDataQueries.splitCaseSql("doc_id")
+      s"WITH tr AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents WHERE ($sc) = 'train'), " +
+        "freq AS (SELECT t, count(*) AS f FROM tr GROUP BY 1), " +
+        "a AS (SELECT sum(f) AS n, count(*) AS v FROM freq), " +
+        s"ev AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents WHERE ($sc) = 'val'), " +
+        "sc AS (SELECT doc_id, CAST(floor(ln((CAST(n AS DOUBLE) + v + 1) / (coalesce(f, 0) + 1)) * 1e6) AS BIGINT) AS s, " +
+        "CASE WHEN f IS NULL THEN 1 ELSE 0 END AS oov " +
+        "FROM ev LEFT JOIN freq USING (t) CROSS JOIN a) " +
+        "SELECT doc_id, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov, " +
+        "CAST(CAST(sum(s) AS HUGEINT) // CAST(count(*) AS HUGEINT) AS BIGINT) AS mean_surprisal_micro " +
+        "FROM sc GROUP BY 1 ORDER BY doc_id"
+    },
+  )
+
+  /** Whitespace token array — named so q208's two token streams can't
+    * drift from each other.
+    */
+  private def split_part_tokens = split(col("text"), " ")
+
+  // ---------------------------------------------------------------------
   // q103 — lexical diversity (Simpson): per source, 1 − Σnᵢ(nᵢ−1) /
   // (N(N−1)) over its token counts — the probability two tokens drawn
   // without replacement differ. The diversity gate that needs NO
@@ -1011,5 +1074,5 @@ object CorpusQueries {
 
   val all: Seq[QuerySpec] =
     Seq(q88, q89, q91, q92, q98, q99, q103, q104, q111, q117, q131, q137, q140,
-      q177, q178, q188, q192, q195, q197)
+      q177, q178, q188, q192, q195, q197, q208)
 }

@@ -1255,7 +1255,51 @@ object AnalyticQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q207 — RANGE-frame rolling window: trailing 28 CALENDAR DAYS of
+  // revenue per return flag, as a RANGE BETWEEN 27 PRECEDING frame
+  // over the epoch-day order key. The capability q52's ROWS frames
+  // cannot express: on a series with missing days, "last 7 rows" and
+  // "last 7 days" disagree — a ROWS frame silently stretches over
+  // gaps (averaging January into March across a quiet February),
+  // while the RANGE frame is calendar-true. The emitted
+  // days-observed count makes the difference auditable: it varies
+  // exactly where the series has holes.
+  //
+  // Scale: rollup to (flag, day) BEFORE the window (the q52 rule);
+  // the range frame runs over the partitioned sort with running
+  // frame state — same cost class as ROWS. Sums are DECIMAL-exact
+  // cents (order-independent).
+  val q207: QuerySpec = QuerySpec(
+    "q207_range_frame_rolling",
+    (s, d) => {
+      val dec = DecimalType(18, 2)
+      val daily = lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"), col("l_shipdate").cast("date").as("day"))
+        .agg((sum(col("l_extendedprice").cast(dec)) * 100).cast("long").as("cents"))
+        .withColumn("day", unix_date(col("day")).cast("long"))
+      val w = Window.partitionBy("flag").orderBy("day").rangeBetween(-27, 0)
+      daily
+        .select(
+          col("flag"), col("day"), col("cents"),
+          sum(col("cents")).over(w).as("r28_cents"),
+          count(lit(1)).over(w).as("r28_days"))
+        .orderBy("flag", "day")
+    },
+    Some(
+      "WITH daily AS (SELECT l_returnflag AS flag, " +
+        "datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents " +
+        "FROM lineitem GROUP BY 1, 2) " +
+        "SELECT flag, day, cents, " +
+        "CAST(sum(cents) OVER w AS BIGINT) AS r28_cents, " +
+        "count(*) OVER w AS r28_days " +
+        "FROM daily WINDOW w AS (PARTITION BY flag ORDER BY day " +
+        "RANGE BETWEEN 27 PRECEDING AND CURRENT ROW) ORDER BY flag, day"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q49, q50, q51, q52, q53, q54, q56, q57, q58, q59, q60, q61, q62, q63, q64, q67,
-      q73, q74, q80, q81, q82, q83, q84, q85, q130, q157, q194, q205)
+      q73, q74, q80, q81, q82, q83, q84, q85, q130, q157, q194, q205, q207)
 }
