@@ -119,5 +119,47 @@ object SketchQueries {
     None, // hash-defined estimates — rows-only; one-sided error + exact-merge identity pinned in SketchQueriesSpec
   )
 
-  val all: Seq[QuerySpec] = Seq(q119, q181, q196)
+  // ---------------------------------------------------------------------
+  // q209 — ROLLING reach: trailing 7-day distinct users per day, from
+  // per-day HLL sketches unioned in a RANGE window — the
+  // sketch-as-window-aggregate composition (q119's mergeability ×
+  // q207's range frames). Exact rolling distincts must re-shuffle raw
+  // user ids for EVERY window position (trailing-28 ⇒ 28 passes'
+  // worth of work); the sketch form touches raw data once (per-day
+  // sketches, map-side combined) and every window slides over KB
+  // partials. This is THE design for "rolling reach" dashboards at
+  // 100 TB — the raw pass is one scan, the window runs on
+  // calendar-sized state.
+  //
+  // The unpartitioned ORDER BY window is the documented
+  // bounded-frame exception (Ranks rule): it runs over the per-day
+  // frame — calendar-sized, not data-sized. Exact counts ride along
+  // (computed by a 7-day band join at test scale) so the spec can
+  // pin the ±5% error contract; no-oracle (sketch estimates), like
+  // q119/q196.
+  val q209: QuerySpec = QuerySpec(
+    "q209_rolling_reach",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d).select(
+        unix_date(to_date(col("ts").cast("timestamp"))).cast("long").as("day"),
+        col("user_id"))
+      val daily = ev.groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val w = Window.orderBy("day").rangeBetween(-6, 0)
+      val rolled = daily.select(
+        col("day"),
+        hll_sketch_estimate(hll_union_agg(col("sk")).over(w)).as("est_users"))
+      val exact = ev.select(col("day").as("d2"), col("user_id")).distinct()
+        .join(daily.select(col("day")),
+          col("d2").between(col("day") - 6, col("day")))
+        .groupBy("day")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      rolled.join(exact, Seq("day"))
+        .select(col("day"), col("est_users"), col("exact_users"))
+        .orderBy("day")
+    },
+    None, // sketch estimates — rows-only; ±5% error vs the in-row exact pinned in SketchQueriesSpec
+  )
+
+  val all: Seq[QuerySpec] = Seq(q119, q181, q196, q209)
 }

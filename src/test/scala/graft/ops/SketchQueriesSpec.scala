@@ -85,6 +85,26 @@ class SketchQueriesSpec extends SparkSpec {
       s"merged-monthly P50 sits at rank $rank — mergeability broken")
   }
 
+  test("q209: rolling sketch reach within 5% of the in-row exact trailing distinct") {
+    val rows = SketchQueries.q209.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (est, exact) = (r.getAs[Long]("est_users"), r.getAs[Long]("exact_users"))
+      assert(exact > 0)
+      assert(math.abs(est - exact).toDouble / exact <= 0.05,
+        s"day ${r.getAs[Long]("day")}: est=$est exact=$exact")
+    }
+    // windows genuinely roll: the trailing-7 reach must exceed the
+    // busiest single day's reach somewhere (otherwise the union did
+    // nothing)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts").cast("timestamp")).as("d"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .agg(max("n")).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("exact_users")).max >= daily,
+      "trailing-7 reach must dominate any single day")
+  }
+
   test("q196: CMS estimates are one-sided (est ≥ exact) and ε-bounded") {
     val rows = SketchQueries.q196.run(spark, sfDir).collect()
     assert(rows.length >= 10, "3 top users per event type expected")
