@@ -1299,7 +1299,74 @@ object AnalyticQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q210 — FIFO allocation: match each "issue" of a part against its
+  // "receipts" in first-in-first-out order (receipts = odd
+  // linenumbers, issues = even — a deterministic split of the same
+  // fact) and report per-part matched and short quantities. The
+  // INTERVAL-ALGEBRA form that makes FIFO declarative: cumulative
+  // quantity turns each receipt and each issue into an interval on
+  // the part's quantity axis ([cum−qty, cum)), and FIFO matching IS
+  // interval overlap — matched(i, r) = max(0, min(hi) − max(lo)).
+  // No iterative "consume the oldest batch" loop, no per-part
+  // recursion: two window cumsums + one overlap join.
+  //
+  // Determinism: quantities are exact integers; interval ends come
+  // from cumsums over the total (date, linenumber, orderkey) order.
+  //
+  // Scale: both cumsums ride ONE part-key partitioning; the overlap
+  // join is part-keyed (per-part pair count is bounded by run
+  // lengths, and the overlap predicate prunes inside the join). At
+  // 100 TB the quantity axis also BANDS (join on cum div B buckets)
+  // to bound per-pair work — same trick as the q48 range join.
+  val q210: QuerySpec = QuerySpec(
+    "q210_fifo_allocation",
+    (s, d) => {
+      val li = lineitem(s, d).select(
+        col("l_partkey").as("pk"), col("l_orderkey").as("ok"),
+        col("l_linenumber").as("ln"), col("l_shipdate").as("dt"),
+        col("l_quantity").cast("long").as("qty"))
+      val w = Window.partitionBy("pk").orderBy("dt", "ok", "ln")
+      def side(cond: org.apache.spark.sql.Column, name: String) = li.where(cond)
+        .withColumn("hi", sum(col("qty")).over(w))
+        .select(col("pk"), (col("hi") - col("qty")).as(s"${name}_lo"), col("hi").as(s"${name}_hi"))
+      val rcpt = side(col("ln") % 2 === 1, "r")
+      val issue = side(col("ln") % 2 === 0, "i")
+      val matched = issue.join(rcpt,
+        issue("pk") === rcpt("pk") &&
+          col("r_lo") < col("i_hi") && col("i_lo") < col("r_hi"))
+        .select(issue("pk").as("pk"),
+          (least(col("r_hi"), col("i_hi")) - greatest(col("r_lo"), col("i_lo"))).as("m"))
+        .groupBy("pk").agg(sum(col("m")).as("matched_qty"), count(lit(1)).as("n_matches"))
+      val totals = issue.groupBy("pk").agg(max(col("i_hi")).as("issued_qty"))
+      totals.join(matched, Seq("pk"), "left")
+        .select(
+          col("pk"),
+          col("issued_qty"),
+          coalesce(col("matched_qty"), lit(0L)).as("matched_qty"),
+          (col("issued_qty") - coalesce(col("matched_qty"), lit(0L))).as("short_qty"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+        .orderBy("pk")
+    },
+    Some(
+      "WITH li AS (SELECT l_partkey AS pk, l_orderkey AS ok, l_linenumber AS ln, " +
+        "l_shipdate AS dt, CAST(l_quantity AS BIGINT) AS qty FROM lineitem), " +
+        "r AS (SELECT pk, sum(qty) OVER w - qty AS r_lo, sum(qty) OVER w AS r_hi FROM li WHERE ln % 2 = 1 " +
+        "WINDOW w AS (PARTITION BY pk ORDER BY dt, ok, ln)), " +
+        "i AS (SELECT pk, sum(qty) OVER w - qty AS i_lo, sum(qty) OVER w AS i_hi FROM li WHERE ln % 2 = 0 " +
+        "WINDOW w AS (PARTITION BY pk ORDER BY dt, ok, ln)), " +
+        "m AS (SELECT i.pk, least(r_hi, i_hi) - greatest(r_lo, i_lo) AS mq " +
+        "FROM i JOIN r ON i.pk = r.pk AND r_lo < i_hi AND i_lo < r_hi), " +
+        "ma AS (SELECT pk, CAST(sum(mq) AS BIGINT) AS matched_qty, count(*) AS n_matches FROM m GROUP BY 1), " +
+        "t AS (SELECT pk, CAST(max(i_hi) AS BIGINT) AS issued_qty FROM i GROUP BY 1) " +
+        "SELECT t.pk, issued_qty, coalesce(matched_qty, 0) AS matched_qty, " +
+        "issued_qty - coalesce(matched_qty, 0) AS short_qty, " +
+        "CAST(coalesce(n_matches, 0) AS BIGINT) AS n_matches " +
+        "FROM t LEFT JOIN ma ON t.pk = ma.pk ORDER BY t.pk"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q49, q50, q51, q52, q53, q54, q56, q57, q58, q59, q60, q61, q62, q63, q64, q67,
-      q73, q74, q80, q81, q82, q83, q84, q85, q130, q157, q194, q205, q207)
+      q73, q74, q80, q81, q82, q83, q84, q85, q130, q157, q194, q205, q207, q210)
 }

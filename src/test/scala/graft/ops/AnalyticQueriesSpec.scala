@@ -420,4 +420,33 @@ class AnalyticQueriesSpec extends SparkSpec {
       rows(3L).getAs[Long]("n_deletes_replayed") == 1L)
     assert(rows(5L).getAs[Long]("n_ops") == 1L)
   }
+
+  test("q210: FIFO overlap matching — oldest receipts absorb issues, shortfall reported") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q210fix").toString
+    // part 1: receipts (odd ln) 10 then 5; issues (even ln) 8 then 6.
+    // FIFO: issue#1 (qty axis [0,8)) overlaps receipt#1 [0,10) → 8;
+    // issue#2 [8,14) overlaps receipt#1 by 2 and receipt#2 [10,15) by 4
+    // → matched 14, short 0, 3 match pairs.
+    // part 2: receipt 3, issue 9 → matched 3, short 6, 1 pair.
+    Seq(
+      (1L, 101L, 1, "1995-01-01", 10.0),
+      (1L, 102L, 3, "1995-01-02", 5.0),
+      (1L, 103L, 2, "1995-01-03", 8.0),
+      (1L, 104L, 4, "1995-01-04", 6.0),
+      (2L, 105L, 1, "1995-01-01", 3.0),
+      (2L, 106L, 2, "1995-01-02", 9.0),
+    ).toDF("l_partkey", "l_orderkey", "l_linenumber", "dt", "l_quantity")
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        to_timestamp(col("dt")).as("l_shipdate"), col("l_quantity"))
+      .write.parquet(s"$dir/lineitem.parquet")
+    val rows = AnalyticQueries.q210.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("pk") -> r).toMap
+    assert(rows(1L).getAs[Long]("matched_qty") == 14L)
+    assert(rows(1L).getAs[Long]("short_qty") == 0L)
+    assert(rows(1L).getAs[Long]("n_matches") == 3L)
+    assert(rows(2L).getAs[Long]("matched_qty") == 3L)
+    assert(rows(2L).getAs[Long]("short_qty") == 6L)
+    assert(rows(2L).getAs[Long]("n_matches") == 1L)
+  }
 }
