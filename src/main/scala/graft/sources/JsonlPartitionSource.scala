@@ -248,13 +248,31 @@ class JsonlScanBuilder(fullSchema: StructType, path: String)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var residual = false
   private var aggGroupCols: Seq[String] = Seq.empty
   private var aggSchema: Option[StructType] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown — preview reads (T4/consume-preview) stop pulling
+    * lines once a partition has produced `limit` rows instead of
+    * parsing whole files. PARTIAL by contract (`isPartiallyPushed` =
+    * true): each partition caps at `limit`, Spark's own global Limit
+    * still runs above — so multi-partition scans stay correct.
+    * Declined when residual row filters exist (a below-filter cap
+    * would starve the filter) — Spark's pushdown rule does not offer
+    * the limit in that shape, and the guard keeps it that way.
+    */
+  override def pushLimit(l: Int): Boolean = {
+    if (residual || aggSchema.nonEmpty) return false
+    limit = Some(l)
+    true
+  }
+  override def isPartiallyPushed: Boolean = true
 
   /** Accept partition-column filters (they prune directories exactly);
     * everything else is returned for Spark to evaluate post-scan.
@@ -313,7 +331,7 @@ class JsonlScanBuilder(fullSchema: StructType, path: String)
 
   override def build(): Scan = aggSchema match {
     case Some(s) => new JsonlCountScan(path, s, aggGroupCols, pushed)
-    case None => new JsonlScan(path, required, pushed)
+    case None => new JsonlScan(path, required, pushed, limit)
   }
 }
 
@@ -402,13 +420,18 @@ class JsonlCountReader(
   override def close(): Unit = ()
 }
 
-class JsonlScan(path: String, requiredSchema: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+class JsonlScan(
+    path: String,
+    requiredSchema: StructType,
+    pushed: Array[Filter],
+    limit: Option[Int] = None,
+) extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_jsonl $path, PushedFilters: [${pushed.mkString(", ")}]"
+    s"graft_jsonl $path, PushedFilters: [${pushed.mkString(", ")}]" +
+      limit.map(l => s", PushedLimit: $l").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] =
     JsonlPartitionSource.listSealed(path, pushed).toArray
@@ -418,22 +441,31 @@ class JsonlScan(path: String, requiredSchema: StructType, pushed: Array[Filter])
     // open files with the session's credentials/fs settings
     val confFactory = org.apache.spark.sql.graftshim.ConfShim.confFactory(
       SparkSession.active.sparkContext.hadoopConfiguration)
-    new JsonlReaderFactory(requiredSchema, confFactory)
+    new JsonlReaderFactory(requiredSchema, confFactory, limit)
   }
 }
 
-class JsonlReaderFactory(schema: StructType, confFactory: () => Configuration)
-    extends PartitionReaderFactory {
+class JsonlReaderFactory(
+    schema: StructType,
+    confFactory: () => Configuration,
+    limit: Option[Int] = None,
+) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new JsonlReader(partition.asInstanceOf[JsonlFilePartition], schema, confFactory())
+    new JsonlReader(partition.asInstanceOf[JsonlFilePartition], schema, confFactory(), limit)
 }
 
 /** Executor-side line reader: Jackson-parse each JSONL record,
   * projecting only the required payload fields; partition-column values
   * come from the directory path (logical_date as epoch days).
   */
-class JsonlReader(p: JsonlFilePartition, schema: StructType, conf: Configuration)
-    extends PartitionReader[InternalRow] {
+class JsonlReader(
+    p: JsonlFilePartition,
+    schema: StructType,
+    conf: Configuration,
+    limit: Option[Int] = None,
+) extends PartitionReader[InternalRow] {
+
+  private var emitted = 0
 
   private val mapper = new ObjectMapper()
   private val fs = new Path(p.file).getFileSystem(conf)
@@ -457,6 +489,9 @@ class JsonlReader(p: JsonlFilePartition, schema: StructType, conf: Configuration
       .indexWhere(_.name == f.name)
 
   override def next(): Boolean = {
+    // pushed-limit cap: stop PULLING lines once satisfied — the whole
+    // point is to not parse the rest of the file
+    if (limit.exists(emitted >= _)) return false
     // skip blank/whitespace-only lines, matching schema inference's
     // find(_.trim.nonEmpty) tolerance — read and infer must agree on
     // the same file
@@ -479,6 +514,7 @@ class JsonlReader(p: JsonlFilePartition, schema: StructType, conf: Configuration
       i += 1
     }
     current = new GenericInternalRow(vals)
+    emitted += 1
     true
   }
 

@@ -77,6 +77,22 @@ class JsonlSourceSpec extends SparkSpec {
     assert(plan.contains("BatchScan"), plan.take(500))
   }
 
+  test("LIMIT pushes to the scan (preview shape); residual filters decline it") {
+    val limited = sinkDf.limit(3)
+    val plan = limited.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 3"), s"limit must reach the scan:\n${plan.take(800)}")
+    assert(limited.count() == 3, "partial pushdown: global Limit still applies")
+    // rows are real sink rows (the cap stops PULLING, not corrupts)
+    assert(limited.collect().forall(_.getAs[String]("campaign_id") != null))
+    // a residual payload filter above the scan must keep the limit OUT
+    // of the scan — a below-filter cap would starve the filter
+    val filtered = sinkDf.where(col("clicks") === "20").limit(2)
+    val fplan = filtered.queryExecution.executedPlan.toString
+    assert(!fplan.contains("PushedLimit"),
+      s"limit must not push below a residual filter:\n${fplan.take(800)}")
+    assert(filtered.count() == 2)
+  }
+
   test("column pruning reaches the reader (2-field projection parses 2 fields)") {
     val scanned = sinkDf.select("campaign_id", "logical_date")
     val batchScans = scanned.queryExecution.executedPlan.collect {
