@@ -580,6 +580,83 @@ object CorpusQueries {
   private def split_part_tokens = split(col("text"), " ")
 
   // ---------------------------------------------------------------------
+  // q211 — score calibration: q197's classifier logits cut into
+  // ANSI-ntile deciles (DESC), each decile reporting its logit range
+  // and the rate at which its documents pass q195's quality gate —
+  // the precision-by-score-band table every scoring pipeline emits
+  // before picking a threshold (a well-calibrated score shows pass
+  // rate falling monotonically down the deciles; this one does, and
+  // the oracle pins the exact numbers). Deciles come from
+  // [[graft.ops.Ranks]] (range-repartition + offset broadcast — the
+  // q183 machinery, no single-task sort); everything else is exact
+  // integer arithmetic.
+  //
+  // Scale: both input frames are per-doc folds (q195/q197 plans);
+  // the rank range-partitions the corpus; output is 10 rows.
+  val q211: QuerySpec = QuerySpec(
+    "q211_score_calibration",
+    (s, d) => {
+      import s.implicits._
+      val model = clfModel.toDF("w", "wt_micro")
+      val logits = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .join(broadcast(model), Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg((coalesce(sum(col("wt_micro")), lit(0L)) + clfBiasMicro).as("logit_micro"))
+      val stops = Seq("the", "a", "of", "and", "to")
+      val pass = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(
+          sum(col("c")).as("n_words"), max(col("c")).as("top_c"),
+          (sum(length(col("w")) * col("c")).cast("double") / sum(col("c"))).as("mwl"),
+          count(when(col("w").isInCollection(stops), 1)).as("n_stop"))
+        .select(col("doc_id"),
+          (col("n_words") >= 20 && col("n_words") <= 1000 &&
+            col("mwl") >= 3.0 && col("mwl") <= 10.0 &&
+            col("n_stop") >= 2 &&
+            col("top_c").cast("double") / col("n_words") <= 0.125).as("pass"))
+      val scored = logits.join(pass, Seq("doc_id"))
+      val ranked = graft.ops.Ranks.withGlobalRank(
+        scored, Seq(col("logit_micro").desc, col("doc_id").asc), "rk")
+      val tot = scored.agg(count(lit(1)).as("n_all"))
+      ranked.crossJoin(tot) // 1-row total anchor
+        .select(
+          graft.ops.Ranks.ntileFromRank(col("rk"), col("n_all"), 10).as("decile"),
+          col("logit_micro"), col("pass"))
+        .groupBy("decile")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          max(col("logit_micro")).as("logit_hi"),
+          min(col("logit_micro")).as("logit_lo"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+        .withColumn("pass_bp", expr("10000 * n_pass div n_docs"))
+        .orderBy("decile")
+    },
+    Some {
+      val values = clfModel.map { case (w, m) => s"('$w', $m)" }.mkString(", ")
+      s"WITH model(w, wt_micro) AS (VALUES $values), " +
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "lg AS (SELECT doc_id, CAST(coalesce(sum(m.wt_micro), 0) + " +
+        s"($clfBiasMicro) AS BIGINT) AS logit_micro FROM tok LEFT JOIN model m USING (w) GROUP BY doc_id), " +
+        "cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2), " +
+        "g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, max(c) AS top_c, " +
+        "sum(length(w) * c) * 1.0 / sum(c) AS mwl, " +
+        "count(CASE WHEN w IN ('the', 'a', 'of', 'and', 'to') THEN 1 END) AS n_stop FROM cnt GROUP BY 1), " +
+        "p AS (SELECT doc_id, n_words >= 20 AND n_words <= 1000 AND mwl >= 3.0 AND mwl <= 10.0 " +
+        "AND n_stop >= 2 AND top_c * 1.0 / n_words <= 0.125 AS pass FROM g), " +
+        "sc AS (SELECT lg.doc_id, logit_micro, pass FROM lg JOIN p ON lg.doc_id = p.doc_id), " +
+        "dec AS (SELECT ntile(10) OVER (ORDER BY logit_micro DESC, doc_id) AS decile, logit_micro, pass FROM sc) " +
+        "SELECT decile, count(*) AS n_docs, " +
+        "CAST(max(logit_micro) AS BIGINT) AS logit_hi, CAST(min(logit_micro) AS BIGINT) AS logit_lo, " +
+        "CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass, " +
+        "CAST(10000 * sum(CASE WHEN pass THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS pass_bp " +
+        "FROM dec GROUP BY 1 ORDER BY decile"
+    },
+  )
+
+  // ---------------------------------------------------------------------
   // q103 — lexical diversity (Simpson): per source, 1 − Σnᵢ(nᵢ−1) /
   // (N(N−1)) over its token counts — the probability two tokens drawn
   // without replacement differ. The diversity gate that needs NO
@@ -1074,5 +1151,5 @@ object CorpusQueries {
 
   val all: Seq[QuerySpec] =
     Seq(q88, q89, q91, q92, q98, q99, q103, q104, q111, q117, q131, q137, q140,
-      q177, q178, q188, q192, q195, q197, q208)
+      q177, q178, q188, q192, q195, q197, q208, q211)
 }
