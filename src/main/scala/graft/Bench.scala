@@ -50,10 +50,12 @@ object Bench {
     }
     // Deterministic name order (Map iteration order is hash-order):
     // timings stay attributable run-to-run.
+    val ordered = selected.toSeq.sortBy(_._1)
     val benchT0 = System.nanoTime()
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    def runPass(tag: String): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      System.err.println(f"[bench-trace] $name start at ${(t0 - benchT0) / 1e9}%.2f")
+      System.err.println(f"[bench-trace] $tag $name start at ${(t0 - benchT0) / 1e9}%.2f")
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // Untimed: release checkpoint/persist blocks the finished query
@@ -71,10 +73,33 @@ object Bench {
       System.gc()
       name -> elapsed
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // Noise discipline (round-6): one untimed warmup pass compiles all
+    // plans / codegen classes and faults every input page in, then N
+    // timed passes; each query reports its MEDIAN across passes and the
+    // headline total is the sum of medians. A single-pass total on this
+    // shared-CPU sandbox carries the documented ±45% boot-epoch drift
+    // (SCALE_NOTES); the median of 3 interleaved passes is robust to a
+    // transient spike landing on any one pass, and the printed per-pass
+    // totals give every future number its own error bar.
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
+    runPass("warmup")
+    val timed: Seq[Seq[(String, Double)]] = (1 to passes).map(i => runPass(s"pass$i"))
+    val medians: Seq[(String, Double)] = ordered.map { case (name, _) =>
+      val obs = timed.map(_.toMap.apply(name)).sorted
+      name -> obs(obs.size / 2)
+    }
+    val passTotals = timed.map(_.map(_._2).sum)
+    val total = medians.map(_._2).sum
+    // Same-run dispersion: (max-min)/median of the pass totals — the
+    // error bar to read any cross-round comparison against.
+    val spreadPct =
+      if (passTotals.isEmpty || passTotals.min <= 0) 0.0
+      else 100.0 * (passTotals.max - passTotals.min) / passTotals.sorted.apply(passTotals.size / 2)
+    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val pt = passTotals.map(t => f"$t%.2f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"pass_totals":$pt,"spread_pct":${f"$spreadPct%.1f"}}""")
     spark.stop()
   }
 }

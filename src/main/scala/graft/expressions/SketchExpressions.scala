@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnShim
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DataType, IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.util.sketch.CountMinSketch
 
 /** Native expressions completing Spark's CountMin surface: Spark 4
@@ -68,18 +68,36 @@ case class CmsMergeAll(child: Expression)
 case class CmsEstimate(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
+  // Mirror the item types Spark's count_min_sketch AGGREGATE accepts:
+  // all integrals hash through addLong (so we widen and query the long
+  // path), strings hash their UTF-8 bytes (identical to the binary
+  // path), binaries hash raw. A sketch built by the builtin on any of
+  // these columns is point-queryable here without driver code or casts.
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (BinaryType, ByteType | ShortType | IntegerType | LongType |
+            StringType | BinaryType) =>
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName expects (binary, bigint), got ($l, $r)")
+        s"$prettyName expects (binary, integral|string|binary), got ($l, $r)")
     }
   override def dataType: DataType = LongType
   override def prettyName: String = "cms_estimate"
 
-  override def nullSafeEval(sketch: Any, item: Any): Any =
-    CountMinSketch.readFrom(sketch.asInstanceOf[Array[Byte]])
-      .estimateCount(item.asInstanceOf[java.lang.Long])
+  override def nullSafeEval(sketch: Any, item: Any): Any = {
+    val cms = CountMinSketch.readFrom(sketch.asInstanceOf[Array[Byte]])
+    right.dataType match {
+      case ByteType => cms.estimateCount(java.lang.Long.valueOf(item.asInstanceOf[Byte].toLong))
+      case ShortType => cms.estimateCount(java.lang.Long.valueOf(item.asInstanceOf[Short].toLong))
+      case IntegerType => cms.estimateCount(java.lang.Long.valueOf(item.asInstanceOf[Int].toLong))
+      case LongType => cms.estimateCount(item.asInstanceOf[java.lang.Long])
+      // UTF8String → raw bytes: exactly what the aggregate feeds addBinary
+      case StringType => cms.estimateCount(
+        item.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+      case BinaryType => cms.estimateCount(item.asInstanceOf[Array[Byte]])
+      case other => throw new IllegalStateException(s"unreachable item type $other")
+    }
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CmsEstimate =

@@ -1,5 +1,6 @@
 package graft.llm
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Pin.PinOps
@@ -423,46 +424,63 @@ object CorpusQueries {
   // Scale: one (doc_id, word) count (uniform keys, map-side
   // combined), one per-doc fold — the q103 shape; booleans compute
   // codegen'd from the fold's integers. No joins, no windows.
+  /** Per-doc Gopher rule table: (doc_id, n_words, r_len, r_mwl,
+    * r_stop, r_rep, pass). The SINGLE implementation of the quality
+    * gate — q195 serves it directly, q211 calibrates against its
+    * `pass` column, so a threshold edit can never silently diverge
+    * between the gate and its calibration.
+    */
+  private def gopherRuleTable(s: SparkSession, d: String): DataFrame = {
+    val stops = Seq("the", "a", "of", "and", "to")
+    documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_words"),
+        max(col("c")).as("top_c"),
+        (sum(length(col("w")) * col("c")).cast("double") / sum(col("c"))).as("mwl"),
+        count(when(col("w").isInCollection(stops), 1)).as("n_stop"),
+      )
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        (col("n_words") >= 20 && col("n_words") <= 1000).as("r_len"),
+        (col("mwl") >= 3.0 && col("mwl") <= 10.0).as("r_mwl"),
+        (col("n_stop") >= 2).as("r_stop"),
+        (col("top_c").cast("double") / col("n_words") <= 0.125).as("r_rep"),
+      )
+      .withColumn("pass", col("r_len") && col("r_mwl") && col("r_stop") && col("r_rep"))
+  }
+
+  /** Shared token-stream CTE both gate and classifier SQL build on. */
+  private val docTokCteSql: String =
+    "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)"
+
+  /** DuckDB CTEs mirroring [[gopherRuleTable]]: defines `gop(doc_id,
+    * n_words, r_len, r_mwl, r_stop, r_rep, pass)`. Requires
+    * [[docTokCteSql]] earlier in the WITH list. Kept beside the Spark
+    * builder for the same single-source reason.
+    */
+  private val gopherRuleCteSql: String =
+    "cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2), " +
+      "gd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, max(c) AS top_c, " +
+      "sum(length(w) * c) * 1.0 / sum(c) AS mwl, " +
+      "count(CASE WHEN w IN ('the', 'a', 'of', 'and', 'to') THEN 1 END) AS n_stop " +
+      "FROM cnt GROUP BY 1), " +
+      "gop AS (SELECT doc_id, n_words, n_words >= 20 AND n_words <= 1000 AS r_len, " +
+      "mwl >= 3.0 AND mwl <= 10.0 AS r_mwl, n_stop >= 2 AS r_stop, " +
+      "top_c * 1.0 / n_words <= 0.125 AS r_rep, " +
+      "(n_words >= 20 AND n_words <= 1000) AND (mwl >= 3.0 AND mwl <= 10.0) " +
+      "AND n_stop >= 2 AND top_c * 1.0 / n_words <= 0.125 AS pass FROM gd)"
+
   val q195: QuerySpec = QuerySpec(
     "q195_gopher_rules",
-    (s, d) => {
-      val stops = Seq("the", "a", "of", "and", "to")
-      val cnt = documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .groupBy("doc_id", "w")
-        .agg(count(lit(1)).as("c"))
-      cnt
-        .groupBy("doc_id")
-        .agg(
-          sum(col("c")).as("n_words"),
-          max(col("c")).as("top_c"),
-          (sum(length(col("w")) * col("c")).cast("double") / sum(col("c"))).as("mwl"),
-          count(when(col("w").isInCollection(stops), 1)).as("n_stop"),
-        )
-        .select(
-          col("doc_id"),
-          col("n_words"),
-          (col("n_words") >= 20 && col("n_words") <= 1000).as("r_len"),
-          (col("mwl") >= 3.0 && col("mwl") <= 10.0).as("r_mwl"),
-          (col("n_stop") >= 2).as("r_stop"),
-          (col("top_c").cast("double") / col("n_words") <= 0.125).as("r_rep"),
-        )
-        .withColumn("pass", col("r_len") && col("r_mwl") && col("r_stop") && col("r_rep"))
-        .orderBy("doc_id")
-    },
+    (s, d) => gopherRuleTable(s, d).orderBy("doc_id"),
     Some(
-      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), " +
-        "cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2), " +
-        "d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, max(c) AS top_c, " +
-        "sum(length(w) * c) * 1.0 / sum(c) AS mwl, " +
-        "count(CASE WHEN w IN ('the', 'a', 'of', 'and', 'to') THEN 1 END) AS n_stop " +
-        "FROM cnt GROUP BY 1) " +
-        "SELECT doc_id, n_words, n_words >= 20 AND n_words <= 1000 AS r_len, " +
-        "mwl >= 3.0 AND mwl <= 10.0 AS r_mwl, n_stop >= 2 AS r_stop, " +
-        "top_c * 1.0 / n_words <= 0.125 AS r_rep, " +
-        "(n_words >= 20 AND n_words <= 1000) AND (mwl >= 3.0 AND mwl <= 10.0) " +
-        "AND n_stop >= 2 AND top_c * 1.0 / n_words <= 0.125 AS pass " +
-        "FROM d ORDER BY doc_id"
+      s"WITH $docTokCteSql, $gopherRuleCteSql " +
+        "SELECT doc_id, n_words, r_len, r_mwl, r_stop, r_rep, pass FROM gop ORDER BY doc_id"
     ),
   )
 
@@ -492,28 +510,40 @@ object CorpusQueries {
     "row" -> -50000L, "scan" -> -75000L)
   private val clfBiasMicro = -500000L
 
+  /** Per-doc classifier logits: (doc_id, logit_micro). The SINGLE
+    * scoring implementation — q197 serves it, q211 calibrates it.
+    */
+  private def classifierLogits(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val model = clfModel.toDF("w", "wt_micro")
+    documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(model), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg((coalesce(sum(col("wt_micro")), lit(0L)) + clfBiasMicro).as("logit_micro"))
+  }
+
+  /** DuckDB CTEs mirroring [[classifierLogits]]: defines `lg(doc_id,
+    * logit_micro)` (plus `model`). Requires [[docTokCteSql]] earlier
+    * in the WITH list.
+    */
+  private val classifierLogitCteSql: String = {
+    val values = clfModel.map { case (w, m) => s"('$w', $m)" }.mkString(", ")
+    s"model(w, wt_micro) AS (VALUES $values), " +
+      "lg AS (SELECT doc_id, CAST(coalesce(sum(m.wt_micro), 0) + " +
+      s"($clfBiasMicro) AS BIGINT) AS logit_micro FROM tok LEFT JOIN model m USING (w) GROUP BY doc_id)"
+  }
+
   val q197: QuerySpec = QuerySpec(
     "q197_classifier_score",
-    (s, d) => {
-      import s.implicits._
-      val model = clfModel.toDF("w", "wt_micro")
-      documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .join(broadcast(model), Seq("w"), "left")
-        .groupBy("doc_id")
-        .agg((coalesce(sum(col("wt_micro")), lit(0L)) + clfBiasMicro).as("logit_micro"))
+    (s, d) =>
+      classifierLogits(s, d)
         .withColumn("label", col("logit_micro") >= 0L)
-        .orderBy("doc_id")
-    },
-    Some {
-      val values = clfModel.map { case (w, m) => s"('$w', $m)" }.mkString(", ")
-      s"WITH model(w, wt_micro) AS (VALUES $values), " +
-        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) " +
-        "SELECT doc_id, " +
-        s"CAST(coalesce(sum(m.wt_micro), 0) + ($clfBiasMicro) AS BIGINT) AS logit_micro, " +
-        s"coalesce(sum(m.wt_micro), 0) + ($clfBiasMicro) >= 0 AS label " +
-        "FROM tok LEFT JOIN model m USING (w) GROUP BY doc_id ORDER BY doc_id"
-    },
+        .orderBy("doc_id"),
+    Some(
+      s"WITH $docTokCteSql, $classifierLogitCteSql " +
+        "SELECT doc_id, logit_micro, logit_micro >= 0 AS label FROM lg ORDER BY doc_id"
+    ),
   )
 
   // ---------------------------------------------------------------------
@@ -596,27 +626,8 @@ object CorpusQueries {
   val q211: QuerySpec = QuerySpec(
     "q211_score_calibration",
     (s, d) => {
-      import s.implicits._
-      val model = clfModel.toDF("w", "wt_micro")
-      val logits = documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .join(broadcast(model), Seq("w"), "left")
-        .groupBy("doc_id")
-        .agg((coalesce(sum(col("wt_micro")), lit(0L)) + clfBiasMicro).as("logit_micro"))
-      val stops = Seq("the", "a", "of", "and", "to")
-      val pass = documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(
-          sum(col("c")).as("n_words"), max(col("c")).as("top_c"),
-          (sum(length(col("w")) * col("c")).cast("double") / sum(col("c"))).as("mwl"),
-          count(when(col("w").isInCollection(stops), 1)).as("n_stop"))
-        .select(col("doc_id"),
-          (col("n_words") >= 20 && col("n_words") <= 1000 &&
-            col("mwl") >= 3.0 && col("mwl") <= 10.0 &&
-            col("n_stop") >= 2 &&
-            col("top_c").cast("double") / col("n_words") <= 0.125).as("pass"))
+      val logits = classifierLogits(s, d)
+      val pass = gopherRuleTable(s, d).select("doc_id", "pass")
       val scored = logits.join(pass, Seq("doc_id"))
       val ranked = graft.ops.Ranks.withGlobalRank(
         scored, Seq(col("logit_micro").desc, col("doc_id").asc), "rk")
@@ -635,18 +646,8 @@ object CorpusQueries {
         .orderBy("decile")
     },
     Some {
-      val values = clfModel.map { case (w, m) => s"('$w', $m)" }.mkString(", ")
-      s"WITH model(w, wt_micro) AS (VALUES $values), " +
-        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), " +
-        "lg AS (SELECT doc_id, CAST(coalesce(sum(m.wt_micro), 0) + " +
-        s"($clfBiasMicro) AS BIGINT) AS logit_micro FROM tok LEFT JOIN model m USING (w) GROUP BY doc_id), " +
-        "cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2), " +
-        "g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, max(c) AS top_c, " +
-        "sum(length(w) * c) * 1.0 / sum(c) AS mwl, " +
-        "count(CASE WHEN w IN ('the', 'a', 'of', 'and', 'to') THEN 1 END) AS n_stop FROM cnt GROUP BY 1), " +
-        "p AS (SELECT doc_id, n_words >= 20 AND n_words <= 1000 AND mwl >= 3.0 AND mwl <= 10.0 " +
-        "AND n_stop >= 2 AND top_c * 1.0 / n_words <= 0.125 AS pass FROM g), " +
-        "sc AS (SELECT lg.doc_id, logit_micro, pass FROM lg JOIN p ON lg.doc_id = p.doc_id), " +
+      s"WITH $docTokCteSql, $classifierLogitCteSql, $gopherRuleCteSql, " +
+        "sc AS (SELECT lg.doc_id, logit_micro, pass FROM lg JOIN gop ON lg.doc_id = gop.doc_id), " +
         "dec AS (SELECT ntile(10) OVER (ORDER BY logit_micro DESC, doc_id) AS decile, logit_micro, pass FROM sc) " +
         "SELECT decile, count(*) AS n_docs, " +
         "CAST(max(logit_micro) AS BIGINT) AS logit_hi, CAST(min(logit_micro) AS BIGINT) AS logit_lo, " +

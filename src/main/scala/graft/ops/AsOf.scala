@@ -89,8 +89,12 @@ object AsOf {
     // The side convention is unchanged (inclusive ⇒ right first in
     // traversal order); the tie-break stays "max rtb wins" because
     // within equal (ts, side) the traversal still ends on the largest
-    // __rtb.
-    val tsOrder = if (forward) col(tsCol).desc else col(tsCol).asc
+    // __rtb. NULLS FIRST in BOTH modes: a left row with a NULL
+    // timestamp must traverse before any (non-null-ts) right row so it
+    // gets a null fill — backward's ASC is nulls-first by default, but
+    // DESC defaults to nulls-LAST, which would hand a null-ts left row
+    // the smallest-ts right row as a spurious "next" match.
+    val tsOrder = if (forward) col(tsCol).desc_nulls_first else col(tsCol).asc
     val w = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(tsOrder, col("__side").asc, col("__rtb").asc)

@@ -133,4 +133,18 @@ class AsOfSpec extends SparkSpec {
       .select("tag", "price").as[(String, Option[Double])].collect().toMap
     assert(tied("l2") == Some(25.0), "max rid must win forward ties too")
   }
+
+  test("forward: a NULL left timestamp gets a null fill, not the smallest-ts right row") {
+    // regression: DESC defaults to NULLS LAST, so a null-ts left row
+    // traversed after every right row and picked up the min-ts match.
+    val l = Seq((Some(1L), None: Option[Long], "a"), (Some(1L), Some(90L), "b"))
+      .toDF("user_id", "ts", "tag")
+    val out = AsOf.asOfJoin(l, right, Seq("user_id"), "ts",
+      rightValueCols = Seq("price"), rightTieBreak = Some("rid"), forward = true)
+      .select("tag", "price").as[(String, Option[Double])].collect().toMap
+    assert(out == Map(
+      "a" -> None, // null ts matches nothing in either direction
+      "b" -> Some(10.0), // next right row at-or-after 90 is ts=100
+    ))
+  }
 }

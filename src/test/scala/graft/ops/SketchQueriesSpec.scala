@@ -143,4 +143,27 @@ class SketchQueriesSpec extends SparkSpec {
       "shard-merged and one-shot CMS must answer every point query identically")
   }
 
+  test("cms_estimate accepts every item type the builtin aggregate sketches") {
+    import graft.expressions.SketchExpressions
+    // string column: sketch event_type itself, then point-query it
+    val strSk = ev.agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("cms"))
+    val strEst = ev.groupBy("event_type").count()
+      .crossJoin(strSk)
+      .select(col("event_type"), col("count"),
+        SketchExpressions.cmsEstimate(col("cms"), col("event_type")).as("e"))
+      .as[(String, Long, Long)].collect()
+    strEst.foreach { case (t, exact, est) =>
+      assert(est >= exact && est - exact <= math.max(3L, (0.003 * ev.count()).toLong),
+        s"string item '$t': est=$est exact=$exact")
+    }
+    // int item against a long-built sketch: widened to the same long path
+    val intSk = ev.agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("cms"))
+    val someUser = ev.select("user_id").head().getLong(0)
+    val viaInt = intSk.select(SketchExpressions.cmsEstimate(
+      col("cms"), lit(someUser.toInt)).as("e")).head().getLong(0)
+    val viaLong = intSk.select(SketchExpressions.cmsEstimate(
+      col("cms"), lit(someUser)).as("e")).head().getLong(0)
+    assert(viaInt == viaLong, "int item must widen to the identical long hash path")
+  }
+
 }
