@@ -148,19 +148,15 @@ object GraphOps {
       iters: Int = 3,
       scale: Long = 1000000000L,
   ): DataFrame = {
-    val e = canon(edges, srcCol, dstCol).pinLineage(eager = true)
     // The symmetrized edge list is the streamed side of one join PER
-    // ITERATION, always on the same key. Cache it pre-partitioned and
-    // pre-sorted on that key (persist, not localCheckpoint — an
-    // ExistingRDD forgets its partitioning, an InMemoryRelation keeps
-    // it), so every iteration's sort-merge join reuses the layout and
-    // the per-iteration shuffle carries ranks (|V| rows), never edges.
-    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .repartition(col("a"))
-      .sortWithinPartitions("a")
-      .persist()
+    // ITERATION, always on the same key: land it ONCE as a bucketed,
+    // bucket-sorted table ([[bucketedSym]]) so every iteration's
+    // sort-merge join reads the layout exchange-free and sort-free,
+    // and the per-iteration shuffle carries ranks (|V| rows), never
+    // edges.
+    val sym = bucketedSym(canon(edges, srcCol, dstCol), "pr")
     // deg: |V| rows, referenced every iteration — freeze it once (the
-    // groupBy rides sym's partitioning, so this costs no exchange)
+    // groupBy rides the bucketing, so this costs no exchange)
     val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
       .pinLineage(eager = true)
     var pr = deg.select(col("v"), lit(scale).as("pr"), col("deg"))
@@ -212,11 +208,7 @@ object GraphOps {
       seedCol: String,
       maxHops: Int = 20,
   ): DataFrame = {
-    val e = canon(edges, srcCol, dstCol).pinLineage(eager = true)
-    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .repartition(col("a"))
-      .sortWithinPartitions("a")
-      .persist()
+    val sym = bucketedSym(canon(edges, srcCol, dstCol), "bfs")
     var frontier = seeds.select(col(seedCol).as("v")).distinct()
       .join(sym.select(col("a").as("v")), Seq("v"), "left_semi")
       .pinLineage(eager = true)
@@ -274,16 +266,16 @@ object GraphOps {
       dstCol: String,
       rounds: Int = 3,
   ): DataFrame = {
-    val e = canon(edges, srcCol, dstCol).pinLineage(eager = true)
-    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .repartition(col("a"))
-      .sortWithinPartitions("a")
-      .persist()
+    val sym = bucketedSym(canon(edges, srcCol, dstCol), "lpa")
     var labels = sym.select(col("a").as("v")).distinct().withColumn("lbl", col("v"))
     for (_ <- 1 to rounds) {
+      // join on `a` (rides the bucketing — the labels side, |V| rows,
+      // is the only exchange), collect toward `b`: by symmetry of sym
+      // this delivers exactly each vertex's multiset of neighbor
+      // labels, same as joining on b and grouping by a.
       labels = sym.as("s")
-        .join(labels.as("p"), col("s.b") === col("p.v"))
-        .groupBy(col("s.a").as("v"), col("p.lbl").as("nl"))
+        .join(labels.as("p"), col("s.a") === col("p.v"))
+        .groupBy(col("s.b").as("v"), col("p.lbl").as("nl"))
         .agg(count(lit(1)).as("c"))
         .groupBy("v")
         .agg(max(struct(col("c"), (-col("nl")).as("neg"))).as("m"))
@@ -310,10 +302,19 @@ object GraphOps {
     * round only cascades one deletion "layer", so depth needed =
     * longest deletion chain, small for real heavy-tailed graphs).
     *
-    * Scale: per round one map-side-combined degree aggregate (|V'|
-    * rows) and two semi-joins that keep edges whose BOTH endpoints
-    * survive — shuffle ≤ |E'| on uniform edge keys, frames only ever
-    * shrink, each round pins lineage (loop hygiene per [[Pin]]).
+    * Scale: the symmetrized adjacency lands ONCE as a bucketed table
+    * ([[bucketedSym]]); each round is then a degree aggregate that
+    * RIDES the bucketing (zero exchange — a directed row (a,b) exists
+    * per endpoint, so count-by-a IS the degree) plus two anti-joins
+    * against the round's PEEL LAYER (the vertices that just fell below
+    * k). The layer — not the survivor set — is what ships: it is the
+    * small side by construction after the first round (each round only
+    * cascades one deletion "layer"), so it broadcasts and the round
+    * runs with NO exchange at all; a pathological first round (most of
+    * the graph below k) exceeds the broadcast rail and falls back to a
+    * shuffled anti-join for that round only. Filters preserve the
+    * bucketed partitioning, so exchange-freedom survives across
+    * rounds without re-materializing anything.
     *
     * @return (v, deg) for vertices surviving `rounds` peels, with
     *         degree counted inside the surviving subgraph.
@@ -324,25 +325,24 @@ object GraphOps {
       dstCol: String,
       k: Int,
       rounds: Int,
+      broadcastRailRows: Long = 4000000L,
   ): DataFrame = {
-    var e = canon(edges, srcCol, dstCol).pinLineage(eager = true)
+    var adj = bucketedSym(canon(edges, srcCol, dstCol), "kcore")
     var stable = false
     for (_ <- 1 to rounds if !stable) {
-      val deg = e.select(col("a").as("v"))
-        .union(e.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("dg"))
-        .pinLineage(eager = true) // probed + joined below, one materialization
-      if (deg.where(col("dg") < k).isEmpty) stable = true
+      val deg = adj.groupBy(col("a").as("v")).agg(count(lit(1)).as("dg"))
+        .pinLineage(eager = true) // probed + anti-joined below, one materialization
+      val dead = deg.where(col("dg") < k).select("v")
+      val nDead = dead.count() // on the pinned |V'|-row frame — cheap
+      if (nDead == 0L) stable = true
       else {
-        val keep = deg.where(col("dg") >= k).select("v")
-        e = e
-          .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
-          .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
-          .select("a", "b")
-          .pinLineage(eager = true)
+        val layer =
+          if (nDead <= broadcastRailRows) broadcast(dead) else dead
+        adj = adj
+          .join(layer.withColumnRenamed("v", "a"), Seq("a"), "left_anti")
+          .join(layer.withColumnRenamed("v", "b"), Seq("b"), "left_anti")
       }
     }
-    e.select(col("a").as("v")).union(e.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("deg"))
+    adj.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
   }
 }
