@@ -56,7 +56,11 @@ object Bench {
     def runPass(tag: String): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       System.err.println(f"[bench-trace] $tag $name start at ${(t0 - benchT0) / 1e9}%.2f")
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case t: Throwable => // visible in the trace: a ~0s timing is a FAILURE, not speed
+          System.err.println(s"[bench-trace] $tag $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+          -1L
+      }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // Untimed: release checkpoint/persist blocks the finished query
       // left in the block manager. The pipelines own their caches

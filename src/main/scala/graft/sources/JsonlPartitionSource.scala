@@ -179,6 +179,59 @@ object JsonlPartitionSource {
     walk(rootPath, Map.empty, 0)
   }
 
+  /** TopN-ordered file listing: sealed runs sorted by the pushed sort
+    * keys (directory strings — lexicographic == chronological for the
+    * contract's encodings, T5), pruned to the prefix that covers
+    * `limit` rows by seal `record_count`, INCLUDING every run tied
+    * with the cutoff tuple (rows of an excluded run sort strictly
+    * after `limit` already-covered rows, so they can never reach the
+    * global top-n). A legacy seal without `record_count` contributes 0
+    * to the running cover — conservative: it only ever keeps MORE
+    * runs.
+    */
+  private[sources] def listSealedTopN(
+      root: String,
+      filters: Array[Filter],
+      keys: Seq[(String, Boolean)],
+      limit: Int,
+  ): Seq[JsonlFilePartition] = {
+    val fs = new Path(root).getFileSystem(hadoopConf())
+    def cmp(a: JsonlRunPartition, b: JsonlRunPartition): Int = {
+      var i = 0
+      while (i < keys.length) {
+        val (c, desc) = keys(i)
+        val r = a.values(c).compareTo(b.values(c))
+        if (r != 0) return if (desc) -r else r
+        i += 1
+      }
+      0
+    }
+    def recordCount(run: JsonlRunPartition): Long = {
+      val in = fs.open(new Path(run.dir, SealFile))
+      val node = try new ObjectMapper().readTree(in) finally in.close()
+      val rc = node.get("record_count")
+      if (rc != null && rc.canConvertToLong) rc.asLong() else 0L
+    }
+    val sorted = listSealedRuns(root, filters).sortWith((a, b) => cmp(a, b) < 0)
+    var cum = 0L
+    var cutoff: Option[JsonlRunPartition] = None
+    val it = sorted.iterator
+    while (cutoff.isEmpty && it.hasNext) {
+      val run = it.next()
+      cum += recordCount(run)
+      if (cum >= limit) cutoff = Some(run)
+    }
+    val kept = cutoff match {
+      case Some(c) => sorted.takeWhile(r => cmp(r, c) <= 0) // prefix + cutoff ties
+      case None => sorted // counts never covered n — keep everything
+    }
+    kept.flatMap { run =>
+      fs.listStatus(new Path(run.dir))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".jsonl"))
+        .map(st => JsonlFilePartition(st.getPath.toString, run.values))
+    }
+  }
+
   /** Can this filter be claimed as fully pushed? Only when EVERY node
     * is a shape [[partitionFilterAdmits]] evaluates exactly against
     * directory values. Claiming anything looser (Or/Not/StartsWith over
@@ -249,7 +302,8 @@ class JsonlScanBuilder(fullSchema: StructType, path: String)
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
@@ -257,6 +311,40 @@ class JsonlScanBuilder(fullSchema: StructType, path: String)
   private var aggGroupCols: Seq[String] = Seq.empty
   private var aggSchema: Option[StructType] = None
   private var limit: Option[Int] = None
+  private var topN: Option[(Seq[(String, Boolean)], Int)] = None
+
+  /** TopN pushdown — the control-plane LISTING shape (T1/T2/T5:
+    * "latest runs/dates first, take n") served from the partition tree
+    * + seal manifests: when every sort key is a partition column, run
+    * directories ORDER the rows (all rows of a run share every
+    * partition value), so the scan sorts the sealed-run list
+    * driver-side, walks it in order accumulating seal `record_count`s
+    * until `n` rows are covered (plus cutoff ties), and plans ONLY
+    * those runs — no payload under a losing run is ever opened.
+    * PARTIAL by contract (isPartiallyPushed = true): each planned
+    * file additionally caps at `n` rows, and Spark's global
+    * TakeOrderedAndProject still runs above, so tie-breaks and
+    * multi-partition merges stay Spark's problem. Declines under
+    * residual row filters (same starvation guard as LIMIT), after
+    * aggregate pushdown, and for any payload-field sort key.
+    */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    if (residual || aggSchema.nonEmpty || n <= 0 || orders.isEmpty) return false
+    val keys = orders.toSeq.map { o =>
+      o.expression() match {
+        case nr: NamedReference
+            if nr.fieldNames.length == 1 &&
+              JsonlPartitionSource.PartitionCols.contains(nr.fieldNames()(0)) =>
+          (nr.fieldNames()(0), o.direction() == SortDirection.DESCENDING)
+        case _ => return false
+      }
+    }
+    topN = Some((keys, n))
+    true
+  }
 
   /** LIMIT pushdown — preview reads (T4/consume-preview) stop pulling
     * lines once a partition has produced `limit` rows instead of
@@ -331,7 +419,12 @@ class JsonlScanBuilder(fullSchema: StructType, path: String)
 
   override def build(): Scan = aggSchema match {
     case Some(s) => new JsonlCountScan(path, s, aggGroupCols, pushed)
-    case None => new JsonlScan(path, required, pushed, limit)
+    case None =>
+      // the per-file cap serves both pushed shapes: a plain LIMIT, or
+      // the TopN's per-partition bound (keys are constant per file, so
+      // any n rows of a file are a valid per-partition top-n)
+      val cap = topN.map(_._2).orElse(limit)
+      new JsonlScan(path, required, pushed, cap, topN)
   }
 }
 
@@ -425,16 +518,23 @@ class JsonlScan(
     requiredSchema: StructType,
     pushed: Array[Filter],
     limit: Option[Int] = None,
+    topN: Option[(Seq[(String, Boolean)], Int)] = None,
 ) extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_jsonl $path, PushedFilters: [${pushed.mkString(", ")}]" +
-      limit.map(l => s", PushedLimit: $l").getOrElse("")
+      topN.map { case (ks, n) =>
+        val o = ks.map { case (c, d) => s"$c ${if (d) "DESC" else "ASC"}" }.mkString(", ")
+        s", PushedTopN: ORDER BY $o LIMIT $n"
+      }.getOrElse(limit.map(l => s", PushedLimit: $l").getOrElse(""))
 
-  override def planInputPartitions(): Array[InputPartition] =
-    JsonlPartitionSource.listSealed(path, pushed).toArray
+  override def planInputPartitions(): Array[InputPartition] = topN match {
+    case Some((keys, n)) =>
+      JsonlPartitionSource.listSealedTopN(path, pushed, keys, n).toArray
+    case None => JsonlPartitionSource.listSealed(path, pushed).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // capture the session Hadoop conf driver-side so executor readers

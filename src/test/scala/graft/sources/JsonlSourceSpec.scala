@@ -226,4 +226,76 @@ class JsonlSourceSpec extends SparkSpec {
     assert(counted.queryExecution.executedPlan.toString.contains("PushedAggregation"))
     assert(counted.as[(String, Long)].collect().toMap == Map("c1" -> 6L, "c2" -> 6L))
   }
+
+  /** Layout for TopN: 4 dates × record_count=2 runs under one customer,
+    * with date 04 carrying TWO tied runs (r1, r2).
+    */
+  private lazy val topNRoot: Path = {
+    val r = Files.createTempDirectory("jsonl_topn")
+    def run(d: String, rid: String): Unit = {
+      val dir = r.resolve(
+        s"source=gads/customer_id=c1/query_name=q/logical_date=$d/run_id=$rid")
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve("payload.jsonl"),
+        s"""{"x":"$d/$rid-1","__query_name":"q"}
+           |{"x":"$d/$rid-2","__query_name":"q"}
+           |""".stripMargin)
+      Files.writeString(dir.resolve("_SEAL.json"), """{"record_count":2,"sealed":true}""")
+    }
+    Seq("2024-01-01", "2024-01-02", "2024-01-03").foreach(run(_, "r1"))
+    run("2024-01-04", "r1")
+    run("2024-01-04", "r2")
+    r
+  }
+
+  private def topNDf = graft.ops.Extraction.readSink(spark, topNRoot.toString)
+
+  test("ORDER BY partition key DESC LIMIT n pushes TopN: losing runs are never planned") {
+    val q = topNDf.orderBy(col("logical_date").desc, col("run_id").desc).limit(3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN: ORDER BY logical_date DESC, run_id DESC LIMIT 3"),
+      s"TopN must reach the scan:\n${plan.take(900)}")
+    // covering 3 rows needs runs (01-04,r2)=2 + (01-04,r1)=2 → the
+    // three older dates' files must not appear as input partitions
+    val planned = JsonlPartitionSource.listSealedTopN(
+      topNRoot.toString, Array.empty,
+      Seq("logical_date" -> true, "run_id" -> true), 3)
+    assert(planned.size == 2 && planned.forall(_.values("logical_date") == "2024-01-04"),
+      s"seal record_counts must prune the run list to the covering prefix: $planned")
+    assert(q.select("x").as[String].collect().toSeq ==
+      Seq("2024-01-04/r2-1", "2024-01-04/r2-2", "2024-01-04/r1-1"))
+  }
+
+  test("TopN cutoff ties keep every tied run; ASC direction orders the other way") {
+    // LIMIT 2 by date DESC only: both 01-04 runs tie on the cutoff
+    // tuple — each must stay planned (Spark breaks the tie above)
+    val tied = topNDf.orderBy(col("logical_date").desc).limit(2)
+    assert(tied.queryExecution.executedPlan.toString.contains("PushedTopN"))
+    val tiedRuns = JsonlPartitionSource.listSealedTopN(
+      topNRoot.toString, Array.empty, Seq("logical_date" -> true), 2)
+    assert(tiedRuns.size == 2 && tiedRuns.map(_.values("run_id")).toSet == Set("r1", "r2"),
+      s"tied runs must both survive the cutoff: $tiedRuns")
+    assert(tied.select("logical_date").distinct().as[java.sql.Date].collect().toSeq ==
+      Seq(java.sql.Date.valueOf("2024-01-04")))
+    val asc = topNDf.orderBy(col("logical_date").asc, col("run_id").asc).limit(2)
+    assert(asc.queryExecution.executedPlan.toString
+      .contains("PushedTopN: ORDER BY logical_date ASC, run_id ASC LIMIT 2"))
+    assert(asc.select("x").as[String].collect().toSeq ==
+      Seq("2024-01-01/r1-1", "2024-01-01/r1-2"))
+  }
+
+  test("TopN declines for payload sort keys and under residual filters") {
+    // payload key: directories cannot order rows — full sort above scan
+    val byPayload = topNDf.orderBy(col("x").desc).limit(2)
+    assert(!byPayload.queryExecution.executedPlan.toString.contains("PushedTopN"))
+    assert(byPayload.select("x").as[String].collect().toSeq ==
+      Seq("2024-01-04/r2-2", "2024-01-04/r2-1"))
+    // residual row filter: a below-filter cap would starve the filter
+    val filtered = topNDf.where(col("x").endsWith("-2"))
+      .orderBy(col("logical_date").desc).limit(2)
+    val fplan = filtered.queryExecution.executedPlan.toString
+    assert(!fplan.contains("PushedTopN"), s"must not push under a residual filter:\n$fplan")
+    assert(filtered.select("x").as[String].collect().toSet ==
+      Set("2024-01-04/r1-2", "2024-01-04/r2-2"))
+  }
 }
