@@ -67,18 +67,28 @@ object Multimodal {
       */
     def sliceAudio(format: String, bytes: Array[Byte], startMs: Int, endMs: Int): Array[Byte] =
       bytes.slice(startMs, endMs)
+
+    /** Resize an image payload to fit `maxDim`, re-encoded in its own
+      * container. None ⇒ no real transcoder for this format; the
+      * caller applies its deterministic stub instead.
+      */
+    def resizeImage(format: String, bytes: Array[Byte], maxDim: Int): Option[(Int, Int, Array[Byte])] =
+      None
   }
 
   object MediaDecoder {
 
-    /** The real decoder: pure-JVM parsers for the container formats that
-      * need no codec library — WAV (RIFF chunk walk + PCM samples) and
-      * BMP (BITMAPINFOHEADER + padded pixel rows) — and a LOUD
+    /** The real decoder: pure-JVM parsers for the container formats
+      * that need no third-party codec — WAV (RIFF chunk walk + PCM
+      * samples), BMP (BITMAPINFOHEADER + padded pixel rows), and the
+      * compressed raster formats the JRE's own `javax.imageio` decodes
+      * (JPEG/PNG/GIF — zero new deps) — and a LOUD
       * `UnsupportedOperationException` for formats that genuinely need
-      * codecs absent from this environment (jpeg/png/mp3/mp4/...;
-      * production would construct an ONNX/JNI session here). Embeddings
-      * are block-pooled content means, so identical content ⇒ identical
-      * embedding and the near-dup cascade works on real bytes.
+      * external codecs (mp3/mp4/webp/...; production would construct
+      * an ONNX/JNI session here). Embeddings are block-pooled content
+      * means with identical per-pixel math across containers, so the
+      * same pixels yield the same embedding whether they arrive as BMP
+      * or PNG — the near-dup cascade links lossless re-encodes.
       */
     def real(embeddingDim: Int = 8): MediaDecoder = new MediaDecoder {
       def decode(kind: String, format: String, bytes: Array[Byte]): (Int, Int, Int, Array[Float]) =
@@ -89,11 +99,17 @@ object Multimodal {
           case "bmp" =>
             val b = PureJvmMedia.parseBmp(bytes)
             (b.width, b.height, 1, PureJvmMedia.bmpEmbedding(bytes, b, embeddingDim))
+          case f if PureJvmMedia.ImageIoFormats.contains(f) =>
+            val img = PureJvmMedia.decodeImage(bytes)
+            (img.getWidth, img.getHeight, 1, PureJvmMedia.imageEmbedding(img, embeddingDim))
           case other =>
             throw new UnsupportedOperationException(
               s"format '$other' needs a codec library not present in this environment " +
-                "(pure-JVM decode covers wav and bmp)")
+                "(pure-JVM decode covers wav, bmp, and ImageIO's jpeg/png/gif)")
         }
+
+      override def resizeImage(format: String, bytes: Array[Byte], maxDim: Int): Option[(Int, Int, Array[Byte])] =
+        PureJvmMedia.resizeEncode(format, bytes, maxDim)
 
       override def durationMs(kind: String, format: String, bytes: Array[Byte]): Int =
         if (format.equalsIgnoreCase("wav")) {
@@ -153,12 +169,13 @@ object Multimodal {
     }
   }
 
-  /** Resize plumbing: re-encode image rows to a bounded max dimension.
-    * The transcode itself is stubbed (no codec libs here — the stub
-    * deterministically truncates payload bytes proportionally to the
-    * area ratio); the Spark shape is the real part: one decoder/encoder
-    * per partition, metadata columns updated in the same pass, non-image
-    * rows passed through untouched.
+  /** Resize image rows to a bounded max dimension. REAL for ImageIO
+    * formats (jpeg/png/gif: bilinear scale + same-container re-encode
+    * via the decoder's `resizeImage`); formats without a JRE writer
+    * fall back to the deterministic stub (byte truncation in area
+    * ratio). The Spark shape is shared either way: one decoder/encoder
+    * per partition, metadata columns updated in the same pass,
+    * non-image rows passed through untouched.
     */
   def resizeImages(
       media: Dataset[MediaRecord],
@@ -170,16 +187,19 @@ object Multimodal {
       val decoder = mkDecoder()
       it.map { r =>
         if (r.kind != "image") r
-        else {
-          val (w, h, _, _) = decoder.decode(r.kind, r.format, r.bytes)
-          if (math.max(w, h) <= maxDim) r.copy(width = w, height = h)
-          else {
-            val scale = maxDim.toDouble / math.max(w, h)
-            val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
-            // STUB re-encode: deterministic byte truncation in area ratio
-            val nBytes = math.max(1, (r.bytes.length * scale * scale).toInt)
-            r.copy(width = nw, height = nh, bytes = r.bytes.take(nBytes))
-          }
+        else decoder.resizeImage(r.format, r.bytes, maxDim) match {
+          case Some((nw, nh, nBytes)) => // real transcode (ImageIO formats)
+            r.copy(width = nw, height = nh, bytes = nBytes)
+          case None =>
+            val (w, h, _, _) = decoder.decode(r.kind, r.format, r.bytes)
+            if (math.max(w, h) <= maxDim) r.copy(width = w, height = h)
+            else {
+              val scale = maxDim.toDouble / math.max(w, h)
+              val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+              // STUB re-encode: deterministic byte truncation in area ratio
+              val nBytes = math.max(1, (r.bytes.length * scale * scale).toInt)
+              r.copy(width = nw, height = nh, bytes = r.bytes.take(nBytes))
+            }
         }
       }
     }

@@ -189,4 +189,82 @@ object PureJvmMedia {
       }
     }
   }
+
+  /** Formats `javax.imageio` decodes out of the box — compressed raster
+    * containers that previously hit the loud unsupported error. The JRE
+    * ships the codecs (zero new deps).
+    */
+  val ImageIoFormats: Set[String] = Set("jpeg", "jpg", "png", "gif")
+
+  /** Decode a compressed raster payload via the JRE's ImageIO. Throws
+    * actionably when the bytes are not a decodable image (ImageIO
+    * returns null rather than throwing).
+    */
+  def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"ImageIO could not decode payload (${bytes.length} bytes)")
+    img
+  }
+
+  /** The SAME band-pooled mean-gray embedding as [[bmpEmbedding]],
+    * computed from decoded pixels: per horizontal band, mean of
+    * (r+g+b)/3/255 in top-down row order, identical per-pixel double
+    * math — so a LOSSLESS re-encode of the same pixels (PNG vs BMP)
+    * yields the bit-identical embedding, and the media near-dup
+    * cascade links the two containers.
+    */
+  def imageEmbedding(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    Array.tabulate(dim) { i =>
+      val y0 = i * h / dim
+      val y1 = math.max(y0 + 1, (i + 1) * h / dim)
+      if (y0 >= h) 0f
+      else {
+        var acc = 0.0
+        var n = 0
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            acc += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0 / 255.0
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        (acc / n).toFloat
+      }
+    }
+  }
+
+  /** Real resize + re-encode for ImageIO formats: bilinear scale to the
+    * bounded max dimension, re-encoded in the SAME container format.
+    * Returns None when ImageIO has no writer for the format (caller
+    * falls back to its stub).
+    */
+  def resizeEncode(format: String, bytes: Array[Byte], maxDim: Int): Option[(Int, Int, Array[Byte])] = {
+    val fmt = format.toLowerCase
+    if (!ImageIoFormats.contains(fmt)) return None
+    val img = decodeImage(bytes)
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (math.max(w, h) <= maxDim) return Some((w, h, bytes))
+    val scale = maxDim.toDouble / math.max(w, h)
+    val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+    // TYPE_INT_RGB target: jpeg writers reject alpha, and the gray
+    // embedding ignores it anyway
+    val scaled = new java.awt.image.BufferedImage(nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = scaled.createGraphics()
+    try {
+      g.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, nw, nh, null)
+    } finally g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    val writerFmt = if (fmt == "jpg") "jpeg" else fmt
+    if (!javax.imageio.ImageIO.write(scaled, writerFmt, out)) return None
+    Some((nw, nh, out.toByteArray))
+  }
 }

@@ -103,10 +103,74 @@ class MultimodalSpec extends SparkSpec {
     assert(embUp.head < 0.2f && embUp.last > 0.8f, embUp.toSeq.toString)
   }
 
-  test("real decoder fails loudly on codec-needing formats") {
+  test("real decoder fails loudly on codec-needing formats and corrupt payloads") {
     val dec = MediaDecoder.real()
-    intercept[UnsupportedOperationException](dec.decode("image", "png", Array[Byte](1, 2, 3)))
+    intercept[UnsupportedOperationException](dec.decode("image", "webp", Array[Byte](1, 2, 3)))
+    intercept[UnsupportedOperationException](dec.decode("audio", "mp3", Array[Byte](1, 2, 3)))
     intercept[IllegalArgumentException](dec.decode("audio", "wav", Array[Byte](1, 2, 3)))
+    // ImageIO formats decode for real now — garbage bytes fail loudly,
+    // not silently (ImageIO.read returns null; the decoder must throw)
+    intercept[IllegalArgumentException](dec.decode("image", "png", Array[Byte](1, 2, 3)))
+  }
+
+  /** Encode pixels via the JRE's own writers — real compressed fixtures. */
+  private def encodeImage(fmt: String, width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until height; x <- 0 until width) {
+      val g = gray(x, y) & 0xff
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no JRE writer for $fmt")
+    out.toByteArray
+  }
+
+  test("real decoder decodes PNG; lossless re-encode embeds IDENTICALLY to the BMP") {
+    import MultimodalSpec.buildBmp
+    def gray(x: Int, y: Int): Int = (x * 29 + y * 57) % 256
+    val png = encodeImage("png", 6, 8, gray)
+    val bmp = buildBmp(6, 8, topDown = false, gray)
+    val dec = MediaDecoder.real(4)
+    val (pw, ph, pf, pEmb) = dec.decode("image", "png", png)
+    assert((pw, ph, pf) == (6, 8, 1))
+    // same pixels, different container ⇒ bit-identical embedding — the
+    // property that lets the near-dup cascade link re-encodes
+    assert(pEmb.toSeq == dec.decode("image", "bmp", bmp)._4.toSeq)
+  }
+
+  test("real decoder decodes JPEG: correct dims, embedding near the lossless reference") {
+    def gray(x: Int, y: Int): Int = if (y < 8) 40 else 210
+    val jpg = encodeImage("jpeg", 16, 16, gray)
+    val png = encodeImage("png", 16, 16, gray)
+    val dec = MediaDecoder.real(4)
+    val (w, h, _, jEmb) = dec.decode("image", "jpeg", jpg)
+    assert((w, h) == (16, 16))
+    val pEmb = dec.decode("image", "png", png)._4
+    jEmb.zip(pEmb).foreach { case (j, p) =>
+      assert(math.abs(j - p) < 0.05f, s"lossy drift too large: ${jEmb.toSeq} vs ${pEmb.toSeq}")
+    }
+  }
+
+  test("resizeImages REALLY transcodes ImageIO formats: bounded dims, decodable output") {
+    def gray(x: Int, y: Int): Int = (x + y) % 256
+    val png = encodeImage("png", 64, 32, gray)
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1L, "image", "png", 0, 0, png),
+      MediaRecord(2L, "audio", "wav", 0, 0, Array[Byte](1, 2, 3)), // passthrough untouched
+    ))
+    val out = resizeImages(ds, maxDim = 16, () => MediaDecoder.real())
+      .collect().map(r => r.media_id -> r).toMap
+    assert((out(1L).width, out(1L).height) == (16, 8))
+    // the resized payload is a REAL png of the new dims, not truncated bytes
+    val back = PureJvmMedia.decodeImage(out(1L).bytes)
+    assert((back.getWidth, back.getHeight) == (16, 8))
+    assert(out(2L).bytes.toSeq == Seq[Byte](1, 2, 3), "non-image rows pass through")
+    // already-small images keep their exact payload
+    val small = resizeImages(
+      spark.createDataset(Seq(MediaRecord(3L, "image", "png", 0, 0, png))),
+      maxDim = 64, () => MediaDecoder.real()).collect().head
+    assert(small.bytes.toSeq == png.toSeq)
   }
 
   test("chunkAudio with the real decoder cuts frame-aligned standalone WAV chunks") {
