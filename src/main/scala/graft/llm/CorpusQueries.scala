@@ -1150,7 +1150,129 @@ object CorpusQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q213 — TF-IDF top terms per document: the keyword-extraction table
+  // (what is this document ABOUT) that q43's corpus-level vocabulary
+  // and q103's diversity don't answer. Classic tf·idf (Spärck Jones
+  // 1972) with the repo's integer determinism discipline: idf is
+  // floored to µnats BEFORE multiplying (the q131/q208 ln trick — the
+  // only float op is one ln of a ratio of exact integers, pinned at
+  // µ-precision), so scores are exact longs and the top-3 with the
+  // (score desc, term asc) tie-break is a pure function of the corpus.
+  //
+  // Scale: (doc, term) tf counts map-side combine; df is one
+  // vocabulary-sized aggregate (Heaps-bounded); the tf⋈df join keys on
+  // term (vocabulary-keyed, broadcastable until vocab outgrows
+  // executors); the top-3 window partitions by doc_id — corpus-sized
+  // but per-group state is 3 rows. Nothing joins corpus×corpus.
+  val q213: QuerySpec = QuerySpec(
+    "q213_tfidf_top_terms",
+    (s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+      val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val nDocs = documents(s, d).agg(countDistinct(col("doc_id")).as("nd"))
+      val scored = tf.join(df, "w").crossJoin(nDocs) // 1-row anchor
+        .select(col("doc_id"), col("w").as("term"), col("tf"), col("df"),
+          (col("tf") *
+            floor(log(col("nd").cast("double") / col("df")) * 1e6).cast("long"))
+            .as("score_micro"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(col("score_micro").desc, col("term").asc)
+      scored
+        .withColumn("rk", row_number().over(win))
+        .where(col("rk") <= 3)
+        .select("doc_id", "rk", "term", "tf", "df", "score_micro")
+        .orderBy("doc_id", "rk")
+    },
+    Some(
+      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "tf AS (SELECT doc_id, w, count(*) AS tf FROM tok WHERE w <> '' GROUP BY 1, 2), " +
+        "df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1), " +
+        "nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents), " +
+        "sc AS (SELECT doc_id, tf.w AS term, tf, df, " +
+        "tf * CAST(floor(ln(CAST(nd AS DOUBLE) / df) * 1e6) AS BIGINT) AS score_micro " +
+        "FROM tf JOIN df USING (w) CROSS JOIN nd), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY score_micro DESC, term) AS rk FROM sc) " +
+        "SELECT doc_id, rk, term, tf, df, score_micro FROM rk WHERE rk <= 3 " +
+        "ORDER BY doc_id, rk"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q214 — corpus-frequency n-gram boilerplate coverage (the C4/
+  // RefinedWeb scrub rule "drop spans occurring in many documents",
+  // as its audit table): per doc, how many token positions are
+  // covered by a 3-gram shingle whose DOCUMENT frequency ≥ 5. The
+  // corpus-frequency axis q89 (intra-doc repetition) and q188
+  // (pairwise spans) don't cover: template/boilerplate text is rare
+  // WITHIN a doc and across a PAIR, but frequent across the corpus.
+  //
+  // All integer arithmetic: shingles by lead() over token positions,
+  // df = count(distinct doc) per shingle, coverage = distinct
+  // positions in the union of flagged [pos, pos+2] spans (explode 3
+  // offsets, distinct — overlap handled by the distinct, no interval
+  // algebra needed at fixed n).
+  //
+  // Scale: the shingle frame is tokens-sized (one row per position,
+  // the q188 discipline); df map-side combines; only FLAGGED shingles
+  // (rare by definition of boilerplate... but high-df: the flagged
+  // SET is small even when its occurrences aren't) re-join the
+  // position frame, keyed on the shingle string — swap the string for
+  // xxhash64(shingle) at 100 TB to keep the exchange narrow (the
+  // documented q188 swap).
+  val q214: QuerySpec = QuerySpec(
+    "q214_boilerplate_coverage",
+    (s, d) => {
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val tok = documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val sh = tok
+        .withColumn("w1", lead("w", 1).over(win))
+        .withColumn("w2", lead("w", 2).over(win))
+        .where(col("w1").isNotNull && col("w2").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          concat_ws(" ", col("w"), col("w1"), col("w2")).as("sh"))
+      val hot = sh.groupBy("sh").agg(countDistinct(col("doc_id")).as("df"))
+        .where(col("df") >= 5)
+        .select("sh")
+      val covered = sh.join(hot, "sh")
+        .select(col("doc_id"),
+          explode(array(col("pos"), col("pos") + 1, col("pos") + 2)).as("p"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("p")).as("n_flagged"))
+      documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
+        .withColumn("boilerplate_bp", expr("10000 * n_flagged div n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(
+      // zip-unnest gives token positions (DuckDB zips parallel unnests)
+      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w, " +
+        "unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS pos FROM documents), " +
+        "shg AS (SELECT doc_id, pos, w || ' ' || lead(w, 1) OVER dw || ' ' || lead(w, 2) OVER dw AS g " +
+        "FROM tok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)), " +
+        "sh AS (SELECT doc_id, pos, g FROM shg WHERE g IS NOT NULL), " +
+        "hot AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM sh GROUP BY 1) WHERE df >= 5), " +
+        "cov AS (SELECT doc_id, count(DISTINCT p) AS n_flagged FROM " +
+        "(SELECT doc_id, unnest([pos, pos + 1, pos + 2]) AS p FROM sh JOIN hot USING (g)) GROUP BY 1), " +
+        "base AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents) " +
+        "SELECT base.doc_id AS doc_id, n_tokens, CAST(coalesce(n_flagged, 0) AS BIGINT) AS n_flagged, " +
+        "CAST(10000 * coalesce(n_flagged, 0) // n_tokens AS BIGINT) AS boilerplate_bp " +
+        "FROM base LEFT JOIN cov ON base.doc_id = cov.doc_id ORDER BY 1"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q88, q89, q91, q92, q98, q99, q103, q104, q111, q117, q131, q137, q140,
-      q177, q178, q188, q192, q195, q197, q208, q211)
+      q177, q178, q188, q192, q195, q197, q208, q211, q213, q214)
 }

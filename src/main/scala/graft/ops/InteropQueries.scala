@@ -218,5 +218,74 @@ object InteropQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q71, q72, q153, q156, q179)
+  // ---------------------------------------------------------------------
+  // q212 — latest-runs listing THROUGH the connector (T1/T2's shape,
+  // end-to-end): a Spark job LANDS monthly per-customer revenue rows
+  // in the reference's raw-sink layout (distributed
+  // `partitionBy(...).json(root)` — the connector accepts Spark's
+  // `.json` part files alongside the contract's `.jsonl`), seals each
+  // run, reads the sink back through the DSv2 source, and asks for
+  // the latest 4 runs — the round-6 `SupportsPushDownTopN` serves the
+  // listing from the partition tree + seal record_counts, planning
+  // ONLY the 4 winning run dirs (12 land; spec pins the pruning).
+  //
+  // Determinism: each run carries exactly ONE row (a per-(customer,
+  // month) aggregate — a LISTING is metadata-sized by design), so the
+  // partition-key sort tuple totally orders rows and `LIMIT 4` is the
+  // same set on any engine. Money is integer cents from the
+  // decimal-exact sum (X8 discipline); the seal write is driver-side
+  // METADATA (12 tiny files, the same cost class as the listing walk).
+  //
+  // Scale: the landing write is fully distributed; the listing read
+  // opens 4 payload files no matter how many runs the sink holds —
+  // that is the entire point of the TopN pushdown.
+  val q212: QuerySpec = QuerySpec(
+    "q212_latest_runs_listing",
+    (s, d) => {
+      val root = roundTripDir("jsonl_listing")
+      val monthly = Tables.orders(s, d)
+        .where(col("o_orderdate").between(lit("1995-01-01"), lit("1995-06-30")))
+        .groupBy(
+          (col("o_custkey") % 2).cast("string").as("customer_id"),
+          trunc(col("o_orderdate").cast("date"), "month").as("logical_date"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").cast("string").as("revenue_cents")) // integer cents, decimal-exact
+        .withColumn("source", lit("gads"))
+        .withColumn("query_name", lit("monthly_revenue"))
+        .withColumn("run_id", lit("r1"))
+      monthly.write.mode("overwrite")
+        .partitionBy("source", "customer_id", "query_name", "logical_date", "run_id")
+        .json(root)
+      // metadata-last seals: one tiny driver-side write per run dir
+      // (the run count is the partition-value product — listing-sized)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def runDirs(p: org.apache.hadoop.fs.Path, depth: Int): Seq[org.apache.hadoop.fs.Path] =
+        if (depth == 5) Seq(p)
+        else fs.listStatus(p).filter(_.isDirectory).toSeq
+          .flatMap(st => runDirs(st.getPath, depth + 1))
+      runDirs(new org.apache.hadoop.fs.Path(root), 0).foreach { dir =>
+        val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_SEAL.json"), true)
+        try out.write("""{"record_count":1,"sealed":true}""".getBytes("UTF-8"))
+        finally out.close()
+      }
+      Extraction.readSink(s, root)
+        .orderBy(col("logical_date").desc, col("customer_id").asc)
+        .limit(4)
+        .select(
+          col("customer_id"),
+          col("logical_date"),
+          col("revenue_cents").cast("long").as("revenue_cents"))
+        .orderBy(col("logical_date").desc, col("customer_id").asc)
+    },
+    Some(
+      "SELECT CAST(o_custkey % 2 AS VARCHAR) AS customer_id, " +
+        "date_trunc('month', CAST(o_orderdate AS DATE)) AS logical_date, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue_cents " +
+        "FROM orders WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-06-30' " +
+        "GROUP BY 1, 2 ORDER BY logical_date DESC, customer_id LIMIT 4"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q71, q72, q153, q156, q179, q212)
 }

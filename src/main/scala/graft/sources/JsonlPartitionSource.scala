@@ -80,6 +80,16 @@ object JsonlPartitionSource {
     Seq("source", "customer_id", "query_name", "logical_date", "run_id")
   val SealFile = "_SEAL.json"
 
+  /** Payload extensions: `.jsonl` per the reference contract
+    * (raw_sink_contract.md:30), plus `.json` — Spark's own JSON-lines
+    * writer (`df.write.partitionBy(...).json(root)`) emits
+    * `part-*.json`, so accepting it lets a Spark job LAND runs in the
+    * reference layout and read them back through this connector.
+    * `_SEAL.json` is excluded by name.
+    */
+  private[sources] def isPayloadFile(name: String): Boolean =
+    name != SealFile && (name.endsWith(".jsonl") || name.endsWith(".json"))
+
   private[sources] def rootOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null && p.nonEmpty, "graft jsonl source requires option(\"path\", ...)")
@@ -136,7 +146,7 @@ object JsonlPartitionSource {
         if (!fs.exists(new Path(dir, SealFile))) Seq.empty // unsealed ⇒ invisible
         else
           fs.listStatus(dir)
-            .filter(st => st.isFile && st.getPath.getName.endsWith(".jsonl"))
+            .filter(st => st.isFile && isPayloadFile(st.getPath.getName))
             .map(st => JsonlFilePartition(st.getPath.toString, values))
             .toSeq
       } else {
@@ -227,7 +237,7 @@ object JsonlPartitionSource {
     }
     kept.flatMap { run =>
       fs.listStatus(new Path(run.dir))
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".jsonl"))
+        .filter(st => st.isFile && isPayloadFile(st.getPath.getName))
         .map(st => JsonlFilePartition(st.getPath.toString, run.values))
     }
   }
@@ -488,7 +498,7 @@ class JsonlCountReader(
       if (rc != null && rc.canConvertToLong) rc.asLong()
       else { // legacy seal: count non-blank payload lines (reader parity)
         fs.listStatus(new Path(p.dir))
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".jsonl"))
+          .filter(st => st.isFile && JsonlPartitionSource.isPayloadFile(st.getPath.getName))
           .map { st =>
             val in = fs.open(st.getPath)
             try scala.io.Source.fromInputStream(in, "UTF-8").getLines()

@@ -91,4 +91,31 @@ class InteropQueriesSpec extends SparkSpec {
         s"bucketed join must not shuffle either side:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", conf)
   }
+
+  test("q212: the listing read pushes TopN and plans only the 4 winning runs") {
+    val out = InteropQueries.q212.run(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.length <= 4 && rows.nonEmpty)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN: ORDER BY logical_date DESC, customer_id ASC LIMIT 4"),
+      s"the listing must ride the TopN pushdown:\n${plan.take(1200)}")
+    // the landing wrote 12 sealed runs (2 customers × 6 months at this
+    // sf); the seal record_counts must prune the scan to 4 input files
+    def collectScans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        collectScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => collectScans(q.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
+      case other => other.children.flatMap(collectScans)
+    }
+    val scans = collectScans(out.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "expected the DSv2 scan in the plan")
+    val planned = scans.head.scan.toBatch.planInputPartitions().length
+    val full = graft.ops.Extraction.readSink(spark,
+      InteropQueries.roundTripDir("jsonl_listing")).count()
+    assert(full > 4, s"expected a full sink of runs, got $full rows")
+    assert(planned == 4,
+      s"TopN must open only the winning runs (planned $planned of $full)")
+  }
 }
