@@ -178,6 +178,18 @@ class GraphOpsSpec extends SparkSpec {
     assert(kCore(path, k = 2, rounds = 2) == Map(3L -> 1L, 4L -> 1L))
   }
 
+  test("kCorePeel broadcast rail: forcing the shuffled-anti fallback changes nothing") {
+    val rnd = new scala.util.Random(77)
+    val edges = Seq.fill(120)((rnd.nextInt(24).toLong, rnd.nextInt(24).toLong))
+    val viaBcast = kCore(edges, k = 3, rounds = 20)
+    val viaShuffle = GraphOps.kCorePeel(
+      edges.toDF("a", "b"), "a", "b", k = 3, rounds = 20,
+      broadcastRailRows = 0L) // every layer exceeds the rail
+      .as[(Long, Long)].collect().toMap
+    assert(viaShuffle == viaBcast, "the fallback path must peel identically")
+    assert(viaBcast == kCoreBrute(edges, 3))
+  }
+
   /** The FINAL (post-AQE) section of the executed plan string. */
   private def finalPlanStr(df: org.apache.spark.sql.DataFrame): String = {
     val s = df.queryExecution.executedPlan.toString
