@@ -1272,7 +1272,65 @@ object CorpusQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q216 — quality-ranked token-budget selection (top-p data curation):
+  // per source, rank documents by the q197 classifier logit and keep
+  // the best docs until 80% of the source's token mass is spent — the
+  // doc-level selection step that composes with q173's source-level
+  // budget split (q173 decides how many tokens each source GETS, this
+  // decides WHICH documents spend them). The keep rule is pure integer
+  // arithmetic (10·cumsum ≤ 8·total), the ranking key
+  // (logit_micro desc, doc_id) is total, and the scorer is the SAME
+  // [[classifierLogits]] builder q197/q211 serve — a scoring change
+  // re-selects the corpus everywhere at once.
+  //
+  // Scale: one corpus scan for (tokens, logit); the cumulative sum is
+  // a window partitioned by source — per-source sorted exchange, no
+  // global sort, no driver state; the output is |sources| rows. The
+  // served artifact at 100 TB is the `keep` column written back
+  // partition-aligned, so the selection is a pushdown-able filter for
+  // every downstream trainer.
+  val q216: QuerySpec = QuerySpec(
+    "q216_quality_budget_selection",
+    (s, d) => {
+      val base = documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .join(classifierLogits(s, d), "doc_id")
+      val rankW = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("logit_micro").desc, col("doc_id").asc)
+      val totW = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      val sel = base
+        .withColumn("cum", sum(col("n_tokens")).over(rankW))
+        .withColumn("total", sum(col("n_tokens")).over(totW))
+        .withColumn("keep", col("cum") * 10 <= col("total") * 8)
+      sel.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("keep"), 1)).as("n_kept"),
+          max(col("total")).as("tokens_total"),
+          coalesce(sum(when(col("keep"), col("n_tokens"))), lit(0L)).as("tokens_kept"),
+          min(when(col("keep"), col("logit_micro"))).as("cutoff_logit"))
+        .orderBy("source")
+    },
+    Some(
+      s"WITH $docTokCteSql, $classifierLogitCteSql, " +
+        "base AS (SELECT d.doc_id, d.source, " +
+        "CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens, lg.logit_micro " +
+        "FROM documents d JOIN lg ON d.doc_id = lg.doc_id), " +
+        "sel AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source " +
+        "ORDER BY logit_micro DESC, doc_id) AS cum, " +
+        "sum(n_tokens) OVER (PARTITION BY source) AS total FROM base) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "count(CASE WHEN cum * 10 <= total * 8 THEN 1 END) AS n_kept, " +
+        "CAST(max(total) AS BIGINT) AS tokens_total, " +
+        "CAST(coalesce(sum(CASE WHEN cum * 10 <= total * 8 THEN n_tokens END), 0) AS BIGINT) AS tokens_kept, " +
+        "CAST(min(CASE WHEN cum * 10 <= total * 8 THEN logit_micro END) AS BIGINT) AS cutoff_logit " +
+        "FROM sel GROUP BY 1 ORDER BY source"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q88, q89, q91, q92, q98, q99, q103, q104, q111, q117, q131, q137, q140,
-      q177, q178, q188, q192, q195, q197, q208, q211, q213, q214)
+      q177, q178, q188, q192, q195, q197, q208, q211, q213, q214, q216)
 }

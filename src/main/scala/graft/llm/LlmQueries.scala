@@ -1,5 +1,6 @@
 package graft.llm
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -677,7 +678,90 @@ object LlmQueries {
     ),
   )
 
+  // q217 — hard-negative mining for contrastive training: per anchor
+  // vector, the top-2 most-similar vectors in the SIMILAR-BUT-NOT-
+  // DUPLICATE cosine band [0.2, 0.6) — the pairs a bi-encoder learns
+  // the most from (true negatives that look like positives). Built on
+  // the q38 machinery: sign-LSH cells + hamming-≤1 multiprobe generate
+  // candidates linear in N, exact cosine verifies, the band filter
+  // excludes dup pairs (≥ 0.6 belongs to the dedup path, q38) and
+  // random pairs (< 0.2 are easy negatives — free from sampling, not
+  // worth a join). Candidate pairs mirror to both directions so every
+  // anchor ranks its own negatives; per-anchor state is 2 rows.
+  //
+  // Rows-only (float ordering); banded-recall + band-membership
+  // properties pinned in SimilaritySpec alongside q38's.
+  val q217: QuerySpec = QuerySpec(
+    "q217_hard_negative_mining",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val bits = SimilarityPipeline.cellBits(emb.count())
+      val band = SimilarityPipeline
+        .annNearDupPairs(emb, threshold = 0.2, bits = bits)
+        .where(col("cos") < 0.6)
+      val directed = band.select(col("va").as("anchor_id"), col("vb").as("negative_id"), col("cos"))
+        .unionByName(band.select(col("vb").as("anchor_id"), col("va").as("negative_id"), col("cos")))
+      val w = Window.partitionBy("anchor_id").orderBy(desc("cos"), asc("negative_id"))
+      directed
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 2)
+        .select(col("anchor_id"), col("rank"), col("negative_id"), round(col("cos"), 4).as("cos"))
+        .orderBy("anchor_id", "rank")
+    },
+    None,
+  )
+
+  // q218 — int8-quantization recall audit: quantize every embedding to
+  // int8 with per-dimension symmetric scales (q_i = round(127·x_i/s_i),
+  // s_i = corpus max|x_i|), rank by exact INTEGER dot product, and
+  // report per query how many of the float-dot top-10 the quantized
+  // top-10 recovers — the acceptance gate run before shipping a
+  // compressed ANN index (4× smaller vectors, integer SIMD kernels).
+  //
+  // Scale: the scale vector is d rows of state (one maxabs aggregate,
+  // broadcast back as a 1-row anchor — the q79 idiom); quantization is
+  // one codegen'd transform over the corpus; both rankings reuse the
+  // brute-force top-k shape (broadcast queries, per-partition heaps).
+  // At 100 TB the float ranking runs on a SAMPLE of queries (it exists
+  // only to audit the int index) — the corpus-sized artifact is the
+  // int8 index alone. Rows-only (float ranking inside the audit);
+  // SimilaritySpec pins quantizer exactness (|q| ≤ 127, sign
+  // preservation) and recall@10 = 10 on a scale-separated fixture.
+  val q218: QuerySpec = QuerySpec(
+    "q218_int8_recall_audit",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val scales = emb
+        .select(posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy("i").agg(max(abs(col("x"))).as("m"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> greatest(s.m, CAST(1e-12 AS FLOAT)))").as("scales"))
+      val quant = emb.join(broadcast(scales))
+        .select(col("vec_id"),
+          col("embedding"),
+          expr("transform(embedding, (x, i) -> CAST(round(x / element_at(scales, i + 1) * 127.0) AS INT))").as("q"))
+      val queries = quant.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("f_emb"), col("q").as("q_emb"))
+      val cand = quant.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      def top10(score: Column, tag: String) = {
+        val w = Window.partitionBy("query_id").orderBy(desc("s"), asc("vec_id"))
+        cand.withColumn("s", score)
+          .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+          .select(col("query_id"), col("vec_id").as(s"${tag}_id"))
+      }
+      val fTop = top10(VF.dot(col("embedding"), col("f_emb")), "f")
+      val iTop = top10(
+        expr("aggregate(zip_with(q, q_emb, (x, y) -> CAST(x AS BIGINT) * y), CAST(0 AS BIGINT), (a, v) -> a + v)"),
+        "i")
+      fTop.join(iTop, fTop("query_id") === iTop("query_id") && col("f_id") === col("i_id"))
+        .groupBy(fTop("query_id").as("query_id"))
+        .agg(count(lit(1)).as("n_recovered"))
+        .select(col("query_id"), col("n_recovered"), lit(10L).as("k"))
+        .orderBy("query_id")
+    },
+    None,
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42, q43, q44, q45, q46, q47, q48, q55, q201, q202)
+      q41, q42, q43, q44, q45, q46, q47, q48, q55, q201, q202, q217, q218)
 }

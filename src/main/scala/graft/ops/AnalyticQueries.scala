@@ -1366,7 +1366,75 @@ object AnalyticQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q215 — materialized-view maintenance by PARTIAL-STATE MERGE: the
+  // stored MV state for history (everything before the delta cutoff)
+  // and the freshly-aggregated delta slice merge into the new MV by
+  // state algebra alone — counts add, decimal sums add, min/max
+  // combine, and the served avg derives from (sum, count) at read
+  // time. Hash-matching the merged result against the oracle's
+  // from-scratch recompute IS the algebraic-identity proof. q74
+  // re-aggregates a stored rollup to a coarser grain; this is the
+  // orthogonal maintenance axis — same grain, new data, history never
+  // rescanned.
+  //
+  // Scale: at 100 TB the history term is |groups| rows (the stored
+  // MV), not |facts|; only the delta slice scans raw data, so daily
+  // maintenance cost is ∝ the day's arrivals. Every state column is
+  // mergeable (the same shapes Spark's own partial aggregation
+  // exchanges), decimal-exact so merged-vs-recomputed can never
+  // drift. Groups untouched by the delta pass through the merge
+  // byte-identical — the agg-state analog of replace-by-partition.
+  val q215: QuerySpec = QuerySpec(
+    "q215_mv_state_merge",
+    (s, d) => {
+      val cut = lit("1998-06-01").cast("date")
+      val src = lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          date_trunc("month", col("l_shipdate").cast("date")).cast("date").as("month"),
+          col("l_shipdate").cast("date").as("day"),
+          col("l_quantity").cast(DecimalType(18, 2)).as("qty"),
+          col("l_extendedprice"), col("l_discount"))
+      def state(df: DataFrame): DataFrame = df
+        .groupBy("flag", "month")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("qty")).as("qty"),
+          revenueDecimal.as("rev"),
+          min(col("day")).as("min_day"),
+          max(col("day")).as("max_day"))
+      val history = state(src.where(col("day") < cut))
+      val delta = state(src.where(col("day") >= cut))
+      history.unionByName(delta)
+        .groupBy("flag", "month")
+        .agg(
+          sum(col("n")).as("n"),
+          sum(col("qty")).as("qty_dec"),
+          sum(col("rev")).as("rev_dec"),
+          min(col("min_day")).as("min_day"),
+          max(col("max_day")).as("max_day"))
+        .select(
+          col("flag"), col("month"), col("n"),
+          col("qty_dec").cast("double").as("sum_qty"),
+          col("rev_dec").cast("double").as("revenue"),
+          col("min_day"), col("max_day"),
+          round(col("qty_dec").cast("double") / col("n"), 6).as("avg_qty"))
+        .orderBy("flag", "month")
+    },
+    Some(
+      "SELECT l_returnflag AS flag, " +
+        "CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS month, " +
+        "count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        s"CAST($revenueDecimalSql AS DOUBLE) AS revenue, " +
+        "min(CAST(l_shipdate AS DATE)) AS min_day, " +
+        "max(CAST(l_shipdate AS DATE)) AS max_day, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty " +
+        "FROM lineitem GROUP BY 1, 2 ORDER BY flag, month"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q49, q50, q51, q52, q53, q54, q56, q57, q58, q59, q60, q61, q62, q63, q64, q67,
-      q73, q74, q80, q81, q82, q83, q84, q85, q130, q157, q194, q205, q207, q210)
+      q73, q74, q80, q81, q82, q83, q84, q85, q130, q157, q194, q205, q207, q210, q215)
 }

@@ -233,4 +233,26 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(got(3L) == ((10L, 0L, 0L)), "a window repeated only WITHIN one doc is not a dup")
     assert(got(4L) == ((1L, 0L, 0L)))
   }
+
+  test("q216: keeps exactly the optimal quality-ranked prefix of the token budget") {
+    val dir = java.nio.file.Files.createTempDirectory("q216fix").toString
+    // 10 docs × 10 tokens in one source; doc i carries (10−i) 'spark'
+    // tokens (+400000µ each) and i out-of-vocab fillers ⇒ logits
+    // strictly decrease in i. Budget = 80% of 100 tokens ⇒ exactly the
+    // 8 best docs fit; the 9th would cross the boundary.
+    val rows = (0 until 10).map { i =>
+      val text = (Seq.fill(10 - i)("spark") ++ (1 to i).map(j => s"zz$j")).mkString(" ")
+      (i.toLong, text, "srcA")
+    }
+    rows.toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    val got = CorpusQueries.q216.run(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_docs") == 10L)
+    assert(r.getAs[Long]("n_kept") == 8L, "budget boundary: exactly the 8 best docs fit in 80%")
+    assert(r.getAs[Long]("tokens_total") == 100L)
+    assert(r.getAs[Long]("tokens_kept") == 80L)
+    // doc 7 (the worst kept) has 3 'spark' tokens: 3·400000 − 500000
+    assert(r.getAs[Long]("cutoff_logit") == 700000L)
+  }
 }

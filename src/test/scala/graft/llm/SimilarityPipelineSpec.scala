@@ -226,4 +226,52 @@ class SimilarityPipelineSpec extends SparkSpec {
     assert(loadBig <= loadSmall * 3.0,
       s"per-cell pair load grew ${loadBig / loadSmall}× for a ${nBig / nSmall}× corpus")
   }
+
+  test("q217 hard negatives: band membership, per-anchor rank contract, dup pairs excluded") {
+    val out = LlmQueries.q217.run(spark, sfDir)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(out.nonEmpty)
+    // every mined pair sits strictly inside the hard-negative band
+    assert(out.forall { case (_, _, _, c) => c >= 0.2 && c < 0.6 },
+      "a mined negative escaped the [0.2, 0.6) cosine band")
+    // per anchor: ranks are 1..m (m ≤ 2), descending cosine
+    out.groupBy(_._1).foreach { case (a, g) =>
+      val byRank = g.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1 to byRank.length).toSeq, s"anchor $a rank gap")
+      assert(byRank.map(_._4).toSeq == byRank.map(_._4).sortBy(-_).toSeq, s"anchor $a not cos-desc")
+      assert(g.forall(_._3 != a), s"anchor $a returned itself")
+    }
+    // recomputed exact cosine agrees with the reported (rounded) score
+    val ids = out.take(10).flatMap(r => Seq(r._1, r._3)).toSet.toSeq
+    val vecs = emb.where(col("vec_id").isin(ids: _*))
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    out.take(10).foreach { case (a, _, n, c) =>
+      val (va, vn) = (vecs(a), vecs(n))
+      val dot = va.zip(vn).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val cos = dot / (math.sqrt(va.map(x => x.toDouble * x).sum) * math.sqrt(vn.map(x => x.toDouble * x).sum))
+      assert(math.abs(cos - c) < 5e-5, s"pair ($a,$n) reported $c but recomputes to $cos")
+    }
+  }
+
+  test("q218 int8 audit: quantizer bounded, recall in [0,k], perfect recall on a scale-separated fixture") {
+    // real corpus: n_recovered ∈ [0, 10] for each of the 10 query ids
+    val audit = LlmQueries.q218.run(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(audit.map(_._1).toSeq == (0L to 9L).toSeq)
+    assert(audit.forall { case (_, r, k) => r >= 0 && r <= k && k == 10 })
+    // scale-separated fixture: 12 one-hot-ish vectors whose float-dot
+    // ranking survives int8 rounding exactly (gaps ≫ quantization
+    // error), plus 10 orthogonal fillers ⇒ recall@10 must be 10/10.
+    val dim = 64
+    def vec(hot: Int, mag: Float): Seq[Float] =
+      (0 until dim).map(i => if (i == hot) mag else 0.0f)
+    val rows =
+      (0 until 12).map(i => (i.toLong, vec(0, 1.0f - i * 0.05f), 0)) ++
+        (12 until 22).map(i => (i.toLong, vec(i - 10, 1.0f), 1))
+    val dir = java.nio.file.Files.createTempDirectory("q218fix").toString
+    rows.toDF("vec_id", "embedding", "label").write.parquet(s"$dir/embeddings.parquet")
+    val fixed = LlmQueries.q218.run(spark, dir).as[(Long, Long, Long)].collect()
+    assert(fixed.forall { case (_, r, k) => r == k },
+      s"int8 ranking diverged from float on a scale-separated fixture: ${fixed.mkString(",")}")
+  }
 }

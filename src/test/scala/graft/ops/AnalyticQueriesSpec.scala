@@ -449,4 +449,33 @@ class AnalyticQueriesSpec extends SparkSpec {
     assert(rows(2L).getAs[Long]("short_qty") == 6L)
     assert(rows(2L).getAs[Long]("n_matches") == 1L)
   }
+
+  test("q215: merged history+delta state is row-identical to a from-scratch recompute") {
+    import spark.implicits._
+    // the algebraic-identity claim, pinned inside Spark (the DuckDB
+    // oracle pins it cross-engine): merge(state(hist), state(delta))
+    // must equal the direct full aggregation, bit-for-bit — decimal
+    // accumulation makes this exact, not approximate.
+    val merged = AnalyticQueries.q215.run(spark, sfDir)
+    val direct = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag").as("flag"),
+        date_trunc("month", col("l_shipdate").cast("date")).cast("date").as("month"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("qty_dec"),
+        Exact.revenueDecimal.as("rev_dec"),
+        min(col("l_shipdate").cast("date")).as("min_day"),
+        max(col("l_shipdate").cast("date")).as("max_day"))
+      .select(col("flag"), col("month"), col("n"),
+        col("qty_dec").cast("double").as("sum_qty"),
+        col("rev_dec").cast("double").as("revenue"),
+        col("min_day"), col("max_day"),
+        round(col("qty_dec").cast("double") / col("n"), 6).as("avg_qty"))
+      .orderBy("flag", "month")
+    assert(merged.collect().toSeq == direct.collect().toSeq)
+    // groups live on both sides of the cutoff (the merge is exercised)
+    val months = merged.select("month").as[java.sql.Date].collect().map(_.toString)
+    assert(months.exists(_ < "1998-06") && months.exists(_ >= "1998-06"),
+      "fixture no longer spans the delta cutoff — the merge path is untested")
+  }
 }
