@@ -1225,27 +1225,52 @@ object CorpusQueries {
   // position frame, keyed on the shingle string — swap the string for
   // xxhash64(shingle) at 100 TB to keep the exchange narrow (the
   // documented q188 swap).
+  /** Flagged boilerplate POSITIONS per doc — (doc_id, p) distinct rows
+    * covered by a 3-gram with corpus document-frequency ≥ 5. The single
+    * source for the q214 audit and the q219 scrub transform: a
+    * df-threshold or shingle-width change re-scrubs and re-audits
+    * together.
+    */
+  private def boilerplatePositions(s: SparkSession, d: String): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val tok = documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val sh = tok
+      .withColumn("w1", lead("w", 1).over(win))
+      .withColumn("w2", lead("w", 2).over(win))
+      .where(col("w1").isNotNull && col("w2").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("w"), col("w1"), col("w2")).as("sh"))
+    val hot = sh.groupBy("sh").agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= 5)
+      .select("sh")
+    sh.join(hot, "sh")
+      .select(col("doc_id"),
+        explode(array(col("pos"), col("pos") + 1, col("pos") + 2)).as("p"))
+      .distinct()
+  }
+
+  /** DuckDB CTEs mirroring [[boilerplatePositions]]: defines
+    * `flagged(doc_id, p)` (plus tok2/shg/sh/hot). Kept beside the Spark
+    * builder for the same single-source reason as the gate/logit CTEs.
+    */
+  private val boilerplatePositionsCteSql: String =
+    "tok2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w, " +
+      "unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS pos FROM documents), " +
+      "shg AS (SELECT doc_id, pos, w || ' ' || lead(w, 1) OVER dw || ' ' || lead(w, 2) OVER dw AS g " +
+      "FROM tok2 WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)), " +
+      "sh AS (SELECT doc_id, pos, g FROM shg WHERE g IS NOT NULL), " +
+      "hot AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM sh GROUP BY 1) WHERE df >= 5), " +
+      "flagged AS (SELECT DISTINCT doc_id, p FROM " +
+      "(SELECT doc_id, unnest([pos, pos + 1, pos + 2]) AS p FROM sh JOIN hot USING (g)))"
+
   val q214: QuerySpec = QuerySpec(
     "q214_boilerplate_coverage",
     (s, d) => {
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-      val tok = documents(s, d)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      val sh = tok
-        .withColumn("w1", lead("w", 1).over(win))
-        .withColumn("w2", lead("w", 2).over(win))
-        .where(col("w1").isNotNull && col("w2").isNotNull)
-        .select(col("doc_id"), col("pos"),
-          concat_ws(" ", col("w"), col("w1"), col("w2")).as("sh"))
-      val hot = sh.groupBy("sh").agg(countDistinct(col("doc_id")).as("df"))
-        .where(col("df") >= 5)
-        .select("sh")
-      val covered = sh.join(hot, "sh")
-        .select(col("doc_id"),
-          explode(array(col("pos"), col("pos") + 1, col("pos") + 2)).as("p"))
+      val covered = boilerplatePositions(s, d)
         .groupBy("doc_id")
-        .agg(countDistinct(col("p")).as("n_flagged"))
+        .agg(count(lit(1)).as("n_flagged"))
       documents(s, d)
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
@@ -1257,18 +1282,69 @@ object CorpusQueries {
     },
     Some(
       // zip-unnest gives token positions (DuckDB zips parallel unnests)
-      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w, " +
-        "unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS pos FROM documents), " +
-        "shg AS (SELECT doc_id, pos, w || ' ' || lead(w, 1) OVER dw || ' ' || lead(w, 2) OVER dw AS g " +
-        "FROM tok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)), " +
-        "sh AS (SELECT doc_id, pos, g FROM shg WHERE g IS NOT NULL), " +
-        "hot AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM sh GROUP BY 1) WHERE df >= 5), " +
-        "cov AS (SELECT doc_id, count(DISTINCT p) AS n_flagged FROM " +
-        "(SELECT doc_id, unnest([pos, pos + 1, pos + 2]) AS p FROM sh JOIN hot USING (g)) GROUP BY 1), " +
+      s"WITH $boilerplatePositionsCteSql, " +
+        "cov AS (SELECT doc_id, count(*) AS n_flagged FROM flagged GROUP BY 1), " +
         "base AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents) " +
         "SELECT base.doc_id AS doc_id, n_tokens, CAST(coalesce(n_flagged, 0) AS BIGINT) AS n_flagged, " +
         "CAST(10000 * coalesce(n_flagged, 0) // n_tokens AS BIGINT) AS boilerplate_bp " +
         "FROM base LEFT JOIN cov ON base.doc_id = cov.doc_id ORDER BY 1"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q219 — corpus-frequency boilerplate SCRUB (the transform q214
+  // audits): drop every token position covered by a hot 3-gram and
+  // emit the RETAINED document — reconstructed in order — plus the
+  // removal accounting. This is the C4/RefinedWeb scrub rule as the
+  // shipping artifact rather than the report; the flagged-position
+  // frame is the SAME [[boilerplatePositions]] builder q214 reads, so
+  // audit and transform can never disagree about what was removed.
+  //
+  // Reconstruction is order-exact without any per-doc sort pass in the
+  // aggregate: collect (pos, token) structs, array_sort (pos leads the
+  // struct), project the token, join with spaces — per-doc state is
+  // the doc's own kept tokens (documents are KB-sized; the corpus
+  // never materializes as one frame). The anti-join keeps only
+  // unflagged positions; docs scrubbed to nothing surface with
+  // text_out = '' via the left join (the honest empty, not a dropped
+  // row — downstream length gates expect to see them).
+  val q219: QuerySpec = QuerySpec(
+    "q219_boilerplate_scrub",
+    (s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val kept = tok.join(
+        boilerplatePositions(s, d).withColumnRenamed("p", "pos"),
+        Seq("doc_id", "pos"), "left_anti")
+      val rebuilt = kept.groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_kept"),
+          array_join(
+            expr("transform(array_sort(collect_list(struct(pos, w))), s -> s.w)"),
+            " ").as("text_out"))
+      documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("n_tokens"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("text_out"), lit("")).as("text_out"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"WITH $boilerplatePositionsCteSql, " +
+        "kept AS (SELECT t.doc_id, t.pos, t.w FROM tok2 t LEFT JOIN flagged f " +
+        "ON t.doc_id = f.doc_id AND t.pos = f.p WHERE f.doc_id IS NULL), " +
+        "rebuilt AS (SELECT doc_id, count(*) AS n_kept, " +
+        "string_agg(w, ' ' ORDER BY pos) AS text_out FROM kept GROUP BY 1), " +
+        "base AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents) " +
+        "SELECT base.doc_id AS doc_id, n_tokens, " +
+        "CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept, " +
+        "CAST(n_tokens - coalesce(n_kept, 0) AS BIGINT) AS n_removed, " +
+        "coalesce(text_out, '') AS text_out " +
+        "FROM base LEFT JOIN rebuilt ON base.doc_id = rebuilt.doc_id ORDER BY 1"
     ),
   )
 
@@ -1332,5 +1408,5 @@ object CorpusQueries {
 
   val all: Seq[QuerySpec] =
     Seq(q88, q89, q91, q92, q98, q99, q103, q104, q111, q117, q131, q137, q140,
-      q177, q178, q188, q192, q195, q197, q208, q211, q213, q214, q216)
+      q177, q178, q188, q192, q195, q197, q208, q211, q213, q214, q216, q219)
 }

@@ -234,6 +234,37 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(got(4L) == ((1L, 0L, 0L)))
   }
 
+  test("q219: scrub removes exactly what q214 flags, reconstruction is order-exact") {
+    // audit/transform single-source contract on the corpus: per doc,
+    // n_removed(q219) == n_flagged(q214), and kept text re-splits to
+    // n_kept tokens in original order (verified on a planted fixture).
+    val audit = CorpusQueries.q214.run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_flagged")).toMap
+    val scrub = CorpusQueries.q219.run(spark, sfDir).collect()
+    assert(scrub.nonEmpty)
+    scrub.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_removed") == audit(id),
+        s"doc $id: scrub removed ${r.getAs[Long]("n_removed")} but audit flagged ${audit(id)}")
+      val rebuilt = r.getAs[String]("text_out")
+      val n = if (rebuilt.isEmpty) 0 else rebuilt.split(" ").length
+      assert(n == r.getAs[Long]("n_kept"), s"doc $id: text_out token count mismatch")
+    }
+    // planted fixture: 5 docs share the boilerplate trigram run
+    // "b1 b2 b3 b4" (df ≥ 5 ⇒ both trigrams hot ⇒ positions 0..3 all
+    // covered); unique tails survive in order.
+    val dir = java.nio.file.Files.createTempDirectory("q219fix").toString
+    val rows = (1 to 5).map(i => (i.toLong, s"b1 b2 b3 b4 u${i}a u${i}b u${i}c"))
+    rows.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = CorpusQueries.q219.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_removed"), r.getAs[String]("text_out"))).toMap
+    (1 to 5).foreach { i =>
+      assert(got(i.toLong) == ((4L, s"u${i}a u${i}b u${i}c")),
+        s"doc $i scrub wrong: ${got(i.toLong)}")
+    }
+  }
+
   test("q216: keeps exactly the optimal quality-ranked prefix of the token budget") {
     val dir = java.nio.file.Files.createTempDirectory("q216fix").toString
     // 10 docs × 10 tokens in one source; doc i carries (10−i) 'spark'
