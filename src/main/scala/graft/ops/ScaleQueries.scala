@@ -2005,9 +2005,52 @@ object ScaleQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q220 — join-skew planning table: the top-10 heaviest join keys
+  // with their row share and the per-key SALT FACTOR a salted join
+  // needs (⌈n_key/mean⌉ — how many sub-keys flatten this key to
+  // average weight). Completes the skew triptych: q100 is the fanout
+  // DISTRIBUTION, q46 EXECUTES the salted join, this emits the
+  // DECISION — which keys to salt and by how much — that a 100 TB
+  // operator (or an auto-salting rule) reads before launching the
+  // join. All integer arithmetic: share in bp, salt factor by
+  // ceiling-division ((n·k + total − 1) div total), ties broken on
+  // key — a pure function of the table.
+  //
+  // Scale: one map-side-combined per-key count (the only corpus-sized
+  // pass), a 1-row totals anchor broadcast back (the q79 idiom), and
+  // TakeOrdered(10) over the |keys|-sized frame. The profile is
+  // re-runnable per batch because its cost is one aggregate — cheap
+  // enough to gate every scheduled join at scale.
+  val q220: QuerySpec = QuerySpec(
+    "q220_join_skew_profile",
+    (s, d) => {
+      val cnt = lineitem(s, d)
+        .groupBy(col("l_suppkey").as("key"))
+        .agg(count(lit(1)).as("n_rows"))
+      val tot = cnt.agg(
+        sum(col("n_rows")).as("total"), count(lit(1)).as("n_keys"))
+      cnt.join(broadcast(tot))
+        .select(
+          col("key"), col("n_rows"),
+          expr("10000 * n_rows div total").as("share_bp"),
+          expr("(n_rows * n_keys + total - 1) div total").as("salt_factor"))
+        .orderBy(col("n_rows").desc, col("key").asc)
+        .limit(10)
+    },
+    Some(
+      "WITH c AS (SELECT l_suppkey AS key, count(*) AS n_rows FROM lineitem GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total, count(*) AS n_keys FROM c) " +
+        "SELECT key, n_rows, " +
+        "CAST(10000 * n_rows // total AS BIGINT) AS share_bp, " +
+        "CAST((n_rows * n_keys + total - 1) // total AS BIGINT) AS salt_factor " +
+        "FROM c CROSS JOIN t ORDER BY n_rows DESC, key LIMIT 10"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q87, q187, q90, q93, q94, q95, q96, q97, q100, q101, q102, q105, q106, q107,
       q108, q109, q110, q112, q124, q129, q132, q133, q144, q147, q148, q154,
       q155, q158, q159, q160, q161, q162, q163, q165, q166, q167, q199, q200, q204,
-      q206)
+      q206, q220)
 }
