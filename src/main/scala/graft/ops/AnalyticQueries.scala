@@ -1434,7 +1434,88 @@ object AnalyticQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q221 — aggregate maintenance under a CDC log (updates AND deletes):
+  // maintain per-group SUM/alive-count by folding signed deltas off the
+  // change stream — each key's contribution is its value while alive, 0
+  // after a delete; the delta of an op is contribution − previous
+  // contribution — and hash-match the folded result against the
+  // oracle's recompute from the APPLIED SNAPSHOT (q194's rn=1 rule).
+  // Completes the maintenance family: q74 re-grains stored rollups,
+  // q215 merges append-only partial states, this one absorbs
+  // retractions — the shape a 100 TB fact under upsert/delete traffic
+  // (GDPR erasure, late corrections) actually needs, where "recompute
+  // the group" means re-reading history but "fold the delta" touches
+  // only the day's changes.
+  //
+  // Determinism: values are round(·,2) decimals end-to-end, so deltas
+  // and their sums are exact; the per-key lag window orders on
+  // (ts, event_id) — total. `churn` (Σ|delta|) is the write-traffic
+  // metric a maintenance planner reads: it bounds how much the
+  // maintained aggregate actually moved regardless of net effect.
+  //
+  // Scale: one log scan; the lag window partitions by key (the same
+  // exchange the CDC apply needs anyway); both aggregates are
+  // map-side-combinable decimals. Nothing rescans history — that is
+  // the point being proven against the snapshot-recompute oracle.
+  val q221: QuerySpec = QuerySpec(
+    "q221_cdc_agg_maintenance",
+    (s, d) => {
+      val dec = DecimalType(18, 2)
+      val op = when(col("event_type") === "signup", lit("I"))
+        .when(col("event_type") === "error", lit("D"))
+        .otherwise(lit("U"))
+      val log = events(s, d).select(
+        col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        op.as("op"), round(col("value"), 2).cast(dec).as("v"))
+      val wk = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val folded = log
+        .withColumn("c", when(col("op") === "D", lit(0).cast(dec)).otherwise(col("v")))
+        .withColumn("delta", col("c") - coalesce(lag("c", 1).over(wk), lit(0).cast(dec)))
+        .withColumn("rn_last", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)))
+      val perKey = folded.groupBy("user_id")
+        .agg(
+          sum(col("delta")).as("key_sum"),
+          sum(abs(col("delta"))).as("key_churn"),
+          count(lit(1)).as("key_ops"),
+          max(when(col("rn_last") === 1 && col("op") =!= "D", 1L).otherwise(0L)).as("alive"))
+      perKey.groupBy((col("user_id") % 10).as("grp"))
+        .agg(
+          sum(col("alive")).as("n_alive"),
+          sum(col("key_sum")).cast("double").as("sum_value"),
+          sum(col("key_ops")).as("n_ops"),
+          sum(col("key_churn")).cast("double").as("churn"))
+        .orderBy("grp")
+    },
+    Some(
+      // the INDEPENDENT path: apply the log to a snapshot (q194's rule),
+      // aggregate the survivors — only churn reuses the windowed fold
+      // (it has no snapshot equivalent by construction).
+      "WITH log AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
+        "CASE WHEN event_type = 'signup' THEN 'I' WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, " +
+        "CAST(round(value, 2) AS DECIMAL(18,2)) AS v FROM events), " +
+        "seq AS (SELECT *, CASE WHEN op = 'D' THEN CAST(0 AS DECIMAL(18,2)) ELSE v END AS c, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn " +
+        "FROM log), " +
+        "delta AS (SELECT user_id, c - coalesce(lag(c, 1) OVER " +
+        "(PARTITION BY user_id ORDER BY ts_us, event_id), CAST(0 AS DECIMAL(18,2))) AS d FROM seq), " +
+        "churn AS (SELECT user_id % 10 AS grp, CAST(sum(abs(d)) AS DOUBLE) AS churn, " +
+        "count(*) AS n_ops FROM delta GROUP BY 1), " +
+        "snap AS (SELECT user_id, max(CASE WHEN rn = 1 THEN op END) AS last_op, " +
+        "max(CASE WHEN rn = 1 THEN v END) AS last_v FROM seq GROUP BY 1), " +
+        "agg AS (SELECT user_id % 10 AS grp, " +
+        "CAST(count(CASE WHEN last_op <> 'D' THEN 1 END) AS BIGINT) AS n_alive, " +
+        "CAST(sum(CASE WHEN last_op <> 'D' THEN last_v ELSE 0 END) AS DOUBLE) AS sum_value " +
+        "FROM snap GROUP BY 1) " +
+        "SELECT agg.grp AS grp, n_alive, sum_value, n_ops, churn " +
+        "FROM agg JOIN churn ON agg.grp = churn.grp ORDER BY grp"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q49, q50, q51, q52, q53, q54, q56, q57, q58, q59, q60, q61, q62, q63, q64, q67,
-      q73, q74, q80, q81, q82, q83, q84, q85, q130, q157, q194, q205, q207, q210, q215)
+      q73, q74, q80, q81, q82, q83, q84, q85, q130, q157, q194, q205, q207, q210, q215,
+      q221)
 }

@@ -478,4 +478,28 @@ class AnalyticQueriesSpec extends SparkSpec {
     assert(months.exists(_ < "1998-06") && months.exists(_ >= "1998-06"),
       "fixture no longer spans the delta cutoff — the merge path is untested")
   }
+
+  test("q221: delete retracts, update replaces, churn counts gross movement") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q221fix").toString
+    // user 1 (grp 1): I v=10 → U v=20 → D.  contributions 10, 20, 0;
+    //   deltas +10, +10, −20 ⇒ net 0, churn 40, dead.
+    // user 2 (grp 2): I v=5 → U v=7.  deltas +5, +2 ⇒ net 7, churn 7, alive.
+    Seq(
+      (101L, "2020-01-01 00:00:00", 1L, "signup", 10.0),
+      (102L, "2020-01-01 00:01:00", 1L, "click", 20.0),
+      (103L, "2020-01-01 00:02:00", 1L, "error", 99.0),
+      (104L, "2020-01-01 00:00:00", 2L, "signup", 5.0),
+      (105L, "2020-01-01 00:01:00", 2L, "click", 7.0),
+    ).toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .write.parquet(s"$dir/events.parquet")
+    val got = AnalyticQueries.q221.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("grp") ->
+        (r.getAs[Long]("n_alive"), r.getAs[Double]("sum_value"),
+          r.getAs[Long]("n_ops"), r.getAs[Double]("churn"))).toMap
+    assert(got(1L) == ((0L, 0.0, 3L, 40.0)), s"deleted key not retracted: ${got(1L)}")
+    assert(got(2L) == ((1L, 7.0, 2L, 7.0)), s"update not replaced: ${got(2L)}")
+  }
 }
