@@ -105,5 +105,71 @@ object CatalogQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q186)
+  // -----------------------------------------------------------------
+  // q222 — bitemporal point-in-time reads: for every TRANSACTION-time
+  // snapshot ("what we knew after run T") report every VALID-time
+  // month's revenue — the two-axis time-travel query underneath audit
+  // questions like "what did January look like before the restatement
+  // landed". q11/D2 resolve the LATEST frontier only; this enumerates
+  // historical frontiers: per (grain, tx) the authority is the max
+  // run_id ≤ tx, so run 2's restated January is visible only from
+  // tx = 2 while every other month reads identically from both
+  // snapshots — the algebra a snapshot-isolated table format (or the
+  // run-fenced sink's seal order, T5) implements physically.
+  //
+  // Scale: the tx-frontier axis is a 2-row broadcast (|snapshots| is
+  // run-count-bounded); authority is one window over (grain, tx) —
+  // the same exchange q186's single-frontier load pays, multiplied by
+  // the snapshot count a backfill audit actually asks about, never by
+  // history size. Money decimal-exact; all keys total-ordered.
+  val q222: QuerySpec = QuerySpec(
+    "q222_bitemporal_read",
+    (s, d) => {
+      val dec = "decimal(18,4)"
+      val base = Tables.orders(s, d)
+        .where(col("o_orderdate").cast("date")
+          .between(lit("1995-01-01").cast("date"), lit("1995-12-31").cast("date")))
+        .select(
+          col("o_orderpriority").as("campaign_id"),
+          col("o_orderdate").cast("date").as("date"),
+          col("o_orderkey"),
+          col("o_totalprice").cast(dec).as("rev"))
+      val run1 = base.withColumn("run_id", lit(1L))
+      val run2 = base
+        .where(col("date").between(lit("1995-01-01").cast("date"), lit("1995-01-31").cast("date")))
+        .withColumn("rev", col("rev") * 2)
+        .withColumn("run_id", lit(2L))
+      val log = run1.unionByName(run2)
+      val tx = s.range(1, 3).select(col("id").as("tx"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("tx", "campaign_id", "date", "o_orderkey")
+        .orderBy(col("run_id").desc)
+      log.join(broadcast(tx), col("run_id") <= col("tx"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .groupBy(col("tx"), col("campaign_id"),
+          date_trunc("month", col("date")).cast("date").as("month"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("rev")).cast("double").as("revenue"))
+        .orderBy("tx", "campaign_id", "month")
+    },
+    Some(
+      "WITH base AS (SELECT o_orderpriority AS campaign_id, CAST(o_orderdate AS DATE) AS date, " +
+        "o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS rev FROM orders " +
+        "WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'), " +
+        "log AS (SELECT campaign_id, date, o_orderkey, rev, 1 AS run_id FROM base " +
+        "UNION ALL SELECT campaign_id, date, o_orderkey, rev * 2, 2 FROM base " +
+        "WHERE date BETWEEN DATE '1995-01-01' AND DATE '1995-01-31'), " +
+        "tx AS (SELECT unnest([1, 2]) AS tx), " +
+        "vis AS (SELECT *, row_number() OVER (PARTITION BY tx, campaign_id, date, o_orderkey " +
+        "ORDER BY run_id DESC) AS rn FROM log JOIN tx ON run_id <= tx) " +
+        "SELECT CAST(tx AS BIGINT) AS tx, campaign_id, " +
+        "CAST(date_trunc('month', date) AS DATE) AS month, count(*) AS n_rows, " +
+        "CAST(sum(rev) AS DOUBLE) AS revenue " +
+        "FROM vis WHERE rn = 1 GROUP BY 1, 2, 3 ORDER BY tx, campaign_id, month"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q186, q222)
 }

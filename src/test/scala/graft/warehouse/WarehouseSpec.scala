@@ -119,4 +119,22 @@ class WarehouseSpec extends SparkSpec {
       .select("campaign_id", "impressions").as[(Long, Long)].collect().toMap
     assert(got == Map(100L -> 20L, 200L -> 30L))
   }
+
+  test("q222 bitemporal: snapshots differ exactly on the restated month, tx=2 doubles it") {
+    val rows = CatalogQueries.q222.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("tx"), r.getAs[String]("campaign_id"),
+        r.getAs[Date]("month").toString) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Double]("revenue"))).toMap
+    val keys = rows.keys.map { case (_, c, m) => (c, m) }.toSet
+    assert(keys.nonEmpty)
+    keys.foreach { case (c, m) =>
+      val (n1, r1) = rows((1L, c, m))
+      val (n2, r2) = rows((2L, c, m))
+      assert(n1 == n2, s"($c,$m): restatement must not change row count")
+      if (m == "1995-01-01")
+        assert(math.abs(r2 - 2 * r1) < 1e-6, s"($c,$m): tx=2 must read the doubled restatement")
+      else
+        assert(r1 == r2, s"($c,$m): non-restated month differs between snapshots")
+    }
+  }
 }
