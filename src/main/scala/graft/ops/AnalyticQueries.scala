@@ -1514,8 +1514,71 @@ object AnalyticQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q223 — top-k merge audit: the global top-5 users by event count
+  // computed the RIGHT way (full aggregate, then rank) side by side
+  // with the pre-aggregated-rollup way every naive warehouse tries —
+  // union the daily top-5 lists, re-aggregate only those candidates,
+  // rank. Top-k does NOT distribute over union (a steady-but-never-
+  // daily-top user can out-total a bursty one), and this query is the
+  // audit that MEASURES the discrepancy per rank instead of assuming
+  // it away: `agree` flags rank-for-rank matches, `missed_total` is
+  // the true count the merged path would have served wrong. q63's
+  // SpaceSaving sketch exists precisely because of this gap — the
+  // mergeable-with-error-bound alternative; this is its exact-world
+  // justification table.
+  //
+  // Scale: both paths are one map-side-combined count each (daily
+  // grain and total grain); the candidate set is ≤ 5·|days| user ids
+  // (semi-join back, broadcastable); ranks are TakeOrdered(5) — no
+  // global sort. All integer; ties break on user_id everywhere.
+  val q223: QuerySpec = QuerySpec(
+    "q223_topk_merge_audit",
+    (s, d) => {
+      val ev = events(s, d)
+      val wDay = Window.partitionBy("day").orderBy(col("n").desc, col("user_id").asc)
+      val cand = ev
+        .groupBy(col("ts").cast("date").as("day"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(wDay))
+        .where(col("rn") <= 5)
+        .select("user_id").distinct()
+      val totals = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      def top5(df: DataFrame, tag: String): DataFrame = df
+        .orderBy(col("n").desc, col("user_id").asc).limit(5)
+        .withColumn(s"${tag}_rank",
+          row_number().over(Window.orderBy(col("n").desc, col("user_id").asc)))
+        .select(col(s"${tag}_rank"),
+          col("user_id").as(s"${tag}_user"), col("n").as(s"${tag}_n"))
+      val t = top5(totals, "true")
+      val m = top5(totals.join(cand, Seq("user_id"), "left_semi"), "merged")
+      t.join(m, col("true_rank") === col("merged_rank"))
+        .select(
+          col("true_rank").as("rank"),
+          col("true_user"), col("true_n"),
+          col("merged_user"), col("merged_n"),
+          (col("true_user") === col("merged_user")).as("agree"),
+          (col("true_n") - col("merged_n")).as("missed_total"))
+        .orderBy("rank")
+    },
+    Some(
+      "WITH daily AS (SELECT CAST(ts AS DATE) AS day, user_id, count(*) AS n FROM events GROUP BY 1, 2), " +
+        "cand AS (SELECT DISTINCT user_id FROM (SELECT user_id, row_number() OVER " +
+        "(PARTITION BY day ORDER BY n DESC, user_id) AS rn FROM daily) WHERE rn <= 5), " +
+        "tot AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1), " +
+        "t AS (SELECT row_number() OVER (ORDER BY n DESC, user_id) AS rank, " +
+        "user_id AS true_user, n AS true_n FROM tot ORDER BY n DESC, user_id LIMIT 5), " +
+        "m AS (SELECT row_number() OVER (ORDER BY n DESC, user_id) AS rank, " +
+        "user_id AS merged_user, n AS merged_n FROM tot " +
+        "WHERE user_id IN (SELECT user_id FROM cand) ORDER BY n DESC, user_id LIMIT 5) " +
+        "SELECT t.rank AS rank, true_user, true_n, merged_user, merged_n, " +
+        "true_user = merged_user AS agree, true_n - merged_n AS missed_total " +
+        "FROM t JOIN m ON t.rank = m.rank ORDER BY rank"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q49, q50, q51, q52, q53, q54, q56, q57, q58, q59, q60, q61, q62, q63, q64, q67,
       q73, q74, q80, q81, q82, q83, q84, q85, q130, q157, q194, q205, q207, q210, q215,
-      q221)
+      q221, q223)
 }

@@ -502,4 +502,29 @@ class AnalyticQueriesSpec extends SparkSpec {
     assert(got(1L) == ((0L, 0.0, 3L, 40.0)), s"deleted key not retracted: ${got(1L)}")
     assert(got(2L) == ((1L, 7.0, 2L, 7.0)), s"update not replaced: ${got(2L)}")
   }
+
+  test("q223: steady-but-never-daily-top user wins the true ranking and the merge misses it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q223fix").toString
+    // day 1: users 11–15 burst 3 events each (they fill the daily top-5);
+    // day 2: users 21–25 likewise. user 1 posts 2 events BOTH days —
+    // never in a daily top-5, but 4 total beats every burster's 3.
+    var id = 0L
+    def ev(day: String, user: Long, n: Int) = (1 to n).map { i =>
+      id += 1; (id, s"$day 0$i:00:00", user, "click", 1.0)
+    }
+    val rows =
+      (11L to 15L).flatMap(u => ev("2020-01-01", u, 3)) ++
+        (21L to 25L).flatMap(u => ev("2020-01-02", u, 3)) ++
+        ev("2020-01-01", 1L, 2) ++ ev("2020-01-02", 1L, 2)
+    rows.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .write.parquet(s"$dir/events.parquet")
+    val got = AnalyticQueries.q223.run(spark, dir).collect()
+    val r1 = got.find(_.getAs[Int]("rank") == 1).get
+    assert(r1.getAs[Long]("true_user") == 1L, "true #1 must be the steady user")
+    assert(!r1.getAs[Boolean]("agree"), "the merged path must miss the steady user")
+    assert(r1.getAs[Long]("missed_total") == 1L, "true 4 vs merged best 3")
+  }
 }
