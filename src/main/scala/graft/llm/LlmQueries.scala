@@ -715,6 +715,35 @@ object LlmQueries {
     None,
   )
 
+  // q224 — semantic near-dup pairs via LOSSLESS PCA-grid blocking:
+  // reduce (normalized) embeddings to the learned top-2 axes (q202's
+  // machinery), grid-bucket at cell width √(2(1−t)), probe the 3×3
+  // neighborhood, verify exact full-space cosine. Projection CONTRACTS
+  // distance, so every qualifying pair meets within one cell offset —
+  // recall 1.0 by construction (vs q38's probabilistic sign-LSH
+  // recall; measured on this corpus at sf0.01: 59 true pairs vs
+  // q38's 43). Wrong candidates cost verify work, never answers —
+  // and the OPERATING ENVELOPE is explicit: blocking power is
+  // threshold-parametric (w = √(2(1−t))), so at production semantic-
+  // dedup thresholds (t ≥ 0.8, w ≤ 0.63) cells genuinely thin, while
+  // at this corpus's loose t = 0.4 (w ≈ 1.1 on a unit-disk projection)
+  // the grid degenerates toward verify-everything — same answers,
+  // no speedup (SCALE_NOTES measures exactly that). Iteration count
+  // only buys precision, never recall — the guarantee holds for ANY
+  // orthonormal axes — so the index build runs few iterations.
+  //
+  // Rows-only (float scores); lossless recall + dedupe + band
+  // properties pinned in SimilarityPipelineSpec.
+  val q224: QuerySpec = QuerySpec(
+    "q224_pca_grid_near_dup",
+    (s, d) =>
+      SimilarityPipeline
+        .pcaGridNearDupPairs(embeddings(s, d), threshold = 0.4, iters = 6)
+        .select(col("va"), col("vb"), round(col("cos"), 4).as("cos"))
+        .orderBy("va", "vb"),
+    None,
+  )
+
   // q218 — int8-quantization recall audit: quantize every embedding to
   // int8 with per-dimension symmetric scales (q_i = round(127·x_i/s_i),
   // s_i = corpus max|x_i|), rank by exact INTEGER dot product, and
@@ -768,5 +797,5 @@ object LlmQueries {
 
   val all: Seq[QuerySpec] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42, q43, q44, q45, q46, q47, q48, q55, q201, q202, q217, q218)
+      q41, q42, q43, q44, q45, q46, q47, q48, q55, q201, q202, q217, q218, q224)
 }

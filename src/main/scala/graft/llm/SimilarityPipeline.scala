@@ -389,4 +389,50 @@ object SimilarityPipeline {
         sum(col("x").cast("double") * col("a1")).as("p1"),
         sum(col("x").cast("double") * col("a2")).as("p2"))
   }
+
+  // ------------------------------------------------------------------
+  // PCA grid blocking — LOSSLESS near-dup candidates from a learned
+  // 2-D projection. On L2-NORMALIZED vectors, cos(x,y) ≥ t ⟺
+  // ‖x̂−ŷ‖ ≤ √(2(1−t)), and any orthonormal projection CONTRACTS
+  // distance — so two vectors in a qualifying pair land within
+  // w = √(2(1−t)) of each other on BOTH principal axes, i.e. within
+  // one grid cell of each other at cell width w. 9-cell (3×3) probing
+  // therefore has recall 1.0 BY CONSTRUCTION — unlike sign-LSH's
+  // probabilistic recall — while precision (candidate thinning) is
+  // whatever the top-2 axes' variance buys on this corpus. Exact
+  // full-space cosine verifies candidates; wrong pairs cost work,
+  // never answers.
+  // ------------------------------------------------------------------
+
+  /** Near-dup pairs (va, vb, cos ≥ threshold) via lossless PCA-grid
+    * blocking. One grid key per vector; each vector probes its 3×3
+    * cell neighborhood; a qualifying pair meets in exactly one
+    * (probe, home) combination under the va < vb order.
+    */
+  def pcaGridNearDupPairs(corpus: DataFrame, threshold: Double, iters: Int = 15): DataFrame = {
+    val w = math.sqrt(2.0 * (1.0 - threshold))
+    val normed = corpus.select(
+      col("vec_id"),
+      expr("transform(embedding, x -> CAST(x / greatest(sqrt(aggregate(transform(embedding, y -> CAST(y AS DOUBLE) * y), CAST(0 AS DOUBLE), (a, v) -> a + v)), CAST(1e-12 AS DOUBLE)) AS FLOAT))")
+        .as("embedding"))
+    val proj = pcaProject(normed, iters)
+      .select(col("vec_id"),
+        floor(col("p1") / w).cast("long").as("cx"),
+        floor(col("p2") / w).cast("long").as("cy"))
+    val home = normed.join(proj, "vec_id")
+    val probes = home.select(
+      col("vec_id"), col("embedding"),
+      explode(expr("flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), dy -> struct(cx + dx AS cx, cy + dy AS cy))))"))
+        .as("cell"))
+      .select(col("vec_id"), col("embedding"), col("cell.cx").as("cx"), col("cell.cy").as("cy"))
+    probes.as("a")
+      .join(home.as("b"),
+        col("a.cx") === col("b.cx") && col("a.cy") === col("b.cy") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("va"),
+        col("b.vec_id").as("vb"),
+        graft.functions.VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
 }

@@ -227,6 +227,25 @@ class SimilarityPipelineSpec extends SparkSpec {
       s"per-cell pair load grew ${loadBig / loadSmall}× for a ${nBig / nSmall}× corpus")
   }
 
+  test("pcaGridNearDupPairs: LOSSLESS recall (the contraction guarantee), no dupes, no false positives") {
+    val grid = SimilarityPipeline.pcaGridNearDupPairs(emb, 0.4, iters = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(grid.forall(_._3 >= 0.4))
+    assert(grid.map(p => (p._1, p._2)).distinct.length == grid.length,
+      "a pair must meet in exactly one (probe, home) cell combination")
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val truth = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        graft.functions.VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .where(col("c") >= 0.4)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2)).toSet
+    val found = grid.map(p => (p._1, p._2)).toSet
+    assert(truth.nonEmpty, "fixture corpus must contain ≥0.4-cosine pairs")
+    assert(found == truth,
+      s"lossless blocking violated: missed=${(truth -- found).take(5)} extra=${(found -- truth).take(5)}")
+  }
+
   test("q217 hard negatives: band membership, per-anchor rank contract, dup pairs excluded") {
     val out = LlmQueries.q217.run(spark, sfDir)
       .as[(Long, Int, Long, Double)].collect()
