@@ -627,8 +627,71 @@ object RelationalQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q226 — declarative data-quality EXPECTATIONS gate (Deequ-shaped):
+  // a fixed rule set — completeness, key uniqueness, value range,
+  // domain membership, referential integrity — evaluated over the
+  // orders feed in as few passes as the rules allow, emitting the
+  // per-rule (checked, violations, pass) table a load pipeline gates
+  // on before publish. q93 PROFILES columns (descriptive); this one
+  // GATES them (normative) — the A6/validate-stage discipline (the
+  // reference's record-count check) generalized to arbitrary
+  // predicates. Rule results are DATA, so downstream "block the
+  // publish" logic is a filter on pass = false, not code.
+  //
+  // Scale: the four row-local rules share ONE conditional-aggregation
+  // scan (violations are count(CASE ...) columns, map-side combined);
+  // only referential integrity pays a join — an anti-join against the
+  // broadcast-able customer key set (E4's bloom form when the dim
+  // outgrows broadcast). The rule axis unpivots from one 1-row frame:
+  // adding a rule adds a CASE column, never a scan.
+  val q226: QuerySpec = QuerySpec(
+    "q226_quality_expectations",
+    (s, d) => {
+      val o = orders(s, d)
+      val rowRules = o.agg(
+        count(lit(1)).as("n"),
+        count(when(col("o_orderpriority").isNull, 1)).as("v_completeness"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_uniqueness"),
+        count(when(col("o_totalprice") <= 0, 1)).as("v_range"),
+        count(when(!col("o_orderstatus").isInCollection(Seq("O", "F", "P")), 1)).as("v_domain"))
+      val orphan = o.join(
+        customer(s, d).select(col("c_custkey").as("o_custkey")),
+        Seq("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("v_referential"))
+      rowRules.join(orphan)
+        .select(expr(
+          "stack(5, " +
+            "'completeness_orderpriority', n, v_completeness, " +
+            "'uniqueness_orderkey', n, v_uniqueness, " +
+            "'range_totalprice_positive', n, v_range, " +
+            "'domain_orderstatus', n, v_domain, " +
+            "'referential_custkey', n, v_referential) AS (rule, n_checked, n_violations)"))
+        .withColumn("pass", col("n_violations") === 0L)
+        .orderBy("rule")
+    },
+    Some(
+      "WITH r AS (SELECT count(*) AS n, " +
+        "count(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS v_completeness, " +
+        "count(*) - count(DISTINCT o_orderkey) AS v_uniqueness, " +
+        "count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS v_range, " +
+        "count(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END) AS v_domain " +
+        "FROM orders), " +
+        "ref AS (SELECT count(*) AS v_referential FROM orders o " +
+        "WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)), " +
+        "rules AS (" +
+        "SELECT 'completeness_orderpriority' AS rule, n AS n_checked, CAST(v_completeness AS BIGINT) AS n_violations FROM r " +
+        "UNION ALL SELECT 'uniqueness_orderkey', n, CAST(v_uniqueness AS BIGINT) FROM r " +
+        "UNION ALL SELECT 'range_totalprice_positive', n, CAST(v_range AS BIGINT) FROM r " +
+        "UNION ALL SELECT 'domain_orderstatus', n, CAST(v_domain AS BIGINT) FROM r " +
+        "UNION ALL SELECT 'referential_custkey', n, CAST(v_referential AS BIGINT) FROM r CROSS JOIN ref) " +
+        "SELECT rule, n_checked, n_violations, n_violations = 0 AS pass " +
+        "FROM rules ORDER BY rule"
+    ),
+  )
+
   val all: Seq[QuerySpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
-    q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q125,
+    q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q125, q226,
   )
 }

@@ -611,5 +611,68 @@ object TimeSeriesQueries {
     },
   )
 
-  val all: Seq[QuerySpec] = Seq(q118, q135, q136, q141, q143, q145, q146, q151, q152, q203)
+  // ---------------------------------------------------------------------
+  // q225 — forecast BACKTEST under two naive baselines: score every
+  // day's revenue against (a) the seasonal-naive forecast (same
+  // weekday, 7 calendar days earlier) and (b) persistence (the
+  // previous calendar day), reporting per-series MAE in exact cents
+  // and which baseline wins. The diagnostics queries (q145 slope,
+  // q165 seasonality, q166 autocorr) describe the series; this is the
+  // EVALUATION loop a forecasting pipeline runs before anything
+  // fancier ships — no model beats deployment without beating these
+  // two numbers. Calendar joins (day = day − 7), NOT lag(7): a ROWS
+  // lag silently slides across gaps and scores the wrong pair; the
+  // equijoin evaluates exactly the days whose reference day exists.
+  //
+  // Determinism: daily revenue in exact decimal → integer cents;
+  // MAE by integer division (both engines floor on non-negatives).
+  //
+  // Scale: one fact aggregation to the (series, day) grain; both
+  // reference joins are self-equijoins ON that calendar-sized frame
+  // sharing its (flag) partitioning — at 100 TB the backtest costs
+  // two |series|·|days| joins, never a fact rescan.
+  val q225: QuerySpec = QuerySpec(
+    "q225_forecast_backtest",
+    (s, d) => {
+      val daily = lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"),
+          col("l_shipdate").cast("date").as("day"))
+        .agg((Exact.revenueDecimal * 100).cast("long").as("cents"))
+      def ref(back: Int, tag: String) = daily.select(
+        col("flag"), date_add(col("day"), back).as("day"),
+        col("cents").as(s"${tag}_cents"))
+      daily
+        .join(ref(7, "s7"), Seq("flag", "day"), "left")
+        .join(ref(1, "p1"), Seq("flag", "day"), "left")
+        .groupBy("flag")
+        .agg(
+          count(col("s7_cents")).as("n_seasonal"),
+          // integer division (Spark `/` on longs is DOUBLE division —
+          // `div` keeps the MAE exact and floor-matched to DuckDB `//`)
+          expr("sum(abs(cents - s7_cents)) div greatest(count(s7_cents), 1)").as("mae_seasonal_cents"),
+          count(col("p1_cents")).as("n_persist"),
+          expr("sum(abs(cents - p1_cents)) div greatest(count(p1_cents), 1)").as("mae_persist_cents"))
+        .withColumn("seasonal_wins",
+          col("mae_seasonal_cents") < col("mae_persist_cents"))
+        .orderBy("flag")
+    },
+    Some(
+      "WITH daily AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day, " +
+        s"CAST(${Exact.revenueDecimalSql} * 100 AS BIGINT) AS cents FROM lineitem GROUP BY 1, 2) " +
+        "SELECT d.flag AS flag, " +
+        "count(s7.cents) AS n_seasonal, " +
+        "CAST(sum(abs(d.cents - s7.cents)) // greatest(count(s7.cents), 1) AS BIGINT) AS mae_seasonal_cents, " +
+        "count(p1.cents) AS n_persist, " +
+        "CAST(sum(abs(d.cents - p1.cents)) // greatest(count(p1.cents), 1) AS BIGINT) AS mae_persist_cents, " +
+        "CAST(sum(abs(d.cents - s7.cents)) // greatest(count(s7.cents), 1) AS BIGINT) < " +
+        "CAST(sum(abs(d.cents - p1.cents)) // greatest(count(p1.cents), 1) AS BIGINT) AS seasonal_wins " +
+        "FROM daily d " +
+        "LEFT JOIN daily s7 ON d.flag = s7.flag AND d.day = s7.day + 7 " +
+        "LEFT JOIN daily p1 ON d.flag = p1.flag AND d.day = p1.day + 1 " +
+        "GROUP BY 1 ORDER BY flag"
+    ),
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(q118, q135, q136, q141, q143, q145, q146, q151, q152, q203, q225)
 }

@@ -42,4 +42,31 @@ class QueriesSpec extends SparkSpec {
     val total = df.agg(sum("n_rows")).head().getLong(0)
     assert(total == Tables.lineitem(spark, sfDir).count())
   }
+
+  test("q226: every expectation rule CATCHES its planted violation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q226fix").toString
+    // row 2 duplicates orderkey 1; row 3 violates domain, range,
+    // completeness AND references a missing customer.
+    Seq(
+      (1L, 10L, "O", 100.0, "1995-01-01", Option("HIGH")),
+      (1L, 10L, "F", 50.0, "1995-01-02", Option("LOW")),
+      (2L, 99L, "X", -5.0, "1995-01-03", Option.empty[String]),
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "d", "o_orderpriority")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), to_timestamp(col("d")).as("o_orderdate"), col("o_orderpriority"))
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((10L, "alpha")).toDF("c_custkey", "c_name").write.parquet(s"$dir/customer.parquet")
+    val got = RelationalQueries.q226.run(spark, dir).collect()
+      .map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("n_violations"), r.getAs[Boolean]("pass"))).toMap
+    assert(got == Map(
+      "completeness_orderpriority" -> ((1L, false)),
+      "uniqueness_orderkey" -> ((1L, false)),
+      "range_totalprice_positive" -> ((1L, false)),
+      "domain_orderstatus" -> ((1L, false)),
+      "referential_custkey" -> ((1L, false)),
+    ), s"gate missed a planted violation: $got")
+  }
 }

@@ -150,4 +150,28 @@ class TimeSeriesQueriesSpec extends SparkSpec {
         x.getAs[Long]("n_pairs")).toMap
     assert(r == Map(("click", "view") -> 1L, ("view", "purchase") -> 1L))
   }
+
+  test("q225: perfectly weekly series scores seasonal MAE 0 and beats persistence") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q225fix").toString
+    // 21 days of exact period-7 revenue: 10,20,…,70 repeating ×3.
+    // Seasonal-naive (day−7) errors are all 0 over its 14 evaluable
+    // days; persistence pays +10 within weeks and −60 at the two week
+    // boundaries: (18·10 + 2·60)/20 = 15.00 = 1500 cents.
+    val rows = (0 until 21).map { i =>
+      (f"1995-01-${i + 1}%02d", 10.0 * (i % 7 + 1))
+    }
+    rows.toDF("d", "l_extendedprice")
+      .select(to_timestamp(col("d")).as("l_shipdate"),
+        col("l_extendedprice"), lit(0.0).as("l_discount"), lit("A").as("l_returnflag"))
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = TimeSeriesQueries.q225.run(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_seasonal") == 14L && row.getAs[Long]("n_persist") == 20L)
+    assert(row.getAs[Long]("mae_seasonal_cents") == 0L, "period-7 series must backtest to MAE 0")
+    assert(row.getAs[Long]("mae_persist_cents") == 1500L)
+    assert(row.getAs[Boolean]("seasonal_wins"))
+  }
 }
