@@ -647,35 +647,24 @@ object RelationalQueries {
   // adding a rule adds a CASE column, never a scan.
   val q226: QuerySpec = QuerySpec(
     "q226_quality_expectations",
-    (s, d) => {
-      val o = orders(s, d)
-      val rowRules = o.agg(
-        count(lit(1)).as("n"),
-        count(when(col("o_orderpriority").isNull, 1)).as("v_completeness"),
-        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_uniqueness"),
-        count(when(col("o_totalprice") <= 0, 1)).as("v_range"),
-        count(when(!col("o_orderstatus").isInCollection(Seq("O", "F", "P")), 1)).as("v_domain"))
-      val orphan = o.join(
-        customer(s, d).select(col("c_custkey").as("o_custkey")),
-        Seq("o_custkey"), "left_anti")
-        .agg(count(lit(1)).as("v_referential"))
-      rowRules.join(orphan)
-        .select(expr(
-          "stack(5, " +
-            "'completeness_orderpriority', n, v_completeness, " +
-            "'uniqueness_orderkey', n, v_uniqueness, " +
-            "'range_totalprice_positive', n, v_range, " +
-            "'domain_orderstatus', n, v_domain, " +
-            "'referential_custkey', n, v_referential) AS (rule, n_checked, n_violations)"))
-        .withColumn("pass", col("n_violations") === 0L)
-        .orderBy("rule")
-    },
+    (s, d) =>
+      Expectations.evaluate(orders(s, d), Seq(
+        Expectations.NotNull("completeness_orderpriority", "o_orderpriority"),
+        Expectations.Unique("uniqueness_orderkey", Seq("o_orderkey")),
+        Expectations.Predicate("range_totalprice_positive", col("o_totalprice") > 0),
+        Expectations.InSet("domain_orderstatus", "o_orderstatus", Seq("O", "F", "P")),
+        Expectations.RefIntegrity("referential_custkey", "o_custkey",
+          customer(s, d), "c_custkey"),
+      )),
     Some(
+      // NULL counts as a violation for predicate/domain rules (the
+      // library's semantics: an expectation that cannot be established
+      // is not met) — the IS NULL arms keep the oracle aligned.
       "WITH r AS (SELECT count(*) AS n, " +
         "count(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS v_completeness, " +
         "count(*) - count(DISTINCT o_orderkey) AS v_uniqueness, " +
-        "count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS v_range, " +
-        "count(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END) AS v_domain " +
+        "count(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 END) AS v_range, " +
+        "count(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END) AS v_domain " +
         "FROM orders), " +
         "ref AS (SELECT count(*) AS v_referential FROM orders o " +
         "WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)), " +

@@ -82,6 +82,21 @@ object EndToEnd {
       .as[(String, Long)].collect().toMap
     println(s"""{"stage":"validate","status_counts":"${statusCounts.mkString(",")}"}""")
     require(statusCounts.getOrElse(PartitionState.Failed, 0L) == 0L, "validation failed partitions")
+    // Content expectations beside the A6 recount: the declarative gate
+    // (graft.ops.Expectations — q226's engine) over the run's payload.
+    // A publish must not proceed on rows the schema contract rejects.
+    val expectations = graft.ops.Expectations.evaluate(
+      sink.readAll().where(col("run_id") === run1.runId),
+      Seq(
+        graft.ops.Expectations.NotNull("event_id_present", "event_id"),
+        graft.ops.Expectations.Unique("event_id_unique", Seq("event_id")),
+        graft.ops.Expectations.NotNull("event_type_present", "event_type"),
+      ))
+    val gate = expectations
+      .select(col("rule"), col("n_violations"), col("pass"))
+      .as[(String, Long, Boolean)].collect()
+    println(s"""{"stage":"expectations","rules":"${gate.map(g => s"${g._1}=${g._2}").mkString(",")}"}""")
+    require(gate.forall(_._3), s"expectation gate failed: ${gate.filterNot(_._3).mkString(",")}")
 
     // ---- 3. reconcile + publish (J1/J2, D3) against an empty pointer set.
     val pointers0 = spark.createDataFrame(
