@@ -282,6 +282,36 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  // --- q226/Expectations: on ANY generated frame, every rule's
+  // violation count equals the straightforward Scala recount — the
+  // single-scan CASE-column compilation cannot drift from the rule's
+  // meaning, including the NULL-fails-predicate semantics.
+  private val gateRowsGen = Gen.listOfN(12, for {
+    k <- Gen.choose(1L, 6L) // collisions likely → uniqueness exercised
+    tag <- Gen.oneOf(Some("a"), Some("b"), Some("z"), None)
+    v <- Gen.oneOf(Some(1.0), Some(-1.0), None)
+  } yield (k, tag, v))
+
+  property("Expectations.evaluate matches a direct Scala recount on random frames") =
+    forAll(gateRowsGen) { rows =>
+      import graft.ops.Expectations
+      val df = rows.toDF("k", "tag", "v")
+      val got = Expectations.evaluate(df, Seq(
+        Expectations.NotNull("tag_present", "tag"),
+        Expectations.Unique("k_unique", Seq("k")),
+        Expectations.Predicate("v_positive", col("v") > 0),
+        Expectations.InSet("tag_domain", "tag", Seq("a", "b")),
+      )).collect().map(r =>
+        r.getAs[String]("rule") -> r.getAs[Long]("n_violations")).toMap
+      val expect = Map(
+        "tag_present" -> rows.count(_._2.isEmpty).toLong,
+        "k_unique" -> (rows.size - rows.map(_._1).distinct.size).toLong,
+        "v_positive" -> rows.count(r => !r._3.exists(_ > 0)).toLong,
+        "tag_domain" -> rows.count(r => !r._2.exists(Set("a", "b"))).toLong,
+      )
+      got == expect
+    }
+
   // --- q172/q182's layout claims, exhaustively: the 8-bit Morton
   // interleave is a bijection (both coordinates invert), and a
   // 256-wide curve range determines BOTH 16-value coordinate tiles —
