@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -335,8 +335,15 @@ object SimilarityPipeline {
         .groupBy("i")
         .agg(sum(col("c") * col("vj")).as("w"))
       val norm = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      // Rank-deficient guard: on a zero covariance (or a deflation
+      // that zeroed the residual — e.g. a corpus of exact duplicates)
+      // w ≡ 0 and the norm is 0; under ANSI this divide would THROW.
+      // A zero vector is the honest degenerate axis: projections
+      // collapse to 0 and the grid consumers' cell-0 fallback keeps
+      // their recall contract.
       v = w.crossJoin(norm) // 1-row norm anchor
-        .select(col("i"), (col("w") / col("nrm")).as("v"))
+        .select(col("i"),
+          (col("w") / when(col("nrm") > 0, col("nrm")).otherwise(lit(1.0))).as("v"))
       // pin every 3rd round (and the last). Measured alternatives at
       // bench scale: pin EVERY round = 30 eager jobs (slowest); NO
       // pins = the broadcast input of round k lazily re-executes the
@@ -415,10 +422,20 @@ object SimilarityPipeline {
       col("vec_id"),
       expr("transform(embedding, x -> CAST(x / greatest(sqrt(aggregate(transform(embedding, y -> CAST(y AS DOUBLE) * y), CAST(0 AS DOUBLE), (a, v) -> a + v)), CAST(1e-12 AS DOUBLE)) AS FLOAT))")
         .as("embedding"))
+    // Degenerate-corpus guard: on a rank-deficient normalized corpus
+    // (e.g. MANY exact duplicates — precisely a dedup query's input)
+    // the covariance or its deflation is the zero matrix, power
+    // iteration divides by a zero norm, and the projections come back
+    // NaN/NULL. Unguarded, those rows would get NULL cell keys and
+    // silently match NOTHING — breaking the lossless contract on the
+    // easiest possible pairs. Degenerate projections collapse to cell
+    // 0 instead: candidates inflate, recall survives (the documented
+    // trade direction: wrong candidates cost verify work, never
+    // answers).
+    def safeCell(p: Column): Column =
+      floor(coalesce(nanvl(p, lit(0d)), lit(0d)) / w).cast("long")
     val proj = pcaProject(normed, iters)
-      .select(col("vec_id"),
-        floor(col("p1") / w).cast("long").as("cx"),
-        floor(col("p2") / w).cast("long").as("cy"))
+      .select(col("vec_id"), safeCell(col("p1")).as("cx"), safeCell(col("p2")).as("cy"))
     val home = normed.join(proj, "vec_id")
     val probes = home.select(
       col("vec_id"), col("embedding"),

@@ -28,7 +28,11 @@ object Expectations {
   /** Column must be non-null. */
   final case class NotNull(name: String, column: String) extends Rule
 
-  /** Key set must be row-unique. */
+  /** Key set must be row-unique. Rows with a NULL in any key column
+    * are EXCLUDED from the uniqueness count — a duplicate cannot be
+    * asserted on an unknown key (pair the rule with [[NotNull]] on the
+    * same columns to reject the NULLs themselves).
+    */
   final case class Unique(name: String, columns: Seq[String]) extends Rule
 
   /** Column value must be a member of the (small, literal) set. */
@@ -50,11 +54,21 @@ object Expectations {
   def evaluate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "no expectations declared")
     require(rules.map(_.name).distinct.size == rules.size, "duplicate rule names")
+    // Names are spliced into generated column ids and a stack() expr —
+    // restrict to identifier-safe characters rather than escaping.
+    val badNames = rules.map(_.name).filterNot(_.matches("[A-Za-z][A-Za-z0-9_]*"))
+    require(badNames.isEmpty,
+      s"rule names must match [A-Za-z][A-Za-z0-9_]*: ${badNames.mkString(", ")}")
 
     def violationCol(r: Rule): Option[Column] = r match {
       case NotNull(n, c) => Some(count(when(col(c).isNull, 1)).as(s"v_$n"))
       case Unique(n, cs) =>
-        Some((count(lit(1)) - countDistinct(col(cs.head), cs.tail.map(col): _*)).as(s"v_$n"))
+        // countDistinct skips NULL keys, so the minuend must too —
+        // count(*) here would report every NULL-keyed row as a
+        // phantom duplicate.
+        val allKeysPresent = cs.map(col(_).isNotNull).reduce(_ && _)
+        Some((count(when(allKeysPresent, 1)) -
+          countDistinct(col(cs.head), cs.tail.map(col): _*)).as(s"v_$n"))
       case InSet(n, c, vs) =>
         // NULL is a domain violation too: it is not a member.
         Some(count(when(!coalesce(col(c).isInCollection(vs), lit(false)), 1)).as(s"v_$n"))

@@ -662,7 +662,9 @@ object RelationalQueries {
       // is not met) — the IS NULL arms keep the oracle aligned.
       "WITH r AS (SELECT count(*) AS n, " +
         "count(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS v_completeness, " +
-        "count(*) - count(DISTINCT o_orderkey) AS v_uniqueness, " +
+        // count(col), not count(*): NULL keys are excluded from the
+        // uniqueness count (the library's Unique semantics)
+        "count(o_orderkey) - count(DISTINCT o_orderkey) AS v_uniqueness, " +
         "count(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 END) AS v_range, " +
         "count(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END) AS v_domain " +
         "FROM orders), " +

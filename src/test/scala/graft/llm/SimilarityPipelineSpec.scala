@@ -246,6 +246,26 @@ class SimilarityPipelineSpec extends SparkSpec {
       s"lossless blocking violated: missed=${(truth -- found).take(5)} extra=${(found -- truth).take(5)}")
   }
 
+  test("pcaGridNearDupPairs survives a rank-deficient corpus: exact duplicates still pair (the NaN guard)") {
+    // 6 identical vectors + 2 mutually-orthogonal others: the
+    // normalized corpus is (near-)rank-deficient, power iteration can
+    // degenerate, and an unguarded projection would NULL the cell keys
+    // and lose the EASIEST pairs. All C(6,2)=15 cos=1.0 pairs must
+    // surface.
+    import org.apache.spark.sql.functions.col
+    val dim = 64
+    def vec(hot: Int): Seq[Float] = (0 until dim).map(i => if (i == hot) 1.0f else 0.0f)
+    val rows = (0 until 6).map(i => (i.toLong, vec(0), 0)) ++
+      Seq((6L, vec(1), 1), (7L, vec(2), 1))
+    val dir = java.nio.file.Files.createTempDirectory("q224degen").toString
+    rows.toDF("vec_id", "embedding", "label").write.parquet(s"$dir/embeddings.parquet")
+    val emb2 = graft.ops.Tables.embeddings(spark, dir)
+    val got = SimilarityPipeline.pcaGridNearDupPairs(emb2, 0.9, iters = 4)
+      .select(col("va"), col("vb")).as[(Long, Long)].collect().toSet
+    val want = (for { a <- 0 until 6; b <- a + 1 until 6 } yield (a.toLong, b.toLong)).toSet
+    assert(got == want, s"degenerate corpus lost pairs: missing=${want -- got} extra=${got -- want}")
+  }
+
   test("q217 hard negatives: band membership, per-anchor rank contract, dup pairs excluded") {
     val out = LlmQueries.q217.run(spark, sfDir)
       .as[(Long, Int, Long, Double)].collect()

@@ -30,6 +30,26 @@ class ExpectationsSpec extends SparkSpec {
     assert(got("tag_domain") == ((4L, 2L, false)))
   }
 
+  test("Unique: NULL-keyed rows are not phantom duplicates; real dups among them still count") {
+    val withNulls = Seq(
+      (Option(1L), "a"), (Option(1L), "b"), // one real duplicate
+      (Option.empty[Long], "c"), (Option.empty[Long], "d"), // two null keys — excluded
+    ).toDF("k", "tag")
+    val got = Expectations.evaluate(withNulls, Seq(
+      Expectations.Unique("k_unique", Seq("k")))).collect().head
+    assert(got.getAs[Long]("n_violations") == 1L,
+      "exactly the 1-vs-1 duplicate; NULL keys must not inflate the count")
+  }
+
+  test("identifier-unsafe rule names are rejected before any plan is built") {
+    intercept[IllegalArgumentException] {
+      Expectations.evaluate(table, Seq(Expectations.NotNull("tag present", "tag")))
+    }
+    intercept[IllegalArgumentException] {
+      Expectations.evaluate(table, Seq(Expectations.NotNull("o'key", "tag")))
+    }
+  }
+
   test("RefIntegrity counts orphan ROWS against the dimension key set") {
     val dim = Seq((1L, "x")).toDF("dk", "name")
     val got = Expectations.evaluate(table, Seq(

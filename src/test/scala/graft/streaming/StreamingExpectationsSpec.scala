@@ -73,17 +73,16 @@ class StreamingExpectationsSpec extends SparkSpec {
     assert(e.getMessage.contains("k_unique"))
   }
 
-  test("gateBatch replay with the same batch id appends a duplicate verdict row — readers dedupe by (batch_id, rule)") {
-    // foreachBatch replay semantics: the RESULTS table is append-only;
-    // the documented reader contract is latest-per-(batch_id, rule).
+  test("gateBatch replay appends to the raw log; results() absorbs it to one verdict per (batch_id, rule)") {
     val out = Files.createTempDirectory("sexpr").toString + "/results"
     val df = Seq(GateRow(1, "a", 1.0)).toDF()
     StreamingExpectations.gateBatch(rules, out)(df, 3L)
     StreamingExpectations.gateBatch(rules, out)(df, 3L)
+    // the raw append log keeps both attempts (the audit trail)...
+    assert(spark.read.parquet(out).where(col("batch_id") === 3L).count() == 2L * rules.size)
+    // ...and the reader contract is exactly one verdict per (batch, rule)
     val res = StreamingExpectations.results(spark, out)
-    assert(res.where(col("batch_id") === 3L).count() == 2 * rules.size)
-    val deduped = res.dropDuplicates("batch_id", "rule")
-    assert(deduped.count() == rules.size.toLong)
-    assert(deduped.collect().forall(_.getAs[Boolean]("pass")))
+    assert(res.count() == rules.size.toLong)
+    assert(res.collect().forall(_.getAs[Boolean]("pass")))
   }
 }
