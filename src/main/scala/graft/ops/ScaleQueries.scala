@@ -2048,9 +2048,98 @@ object ScaleQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q227 — t-closeness audit, the distribution-attack complement that
+  // completes the privacy ladder (q148 bounds class SIZE, q199 bounds
+  // distinct sensitive VALUES, this bounds the class's sensitive
+  // DISTRIBUTION): a class whose segment mix diverges from the
+  // corpus-wide mix leaks "people like this skew toward X" even when
+  // it is l-diverse — the skewness attack of Li/Li/Venkatasubramanian
+  // (ICDE'07). Per equivalence class over the q199 quasi-identifiers
+  // (nation, balance bucket) we compute the TOTAL-VARIATION distance
+  // between the class's market-segment distribution and the global
+  // one (= EMD under the uniform ground metric for a categorical
+  // sensitive attribute), then for t ∈ {1000, 2000} bp report the
+  // classes/rows breaching the threshold and the worst distance — the
+  // generalization target an anonymization pass must drive down.
+  //
+  // Determinism: TVD is evaluated in cross-multiplied integer form —
+  // Σ_s |cnt_cs·N − g_s·sz_c| accumulated in DECIMAL(38,0) (the
+  // products reach N², past BIGINT at warehouse row counts — the
+  // q147 rule), then (10⁴·Σ) div (2·sz_c·N) floors to basis points.
+  // No floats anywhere; absent cells coalesce to 0 so missing-value
+  // mass |0 − g_s·sz_c| is charged exactly.
+  //
+  // Scale: one groupBy over (QI, sensitive) — key space bounded by
+  // domain products, map-side combined; the class × global-mix grid
+  // is a BROADCAST cross join (the global frame has m = |sensitive
+  // domain| rows, bounded); every stage after the first scan runs on
+  // class-sized frames (the q148/q199 discipline — the fact is
+  // touched once).
+  val q227: QuerySpec = QuerySpec(
+    "q227_t_closeness",
+    (s, d) => {
+      val big = DecimalType(38, 0)
+      val cells = customer(s, d)
+        .select(
+          col("c_nationkey").as("nk"),
+          expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) div 200000").as("bal_k"),
+          col("c_mktsegment").as("sens"))
+        .groupBy("nk", "bal_k", "sens")
+        .agg(count(lit(1)).as("cnt"))
+      val glob = cells.groupBy("sens").agg(sum("cnt").cast(big).as("g"))
+      val tot = glob.agg(sum("g").cast(big).as("n_total"))
+      val classes = cells.groupBy("nk", "bal_k").agg(sum("cnt").cast(big).as("sz"))
+      val tvd = classes
+        .crossJoin(broadcast(glob)) // m-row sensitive-domain grid
+        .join(cells, Seq("nk", "bal_k", "sens"), "left")
+        .crossJoin(tot) // 1-row corpus anchor
+        .select(col("nk"), col("bal_k"), col("sz"), col("n_total"),
+          abs(coalesce(col("cnt"), lit(0L)).cast(big) * col("n_total") -
+            col("g") * col("sz")).as("dev"))
+        .groupBy("nk", "bal_k", "sz", "n_total")
+        .agg(sum("dev").as("sdev"))
+        .select(col("sz"),
+          expr("CAST((10000 * sdev) div (2 * sz * n_total) AS BIGINT)").as("tvd_bp"))
+      tvd
+        .select(col("tvd_bp"), col("sz"),
+          explode(array(lit(1000L), lit(2000L))).as("t_bp"))
+        .groupBy("t_bp")
+        .agg(
+          sum(when(col("tvd_bp") > col("t_bp"), 1L).otherwise(0L)).as("classes_at_risk"),
+          coalesce(sum(when(col("tvd_bp") > col("t_bp"), col("sz"))), lit(0).cast(big))
+            .cast("long").as("rows_at_risk"),
+          coalesce(max(when(col("tvd_bp") > col("t_bp"), col("tvd_bp"))), lit(0L))
+            .as("worst_tvd_bp"),
+          count(lit(1)).as("classes_total"))
+        .orderBy("t_bp")
+    },
+    Some(
+      "WITH q AS (SELECT c_nationkey AS nk, " +
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) // 200000 AS bal_k, " +
+        "c_mktsegment AS sens FROM customer), " +
+        "cells AS (SELECT nk, bal_k, sens, count(*) AS cnt FROM q GROUP BY 1,2,3), " +
+        "glob AS (SELECT sens, CAST(sum(cnt) AS HUGEINT) AS g FROM cells GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(g) AS HUGEINT) AS n_total FROM glob), " +
+        "cl AS (SELECT nk, bal_k, CAST(sum(cnt) AS HUGEINT) AS sz FROM cells GROUP BY 1,2), " +
+        "tvd AS (SELECT cl.nk, cl.bal_k, cl.sz, " +
+        "CAST((10000 * sum(abs(CAST(coalesce(cells.cnt, 0) AS HUGEINT) * tot.n_total - glob.g * cl.sz))) " +
+        "// (2 * cl.sz * tot.n_total) AS BIGINT) AS tvd_bp " +
+        "FROM cl CROSS JOIN glob CROSS JOIN tot " +
+        "LEFT JOIN cells ON cells.nk = cl.nk AND cells.bal_k = cl.bal_k AND cells.sens = glob.sens " +
+        "GROUP BY cl.nk, cl.bal_k, cl.sz, tot.n_total) " +
+        "SELECT t.t_bp, " +
+        "CAST(count(*) FILTER (WHERE tvd_bp > t.t_bp) AS BIGINT) AS classes_at_risk, " +
+        "CAST(coalesce(sum(sz) FILTER (WHERE tvd_bp > t.t_bp), 0) AS BIGINT) AS rows_at_risk, " +
+        "CAST(coalesce(max(tvd_bp) FILTER (WHERE tvd_bp > t.t_bp), 0) AS BIGINT) AS worst_tvd_bp, " +
+        "CAST(count(*) AS BIGINT) AS classes_total " +
+        "FROM tvd, (SELECT unnest([1000, 2000]) AS t_bp) t GROUP BY 1 ORDER BY t_bp"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q87, q187, q90, q93, q94, q95, q96, q97, q100, q101, q102, q105, q106, q107,
       q108, q109, q110, q112, q124, q129, q132, q133, q144, q147, q148, q154,
       q155, q158, q159, q160, q161, q162, q163, q165, q166, q167, q199, q200, q204,
-      q206, q220)
+      q206, q220, q227)
 }
