@@ -2119,14 +2119,17 @@ object ScaleQueries {
         "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) // 200000 AS bal_k, " +
         "c_mktsegment AS sens FROM customer), " +
         "cells AS (SELECT nk, bal_k, sens, count(*) AS cnt FROM q GROUP BY 1,2,3), " +
-        "glob AS (SELECT sens, CAST(sum(cnt) AS HUGEINT) AS g FROM cells GROUP BY 1), " +
-        "tot AS (SELECT CAST(sum(g) AS HUGEINT) AS n_total FROM glob), " +
+        // CTE is `gmix`, not `glob`: GLOB is a reserved DuckDB keyword
+        // (the match operator) and an identifier named after it fails
+        // to parse — the round-6 driver gate caught exactly this.
+        "gmix AS (SELECT sens, CAST(sum(cnt) AS HUGEINT) AS g FROM cells GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(g) AS HUGEINT) AS n_total FROM gmix), " +
         "cl AS (SELECT nk, bal_k, CAST(sum(cnt) AS HUGEINT) AS sz FROM cells GROUP BY 1,2), " +
         "tvd AS (SELECT cl.nk, cl.bal_k, cl.sz, " +
-        "CAST((10000 * sum(abs(CAST(coalesce(cells.cnt, 0) AS HUGEINT) * tot.n_total - glob.g * cl.sz))) " +
+        "CAST((10000 * sum(abs(CAST(coalesce(cells.cnt, 0) AS HUGEINT) * tot.n_total - gmix.g * cl.sz))) " +
         "// (2 * cl.sz * tot.n_total) AS BIGINT) AS tvd_bp " +
-        "FROM cl CROSS JOIN glob CROSS JOIN tot " +
-        "LEFT JOIN cells ON cells.nk = cl.nk AND cells.bal_k = cl.bal_k AND cells.sens = glob.sens " +
+        "FROM cl CROSS JOIN gmix CROSS JOIN tot " +
+        "LEFT JOIN cells ON cells.nk = cl.nk AND cells.bal_k = cl.bal_k AND cells.sens = gmix.sens " +
         "GROUP BY cl.nk, cl.bal_k, cl.sz, tot.n_total) " +
         "SELECT t.t_bp, " +
         "CAST(count(*) FILTER (WHERE tvd_bp > t.t_bp) AS BIGINT) AS classes_at_risk, " +

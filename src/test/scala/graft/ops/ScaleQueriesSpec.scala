@@ -380,4 +380,33 @@ class ScaleQueriesSpec extends SparkSpec {
         x.getAs[Long]("n_dominant_parts")))
     assert(r.toSeq == Seq((1L, "S1", 2L), (2L, "S2", 1L)))
   }
+
+  test("q227 t-closeness: planted skewed classes fire per threshold with exact TVD") {
+    val dir = java.nio.file.Files.createTempDirectory("q227fix").toString
+    // Three classes over segments {A, B}; corpus mix 24 A / 6 B (N=30).
+    //   class (nk=0, bal_k=0): 3 B            → TVD 8000 bp (breaches both t)
+    //   class (nk=0, bal_k=1): 3 A            → TVD 2000 bp (breaches t=1000
+    //                                            ONLY — strict >, not ≥, at t=2000)
+    //   class (nk=2, bal_k=0): 21 A + 3 B     → TVD  750 bp (safe at both)
+    // The two nk=0 classes share a nation and differ only in the acctbal
+    // bucket (100.00 → bal_k 0; 2500.00 → 250000 div 200000 = 1), pinning
+    // that the class key is the JOINT (nation, balance-bucket) QI.
+    // Hand arithmetic for class1: Σ_s |cnt·N − g·sz| = |0−24·3| + |90−18|
+    // = 144 → 10⁴·144 div (2·3·30) = 8000; class2: 18+18=36 → 2000;
+    // class3: 54+54=108 → 10⁴·108 div (2·24·30) = 750.
+    val rows =
+      Seq.tabulate(3)(i => (100L + i, s"c$i", 0, 100.0, "B")) ++
+        Seq.tabulate(3)(i => (200L + i, s"d$i", 0, 2500.0, "A")) ++
+        Seq.tabulate(21)(i => (300L + i, s"e$i", 2, 100.0, "A")) ++
+        Seq.tabulate(3)(i => (400L + i, s"f$i", 2, 100.0, "B"))
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    val r = ScaleQueries.q227.run(spark, dir).collect()
+      .map(x => x.getAs[Long]("t_bp") ->
+        ((x.getAs[Long]("classes_at_risk"), x.getAs[Long]("rows_at_risk"),
+          x.getAs[Long]("worst_tvd_bp"), x.getAs[Long]("classes_total"))))
+      .toMap
+    assert(r(1000L) == ((2L, 6L, 8000L, 3L)))
+    assert(r(2000L) == ((1L, 3L, 8000L, 3L)))
+  }
 }
