@@ -14,6 +14,17 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Preflight: refuse to dump a registry that contains queries not
+    // declared in SURVEY §2.3 — an undeclared registration is exactly
+    // the unverified-landing failure mode round 6 shipped (q227).
+    // Skipped when SURVEY.md isn't in the cwd (portable runs).
+    val survey = Paths.get("SURVEY.md")
+    if (Files.exists(survey)) {
+      val missing = ops.Registry.undeclaredIn(Files.readString(survey))
+      require(missing.isEmpty,
+        s"registered queries undeclared in SURVEY §2.3: ${missing.mkString(", ")} " +
+          "— declare (and spec + oracle-check) them before the driver dump")
+    }
     new java.io.File(outDir).mkdirs()
     // Dev-only subset knob (mirrors Bench): the driver always runs the
     // full set; a builder iterating on one query shouldn't re-dump 90.

@@ -23,4 +23,14 @@ object Registry {
 
   def oracleSql: Map[String, String] =
     ListMap(all.flatMap(q => q.oracle.map(q.name -> _)): _*)
+
+  /** Registered names NOT declared in SURVEY §2.3 (the binding t2
+    * list — every query must appear there as a literal `qNN_name`
+    * backtick token). Round 6 landed a query in a snapshot commit with
+    * no declaration, no spec, and a broken oracle; both `Verify`'s
+    * preflight and `RegistryIntegritySpec` call this so an undeclared
+    * registration now fails loudly before it can ship.
+    */
+  def undeclaredIn(surveyText: String): Seq[String] =
+    all.map(_.name).filterNot(n => surveyText.contains(s"`$n`"))
 }
