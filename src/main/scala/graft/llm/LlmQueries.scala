@@ -721,24 +721,36 @@ object LlmQueries {
   // neighborhood, verify exact full-space cosine. Projection CONTRACTS
   // distance, so every qualifying pair meets within one cell offset —
   // recall 1.0 by construction (vs q38's probabilistic sign-LSH
-  // recall; measured on this corpus at sf0.01: 59 true pairs vs
-  // q38's 43). Wrong candidates cost verify work, never answers —
-  // and the OPERATING ENVELOPE is explicit: blocking power is
-  // threshold-parametric (w = √(2(1−t))), so at production semantic-
-  // dedup thresholds (t ≥ 0.8, w ≤ 0.63) cells genuinely thin, while
-  // at this corpus's loose t = 0.4 (w ≈ 1.1 on a unit-disk projection)
-  // the grid degenerates toward verify-everything — same answers,
-  // no speedup (SCALE_NOTES measures exactly that). Iteration count
-  // only buys precision, never recall — the guarantee holds for ANY
-  // orthonormal axes — so the index build runs few iterations.
+  // recall). Round 6 registered the grid UNCONDITIONALLY at a
+  // degenerate t = 0.4 and measured 9.7× at a 16× corpus — the plan
+  // that dies at 100×. Round 7 measured WHY and fixed the operator
+  // rather than just the operating point: grid thinning requires the
+  // top-2 axes to carry real variance, and THIS synthetic corpus is
+  // isotropic (λ₁ ≈ λ₂ ≈ 0.02, projections within ±0.5), where NO
+  // lossless metric filter — projection, pivot, or bounding-box —
+  // prunes anything at any useful threshold (distance concentration).
+  // So the registered operator is the ADAPTIVE cascade
+  // (`adaptiveNearDupPairs`): plan the physical strategy from data
+  // statistics, AQE-style — compute the grid cell histogram (tiny,
+  // linear), take the LOSSLESS grid when it implies ≤ budget·N
+  // candidates (anisotropic / clustered corpora — which near-dup-rich
+  // corpora are), else fall back to the linear sign-LSH generator with
+  // exact verification (the documented probabilistic-recall trade).
+  // On this corpus: fallback branch, whose honest answer at the
+  // production threshold t = 0.8 is zero pairs (max inter-vector
+  // cosine < 0.6, measured) — spec-pinned against brute force.
+  // Sub-7/9 thresholds fail the geometry rail loudly in BOTH entry
+  // points. Axes are explicitly Gram–Schmidt-orthogonalized, so the
+  // contraction guarantee holds for any iteration count.
   //
-  // Rows-only (float scores); lossless recall + dedupe + band
-  // properties pinned in SimilarityPipelineSpec.
+  // Rows-only (float scores); lossless recall, planted-envelope
+  // detection, branch choice (plan-pinned), rail boundary, and
+  // corpus-emptiness properties in SimilarityPipelineSpec.
   val q224: QuerySpec = QuerySpec(
     "q224_pca_grid_near_dup",
     (s, d) =>
       SimilarityPipeline
-        .pcaGridNearDupPairs(embeddings(s, d), threshold = 0.4, iters = 6)
+        .adaptiveNearDupPairs(embeddings(s, d), threshold = 0.8, iters = 6)
         .select(col("va"), col("vb"), round(col("cos"), 4).as("cos"))
         .orderBy("va", "vb"),
     None,

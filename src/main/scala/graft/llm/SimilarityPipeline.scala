@@ -377,8 +377,26 @@ object SimilarityPipeline {
       .select(col("i"), col("j"), (col("c") - col("l1") * col("vi") * col("vj")).as("c"))
       .localCheckpoint(true)
     val v2 = powerIteration(deflated, iters)
-    v1.select(col("i"), col("v").as("a1"))
+    val axes = v1.select(col("i"), col("v").as("a1"))
       .join(v2.select(col("i"), col("v").as("a2")), Seq("i"))
+    // One explicit Gram–Schmidt step: the deflation above uses the
+    // Rayleigh quotient of a possibly-UNCONVERGED v1 (grid consumers
+    // deliberately run few iterations), so a2 can retain a residual
+    // component along a1 — and a non-orthogonal 2-D projection is
+    // slightly distance-DILATING, which would turn the grid's
+    // "projection contracts distance" recall guarantee probabilistic
+    // at cell-width boundaries. Re-orthogonalizing (a2 ← normalize(a2
+    // − (a1·a2)·a1); two more d-row passes) restores the contraction
+    // property for ANY iteration count. Zero-norm guard as in
+    // powerIteration: if a2 was (numerically) parallel to a1 the
+    // residual axis is honestly zero.
+    val d12 = axes.agg(sum(col("a1") * col("a2")).as("d12"))
+    val resid = axes.crossJoin(d12) // 1-row dot anchor
+      .select(col("i"), col("a1"), (col("a2") - col("d12") * col("a1")).as("r"))
+    val rn = resid.agg(sqrt(sum(col("r") * col("r"))).as("rn"))
+    resid.crossJoin(rn) // 1-row norm anchor
+      .select(col("i"), col("a1"),
+        (col("r") / when(col("rn") > 0, col("rn")).otherwise(lit(1.0))).as("a2"))
   }
 
   /** Top-2 principal axes and the corpus projected onto them. Returns
@@ -416,26 +434,56 @@ object SimilarityPipeline {
     * cell neighborhood; a qualifying pair meets in exactly one
     * (probe, home) combination under the va < vb order.
     */
-  def pcaGridNearDupPairs(corpus: DataFrame, threshold: Double, iters: Int = 15): DataFrame = {
+  def pcaGridNearDupPairs(
+      corpus: DataFrame,
+      threshold: Double,
+      iters: Int = 15,
+      maxCellWidth: Double = 2.0 / 3): DataFrame = {
     val w = math.sqrt(2.0 * (1.0 - threshold))
-    val normed = corpus.select(
+    // Candidate-budget rail: projections of unit vectors live in the
+    // unit disk, so each axis spans at most [-1, 1]. When the 3×3
+    // probe window (3 cells of width w) covers that whole span — 3w ≥
+    // 2, i.e. threshold ≤ 7/9 — blocking is structurally OFF: every
+    // vector probes every occupied cell and candidates go quadratic,
+    // the plan that dies at 100×. Answers would still be correct
+    // (losslessness never depended on w), so failing LOUDLY here is
+    // the only way the misconfiguration surfaces. Production semantic
+    // dedup (t ≥ 0.8 ⇒ w ≤ 0.63) passes; stress/recall specs that
+    // WANT the degenerate regime opt out via maxCellWidth.
+    require(w <= maxCellWidth,
+      f"pca-grid cell width $w%.3f exceeds $maxCellWidth%.3f (threshold $threshold%.2f ≤ 7/9" +
+        " ⇒ 3×3 probe covers the whole projected span ⇒ super-linear candidates);" +
+        " raise the threshold or opt out explicitly for stress testing")
+    val normed = l2Normalized(corpus)
+    gridPairs(normed, gridCells(normed, w, iters), threshold)
+  }
+
+  private def l2Normalized(corpus: DataFrame): DataFrame =
+    corpus.select(
       col("vec_id"),
       expr("transform(embedding, x -> CAST(x / greatest(sqrt(aggregate(transform(embedding, y -> CAST(y AS DOUBLE) * y), CAST(0 AS DOUBLE), (a, v) -> a + v)), CAST(1e-12 AS DOUBLE)) AS FLOAT))")
         .as("embedding"))
-    // Degenerate-corpus guard: on a rank-deficient normalized corpus
-    // (e.g. MANY exact duplicates — precisely a dedup query's input)
-    // the covariance or its deflation is the zero matrix, power
-    // iteration divides by a zero norm, and the projections come back
-    // NaN/NULL. Unguarded, those rows would get NULL cell keys and
-    // silently match NOTHING — breaking the lossless contract on the
-    // easiest possible pairs. Degenerate projections collapse to cell
-    // 0 instead: candidates inflate, recall survives (the documented
-    // trade direction: wrong candidates cost verify work, never
-    // answers).
+
+  /** (vec_id, cx, cy) grid keys at cell width w over the learned top-2
+    * axes. Degenerate-corpus guard: on a rank-deficient normalized
+    * corpus (e.g. MANY exact duplicates — precisely a dedup query's
+    * input) the covariance or its deflation is the zero matrix, power
+    * iteration divides by a zero norm, and the projections come back
+    * NaN/NULL. Unguarded, those rows would get NULL cell keys and
+    * silently match NOTHING — breaking the lossless contract on the
+    * easiest possible pairs. Degenerate projections collapse to cell 0
+    * instead: candidates inflate, recall survives (the documented
+    * trade direction: wrong candidates cost verify work, never
+    * answers).
+    */
+  private def gridCells(normed: DataFrame, w: Double, iters: Int): DataFrame = {
     def safeCell(p: Column): Column =
       floor(coalesce(nanvl(p, lit(0d)), lit(0d)) / w).cast("long")
-    val proj = pcaProject(normed, iters)
+    pcaProject(normed, iters)
       .select(col("vec_id"), safeCell(col("p1")).as("cx"), safeCell(col("p2")).as("cy"))
+  }
+
+  private def gridPairs(normed: DataFrame, proj: DataFrame, threshold: Double): DataFrame = {
     val home = normed.join(proj, "vec_id")
     val probes = home.select(
       col("vec_id"), col("embedding"),
@@ -451,5 +499,52 @@ object SimilarityPipeline {
         col("b.vec_id").as("vb"),
         graft.functions.VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
       .where(col("cos") >= threshold)
+  }
+
+  /** Candidate pairs the 3×3 grid probe would generate, computed from
+    * the CELL HISTOGRAM only — tiny (≤ occupied-cell count squared per
+    * probe window), never touches vectors. The applicability statistic
+    * the adaptive near-dup operator plans from.
+    */
+  def gridImpliedCandidates(proj: DataFrame): Long = {
+    val hist = proj.groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+    val ordered = hist.as("a")
+      .join(hist.as("b"),
+        abs(col("a.cx") - col("b.cx")) <= 1 && abs(col("a.cy") - col("b.cy")) <= 1)
+      .agg(coalesce(sum(col("a.n") * col("b.n")), lit(0L)).cast("long"))
+      .head().getLong(0)
+    val n = proj.count()
+    (ordered - n) / 2 // drop self-pairs, halve the mirror
+  }
+
+  /** Near-dup pairs (va, vb, cos ≥ threshold) with the physical
+    * strategy chosen FROM DATA STATISTICS — the AQE pattern applied to
+    * blocking. The lossless PCA grid only thins when the top-2 axes
+    * carry real variance (clustered / anisotropic corpora — which
+    * near-dup-rich corpora are); on an ISOTROPIC corpus every
+    * projection-, pivot-, or box-based lossless filter degenerates to
+    * all-pairs (distance concentration — there is provably no lossless
+    * sub-quadratic path), so the honest scale fallback is the linear
+    * sign-LSH candidate generator with exact verification
+    * (probabilistic recall, the documented q38 trade). The decision
+    * statistic is the grid's own cell histogram: tiny, linear to
+    * compute, and exact for the cost it predicts. Grid projections are
+    * pinned before the histogram so the chosen branch never recomputes
+    * the PCA.
+    */
+  def adaptiveNearDupPairs(
+      corpus: DataFrame,
+      threshold: Double,
+      iters: Int = 6,
+      budgetFactor: Double = 8.0): DataFrame = {
+    val w = math.sqrt(2.0 * (1.0 - threshold))
+    require(w <= 2.0 / 3,
+      f"adaptive near-dup needs threshold > 7/9 (got $threshold%.2f): below it the 3×3" +
+        " probe cannot thin ANY corpus and grid applicability is moot")
+    val normed = l2Normalized(corpus)
+    val n = corpus.count()
+    val proj = gridCells(normed, w, iters).localCheckpoint(true) // the index artifact: N×3
+    if (gridImpliedCandidates(proj) <= budgetFactor * n) gridPairs(normed, proj, threshold)
+    else annNearDupPairs(corpus, threshold, cellBits(n))
   }
 }

@@ -190,8 +190,12 @@ class SimilarityPipelineSpec extends SparkSpec {
     val (a1, a2) = (axes.map(_._2), axes.map(_._3))
     assert(math.abs(a1.map(x => x * x).sum - 1.0) < 1e-9, "a1 unit norm")
     assert(math.abs(a2.map(x => x * x).sum - 1.0) < 1e-9, "a2 unit norm")
+    // Exact orthogonality is now GUARANTEED by the explicit
+    // Gram–Schmidt step in topTwoAxes (not merely approached as
+    // iterations converge) — the contraction property of the 2-D
+    // projection depends on it, so pin it tight.
     val dot = a1.zip(a2).map { case (x, y) => x * y }.sum
-    assert(math.abs(dot) < 0.05, s"axes must be near-orthogonal, dot=$dot")
+    assert(math.abs(dot) < 1e-9, s"axes must be orthogonal after Gram–Schmidt, dot=$dot")
     // determinism: a second full run reproduces the projection
     val again = pcaProject(emb, iters = 15).as[(Long, Double, Double)].collect()
     val m1 = proj.map(r => r._1 -> (r._2, r._3)).toMap
@@ -228,7 +232,12 @@ class SimilarityPipelineSpec extends SparkSpec {
   }
 
   test("pcaGridNearDupPairs: LOSSLESS recall (the contraction guarantee), no dupes, no false positives") {
-    val grid = SimilarityPipeline.pcaGridNearDupPairs(emb, 0.4, iters = 8)
+    // t = 0.4 is BELOW the envelope rail (w ≈ 1.1 > 2/3): the grid
+    // degenerates toward verify-everything, which is exactly what this
+    // stress case wants — maximal true pairs to check losslessness
+    // against. Opt out of the rail explicitly.
+    val grid = SimilarityPipeline
+      .pcaGridNearDupPairs(emb, 0.4, iters = 8, maxCellWidth = Double.PositiveInfinity)
       .as[(Long, Long, Double)].collect()
     assert(grid.forall(_._3 >= 0.4))
     assert(grid.map(p => (p._1, p._2)).distinct.length == grid.length,
@@ -244,6 +253,87 @@ class SimilarityPipelineSpec extends SparkSpec {
     assert(truth.nonEmpty, "fixture corpus must contain ≥0.4-cosine pairs")
     assert(found == truth,
       s"lossless blocking violated: missed=${(truth -- found).take(5)} extra=${(found -- truth).take(5)}")
+  }
+
+  test("pcaGridNearDupPairs: envelope rail rejects sub-7/9 thresholds loudly, opt-out works") {
+    val e = intercept[IllegalArgumentException] {
+      SimilarityPipeline.pcaGridNearDupPairs(emb, 0.4, iters = 2)
+    }
+    assert(e.getMessage.contains("super-linear candidates"))
+    // 7/9 boundary: just above passes, just below throws
+    SimilarityPipeline.pcaGridNearDupPairs(emb.limit(0), 7.0 / 9 + 1e-9, iters = 2)
+    intercept[IllegalArgumentException] {
+      SimilarityPipeline.pcaGridNearDupPairs(emb.limit(0), 7.0 / 9 - 1e-3, iters = 2)
+    }
+  }
+
+  test("q224 adaptive mode: planted high-cos pairs found losslessly via the GRID branch; corpus takes the fallback and its empty answer matches brute force") {
+    // The registered q224 runs adaptiveNearDupPairs at t = 0.8. Pins:
+    // (1) a small clustered (anisotropic) corpus takes the LOSSLESS
+    // grid branch (plan carries the 3×3 probe explode) and finds
+    // exactly the brute-force truth; (2) the real corpus — isotropic,
+    // grid-inapplicable — takes the sign-LSH fallback branch (no probe
+    // explode in the plan) and its empty answer is CORRECT, not a
+    // silent blocking miss: brute force over all pairs is empty too;
+    // (3) the histogram statistic itself says quadratic on the corpus.
+    val dim = 64
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    // 10 base directions; for 4 of them plant a partner at cos ≈ 0.9
+    // (mix with a fresh orthogonalized perturbation)
+    val bases = Array.fill(10)(unit())
+    val planted = bases.zipWithIndex.flatMap { case (b, k) =>
+      val self = Seq((k.toLong, b.map(_.toFloat).toSeq))
+      if (k < 4) {
+        val p = unit()
+        val d = b.zip(p).map { case (x, y) => x * y }.sum
+        val r = b.zip(p).map { case (x, y) => y - d * x }
+        val rn = math.sqrt(r.map(x => x * x).sum)
+        val mix = b.zip(r).map { case (x, y) => 0.9 * x + math.sqrt(1 - 0.81) * y / rn }
+        self :+ ((100L + k, mix.map(_.toFloat).toSeq))
+      } else self
+    }
+    val dir = java.nio.file.Files.createTempDirectory("q224env").toString
+    planted.toSeq.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val corpus = graft.ops.Tables.embeddings(spark, dir)
+    val adaptivePlanted = SimilarityPipeline.adaptiveNearDupPairs(corpus, 0.8, iters = 6)
+    // (1a) branch pin: the clustered fixture must take the grid branch
+    // — its plan carries the 3×3 probe explode over sequence(-1, 1)
+    assert(adaptivePlanted.queryExecution.analyzed.toString.contains("sequence(-1, 1"),
+      "planted anisotropic corpus should take the lossless GRID branch")
+    val got = adaptivePlanted
+      .select(col("va"), col("vb")).as[(Long, Long)].collect().toSet
+    val e2 = corpus.select(col("vec_id"), col("embedding"))
+    val truth = e2.as("a").join(e2.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        graft.functions.VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .where(col("c") >= 0.8).as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2)).toSet
+    assert(truth.size == 4, s"fixture must plant exactly 4 qualifying pairs, got ${truth.size}")
+    assert(got == truth, s"grid-branch blocking missed pairs: ${truth -- got}")
+    // (2) the registered corpus run takes the FALLBACK branch (no
+    // probe explode) and its empty answer ≡ brute-force empty
+    val adaptiveCorpus = SimilarityPipeline.adaptiveNearDupPairs(emb, 0.8, iters = 6)
+    assert(!adaptiveCorpus.queryExecution.analyzed.toString.contains("sequence(-1, 1"),
+      "isotropic corpus should take the sign-LSH fallback branch")
+    assert(LlmQueries.q224.run(spark, sfDir).count() == 0)
+    val eC = emb.select(col("vec_id"), col("embedding"))
+    val bruteEmpty = eC.as("a").join(eC.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(graft.functions.VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .where(col("c") >= 0.8).count()
+    assert(bruteEmpty == 0, "corpus unexpectedly contains ≥0.8 pairs — emptiness pin stale")
+    // (3) the decision statistic: grid-implied candidates on the
+    // isotropic corpus exceed any linear budget (they are ~all pairs)
+    val n = emb.count()
+    val w = math.sqrt(2.0 * (1.0 - 0.8))
+    val projC = SimilarityPipeline.pcaProject(emb, iters = 4)
+      .select(col("vec_id"),
+        floor(col("p1") / w).cast("long").as("cx"),
+        floor(col("p2") / w).cast("long").as("cy"))
+    assert(SimilarityPipeline.gridImpliedCandidates(projC) > 8.0 * n)
   }
 
   test("pcaGridNearDupPairs survives a rank-deficient corpus: exact duplicates still pair (the NaN guard)") {
