@@ -657,8 +657,16 @@ object TimeSeriesQueries {
         .orderBy("flag")
     },
     Some(
+      // trunc() before the BIGINT cast: revenueDecimal has scale 6, so
+      // ~every daily cell carries fractional cents — Spark's decimal→
+      // long cast TRUNCATES while DuckDB's CAST rounds, and without
+      // trunc the two engines would build different cents series (the
+      // r6 oracle matched only because the MAE division absorbed the
+      // drift — a latent flake, ADVICE r6 item 2). Every other cents
+      // query multiplies a scale-2 decimal by 100 (exact), where the
+      // cast semantics can't diverge.
       "WITH daily AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day, " +
-        s"CAST(${Exact.revenueDecimalSql} * 100 AS BIGINT) AS cents FROM lineitem GROUP BY 1, 2) " +
+        s"CAST(trunc(${Exact.revenueDecimalSql} * 100) AS BIGINT) AS cents FROM lineitem GROUP BY 1, 2) " +
         "SELECT d.flag AS flag, " +
         "count(s7.cents) AS n_seasonal, " +
         "CAST(sum(abs(d.cents - s7.cents)) // greatest(count(s7.cents), 1) AS BIGINT) AS mae_seasonal_cents, " +

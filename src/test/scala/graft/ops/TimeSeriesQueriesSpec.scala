@@ -174,4 +174,24 @@ class TimeSeriesQueriesSpec extends SparkSpec {
     assert(row.getAs[Long]("mae_persist_cents") == 1500L)
     assert(row.getAs[Boolean]("seasonal_wins"))
   }
+
+  test("q225: fractional cents TRUNCATE (never round) — the cast semantics both engines must share") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q225trunc").toString
+    // day 1 revenue = 10.01 × (1 − 0.05) = 9.5095 → 950 cents ONLY
+    // under truncation (rounding gives 951); day 2 = 20.00 → 2000.
+    // Persistence MAE = 2000 − 950 = 1050; a round-semantics engine
+    // would report 1049. Pins ADVICE r6 item 2: Spark's decimal→long
+    // cast truncates, so the oracle wraps its cents in trunc().
+    Seq(("1995-01-01", 10.01, 0.05), ("1995-01-02", 20.00, 0.0))
+      .toDF("d", "l_extendedprice", "l_discount")
+      .select(to_timestamp(col("d")).as("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"), lit("A").as("l_returnflag"))
+      .write.parquet(s"$dir/lineitem.parquet")
+    val row = TimeSeriesQueries.q225.run(spark, dir).collect().head
+    assert(row.getAs[Long]("n_persist") == 1L)
+    assert(row.getAs[Long]("mae_persist_cents") == 1050L,
+      "fractional cents must truncate: 9.5095 → 950, not 951")
+  }
 }
