@@ -73,4 +73,68 @@ object MinHash {
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("int")
+
+  // ------------------------------------------------------------------
+  // Portable (cross-engine) variants. xxhash64 exists only in Spark;
+  // md5 is bit-identical in every engine, which upgrades the MinHash /
+  // SimHash queries from property-pinned to DuckDB-hash-pinned. The
+  // 60-bit value is the first 15 md5 hex chars — 15 because 16 would
+  // need unsigned 64-bit parsing that signed BIGINT engines disagree
+  // on, and 60 bits lose nothing for min-hashing or bit votes. At
+  // 100 TB swap `portableHash60` back to xxhash64 (same plan shape,
+  // ~3× cheaper per hash); the hash CHOICE is semantically free —
+  // that is exactly what makes the portable form a valid oracle.
+  // ------------------------------------------------------------------
+
+  /** First 60 bits of md5, as a non-negative long. DuckDB mirror:
+    * `CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)`.
+    */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Mersenne prime 2⁶¹−1: the Carter–Wegman modulus. Both engines
+    * compute (a·h + b) mod p exactly — Spark in DECIMAL(38,0), DuckDB
+    * in HUGEINT — because a,b,h < 2⁶¹ keeps the product under 2¹²² ≪
+    * the 38-digit ceiling.
+    */
+  val MersenneP: Long = (1L << 61) - 1
+
+  /** Per-function universal-hash constants, derived from md5 so SQL
+    * oracles regenerate them verbatim: aᵢ = md5₆₀("a|i") + 1 (nonzero),
+    * bᵢ = md5₆₀("b|i"). Both < 2⁶⁰ < p.
+    */
+  def cwConstants(i: Int): (Long, Long) = {
+    def md5_60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    (md5_60(s"a|$i") + 1, md5_60(s"b|$i"))
+  }
+
+  /** The i-th universal rehash of a 60-bit base hash:
+    * (aᵢ·h + bᵢ) mod (2⁶¹−1), exact in decimal arithmetic. A cleaner
+    * MinHash family than per-function string hashing (Carter–Wegman
+    * 2-universality is what Broder's estimate analysis assumes).
+    */
+  def cwRehash(h: Column, i: Int): Column = {
+    val (a, b) = cwConstants(i)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    ((h.cast(dec) * lit(a) + lit(b)) % lit(MersenneP)).cast("long")
+  }
+
+  /** 60-bit SimHash over a token array with the portable hash: same
+    * vote construction as [[simHash]], bits 0–59.
+    */
+  def simHashPortable(tokens: Column): Column = {
+    val hashes = transform(tokens, t => portableHash60(t))
+    (0 until 60).map { bit =>
+      val votes = aggregate(
+        hashes,
+        lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << bit)) =!= 0L, 1L).otherwise(-1L),
+      )
+      when(votes > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
 }

@@ -161,35 +161,78 @@ object LlmQueries {
   // q31 — MinHash-LSH near-dup: the scalable candidate generator.
   // signature(64 hashes) → 16 bands × 4 rows → band-key equijoin →
   // candidates verified by *estimated* jaccard ≥ 0.5 on the signature.
-  // Shuffle volume O(N·bands); no all-pairs anywhere. No oracle
-  // (hash-defined); MinHashSpec asserts it recovers exactly the q30
-  // pairs on the test corpus.
+  // Shuffle volume O(N·bands); no all-pairs anywhere.
+  //
+  // Oracle-checked since round 7: the registered run uses the PORTABLE
+  // hash family — md5-prefix 60-bit base hash per shingle +
+  // Carter–Wegman rehashes (aᵢ·h+bᵢ mod 2⁶¹−1, constants themselves
+  // md5-derived) + md5-prefix band keys — every step reproducible
+  // verbatim in DuckDB SQL, so the WHOLE cascade (shingling,
+  // signatures, banding, collision join, estimate filter) hash-matches
+  // cross-engine instead of being property-pinned. At 100 TB swap the
+  // base hash to xxhash64 (same plan, cheaper per hash; the variant
+  // MinHashSpec pins recall for); the hash choice is semantically free
+  // — which is exactly what makes the portable form a valid oracle.
   val q31: QuerySpec = QuerySpec(
     "q31_minhash_lsh",
     (s, d) =>
       TextPipeline
         .lshCandidates(documents(s, d).select("doc_id", "text"),
-          shingleK = 3, k = 64, bands = 16, rowsPerBand = 4)
+          shingleK = 3, k = 64, bands = 16, rowsPerBand = 4, portable = true)
         .where(col("est_jaccard") >= 0.5)
         .select(col("da"), col("db"), round(col("est_jaccard"), 4).as("est_jaccard"))
         .orderBy("da", "db"),
-    None,
+    Some(
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "wk AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 3), " +
+        "sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s " +
+        "FROM wk, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t), " +
+        "hs AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh), " +
+        "ab AS (SELECT i, CAST(('0x' || substr(md5('a|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) + 1 AS a, " +
+        "CAST(('0x' || substr(md5('b|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) AS b " +
+        "FROM (SELECT unnest(generate_series(0, 63)) AS i)), " +
+        "sig AS (SELECT doc_id, i, CAST(min((CAST(h AS HUGEINT) * a + b) % 2305843009213693951) AS BIGINT) AS m " +
+        "FROM hs CROSS JOIN ab GROUP BY 1, 2), " +
+        "bk AS (SELECT doc_id, i // 4 AS band, " +
+        "CAST(('0x' || substr(md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)), 1, 15)) AS BIGINT) AS bkey " +
+        "FROM sig GROUP BY doc_id, i // 4), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bk a JOIN bk b " +
+        "ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id), " +
+        "est AS (SELECT da, db, sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64.0 AS ej " +
+        "FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db AND sb.i = sa.i " +
+        "GROUP BY 1, 2) " +
+        "SELECT da, db, round(ej, 4) AS est_jaccard FROM est WHERE ej >= 0.5 ORDER BY da, db"
+    ),
   )
 
-  // q32 — SimHash fingerprints: 64-bit signature per doc, then
-  // duplicate-cluster candidates = identical simhash (hamming 0
-  // bucketing; at scale, split the 64 bits into 4 × 16-bit sub-keys and
-  // equijoin any matching sub-key to find hamming ≤ 3 pairs). No oracle
-  // (hash-defined); SimHashSpec pins behavior.
+  // q32 — SimHash fingerprints: signature per doc, then duplicate-
+  // cluster candidates = identical simhash (hamming 0 bucketing; at
+  // scale, split the bits into 16-bit sub-keys and equijoin any
+  // matching sub-key to find hamming ≤ 3 pairs).
+  //
+  // Oracle-checked since round 7 via the PORTABLE 60-bit form
+  // (md5-prefix token hashes; bit votes and sign assembly identical in
+  // DuckDB — see q31's note on why the hash swap is free). The
+  // xxhash64 64-bit form stays the documented 100 TB fast path,
+  // parity-pinned in MinHashSpec.
   val q32: QuerySpec = QuerySpec(
     "q32_simhash",
     (s, d) =>
       TextPipeline
-        .simHashDf(documents(s, d).select("doc_id", "text"))
+        .simHashPortableDf(documents(s, d).select("doc_id", "text"))
         .groupBy("simhash")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
         .orderBy("simhash"),
-    None,
+    Some(
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "tok AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h " +
+        "FROM w, LATERAL (SELECT unnest(ws) AS t) u), " +
+        "votes AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v " +
+        "FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bits GROUP BY 1, 2), " +
+        "sh AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash " +
+        "FROM votes GROUP BY 1) " +
+        "SELECT simhash, count(*) AS n_docs, min(doc_id) AS keeper FROM sh GROUP BY 1 ORDER BY simhash"
+    ),
   )
 
   // q33 — token counting: whitespace tokens + BPE-ish regex tokens.

@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.MinHash
+
 /** DataFrame-shaped (relational) implementations of the text/dedup
   * pipeline stages.
   *
@@ -111,6 +113,18 @@ object TextPipeline {
     hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
+  /** Portable-hash MinHash signatures: one md5-derived 60-bit hash per
+    * shingle, then k Carter–Wegman rehashes (aᵢ·h+bᵢ mod 2⁶¹−1) —
+    * every step reproducible verbatim in DuckDB SQL, which is what
+    * buys q31 a real oracle. Same wide shape and map-side combine as
+    * [[minHashSignatures]].
+    */
+  def minHashSignaturesPortable(shingles: DataFrame, k: Int): DataFrame = {
+    val hashed = shingles.select(col("doc_id"), MinHash.portableHash60(col("s")).as("h"))
+    val mins = (0 until k).map(i => min(MinHash.cwRehash(col("h"), i)).as(s"m$i"))
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
   /** Collapse the wide signature into `array<bigint>` (for estimate
     * comparisons / storage).
     */
@@ -120,10 +134,24 @@ object TextPipeline {
   /** LSH band keys: one row per (doc, band) with the band's rows hashed
     * to a single key. Join on (band, bkey) to get candidates.
     */
-  def bandKeys(sigWide: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  def bandKeys(sigWide: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    bandKeysWith(sigWide, bands, rowsPerBand, comps => xxhash64(comps: _*))
+
+  /** Portable band keys: md5-60 of the comma-joined band components —
+    * the exact string DuckDB's `string_agg(m, ',' ORDER BY i)` builds.
+    */
+  def bandKeysPortable(sigWide: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    bandKeysWith(sigWide, bands, rowsPerBand,
+      comps => MinHash.portableHash60(concat_ws(",", comps.map(_.cast("string")): _*)))
+
+  private def bandKeysWith(
+      sigWide: DataFrame,
+      bands: Int,
+      rowsPerBand: Int,
+      keyHash: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       val comps = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(comps: _*).as("bkey"))
+      struct(lit(b).as("band"), keyHash(comps).as("bkey"))
     }
     sigWide
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
@@ -135,8 +163,14 @@ object TextPipeline {
     * and only candidate pairs (not all pairs) ever materialize.
     */
   /** Band-collision candidate pairs from a wide signature frame. */
-  private def bandCandidates(sigWide: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = bandKeys(sigWide, bands, rowsPerBand)
+  private def bandCandidates(
+      sigWide: DataFrame,
+      bands: Int,
+      rowsPerBand: Int,
+      portable: Boolean = false): DataFrame = {
+    val banded =
+      if (portable) bandKeysPortable(sigWide, bands, rowsPerBand)
+      else bandKeys(sigWide, bands, rowsPerBand)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -145,15 +179,24 @@ object TextPipeline {
       .distinct()
   }
 
-  def lshCandidates(docs: DataFrame, shingleK: Int, k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+  def lshCandidates(
+      docs: DataFrame,
+      shingleK: Int,
+      k: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      portable: Boolean = false): DataFrame = {
     require(bands * rowsPerBand <= k)
     // The signature table is referenced three times below (both sides of
     // the band self-join + the estimate lookup); it is tiny (one
     // k-column row per doc) while its lineage (shingling + k hashes) is
     // the expensive part — persist (owned by withPersisted) so the
     // lineage runs once.
-    withPersisted(minHashSignatures(docShingles(docs, shingleK), k)) { sigWide =>
-      val cand = bandCandidates(sigWide, bands, rowsPerBand)
+    val sigs =
+      if (portable) minHashSignaturesPortable(docShingles(docs, shingleK), k)
+      else minHashSignatures(docShingles(docs, shingleK), k)
+    withPersisted(sigs) { sigWide =>
+      val cand = bandCandidates(sigWide, bands, rowsPerBand, portable)
       val sig = signatureArray(sigWide, k)
       cand
         .join(sig.withColumnRenamed("doc_id", "da").withColumnRenamed("sig", "sa"), "da")
@@ -504,11 +547,25 @@ object TextPipeline {
     * sums in one 64-column aggregate, sign → bit. Matches
     * [[graft.functions.MinHash.simHash]] bit-for-bit (parity-tested).
     */
-  def simHashDf(docs: DataFrame): DataFrame = {
+  def simHashDf(docs: DataFrame): DataFrame =
+    simHashDfWith(docs, 64, xxhash64(_))
+
+  /** Portable 60-bit SimHash (md5-prefix token hashes): every step —
+    * tokenization, per-token hash, bit votes, sign assembly — is
+    * reproducible verbatim in DuckDB SQL, which is what buys q32 a
+    * real oracle. Same vote construction as [[simHashDf]], bits 0–59.
+    */
+  def simHashPortableDf(docs: DataFrame): DataFrame =
+    simHashDfWith(docs, 60, MinHash.portableHash60(_))
+
+  private def simHashDfWith(
+      docs: DataFrame,
+      bits: Int,
+      tokHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
-    val votes = (0 until 64).map { b =>
+      .select(col("doc_id"), tokHash(col("w")).as("h"))
+    val votes = (0 until bits).map { b =>
       sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1L).otherwise(-1L)).as(s"v$b")
     }
     tok
@@ -516,7 +573,7 @@ object TextPipeline {
       .agg(votes.head, votes.tail: _*)
       .select(
         col("doc_id"),
-        (0 until 64)
+        (0 until bits)
           .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ bitwiseOR _)
           .as("simhash"),
