@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.ops.Exact._
@@ -850,7 +850,176 @@ object LlmQueries {
     None,
   )
 
+  // ---------------------------------------------------------------------
+  // q228 — deterministic stratified eval-holdout sample: per (source,
+  // lang) stratum, the k=3 documents with the SMALLEST portable md5
+  // hash of their id — the fixed-budget eval-set carve every training
+  // run needs, reproducible across engines, clusters and reruns
+  // because the "random" order is a pure function of the id. Contrast
+  // with the q65 hash-threshold split: threshold membership is stable
+  // under corpus growth but the per-stratum COUNT floats; top-k-by-hash
+  // pins the exact budget per stratum and accepts that a new smaller
+  // hash can displace a member — the right trade for eval carving,
+  // where the budget is the contract (document both, pick by need).
+  //
+  // Scale: stratum sizes are one map-side-combined aggregate over a
+  // domain-bounded key (broadcast back); the ranking is one exchange on
+  // the stratum key, and the rank ≤ k filter lets Spark 4 plan a
+  // WindowGroupLimit — each map task keeps a bounded per-stratum heap
+  // BEFORE the shuffle, so the exchange carries ~k rows per (task,
+  // stratum), not the corpus.
+  val q228: QuerySpec = QuerySpec(
+    "q228_eval_holdout_sample",
+    (s, d) => {
+      val base = documents(s, d).select(col("source"), col("lang"), col("doc_id"))
+      val sizes = base.groupBy("source", "lang").agg(count(lit(1)).as("stratum_docs"))
+      val w = Window.partitionBy("source", "lang")
+        .orderBy(graft.functions.MinHash.portableHash60(col("doc_id").cast("string")).asc,
+          col("doc_id").asc)
+      base
+        .withColumn("sample_rank", row_number().over(w))
+        .where(col("sample_rank") <= 3)
+        .join(broadcast(sizes), Seq("source", "lang"))
+        .select(col("source"), col("lang"), col("sample_rank").cast(LongType).as("sample_rank"),
+          col("doc_id"), col("stratum_docs"))
+        .orderBy("source", "lang", "sample_rank")
+    },
+    Some(
+      "WITH s AS (SELECT source, lang, doc_id, " +
+        "row_number() OVER (PARTITION BY source, lang " +
+        "ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS sample_rank, " +
+        "count(*) OVER (PARTITION BY source, lang) AS stratum_docs FROM documents) " +
+        "SELECT source, lang, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id, " +
+        "CAST(stratum_docs AS BIGINT) AS stratum_docs " +
+        "FROM s WHERE sample_rank <= 3 ORDER BY source, lang, sample_rank"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q229 — quality-filter agreement (Fleiss' κ): three deterministic
+  // raters vote pass/fail per document — r1 length (≥ 30 words), r2
+  // stopword presence (count·10 ≥ words, i.e. ratio ≥ 0.1), r3 mean
+  // word length in [3, 8] (char-sum cross-multiplied) — and per lang we
+  // report Fleiss' kappa across the raters. The table a curation
+  // pipeline reads before composing filters: κ ≈ 1 means the filters
+  // are redundant, κ ≈ 0 means they gate independent failure modes.
+  //
+  // Determinism: every rater is an integer comparison (cross-multiplied
+  // thresholds — no float ratios), and κ is evaluated in exact integer
+  // arithmetic: with per-doc pass count p, A = Σ[p(p−1)+(3−p)(2−p)]
+  // (each term even), Vp = Σp, Vf = 3n−Vp, P̄ = A/(6n), P̄e =
+  // (Vp²+Vf²)/(9n²), κ = (3nA/2 − (Vp²+Vf²)) / (9n² − (Vp²+Vf²)) —
+  // floored to bp with an explicit sign split (Spark `div` truncates
+  // toward zero, DuckDB `//` floors: they agree only on non-negatives,
+  // so |·| first, sign after — the negative-κ trap). Degenerate
+  // unanimous stratum (denominator 0) reports κ = 10000 by convention
+  // in both engines. DECIMAL(38,0)/HUGEINT carry Vp² past BIGINT at
+  // warehouse row counts (the q147 rule).
+  //
+  // Scale: ONE conditional-aggregation scan over documents (the q226
+  // discipline — a new rater = a new CASE column, never a scan);
+  // output is |lang| rows.
+  val q229: QuerySpec = QuerySpec(
+    "q229_filter_agreement",
+    (s, d) => {
+      val big = DecimalType(38, 0)
+      val toks = split(col("text"), " ")
+      val nW = size(toks).cast(LongType)
+      val stopCount = size(filter(toks,
+        w => w.isin("the", "a", "of", "and", "to", "in", "is"))).cast(LongType)
+      val charSum = aggregate(toks, lit(0L), (a, x) => a + length(x))
+      val r1 = when(nW >= 30, 1L).otherwise(0L)
+      val r2 = when(stopCount * 10 >= nW, 1L).otherwise(0L)
+      val r3 = when(charSum >= nW * 3 && charSum <= nW * 8, 1L).otherwise(0L)
+      val voted = documents(s, d).select(col("lang"),
+        r1.as("r1"), r2.as("r2"), r3.as("r3"), (r1 + r2 + r3).as("p"))
+      val g = voted.groupBy("lang").agg(
+        count(lit(1)).cast(big).as("n"),
+        sum("r1").as("pass_r1"), sum("r2").as("pass_r2"), sum("r3").as("pass_r3"),
+        sum(col("p") * (col("p") - 1) + (lit(3) - col("p")) * (lit(2) - col("p")))
+          .cast(big).as("a"),
+        sum("p").cast(big).as("vp"))
+      g.select(col("lang"), col("n").cast(LongType).as("n_docs"),
+        col("pass_r1"), col("pass_r2"), col("pass_r3"),
+        expr("CAST(10000 * a div (6 * n) AS BIGINT)").as("pbar_bp"),
+        expr("CAST(10000 * (vp*vp + (3*n - vp)*(3*n - vp)) div (9*n*n) AS BIGINT)").as("pe_bp"),
+        expr(
+          "CAST(CASE WHEN 9*n*n - (vp*vp + (3*n - vp)*(3*n - vp)) = 0 THEN 10000 " +
+            "WHEN 3*n*a div 2 >= vp*vp + (3*n - vp)*(3*n - vp) " +
+            "THEN 10000 * (3*n*a div 2 - (vp*vp + (3*n - vp)*(3*n - vp))) " +
+            "div (9*n*n - (vp*vp + (3*n - vp)*(3*n - vp))) " +
+            "ELSE -(10000 * ((vp*vp + (3*n - vp)*(3*n - vp)) - 3*n*a div 2) " +
+            "div (9*n*n - (vp*vp + (3*n - vp)*(3*n - vp)))) END AS BIGINT)").as("kappa_bp"))
+        .orderBy("lang")
+    },
+    Some(
+      "WITH r AS (SELECT lang, " +
+        "CASE WHEN len(string_split(text, ' ')) >= 30 THEN 1 ELSE 0 END AS r1, " +
+        "CASE WHEN len(list_filter(string_split(text, ' '), " +
+        "w -> w IN ('the','a','of','and','to','in','is'))) * 10 >= len(string_split(text, ' ')) " +
+        "THEN 1 ELSE 0 END AS r2, " +
+        "CASE WHEN list_sum(list_transform(string_split(text, ' '), w -> length(w))) " +
+        "BETWEEN 3 * len(string_split(text, ' ')) AND 8 * len(string_split(text, ' ')) " +
+        "THEN 1 ELSE 0 END AS r3 FROM documents), " +
+        "p AS (SELECT lang, r1, r2, r3, r1 + r2 + r3 AS p FROM r), " +
+        "g AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n, " +
+        "CAST(sum(r1) AS BIGINT) AS pass_r1, CAST(sum(r2) AS BIGINT) AS pass_r2, " +
+        "CAST(sum(r3) AS BIGINT) AS pass_r3, " +
+        "CAST(sum(p*(p-1) + (3-p)*(2-p)) AS HUGEINT) AS a, CAST(sum(p) AS HUGEINT) AS vp " +
+        "FROM p GROUP BY 1) " +
+        "SELECT lang, CAST(n AS BIGINT) AS n_docs, pass_r1, pass_r2, pass_r3, " +
+        "CAST(10000 * a // (6 * n) AS BIGINT) AS pbar_bp, " +
+        "CAST(10000 * (vp*vp + (3*n - vp)*(3*n - vp)) // (9*n*n) AS BIGINT) AS pe_bp, " +
+        "CAST(CASE WHEN 9*n*n - (vp*vp + (3*n - vp)*(3*n - vp)) = 0 THEN 10000 " +
+        "WHEN 3*n*a // 2 >= vp*vp + (3*n - vp)*(3*n - vp) " +
+        "THEN 10000 * (3*n*a // 2 - (vp*vp + (3*n - vp)*(3*n - vp))) " +
+        "// (9*n*n - (vp*vp + (3*n - vp)*(3*n - vp))) " +
+        "ELSE -(10000 * ((vp*vp + (3*n - vp)*(3*n - vp)) - 3*n*a // 2) " +
+        "// (9*n*n - (vp*vp + (3*n - vp)*(3*n - vp)))) END AS BIGINT) AS kappa_bp " +
+        "FROM g ORDER BY lang"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q230 — shingle novelty curve: per document (in doc_id arrival
+  // order), how many of its distinct 3-gram shingles were never seen in
+  // any EARLIER document — the marginal-new-content signal a
+  // dedup-aware curriculum or crawl-frontier scheduler reads (novelty
+  // collapsing toward 0 means the corpus is saturating; the q30/q76
+  // machinery asks "is this a duplicate", this asks "what does each doc
+  // still ADD").
+  //
+  // Scale: exactly the q30 inverted-index cost WITHOUT its pair join —
+  // one shingle-keyed min aggregate (uniform md5-free keys, map-side
+  // combined) joined back to the doc's own shingles; linear in corpus
+  // shingle count, no super-linear shared-shingle term anywhere.
+  // Integer bp via `div`.
+  val q230: QuerySpec = QuerySpec(
+    "q230_shingle_novelty",
+    (s, d) => {
+      val sh = TextPipeline.docShingles(documents(s, d).select("doc_id", "text"), 3)
+      val firstSeen = sh.groupBy("s").agg(min("doc_id").as("first_doc"))
+      sh.join(firstSeen, "s")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          expr("10000 * n_novel div n_shingles").as("novelty_bp"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"WITH $shinglePairsCteSql, " +
+        "fs AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1) " +
+        "SELECT sh.doc_id, count(*) AS n_shingles, " +
+        "CAST(sum(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+        "CAST(10000 * sum(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END) " +
+        "// count(*) AS BIGINT) AS novelty_bp " +
+        "FROM sh JOIN fs ON fs.s = sh.s GROUP BY 1 ORDER BY doc_id"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42, q43, q44, q45, q46, q47, q48, q55, q201, q202, q217, q218, q224)
+      q41, q42, q43, q44, q45, q46, q47, q48, q55, q201, q202, q217, q218, q224,
+      q228, q229, q230)
 }

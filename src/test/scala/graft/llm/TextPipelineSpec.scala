@@ -166,4 +166,73 @@ class TextPipelineSpec extends SparkSpec {
     // canonical ordering: da < db always
     assert(pairs.forall(p => p._1 < p._2))
   }
+
+  test("q228 eval holdout: fixed budget per stratum, hash-ordered, stratum sizes exact") {
+    val dir = java.nio.file.Files.createTempDirectory("q228fix").toString
+    // stratum (web, en): 5 docs → exactly 3 sampled, in md5-of-id
+    // order; stratum (web, fr): 2 docs → both sampled (budget caps,
+    // never pads). Ranks must follow the portable hash order, not id.
+    (Seq.tabulate(5)(i => (10L + i, s"t$i", "en", "web")) ++
+      Seq((20L, "u0", "fr", "web"), (21L, "u1", "fr", "web")))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = LlmQueries.q228.run(spark, dir).collect()
+      .map(x => (x.getAs[String]("source"), x.getAs[String]("lang"),
+        x.getAs[Long]("sample_rank"), x.getAs[Long]("doc_id"), x.getAs[Long]("stratum_docs")))
+    val en = r.filter(_._2 == "en")
+    assert(en.length == 3 && en.forall(_._5 == 5L), s"en stratum must sample exactly 3 of 5: ${en.toSeq}")
+    val fr = r.filter(_._2 == "fr")
+    assert(fr.length == 2 && fr.forall(_._5 == 2L), "2-doc stratum yields both, no padding")
+    // rank order ≡ portable-hash order (recompute the hash directly)
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val expected = (10L to 14L).sortBy(id => (h60(id.toString), id)).take(3)
+    assert(en.sortBy(_._3).map(_._4).toSeq == expected,
+      "sample ranks must follow the md5 hash order, not doc_id order")
+  }
+
+  test("q229 filter agreement: hand-computed Fleiss kappa, unanimous stratum reports 10000") {
+    val dir = java.nio.file.Files.createTempDirectory("q229fix").toString
+    // lang X: pass-counts p = [3, 0, 2] → A=14, Vp=5, Vf=4 →
+    // κ = (3·3·14/2 − 41)/(81 − 41) = 22/40 → 5500 bp;
+    // P̄ = 10⁴·14 div 18 = 7777; P̄e = 10⁴·41 div 81 = 5061.
+    // lang Y: one all-pass doc → unanimous, κ = 10000 by convention.
+    val allPass = Seq.fill(12)("the cat ran").mkString(" ") // 36w, 12 stop, chars 108 = 3·36
+    val nonePass = "abcdefghijkl mnopqrstuvwx" // 2w, 0 stop, avg 12
+    val twoPass = Seq.fill(12)("cat ran far").mkString(" ") // 36w, 0 stop → r2 fails
+    Seq((1L, allPass, "X", "s"), (2L, nonePass, "X", "s"), (3L, twoPass, "X", "s"),
+      (4L, allPass, "Y", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = LlmQueries.q229.run(spark, dir).collect()
+      .map(x => x.getAs[String]("lang") ->
+        ((x.getAs[Long]("n_docs"), x.getAs[Long]("pass_r1"), x.getAs[Long]("pass_r2"),
+          x.getAs[Long]("pass_r3"), x.getAs[Long]("pbar_bp"), x.getAs[Long]("pe_bp"),
+          x.getAs[Long]("kappa_bp")))).toMap
+    assert(r("X") == ((3L, 2L, 1L, 2L, 7777L, 5061L, 5500L)), s"got ${r("X")}")
+    assert(r("Y") == ((1L, 1L, 1L, 1L, 10000L, 10000L, 10000L)))
+  }
+
+  test("q230 shingle novelty: first doc fully novel, repeat scores 0, partial overlap exact") {
+    val dir = java.nio.file.Files.createTempDirectory("q230fix").toString
+    // doc 1: shingles {a b c, b c d} — all novel (10000 bp)
+    // doc 2: same text — 0 novel (0 bp)
+    // doc 3: "b c d e" → {b c d (seen), c d e (new)} → 5000 bp
+    // doc 4: "x y" → no shingles, excluded entirely
+    Seq((1L, "a b c d", "en", "s"), (2L, "a b c d", "en", "s"),
+      (3L, "b c d e", "en", "s"), (4L, "x y", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = LlmQueries.q230.run(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_shingles"), x.getAs[Long]("n_novel"), x.getAs[Long]("novelty_bp"))))
+      .toMap
+    assert(r == Map(
+      1L -> ((2L, 2L, 10000L)),
+      2L -> ((2L, 0L, 0L)),
+      3L -> ((2L, 1L, 5000L))))
+  }
 }
