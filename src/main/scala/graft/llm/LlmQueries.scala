@@ -990,16 +990,18 @@ object LlmQueries {
   // still ADD").
   //
   // Scale: exactly the q30 inverted-index cost WITHOUT its pair join —
-  // one shingle-keyed min aggregate (uniform md5-free keys, map-side
-  // combined) joined back to the doc's own shingles; linear in corpus
-  // shingle count, no super-linear shared-shingle term anywhere.
-  // Integer bp via `div`.
+  // the first-seen owner is a min WINDOW over the shingle key, so the
+  // corpus shingles are generated ONCE and exchanged ONCE (an
+  // aggregate-then-join-back shape would either re-generate the
+  // shingle frame on both join sides or broadcast an unbounded
+  // distinct-shingle aggregate — plan-audited, rejected); linear in
+  // corpus shingle count, no super-linear shared-shingle term
+  // anywhere. Integer bp via `div`.
   val q230: QuerySpec = QuerySpec(
     "q230_shingle_novelty",
     (s, d) => {
       val sh = TextPipeline.docShingles(documents(s, d).select("doc_id", "text"), 3)
-      val firstSeen = sh.groupBy("s").agg(min("doc_id").as("first_doc"))
-      sh.join(firstSeen, "s")
+      sh.withColumn("first_doc", min("doc_id").over(Window.partitionBy("s")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))

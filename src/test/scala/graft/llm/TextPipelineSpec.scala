@@ -192,6 +192,12 @@ class TextPipelineSpec extends SparkSpec {
     val expected = (10L to 14L).sortBy(id => (h60(id.toString), id)).take(3)
     assert(en.sortBy(_._3).map(_._4).toSeq == expected,
       "sample ranks must follow the md5 hash order, not doc_id order")
+    // plan pin: the rank ≤ k filter must plan a PARTIAL WindowGroupLimit
+    // BEFORE the stratum exchange (map-side bounded heap — the property
+    // that keeps the shuffle ~k rows per (task, stratum) at 100 TB)
+    val plan = LlmQueries.q228.run(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"expected a partial WindowGroupLimit below the exchange, plan:\n$plan")
   }
 
   test("q229 filter agreement: hand-computed Fleiss kappa, unanimous stratum reports 10000") {
