@@ -301,6 +301,14 @@ object LlmQueries {
   // lang label, so this reports the heuristic's own distribution —
   // rows-only check here; real multilingual behavior pinned in
   // TextFunctionsSpec.
+  // Oracle-checked since round 7: the heuristic is PURE INTEGER — per
+  // language, the profile-stopword hit count over the lowercased token
+  // stream (zh: character-containment votes over the raw text), argmax
+  // with ties kept by the fixed [en,de,fr,es,zh] order (first-in-order
+  // achieving the max — the fold's strict-> semantics), 'und' when no
+  // profile scores. DuckDB reproduces every vote and the tie order
+  // verbatim, so the declared-no-oracle status was simply leaving
+  // evidence on the table.
   val q36: QuerySpec = QuerySpec(
     "q36_lang_id",
     (s, d) =>
@@ -309,7 +317,24 @@ object LlmQueries {
         .groupBy("pred_lang")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("pred_lang"),
-    None,
+    Some {
+      def hits(words: Seq[String]) =
+        "CAST(len(list_filter(string_split(lower(text), ' '), " +
+          s"w -> w IN (${words.map(w => s"'$w'").mkString(",")}))) AS BIGINT)"
+      val en = hits(Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"))
+      val de = hits(Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "sich"))
+      val fr = hits(Seq("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas"))
+      val es = hits(Seq("el", "los", "las", "y", "es", "una", "en", "que", "por", "como"))
+      val zh = Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这")
+        .map(c => s"(CASE WHEN contains(text, '$c') THEN 1 ELSE 0 END)").mkString(" + ")
+      val mx = "greatest(s_en, s_de, s_fr, s_es, s_zh)"
+      s"WITH sc AS (SELECT doc_id, $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es, " +
+        s"CAST($zh AS BIGINT) AS s_zh FROM documents), " +
+        s"pick AS (SELECT doc_id, CASE WHEN $mx = 0 THEN 'und' " +
+        s"WHEN s_en = $mx THEN 'en' WHEN s_de = $mx THEN 'de' " +
+        s"WHEN s_fr = $mx THEN 'fr' WHEN s_es = $mx THEN 'es' ELSE 'zh' END AS pred_lang FROM sc) " +
+        "SELECT pred_lang, count(*) AS n_docs FROM pick GROUP BY 1 ORDER BY pred_lang"
+    },
   )
 
   // q37 — IVF approximate nearest neighbors: 5 query vectors, top-3
