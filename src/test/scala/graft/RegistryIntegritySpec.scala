@@ -42,6 +42,34 @@ class RegistryIntegritySpec extends AnyFunSuite {
       ops.Registry.all.filter(_.oracle.isDefined).map(_.name).toSet)
   }
 
+  test("SURVEY §2.3 no-oracle markers agree with the registry") {
+    // A query claiming an oracle must not carry a no-oracle marker in
+    // its SURVEY row, and a query without one must declare it — the
+    // declaration and the code can't drift apart silently.
+    val lines = Files.readAllLines(Paths.get("SURVEY.md"))
+    def rowOf(name: String): Option[String] = {
+      val it = lines.iterator()
+      var found: Option[String] = None
+      while (it.hasNext && found.isEmpty) {
+        val l = it.next()
+        if (l.startsWith(s"| `$name`")) found = Some(l)
+      }
+      found
+    }
+    def marked(l: String): Boolean =
+      l.toLowerCase.contains("no-oracle") || l.toLowerCase.contains("rows-only")
+    val bad = ops.Registry.all.flatMap { q =>
+      rowOf(q.name).flatMap { row =>
+        if (q.oracle.isDefined && marked(row))
+          Some(s"${q.name}: has an oracle but its SURVEY row carries a no-oracle/rows-only marker")
+        else if (q.oracle.isEmpty && !marked(row))
+          Some(s"${q.name}: no oracle but its SURVEY row does not declare no-oracle/rows-only")
+        else None
+      }
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   test("every no-oracle query is listed in the README audit table") {
     val readme = Files.readString(Paths.get("README.md"))
     val unaudited = ops.Registry.all
