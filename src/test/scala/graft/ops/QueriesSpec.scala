@@ -14,9 +14,14 @@ class QueriesSpec extends SparkSpec {
   // at sf0.001 those slices may be empty; running without error is the
   // assertion there. q190's 80-core is scale-dependent by nature: at
   // sf0.001 the co-purchase graph has no 80-embedded subgraph and the
-  // empty core IS the answer (the oracle agrees on empty).
+  // empty core IS the answer (the oracle agrees on empty). q224 runs
+  // at the production near-dup threshold t = 0.8, and this corpus's
+  // max inter-vector cosine is < 0.6 — its empty answer is pinned
+  // CORRECT against brute force in SimilarityPipelineSpec ("q224
+  // adaptive mode"), not merely tolerated here.
   private val mayBeEmpty =
-    Set("q13_gap_detection", "q17_anti_join_demote", "q190_kcore_peel")
+    Set("q13_gap_detection", "q17_anti_join_demote", "q190_kcore_peel",
+      "q224_pca_grid_near_dup")
 
   Registry.all.foreach { q =>
     test(s"${q.name} runs at sf0.001") {
