@@ -165,7 +165,7 @@ object LlmQueries {
   //
   // Oracle-checked since round 7: the registered run uses the PORTABLE
   // hash family — md5-prefix 60-bit base hash per shingle +
-  // Carter–Wegman rehashes (aᵢ·h+bᵢ mod 2⁶¹−1, constants themselves
+  // Carter–Wegman rehashes (aᵢ·h+bᵢ mod 2³¹−1, constants themselves
   // md5-derived) + md5-prefix band keys — every step reproducible
   // verbatim in DuckDB SQL, so the WHOLE cascade (shingling,
   // signatures, banding, collision join, estimate filter) hash-matches
