@@ -359,44 +359,73 @@ object SimilarityPipeline {
     v.crossJoin(sgn).select(col("i"), (col("v") * col("sgn")).as("v"))
   }
 
-  /** Top-2 axes of a covariance frame: PC1 by power iteration, PC2 by
-    * Hotelling deflation (C₂ = C − λ₁·v₁v₁ᵀ, λ₁ = v₁ᵀCv₁) then power
-    * iteration again. Returns the d-row (i, a1, a2) loading table.
+  /** Top-2 axes of a covariance frame by BLOCK orthogonal iteration
+    * (r7 — replaces the power-iterate-then-deflate-then-power-iterate
+    * form): both iterates ride ONE matvec join per round (the cov
+    * frame is scanned once for two columns, not once per axis), and
+    * the per-round Gram–Schmidt step keeps a2 EXACTLY orthogonal to a1
+    * at every round — the property the PCA-grid's distance-contraction
+    * recall guarantee rests on, now structural instead of a final
+    * correction. v1's sequence is IDENTICAL to plain power iteration
+    * (the GS step never feeds v2 back into v1); v2 converges to the
+    * second eigenvector at the standard subspace-iteration rate — and
+    * the d²-row DEFLATED MATRIX the old form materialized and
+    * checkpointed per call is gone, which at bench scale halved the
+    * loop's fixed-cost stage count. Rank-deficient guard as in
+    * [[powerIteration]]: zero norms yield the honest zero axis.
+    * Returns the d-row (i, a1, a2) loading table, both signs pinned
+    * (non-negative loading sum).
     */
   def topTwoAxes(cov: DataFrame, iters: Int = 15): DataFrame = {
-    val v1 = powerIteration(cov, iters)
-    val cv1 = cov
-      .join(broadcast(v1.select(col("i").as("j"), col("v").as("vj"))), Seq("j"))
-      .groupBy("i").agg(sum(col("c") * col("vj")).as("cv"))
-    val lambda1 = cv1.join(v1, Seq("i"))
-      .agg(sum(col("cv") * col("v")).as("l1")) // 1-row Rayleigh quotient
-    val deflated = cov
-      .join(broadcast(v1.select(col("i"), col("v").as("vi"))), Seq("i"))
-      .join(broadcast(v1.select(col("i").as("j"), col("v").as("vj"))), Seq("j"))
-      .crossJoin(lambda1)
-      .select(col("i"), col("j"), (col("c") - col("l1") * col("vi") * col("vj")).as("c"))
+    val covLocal = cov.coalesce(1) // d² rows; one task per stage (see powerIteration)
+    val d = covLocal.select(col("i")).distinct()
+    val dn = d.agg(count(lit(1)).as("dn"))
+    def safeDiv(x: Column, n: Column): Column =
+      x / when(n > 0, n).otherwise(lit(1.0))
+    // init: v1 uniform, v2 alternating-sign — deterministic, unit, and
+    // never parallel to v1 for d ≥ 2
+    var vs = d.crossJoin(dn)
+      .select(col("i"),
+        (lit(1.0) / sqrt(col("dn"))).as("v1"),
+        (when(col("i") % 2 === 0, lit(1.0)).otherwise(lit(-1.0)) / sqrt(col("dn"))).as("v2"))
       .localCheckpoint(true)
-    val v2 = powerIteration(deflated, iters)
-    val axes = v1.select(col("i"), col("v").as("a1"))
-      .join(v2.select(col("i"), col("v").as("a2")), Seq("i"))
-    // One explicit Gram–Schmidt step: the deflation above uses the
-    // Rayleigh quotient of a possibly-UNCONVERGED v1 (grid consumers
-    // deliberately run few iterations), so a2 can retain a residual
-    // component along a1 — and a non-orthogonal 2-D projection is
-    // slightly distance-DILATING, which would turn the grid's
-    // "projection contracts distance" recall guarantee probabilistic
-    // at cell-width boundaries. Re-orthogonalizing (a2 ← normalize(a2
-    // − (a1·a2)·a1); two more d-row passes) restores the contraction
-    // property for ANY iteration count. Zero-norm guard as in
-    // powerIteration: if a2 was (numerically) parallel to a1 the
-    // residual axis is honestly zero.
-    val d12 = axes.agg(sum(col("a1") * col("a2")).as("d12"))
-    val resid = axes.crossJoin(d12) // 1-row dot anchor
-      .select(col("i"), col("a1"), (col("a2") - col("d12") * col("a1")).as("r"))
-    val rn = resid.agg(sqrt(sum(col("r") * col("r"))).as("rn"))
-    resid.crossJoin(rn) // 1-row norm anchor
-      .select(col("i"), col("a1"),
-        (col("r") / when(col("rn") > 0, col("rn")).otherwise(lit(1.0))).as("a2"))
+    for (it <- 1 to iters) {
+      val w = covLocal
+        .join(broadcast(vs.select(col("i").as("j"), col("v1").as("y1"), col("v2").as("y2"))),
+          Seq("j"))
+        .groupBy("i")
+        .agg(sum(col("c") * col("y1")).as("w1"), sum(col("c") * col("y2")).as("w2"))
+      // ALL round scalars in ONE 1-row anchor (s11 = Σw1², s12 = Σw1w2,
+      // s22 = Σw2²): normalize-then-orthogonalize has the closed form
+      //   v1 = w1/√s11,  r = w2 − (s12/s11)·w1,  ‖r‖ = √(s22 − s12²/s11)
+      // so the round is matvec → stats agg → one crossJoin → one
+      // projection. Anchoring norm/dot/norm as three SEPARATE
+      // crossJoins of nested aggregates multiplies the unpinned
+      // subplan ~8× per round — measured 10× slower across the pin
+      // cadence; one anchor keeps the doubling at the powerIteration
+      // rate the cadence was tuned for.
+      val st = w.agg(
+        sum(col("w1") * col("w1")).as("s11"),
+        sum(col("w1") * col("w2")).as("s12"),
+        sum(col("w2") * col("w2")).as("s22"))
+      vs = w.crossJoin(st) // 1-row stats anchor
+        .select(
+          col("i"),
+          safeDiv(col("w1"), sqrt(col("s11"))).as("v1"),
+          safeDiv(
+            col("w2") - when(col("s11") > 0, col("s12") / col("s11")).otherwise(lit(0.0)) * col("w1"),
+            sqrt(greatest(
+              col("s22") - when(col("s11") > 0, col("s12") * col("s12") / col("s11"))
+                .otherwise(lit(0.0)),
+              lit(0.0)))).as("v2"))
+      // pin cadence: the powerIteration rule (every 3rd + last)
+      if (it % 3 == 0 || it == iters) vs = vs.localCheckpoint(true)
+    }
+    val sgn = vs.agg(
+      when(sum(col("v1")) >= 0, lit(1.0)).otherwise(lit(-1.0)).as("s1"),
+      when(sum(col("v2")) >= 0, lit(1.0)).otherwise(lit(-1.0)).as("s2"))
+    vs.crossJoin(sgn)
+      .select(col("i"), (col("v1") * col("s1")).as("a1"), (col("v2") * col("s2")).as("a2"))
   }
 
   /** Top-2 principal axes and the corpus projected onto them. Returns
