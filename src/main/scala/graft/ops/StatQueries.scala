@@ -735,6 +735,138 @@ object StatQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q232 — feature information value (WoE/IV, r7): the
+  // feature-screening table a supervised curation/scoring pipeline
+  // reads before training — per (feature, bin): Laplace-smoothed
+  // weight of evidence in µnats, plus the feature's total IV (the
+  // scalar that ranks features: < 0.02 useless, > 0.3 strong). Label =
+  // order status 'F'; features = the q198 price bands (shared edges —
+  // drift and predictiveness read off the SAME binning) and order
+  // priority.
+  //
+  // Determinism: the q131 ln discipline — WoE = ⌊ln((g'·B')/(b'·G'))·10⁶⌋
+  // where g' = g+1, b' = b+1 (Laplace; zero-event bins stay finite) and
+  // G', B' are the smoothed totals: one ln of a ratio of EXACT
+  // integers, floored to µnats before any further arithmetic. IV sums
+  // fractions with the common denominator G'·B' exactly:
+  // IV_µ = Σ (g'·B' − b'·G')·woe_µ div (G'·B'), accumulated in
+  // DECIMAL(38,0) (g·B products reach N² — the q147 rule); the
+  // numerator and woe_µ always share sign, so every term — and the
+  // sum — is ≥ 0 and `div`/`//` agree.
+  //
+  // Scale: ONE conditional scan (features unpivot via stack, the q226
+  // discipline), one groupBy over a domain-bounded (feature, bin) key,
+  // per-feature totals broadcast back — the fact is touched once.
+  val q232: QuerySpec = QuerySpec(
+    "q232_feature_iv",
+    (s, d) => {
+      val big = DecimalType(38, 0)
+      val band = expr(
+        "CASE WHEN o_totalprice < 50000 THEN 0 WHEN o_totalprice < 100000 THEN 1 " +
+          "WHEN o_totalprice < 150000 THEN 2 WHEN o_totalprice < 200000 THEN 3 " +
+          "WHEN o_totalprice < 300000 THEN 4 ELSE 5 END")
+      val binned = orders(s, d)
+        .select((col("o_orderstatus") === "F").cast("long").as("y"),
+          band.cast("string").as("price_band"), col("o_orderpriority"))
+        .select(expr("stack(2, 'price_band', price_band, 'priority', o_orderpriority) AS (feature, bin)"),
+          col("y"))
+      val cells = binned.groupBy("feature", "bin")
+        .agg((sum(col("y")) + 1).cast(big).as("g"),
+          (sum(lit(1) - col("y")) + 1).cast(big).as("b"))
+      val tots = cells.groupBy("feature")
+        .agg(sum("g").cast(big).as("gt"), sum("b").cast(big).as("bt"))
+      val woe = cells.join(broadcast(tots), Seq("feature"))
+        .select(col("feature"), col("bin"),
+          (col("g") - 1).cast("long").as("n_good"), (col("b") - 1).cast("long").as("n_bad"),
+          col("g"), col("b"), col("gt"), col("bt"),
+          expr("CAST(floor(ln(CAST(g * bt AS DOUBLE) / CAST(b * gt AS DOUBLE)) * 1e6) AS BIGINT)")
+            .as("woe_micro"))
+      val iv = woe.groupBy("feature")
+        .agg(expr("CAST(sum((g * bt - b * gt) * woe_micro) div (max(gt) * max(bt)) AS BIGINT)")
+          .as("iv_micro"))
+      woe.join(broadcast(iv), Seq("feature"))
+        .select(col("feature"), col("bin"), col("n_good"), col("n_bad"),
+          col("woe_micro"), col("iv_micro"))
+        .orderBy("feature", "bin")
+    },
+    Some(
+      "WITH binned AS (SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y, " +
+        "CAST(CASE WHEN o_totalprice < 50000 THEN 0 WHEN o_totalprice < 100000 THEN 1 " +
+        "WHEN o_totalprice < 150000 THEN 2 WHEN o_totalprice < 200000 THEN 3 " +
+        "WHEN o_totalprice < 300000 THEN 4 ELSE 5 END AS VARCHAR) AS price_band, " +
+        "o_orderpriority FROM orders), " +
+        "u AS (SELECT 'price_band' AS feature, price_band AS bin, y FROM binned " +
+        "UNION ALL SELECT 'priority', o_orderpriority, y FROM binned), " +
+        "cells AS (SELECT feature, bin, CAST(sum(y) + 1 AS HUGEINT) AS g, " +
+        "CAST(sum(1 - y) + 1 AS HUGEINT) AS b FROM u GROUP BY 1, 2), " +
+        "tots AS (SELECT feature, sum(g) AS gt, sum(b) AS bt FROM cells GROUP BY 1), " +
+        "woe AS (SELECT c.feature AS feature, bin, CAST(g - 1 AS BIGINT) AS n_good, " +
+        "CAST(b - 1 AS BIGINT) AS n_bad, g, b, gt, bt, " +
+        "CAST(floor(ln(CAST(g * bt AS DOUBLE) / CAST(b * gt AS DOUBLE)) * 1e6) AS BIGINT) AS woe_micro " +
+        "FROM cells c JOIN tots t ON c.feature = t.feature), " +
+        "iv AS (SELECT feature, CAST(sum((g * bt - b * gt) * woe_micro) // (max(gt) * max(bt)) AS BIGINT) AS iv_micro " +
+        "FROM woe GROUP BY 1) " +
+        "SELECT w.feature AS feature, bin, n_good, n_bad, woe_micro, iv_micro " +
+        "FROM woe w JOIN iv i ON w.feature = i.feature ORDER BY feature, bin"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q233 — smoothed target encoding with leave-one-out (r7): the
+  // feature-engineering transform that replaces a high-cardinality
+  // category with its smoothed target rate — and the LEAVE-ONE-OUT
+  // variant each training row must receive, because encoding a row
+  // with a statistic that includes its own label is target leakage
+  // (the q75/q149 decontamination concern at the feature level).
+  // Category = customer nation; label = order status 'F'; prior
+  // strength k = 20 (enc → global rate as a nation's support → 0).
+  //
+  // Determinism: enc_bp = 10⁴·(sy_c·N + k·SY) div ((n_c + k)·N) — one
+  // cross-multiplied integer division per row, DECIMAL(38,0) because
+  // sy·N reaches N² (q147 rule); all quantities non-negative so
+  // div/floor agree. LOO subtracts the row's own label from the
+  // numerator and 1 from the support BEFORE smoothing.
+  //
+  // Scale: one fact scan + a broadcastable |category| aggregate + a
+  // 1-row global anchor; the encode itself is a projection — the
+  // exact shape the transform ships with at 100 TB (the category
+  // table IS the model artifact).
+  val q233: QuerySpec = QuerySpec(
+    "q233_target_encoding",
+    (s, d) => {
+      val big = DecimalType(38, 0)
+      val rows = orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey").as("nation"),
+          (col("o_orderstatus") === "F").cast("long").as("y"))
+      val cat = rows.groupBy("nation")
+        .agg(count(lit(1)).cast(big).as("nc"), sum("y").cast(big).as("syc"))
+      val glob = rows.agg(count(lit(1)).cast(big).as("n"), sum("y").cast(big).as("sy"))
+      rows
+        .join(broadcast(cat), Seq("nation"))
+        .crossJoin(broadcast(glob)) // 1-row global anchor
+        .select(col("o_orderkey"), col("nation"), col("y"),
+          expr("CAST(10000 * (syc * n + 20 * sy) div ((nc + 20) * n) AS BIGINT)").as("enc_bp"),
+          expr("CAST(10000 * ((syc - y) * n + 20 * sy) div ((nc - 1 + 20) * n) AS BIGINT)")
+            .as("enc_loo_bp"))
+        .orderBy("o_orderkey")
+    },
+    Some(
+      "WITH rows_ AS (SELECT o_orderkey, c_nationkey AS nation, " +
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey), " +
+        "cat AS (SELECT nation, CAST(count(*) AS HUGEINT) AS nc, CAST(sum(y) AS HUGEINT) AS syc " +
+        "FROM rows_ GROUP BY 1), " +
+        "gmix AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(y) AS HUGEINT) AS sy FROM rows_) " +
+        "SELECT o_orderkey, nation, CAST(y AS BIGINT) AS y, " +
+        "CAST(10000 * (syc * n + 20 * sy) // ((nc + 20) * n) AS BIGINT) AS enc_bp, " +
+        "CAST(10000 * ((syc - y) * n + 20 * sy) // ((nc - 1 + 20) * n) AS BIGINT) AS enc_loo_bp " +
+        "FROM rows_ JOIN cat USING (nation) CROSS JOIN gmix ORDER BY o_orderkey"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q168, q169, q170, q171, q172, q175, q176, q182, q183, q184, q185, q198)
+    Seq(q168, q169, q170, q171, q172, q175, q176, q182, q183, q184, q185, q198,
+      q232, q233)
 }

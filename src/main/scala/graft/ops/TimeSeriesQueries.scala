@@ -681,6 +681,135 @@ object TimeSeriesQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q231 — Theil–Sen robust trend (r7): per return flag, the MEDIAN of
+  // all pairwise day-slopes of the daily revenue series, with the
+  // quartile band. The outlier-resistant complement of q145's OLS
+  // slope: a single anomalous day moves the OLS line but not the
+  // pairwise-slope median (breakdown point 29%), so disagreement
+  // between q145 and this IS the outlier signal.
+  //
+  // Determinism: cents truncate (the q225 rule — revenueDecimal has
+  // scale 6); each pairwise slope is milli-cents/day by
+  // TOWARD-ZERO integer division with an explicit sign split (Spark
+  // `div` truncates, DuckDB `//` floors — they agree only on
+  // non-negatives, and down-trending pairs are negative); quartile /
+  // median elements are picked at fixed rank positions k = ⌈n/4⌉,
+  // ⌈n/2⌉... precisely (n+3) div 4, (n+1) div 2, (3n+1) div 4 — the
+  // value at a rank is well-defined under ties regardless of tie
+  // order, so row_number suffices.
+  //
+  // Scale: the pair frame is CALENDAR-bounded, not fact-bounded — the
+  // daily aggregate is the only fact-sized pass (the q225 discipline),
+  // and days²/2 pairs stay ~7M even over a decade, per group. One
+  // sort per flag over that bounded frame.
+  val q231: QuerySpec = QuerySpec(
+    "q231_theil_sen",
+    (s, d) => {
+      val daily = lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"),
+          col("l_shipdate").cast("date").as("day"))
+        .agg((Exact.revenueDecimal * 100).cast("long").as("cents"))
+      // Pair generation rides a BROADCAST hash join on the bare flag
+      // key: the calendar-sized build side broadcasts, so parallelism
+      // comes from the STREAMED side's partitions — the key count is
+      // irrelevant, and a measured salting attempt (replicate the
+      // build side ×32) only doubled the cost. Low-cardinality keys
+      // hurt a SHUFFLED join, not a broadcast probe.
+      val pairs = daily.as("a")
+        .join(daily.as("b"),
+          col("a.flag") === col("b.flag") && col("a.day") < col("b.day"))
+        .select(col("a.flag").as("flag"),
+          ((col("b.cents") - col("a.cents")) * 1000).as("num"),
+          // a.day < b.day makes dd ≥ 1 on every SURVIVING pair; the
+          // greatest() guard exists because codegen can evaluate this
+          // projection speculatively on rows the join condition is
+          // about to reject, and under ANSI that div-by-zero THROWS
+          // (observed) — the guard value never reaches output.
+          greatest(datediff(col("b.day"), col("a.day")).cast("long"), lit(1L)).as("dd"))
+        .select(col("flag"),
+          when(col("num") >= 0, expr("num div dd"))
+            .otherwise(-expr("(-num) div dd")).as("slope"))
+      // DISTRIBUTED EXACT SELECTION (single-recursion quickselect):
+      // ranking the full pair frame with a per-flag window costs ~12 s
+      // in BOTH engines (measured — few giant partitions serialize the
+      // sort however the join is parallelized). Instead: (1) one
+      // map-side-combined HISTOGRAM over monotone slope buckets
+      // (exact floor-division bucketing, so bucket order ≡ value
+      // order and equal slopes share a bucket); (2) the tiny
+      // cumulative-histogram frame locates WHICH bucket holds each
+      // target rank and the count below it; (3) only those ≤3 buckets
+      // per flag re-filter from the pair stream (broadcast) and get a
+      // window — the sort touches one bucket's pairs, not 3M rows.
+      // The pair stream is evaluated twice (histogram + re-filter);
+      // both passes are streamed aggregates/filters, never a big sort.
+      val W = 1L << 22
+      val bpairs = pairs.withColumn("bk",
+        expr(s"CASE WHEN slope >= 0 THEN slope div ${W}L ELSE -(((-slope) + ${W - 1}L) div ${W}L) END"))
+      // The histogram is the ONLY full pair-stream aggregate, and four
+      // consumers read it (cumulative frame, totals, bucket picks, the
+      // final totals join) — two of them through broadcast subtrees
+      // that would silently re-run the pair join per read. Pin the
+      // (flag, bucket) frame (hundreds of rows): the pair stream then
+      // evaluates exactly twice — once here, once for the in-bucket
+      // re-filter.
+      val hist = bpairs.groupBy("flag", "bk").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val cum = hist.withColumn("cmprev",
+        coalesce(sum("c").over(
+          Window.partitionBy("flag").orderBy("bk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val counts = hist.groupBy("flag").agg(sum("c").as("n_pairs"))
+      def kOf(which: Int) = which match {
+        case 1 => expr("(n_pairs + 3) div 4")
+        case 2 => expr("(n_pairs + 1) div 2")
+        case 3 => expr("(3 * n_pairs + 1) div 4")
+      }
+      val withK = cum.join(broadcast(counts), Seq("flag"))
+      val selBuckets = withK
+        .where((1 to 3).map(i =>
+          col("cmprev") < kOf(i) && col("cmprev") + col("c") >= kOf(i)).reduce(_ || _))
+        .select(col("flag"), col("bk"), col("cmprev"))
+      val inBucket = bpairs
+        .join(broadcast(selBuckets), Seq("flag", "bk"))
+        .withColumn("rn",
+          col("cmprev") + row_number().over(
+            Window.partitionBy("flag", "bk").orderBy("slope")))
+      val sizes = daily.groupBy("flag").agg(count(lit(1)).as("n_days"))
+      inBucket
+        .join(broadcast(counts), Seq("flag"))
+        .where((1 to 3).map(i => col("rn") === kOf(i)).reduce(_ || _))
+        .groupBy("flag", "n_pairs")
+        .agg(
+          max(when(col("rn") === kOf(1), col("slope"))).as("slope_q1_milli"),
+          max(when(col("rn") === kOf(2), col("slope"))).as("slope_med_milli"),
+          max(when(col("rn") === kOf(3), col("slope"))).as("slope_q3_milli"))
+        .join(broadcast(sizes), Seq("flag"))
+        .select(col("flag"), col("n_days"), col("n_pairs"),
+          col("slope_q1_milli"), col("slope_med_milli"), col("slope_q3_milli"))
+        .orderBy("flag")
+    },
+    Some(
+      "WITH daily AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day, " +
+        s"CAST(trunc(${Exact.revenueDecimalSql} * 100) AS BIGINT) AS cents FROM lineitem GROUP BY 1, 2), " +
+        "pairs AS (SELECT a.flag AS flag, " +
+        "CASE WHEN b.cents - a.cents >= 0 THEN ((b.cents - a.cents) * 1000) // (b.day - a.day) " +
+        "ELSE -(((a.cents - b.cents) * 1000) // (b.day - a.day)) END AS slope " +
+        "FROM daily a JOIN daily b ON a.flag = b.flag AND a.day < b.day), " +
+        "ranked AS (SELECT flag, slope, row_number() OVER (PARTITION BY flag ORDER BY slope) AS rn FROM pairs), " +
+        "cnts AS (SELECT flag, count(*) AS np FROM pairs GROUP BY 1), " +
+        "sizes AS (SELECT flag, count(*) AS n_days FROM daily GROUP BY 1), " +
+        "sel AS (SELECT r.flag AS flag, c.np AS np, " +
+        "max(CASE WHEN rn = (np + 3) // 4 THEN slope END) AS slope_q1_milli, " +
+        "max(CASE WHEN rn = (np + 1) // 2 THEN slope END) AS slope_med_milli, " +
+        "max(CASE WHEN rn = (3 * np + 1) // 4 THEN slope END) AS slope_q3_milli " +
+        "FROM ranked r JOIN cnts c ON r.flag = c.flag GROUP BY 1, 2) " +
+        "SELECT s.flag AS flag, CAST(n_days AS BIGINT) AS n_days, CAST(np AS BIGINT) AS n_pairs, " +
+        "slope_q1_milli, slope_med_milli, slope_q3_milli " +
+        "FROM sel s JOIN sizes z ON s.flag = z.flag ORDER BY flag"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q118, q135, q136, q141, q143, q145, q146, q151, q152, q203, q225)
+    Seq(q118, q135, q136, q141, q143, q145, q146, q151, q152, q203, q225, q231)
 }

@@ -235,4 +235,52 @@ class StatQueriesSpec extends SparkSpec {
       .map(r => r.getAs[Long]("rows_matched")).toSet
     assert(zm.size == 1)
   }
+
+  test("q232 feature IV: monotone fixture pins WoE signs and hand-computed IV") {
+    val dir = java.nio.file.Files.createTempDirectory("q232fix").toString
+    // band0: 3 good (F); band5: 3 bad; band1: 1+1. Laplace g'=g+1 etc:
+    //   woe(b0) = ⌊ln(4·7/7)·1e6⌋ = 1386294; woe(b1) = 0;
+    //   woe(b5) = ⌊ln(7/28)·1e6⌋ = −1386295 (floor of a negative);
+    //   IV = (21·1386294 + 0 + 21·1386295) div 49 = 1188252 µnats.
+    // priority A carries all goods, B all bads: woe ±⌊ln5·1e6⌋,
+    //   IV = (24·1609437 + 24·1609438) div 36 = 2145916.
+    val rows = Seq(
+      (1L, "F", 10000.0, "A"), (2L, "F", 20000.0, "A"), (3L, "F", 30000.0, "A"),
+      (4L, "O", 400000.0, "B"), (5L, "O", 500000.0, "B"), (6L, "O", 600000.0, "B"),
+      (7L, "F", 60000.0, "A"), (8L, "O", 70000.0, "B"))
+    rows.toDF("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = StatQueries.q232.run(spark, dir).collect()
+      .map(x => (x.getAs[String]("feature"), x.getAs[String]("bin")) ->
+        ((x.getAs[Long]("n_good"), x.getAs[Long]("n_bad"),
+          x.getAs[Long]("woe_micro"), x.getAs[Long]("iv_micro")))).toMap
+    assert(r(("price_band", "0")) == ((3L, 0L, 1386294L, 1188252L)))
+    assert(r(("price_band", "1")) == ((1L, 1L, 0L, 1188252L)))
+    assert(r(("price_band", "5")) == ((0L, 3L, -1386295L, 1188252L)))
+    assert(r(("priority", "A")) == ((4L, 0L, 1609437L, 2145916L)))
+    assert(r(("priority", "B")) == ((0L, 4L, -1609438L, 2145916L)))
+  }
+
+  test("q233 target encoding: prior shrinkage and LOO exclusion, hand-computed") {
+    val dir = java.nio.file.Files.createTempDirectory("q233fix").toString
+    // nation 0: 3 orders, 2 F → enc = 10⁴·(2·4+20·2) div (23·4) = 5217;
+    //   LOO(F row) = 10⁴·(1·4+40) div (22·4) = 5000; LOO(O row) = 5454.
+    // nation 1: 1 order, 0 F → enc = 10⁴·40 div (21·4) = 4761 — pulled
+    //   toward the global 5000, not its raw 0 (the shrinkage pin);
+    //   LOO = 10⁴·40 div (20·4) = 5000 (category contributes nothing).
+    Seq((10L, "c0", 0, 0.0, "M"), (11L, "c1", 1, 0.0, "M"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1L, 10L, "F"), (2L, 10L, "F"), (3L, 10L, "O"), (4L, 11L, "O"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = StatQueries.q233.run(spark, dir).collect()
+      .map(x => x.getAs[Long]("o_orderkey") ->
+        ((x.getAs[Int]("nation"), x.getAs[Long]("y"),
+          x.getAs[Long]("enc_bp"), x.getAs[Long]("enc_loo_bp")))).toMap
+    assert(r(1L) == ((0, 1L, 5217L, 5000L)))
+    assert(r(2L) == ((0, 1L, 5217L, 5000L)))
+    assert(r(3L) == ((0, 0L, 5217L, 5454L)))
+    assert(r(4L) == ((1, 0L, 4761L, 5000L)))
+  }
 }

@@ -194,4 +194,32 @@ class TimeSeriesQueriesSpec extends SparkSpec {
     assert(row.getAs[Long]("mae_persist_cents") == 1050L,
       "fractional cents must truncate: 9.5095 → 950, not 951")
   }
+
+  test("q231 Theil–Sen: one anomalous day cannot move the median off the true slope") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q231fix").toString
+    // 4 days climbing exactly 1 cent/day (1.00 → 1.03), then a 10.00
+    // outlier on day 5. All 10 pairwise slopes in milli-cents/day:
+    // six pairs among the clean days = 1000; the four outlier pairs =
+    // 225000/299000/449000/897000. Fixed-rank picks over the sorted
+    // list: q1 (rank 3) = 1000, median (rank 5) = 1000 — the true
+    // slope, untouched by the outlier OLS would chase — q3 (rank 7) =
+    // 225000, the band exposing the contamination.
+    val rows = Seq(
+      ("1995-01-01", 1.00), ("1995-01-02", 1.01), ("1995-01-03", 1.02),
+      ("1995-01-04", 1.03), ("1995-01-05", 10.00))
+    rows.toDF("d", "l_extendedprice")
+      .select(to_timestamp(col("d")).as("l_shipdate"), col("l_extendedprice"),
+        lit(0.0).as("l_discount"), lit("A").as("l_returnflag"))
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = TimeSeriesQueries.q231.run(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_days") == 5L && row.getAs[Long]("n_pairs") == 10L)
+    assert(row.getAs[Long]("slope_q1_milli") == 1000L)
+    assert(row.getAs[Long]("slope_med_milli") == 1000L,
+      "the pairwise-slope median must resist a single anomalous day")
+    assert(row.getAs[Long]("slope_q3_milli") == 225000L)
+  }
 }
