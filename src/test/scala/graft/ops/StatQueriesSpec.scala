@@ -261,6 +261,51 @@ class StatQueriesSpec extends SparkSpec {
     assert(r(("priority", "B")) == ((0L, 4L, -1609438L, 2145916L)))
   }
 
+  test("q234 bootstrap CI: replicate means match an independent weight recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("q234fix").toString
+    // two priorities, whole-cent prices; weights recomputed in plain
+    // Scala from the same md5 construction — a full in-JVM oracle
+    val rows = (1L to 40L).map { k =>
+      val pri = if (k % 2 == 0) "1-URGENT" else "2-HIGH"
+      (k, pri, 100.0 * k + 0.50)
+    }
+    rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+
+    def u32(s: String, chunk: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.slice(8 * chunk, 8 * chunk + 8), 16)
+    }
+    val thresholds =
+      Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L, 4279248373L, 4292415291L)
+    def weight(u: Long): Long = {
+      val i = thresholds.indexWhere(u < _)
+      if (i < 0) 6L else i.toLong
+    }
+    def expected(pri: String): (Long, Long, Long) = {
+      val mine = rows.filter(_._2 == pri).map { case (k, _, p) => (k, math.round(p * 100)) }
+      val reps = (0 to 31).flatMap { b =>
+        val ws = mine.map { case (k, c) => (weight(u32(s"boot:$k:${b / 4}", b % 4)), c) }
+        val nw = ws.map(_._1).sum
+        if (nw == 0) None
+        else Some((b, 1000 * ws.map { case (w, c) => w * c }.sum / nw))
+      }
+      val sorted = reps.sortBy { case (b, m) => (m, b) }.map(_._2)
+      val point = 1000 * mine.map(_._2).sum / mine.size
+      (point, sorted(1), sorted(30))
+    }
+    val r = StatQueries.q234.run(spark, dir).collect()
+      .map(x => x.getAs[String]("priority") ->
+        ((x.getAs[Long]("point_milli"), x.getAs[Long]("lo_milli"),
+          x.getAs[Long]("hi_milli"), x.getAs[Long]("n_orders")))).toMap
+    for (pri <- Seq("1-URGENT", "2-HIGH")) {
+      val (pt, lo, hi) = expected(pri)
+      assert(r(pri) == ((pt, lo, hi, 20L)), s"priority $pri")
+      assert(lo <= pt && pt <= hi, s"band should cover the point estimate for $pri")
+    }
+  }
+
   test("q233 target encoding: prior shrinkage and LOO exclusion, hand-computed") {
     val dir = java.nio.file.Files.createTempDirectory("q233fix").toString
     // nation 0: 3 orders, 2 F → enc = 10⁴·(2·4+20·2) div (23·4) = 5217;
