@@ -894,11 +894,12 @@ object StatQueries {
   // tie-stable.
   //
   // Scale: the ×32 replicate fanout is ONE posexplode over a
-  // projected 32-element array (codegen CSE computes the 8 digests
-  // once) and map-side-combines to |slices|·32 rows before the only
-  // shuffle; the rank step runs on 32 rows per slice. B is a constant
-  // the pipeline chooses — cost is B/4 md5s per row, data passes stay
-  // at ONE.
+  // 32-element array of substring/conv reads against 8 digests
+  // projected BELOW the Generate (generators get no codegen CSE — see
+  // the inline note) and map-side-combines to |slices|·32 rows before
+  // the only shuffle; the rank step runs on 32 rows per slice. B is a
+  // constant the pipeline chooses — cost is B/4 md5s per row, data
+  // passes stay at ONE.
   val q234: QuerySpec = QuerySpec(
     "q234_bootstrap_ci",
     (s, d) => {
@@ -909,12 +910,21 @@ object StatQueries {
       val point = rows.groupBy("priority")
         .agg(count(lit(1)).as("n_orders"),
           expr("CAST((1000 * sum(cents)) div count(*) AS BIGINT)").as("point_milli"))
+      // The 8 digests are projected BELOW the Generate: expressions
+      // inside a generator get no codegen subexpression elimination, so
+      // an md5-per-replicate array would hash 32× per row (measured
+      // 8.2 s at sf0.1); hoisted, each row hashes exactly 8× and the
+      // explode carries only substring+conv (measured 3.0 s).
+      val withDigests = rows.select(
+        col("priority") +: col("cents") +: (0 to 7).map { g =>
+          md5(concat(lit("boot:"), col("o_orderkey"), lit(":"), lit(g)))
+            .as(s"d$g")
+        }: _*)
       val us = (0 to 31).map { b =>
-        conv(substring(
-          md5(concat(lit("boot:"), col("o_orderkey"), lit(":"), lit(b / 4))),
-          1 + 8 * (b % 4), 8), 16, 10).cast("long")
+        conv(substring(col(s"d${b / 4}"), 1 + 8 * (b % 4), 8), 16, 10)
+          .cast("long")
       }
-      val rep = rows
+      val rep = withDigests
         .select(col("priority"), col("cents"),
           posexplode(array(us: _*)).as(Seq("b", "u")))
         .withColumn("w",
@@ -964,7 +974,367 @@ object StatQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q235 — Kaplan–Meier survival of order fulfillment time with right
+  // censoring (Kaplan & Meier 1958): per order priority, the log-
+  // survival curve of "days until the order is FULLY delivered"
+  // (max l_shipdate over the order's lines), read at the 30/60/90/
+  // 120-day marks. Orders still undelivered at the administrative
+  // cutoff (2001-06-01) are CENSORED at the cutoff — dropping them
+  // (complete-case analysis) would bias fulfillment time downward,
+  // exactly the mistake the censoring machinery exists to prevent.
+  // Completes the duration axis the stat family lacks (q158/q159/q162
+  // compare distributions; this estimates a time-to-event curve under
+  // partial observation — the churn/retention/latency primitive).
+  //
+  // Determinism: the curve is carried in LOG space as exact integers —
+  // per event time t, term = ⌊ln((n_t − d_t)/n_t)·10⁶⌋ (the q232 one-
+  // ln-of-an-integer-ratio idiom), summed over event times ≤ mark, so
+  // the published µnat values never see float accumulation. Event
+  // times with n_t = d_t (the whole risk set dies) are excluded by the
+  // SAME filter in both engines (S hits 0; log-space cannot carry it).
+  // Risk sets are exact integers from a cumulative count. Mark reads
+  // are max-by-t over event times ≤ mark (struct-max in Spark,
+  // max_by + FILTER in DuckDB) — tie-free because t is the group key.
+  //
+  // Scale: one lineitem pass partial-aggs max(receipt) per order, the
+  // orders join shuffles both sides on orderkey once; everything after
+  // is (priority × duration)-sized — durations are CALENDAR-bounded
+  // (fulfillment ≤ ~4 months + censor horizon), so the per-priority
+  // cumulative windows run on ~10² rows per group (the q78 bounded-
+  // frame exception), never on facts.
+  val q235: QuerySpec = QuerySpec(
+    "q235_kaplan_meier",
+    (s, d) => {
+      val cutoff = lit("2001-06-01").cast("date")
+      val delivered = lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate").cast("date")).as("delivered"))
+      val obs = orders(s, d)
+        .where(col("o_orderdate").cast("date") < cutoff)
+        .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+          col("o_orderdate").cast("date").as("start"))
+        .join(delivered, col("o_orderkey") === col("l_orderkey"))
+        .select(col("priority"),
+          when(col("delivered") < cutoff, datediff(col("delivered"), col("start")))
+            .otherwise(datediff(cutoff, col("start"))).cast("long").as("t"),
+          when(col("delivered") < cutoff, 1L).otherwise(0L).as("ev"))
+      val byT = obs.groupBy("priority", "t")
+        .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
+      val tot = obs.groupBy("priority")
+        .agg(count(lit(1)).as("n_orders"), sum(col("ev")).as("n_events"))
+      val wCum = Window.partitionBy("priority").orderBy("t")
+      val risk = byT
+        .withColumn("before",
+          coalesce(sum(col("d") + col("c"))
+            .over(wCum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .join(tot, Seq("priority"))
+        .withColumn("n_t", col("n_orders") - col("before"))
+      val cum = risk
+        .where(col("d") > 0 && col("n_t") > col("d"))
+        .withColumn("term",
+          expr("CAST(floor(ln(CAST(n_t - d AS DOUBLE) / CAST(n_t AS DOUBLE)) * 1e6) AS BIGINT)"))
+        .withColumn("logS",
+          sum(col("term")).over(wCum.rowsBetween(Window.unboundedPreceding, 0)))
+      def mark(m: Int): Column = coalesce(
+        max(when(col("t") <= m, struct(col("t"), col("logS")))).getField("logS"),
+        lit(0L)).as(s"logs${m}_unat")
+      tot.join(
+        cum.groupBy("priority").agg(mark(30), mark(60), mark(90), mark(120)),
+        Seq("priority"), "left_outer")
+        .select(col("priority"), col("n_orders"), col("n_events"),
+          coalesce(col("logs30_unat"), lit(0L)).as("logs30_unat"),
+          coalesce(col("logs60_unat"), lit(0L)).as("logs60_unat"),
+          coalesce(col("logs90_unat"), lit(0L)).as("logs90_unat"),
+          coalesce(col("logs120_unat"), lit(0L)).as("logs120_unat"))
+        .orderBy("priority")
+    },
+    Some(
+      "WITH del AS (SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS delivered " +
+        "FROM lineitem GROUP BY 1), " +
+        "obs AS (SELECT o_orderpriority AS priority, " +
+        "CASE WHEN delivered < DATE '2001-06-01' " +
+        "THEN datediff('day', CAST(o_orderdate AS DATE), delivered) " +
+        "ELSE datediff('day', CAST(o_orderdate AS DATE), DATE '2001-06-01') END AS t, " +
+        "CASE WHEN delivered < DATE '2001-06-01' THEN 1 ELSE 0 END AS ev " +
+        "FROM orders JOIN del ON l_orderkey = o_orderkey " +
+        "WHERE CAST(o_orderdate AS DATE) < DATE '2001-06-01'), " +
+        "byt AS (SELECT priority, t, sum(ev) AS d, sum(1 - ev) AS c FROM obs GROUP BY 1, 2), " +
+        "tot AS (SELECT priority, count(*) AS n_orders, CAST(sum(ev) AS BIGINT) AS n_events " +
+        "FROM obs GROUP BY 1), " +
+        "risk AS (SELECT b.priority, t, d, n_orders - coalesce(sum(d + c) OVER " +
+        "(PARTITION BY b.priority ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_t " +
+        "FROM byt b JOIN tot USING (priority)), " +
+        "cum AS (SELECT priority, t, sum(CAST(floor(ln(CAST(n_t - d AS DOUBLE) / CAST(n_t AS DOUBLE)) * 1e6) AS BIGINT)) " +
+        "OVER (PARTITION BY priority ORDER BY t) AS logS FROM risk WHERE d > 0 AND n_t > d), " +
+        "marks AS (SELECT priority, " +
+        "coalesce(max_by(logS, t) FILTER (WHERE t <= 30), 0) AS logs30_unat, " +
+        "coalesce(max_by(logS, t) FILTER (WHERE t <= 60), 0) AS logs60_unat, " +
+        "coalesce(max_by(logS, t) FILTER (WHERE t <= 90), 0) AS logs90_unat, " +
+        "coalesce(max_by(logS, t) FILTER (WHERE t <= 120), 0) AS logs120_unat " +
+        "FROM cum GROUP BY 1) " +
+        "SELECT t.priority, t.n_orders, t.n_events, " +
+        "CAST(coalesce(logs30_unat, 0) AS BIGINT) AS logs30_unat, " +
+        "CAST(coalesce(logs60_unat, 0) AS BIGINT) AS logs60_unat, " +
+        "CAST(coalesce(logs90_unat, 0) AS BIGINT) AS logs90_unat, " +
+        "CAST(coalesce(logs120_unat, 0) AS BIGINT) AS logs120_unat " +
+        "FROM tot t LEFT JOIN marks USING (priority) ORDER BY priority"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q236 — CUPED variance reduction for the A/B report (Deng, Xu,
+  // Kohavi & Walker, WSDM 2013): the experiment metric (per-customer
+  // 1997 spend) adjusted by its PRE-period covariate (1996 spend),
+  // Y' = Y − θ(X − X̄) with θ = cov(X,Y)/var(X) — the adjustment every
+  // production experimentation platform applies before reading a
+  // lift, because it shrinks metric variance by ρ² without biasing
+  // the arm difference (θ is pooled, X predates assignment). Output:
+  // arm sizes, raw and adjusted mean spend, θ, and the achieved
+  // variance-reduction ρ² in floored bp. Completes q155 (assignment +
+  // lift) with the sensitivity half of the experimentation stack.
+  //
+  // Determinism: all moments (Σx, Σy, Σxy, Σx², Σy², arm slices)
+  // accumulate as exact DECIMAL(38,0) cents; covariance/variance
+  // NUMERATORS (n·Σxy − ΣxΣy etc.) are still exact integers; the only
+  // float steps are the final ratio assemblies — IEEE-exact ops (+,−,
+  // ×,÷) on identical inputs in identical shapes, the q166 rule —
+  // rounded at 6/4 places, and ρ²·10⁴ floors. Raw means are exact
+  // milli-cents via integer div. Arms are the q155 md5 rule (pure
+  // function of the key: reproducible across engines, reruns, growth).
+  //
+  // Scale: two date-pruned per-customer aggregates (partial-agg), two
+  // custkey-keyed joins against the customer dim, ONE single-row
+  // moment aggregate — nothing after the per-customer frame depends
+  // on data volume, and the covariate needs no extra pass at 100 TB
+  // because it comes from the same keyed aggregate shape the metric
+  // does. Assumes var(X) > 0 (any real pre-period does).
+  val q236: QuerySpec = QuerySpec(
+    "q236_cuped",
+    (s, d) => {
+      val big = DecimalType(38, 0)
+      def spend(lo: String, hi: String, as: String) = orders(s, d)
+        .where(col("o_orderdate").cast("date") >= lit(lo).cast("date") &&
+          col("o_orderdate").cast("date") < lit(hi).cast("date"))
+        .groupBy(col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+          .cast(big).as(as))
+      val pre = spend("1996-01-01", "1997-01-01", "x")
+        .withColumnRenamed("o_custkey", "ck1")
+      val post = spend("1997-01-01", "1998-01-01", "y")
+        .withColumnRenamed("o_custkey", "ck2")
+      val base = customer(s, d).select(col("c_custkey"))
+        .join(pre, col("c_custkey") === col("ck1"), "left_outer")
+        .join(post, col("c_custkey") === col("ck2"), "left_outer")
+        .select(col("c_custkey"),
+          coalesce(col("x"), lit(0).cast(big)).as("x"),
+          coalesce(col("y"), lit(0).cast(big)).as("y"))
+        .withColumn("arm",
+          when(substring(md5(concat(lit("graft-cuped:"),
+            col("c_custkey").cast("string"))), 1, 2) < "80", "A")
+            .otherwise("B"))
+      base.agg(
+        count(lit(1)).cast(big).as("n"),
+        sum("x").cast(big).as("sx"), sum("y").cast(big).as("sy"),
+        sum(col("x") * col("y")).cast(big).as("sxy"),
+        sum(col("x") * col("x")).cast(big).as("sxx"),
+        sum(col("y") * col("y")).cast(big).as("syy"),
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).cast(big).as("na"),
+        sum(when(col("arm") === "A", col("x")).otherwise(lit(0).cast(big)))
+          .cast(big).as("sxa"),
+        sum(when(col("arm") === "A", col("y")).otherwise(lit(0).cast(big)))
+          .cast(big).as("sya"))
+        .withColumn("nb", (col("n") - col("na")).cast(big))
+        .withColumn("sxb", (col("sx") - col("sxa")).cast(big))
+        .withColumn("syb", (col("sy") - col("sya")).cast(big))
+        .withColumn("covnum",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast(big))
+        .withColumn("varxnum",
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast(big))
+        .withColumn("varynum",
+          (col("n") * col("syy") - col("sy") * col("sy")).cast(big))
+        .select(
+          col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+          expr("CAST((1000 * sya) div na AS BIGINT)").as("raw_a_milli"),
+          expr("CAST((1000 * syb) div nb AS BIGINT)").as("raw_b_milli"),
+          round(expr("CAST(covnum AS DOUBLE) / CAST(varxnum AS DOUBLE)"), 6)
+            .as("theta"),
+          round(expr("1000.0 * (CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) - " +
+            "(CAST(covnum AS DOUBLE) / CAST(varxnum AS DOUBLE)) * " +
+            "(CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"), 4)
+            .as("adj_a_milli"),
+          round(expr("1000.0 * (CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE) - " +
+            "(CAST(covnum AS DOUBLE) / CAST(varxnum AS DOUBLE)) * " +
+            "(CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"), 4)
+            .as("adj_b_milli"),
+          expr("CAST(floor(10000.0 * (CAST(covnum AS DOUBLE) * CAST(covnum AS DOUBLE)) / " +
+            "(CAST(varxnum AS DOUBLE) * CAST(varynum AS DOUBLE))) AS BIGINT)")
+            .as("var_red_bp"))
+    },
+    Some(
+      "WITH pre AS (SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS HUGEINT) AS x " +
+        "FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01' AND CAST(o_orderdate AS DATE) < DATE '1997-01-01' GROUP BY 1), " +
+        "post AS (SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS HUGEINT) AS y " +
+        "FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01' AND CAST(o_orderdate AS DATE) < DATE '1998-01-01' GROUP BY 1), " +
+        "base AS (SELECT c_custkey, coalesce(x, 0) AS x, coalesce(y, 0) AS y, " +
+        "CASE WHEN substring(md5('graft-cuped:' || CAST(c_custkey AS VARCHAR)), 1, 2) < '80' THEN 'A' ELSE 'B' END AS arm " +
+        "FROM customer LEFT JOIN pre ON pre.o_custkey = c_custkey LEFT JOIN post ON post.o_custkey = c_custkey), " +
+        "m AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy, " +
+        "sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy, " +
+        "CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS HUGEINT) AS na, " +
+        "sum(CASE WHEN arm = 'A' THEN x ELSE 0 END) AS sxa, " +
+        "sum(CASE WHEN arm = 'A' THEN y ELSE 0 END) AS sya FROM base), " +
+        "dd AS (SELECT *, n - na AS nb, sx - sxa AS sxb, sy - sya AS syb, " +
+        "n * sxy - sx * sy AS covnum, n * sxx - sx * sx AS varxnum, n * syy - sy * sy AS varynum FROM m) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "CAST((1000 * sya) // na AS BIGINT) AS raw_a_milli, " +
+        "CAST((1000 * syb) // nb AS BIGINT) AS raw_b_milli, " +
+        "round(CAST(covnum AS DOUBLE) / CAST(varxnum AS DOUBLE), 6) AS theta, " +
+        "round(1000.0 * (CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) - " +
+        "(CAST(covnum AS DOUBLE) / CAST(varxnum AS DOUBLE)) * " +
+        "(CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 4) AS adj_a_milli, " +
+        "round(1000.0 * (CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE) - " +
+        "(CAST(covnum AS DOUBLE) / CAST(varxnum AS DOUBLE)) * " +
+        "(CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 4) AS adj_b_milli, " +
+        "CAST(floor(10000.0 * (CAST(covnum AS DOUBLE) * CAST(covnum AS DOUBLE)) / " +
+        "(CAST(varxnum AS DOUBLE) * CAST(varynum AS DOUBLE))) AS BIGINT) AS var_red_bp " +
+        "FROM dd"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q237 — revenue-concentration audit per market segment: exact Gini
+  // coefficient + top-decile share of per-customer lifetime spend —
+  // the inequality read-out (Lorenz geometry) every mixture/sampling
+  // decision wants before reweighting a skewed corpus (a segment at
+  // Gini 0.9 and one at 0.3 need different dedup/sampling budgets).
+  //
+  // Determinism: G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) over the 1-based
+  // per-segment rank of the (x, custkey) total order — every term an
+  // exact DECIMAL(38,0) integer, the numerator ≥ 0 by construction
+  // (sorted ascending) so floored div is sign-safe; top-decile share
+  // reads the exact prefix sum at rank ⌊9n/10⌋ (i ≤ ⌊9n/10⌋ ⟺
+  // 10i ≤ 9n — integer forms both engines share).
+  //
+  // Scale: per-segment rank WITHOUT a per-segment window (5 segments =
+  // the q67/q83 few-groups bottleneck): ONE Ranks.withGlobalPrefixSum
+  // pass over the (segment, x, ck) total order gives global rank +
+  // running sum, and per-segment values are recovered by subtracting
+  // 5-row broadcast offsets — the range partitioning distributes
+  // however large the customer dimension grows. The fact scan
+  // partial-aggs to per-customer rows first.
+  val q237: QuerySpec = QuerySpec(
+    "q237_gini_concentration",
+    (s, d) => {
+      val big = DecimalType(38, 0)
+      val spendPer = orders(s, d).groupBy(col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+          .cast(big).as("xr"))
+      val base = customer(s, d)
+        .select(col("c_custkey").as("ck"), col("c_mktsegment").as("segment"))
+        .join(spendPer, col("ck") === col("o_custkey"), "left_outer")
+        .select(col("segment"), col("ck"),
+          coalesce(col("xr"), lit(0).cast(big)).as("x"))
+      val ranked = Ranks.withGlobalPrefixSum(
+        base, Seq(col("segment").asc, col("x").asc, col("ck").asc),
+        col("x"), "grk", "gcum")
+      // 5-row segment frame: counts/sums + exclusive prefix offsets
+      val offs = base.groupBy(col("segment").as("oseg"))
+        .agg(count(lit(1)).as("n"), sum("x").cast(big).as("sx"))
+        .withColumn("noff", coalesce(
+          sum("n").over(Window.orderBy("oseg").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("soff", coalesce(
+          sum("sx").over(Window.orderBy("oseg").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0).cast(big)))
+      ranked.join(broadcast(offs), col("segment") === col("oseg"))
+        .withColumn("i", (col("grk") - col("noff")).cast(big))
+        .withColumn("cum", (col("gcum") - col("soff")).cast(big))
+        .groupBy("segment")
+        .agg(
+          max("n").as("nn"), max("sx").as("ssx"),
+          sum(col("i") * col("x")).cast(big).as("ss"),
+          coalesce(
+            max(when(col("i") * 10 <= col("n") * 9, col("cum"))),
+            lit(0).cast(big)).as("cumk"))
+        .select(
+          col("segment"), col("nn").as("n_customers"),
+          col("ssx").cast("long").as("spend_cents"),
+          expr("CAST((10000 * (2 * ss - (nn + 1) * ssx)) div (nn * ssx) AS BIGINT)")
+            .as("gini_bp"),
+          expr("CAST((10000 * (ssx - cumk)) div ssx AS BIGINT)").as("top10_bp"))
+        .orderBy("segment")
+    },
+    Some(
+      "WITH spend AS (SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS HUGEINT) AS x " +
+        "FROM orders GROUP BY 1), " +
+        "base AS (SELECT c_mktsegment AS segment, c_custkey AS ck, coalesce(x, 0) AS x " +
+        "FROM customer LEFT JOIN spend ON o_custkey = c_custkey), " +
+        "rk AS (SELECT segment, x, row_number() OVER w AS i, sum(x) OVER w AS cum, " +
+        "count(*) OVER (PARTITION BY segment) AS n " +
+        "FROM base WINDOW w AS (PARTITION BY segment ORDER BY x, ck)) " +
+        "SELECT segment, max(n) AS n_customers, CAST(sum(x) AS BIGINT) AS spend_cents, " +
+        "CAST((10000 * (2 * sum(CAST(i AS HUGEINT) * x) - (max(n) + 1) * sum(x))) // (max(n) * sum(x)) AS BIGINT) AS gini_bp, " +
+        "CAST((10000 * (sum(x) - coalesce(max(CASE WHEN i * 10 <= n * 9 THEN cum END), 0))) // sum(x) AS BIGINT) AS top10_bp " +
+        "FROM rk GROUP BY 1 ORDER BY segment"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q238 — Benford first-digit deviation per return flag: observed vs
+  // expected leading-digit distribution of lineitem prices, the
+  // data-forensics screen (Benford 1938; fabricated or unit-mangled
+  // numeric columns drift from log-uniform digit frequencies long
+  // before summary stats notice). Per (flag, digit 1–9): count,
+  // observed ppm, expected ppm, absolute deviation ppm — the per-flag
+  // Σ|obs − exp| is a total-variation distance in exact ppm.
+  //
+  // Determinism: the leading digit is substring(CAST(cents AS VARCHAR))
+  // of a positive integer — no float anywhere; expected ppm are FIXED
+  // literals ⌊log₁₀(1+1/d)·10⁶⌋ (the Poisson-threshold idiom of q234:
+  // pin the constants, not the transcendental); observed ppm by
+  // integer div against the flag total.
+  //
+  // Scale: one fact pass partial-aggs to |flags|·9 rows; flag totals
+  // re-aggregate from those 27 rows (no second scan, no window).
+  val q238: QuerySpec = QuerySpec(
+    "q238_benford_deviation",
+    (s, d) => {
+      import s.implicits._
+      val expPpm = Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L,
+        57991L, 51152L, 45757L)
+      val cells = lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          substring((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("flag", "digit")
+        .agg(count(lit(1)).as("cnt"))
+      val tot = cells.groupBy("flag").agg(sum("cnt").as("n"))
+      val exp = expPpm.zipWithIndex
+        .map { case (p, i) => (i + 1, p) }
+        .toDF("edigit", "exp_ppm")
+      cells.join(tot, Seq("flag")).join(broadcast(exp), col("digit") === col("edigit"))
+        .select(col("flag"), col("digit"), col("cnt"),
+          expr("(1000000 * cnt) div n").as("obs_ppm"), col("exp_ppm"),
+          expr("abs((1000000 * cnt) div n - exp_ppm)").as("dev_ppm"))
+        .orderBy("flag", "digit")
+    },
+    Some(
+      "WITH cells AS (SELECT l_returnflag AS flag, " +
+        "CAST(substring(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit, " +
+        "count(*) AS cnt FROM lineitem GROUP BY 1, 2), " +
+        "tot AS (SELECT flag, sum(cnt) AS n FROM cells GROUP BY 1), " +
+        "exp AS (SELECT unnest(generate_series(1, 9)) AS edigit, " +
+        "unnest([301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757]) AS exp_ppm) " +
+        "SELECT flag, digit, cnt, CAST((1000000 * cnt) // n AS BIGINT) AS obs_ppm, " +
+        "CAST(exp_ppm AS BIGINT) AS exp_ppm, " +
+        "CAST(abs((1000000 * cnt) // n - exp_ppm) AS BIGINT) AS dev_ppm " +
+        "FROM cells JOIN tot USING (flag) JOIN exp ON digit = edigit " +
+        "ORDER BY flag, digit"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q168, q169, q170, q171, q172, q175, q176, q182, q183, q184, q185, q198,
-      q232, q233, q234)
+      q232, q233, q234, q235, q236, q237, q238)
 }

@@ -306,6 +306,132 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q235 Kaplan-Meier: censoring at cutoff, risk sets, and log-space terms") {
+    val dir = java.nio.file.Files.createTempDirectory("q235fix").toString
+    // priority U: 5 observed orders — events at t=30 (d=2), t=60 (d=1),
+    // t=90 (d=1, whole risk set dies -> excluded from terms), one
+    // censored at t=31; plus one order AFTER the cutoff (excluded).
+    // priority H: all censored -> zero events, marks stay 0.
+    Seq(
+      (1L, "1-URGENT", "2001-01-01"), (2L, "1-URGENT", "2001-01-01"),
+      (3L, "1-URGENT", "2001-01-01"), (4L, "1-URGENT", "2001-05-01"),
+      (6L, "1-URGENT", "2001-01-01"), (5L, "1-URGENT", "2001-07-01"),
+      (7L, "2-HIGH", "2001-05-15"),
+    ).toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq(
+      (1L, "2001-01-15"), (1L, "2001-01-31"), // max -> t=30
+      (2L, "2001-01-31"), // t=30
+      (3L, "2001-03-02"), // t=60
+      (4L, "2001-07-01"), // delivered past cutoff -> censored t=31
+      (6L, "2001-04-01"), // t=90
+      (5L, "2001-07-10"), (7L, "2001-09-01"), // censored t=17
+    ).toDF("l_orderkey", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+
+    def term(n: Long, dd: Long): Long =
+      math.floor(math.log((n - dd).toDouble / n.toDouble) * 1e6).toLong
+    val t30 = term(5, 2) // risk 5, 2 events
+    val t60 = t30 + term(2, 1) // risk 5-(2+1)=2, 1 event; t=90 excluded (n_t=d)
+    val r = StatQueries.q235.run(spark, dir).collect()
+      .map(x => x.getAs[String]("priority") ->
+        ((x.getAs[Long]("n_orders"), x.getAs[Long]("n_events"),
+          x.getAs[Long]("logs30_unat"), x.getAs[Long]("logs60_unat"),
+          x.getAs[Long]("logs90_unat"), x.getAs[Long]("logs120_unat")))).toMap
+    assert(r(("1-URGENT")) == ((5L, 4L, t30, t60, t60, t60)))
+    assert(r(("2-HIGH")) == ((1L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("q236 CUPED: adjustment matches an independent moment recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("q236fix").toString
+    // 12 customers; pre-period spend strongly predicts post-period
+    // spend (y ~ 2x + noise), so theta ~ 2 and the reduction is large.
+    // Arms come from the same md5 rule, recomputed in plain Scala.
+    val cust = (1L to 12L)
+    val pre = cust.map(k => (k, 100.0 * k)) // pre-period 1996
+    val post = cust.map(k => (k, 200.0 * k + (if (k % 3 == 0) 50.0 else 0.0)))
+    cust.toDF("c_custkey").write.parquet(s"$dir/customer.parquet")
+    (pre.map { case (k, v) => (k, "1996-06-01", v) } ++
+      post.map { case (k, v) => (k, "1997-06-01", v) })
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+
+    def armOf(k: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"graft-cuped:$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.substring(0, 2) < "80") "A" else "B"
+    }
+    val xs = pre.map { case (k, v) => k -> math.round(v * 100) }.toMap
+    val ys = post.map { case (k, v) => k -> math.round(v * 100) }.toMap
+    val n = BigInt(cust.size)
+    def bsum(f: Long => BigInt): BigInt = cust.map(f).sum
+    val (sx, sy) = (bsum(xs(_)), bsum(ys(_)))
+    val (sxy, sxx, syy) =
+      (bsum(k => BigInt(xs(k)) * ys(k)), bsum(k => BigInt(xs(k)) * xs(k)),
+        bsum(k => BigInt(ys(k)) * ys(k)))
+    val aKeys = cust.filter(armOf(_) == "A")
+    val (na, sxa, sya) =
+      (BigInt(aKeys.size), aKeys.map(xs(_)).map(BigInt(_)).sum,
+        aKeys.map(ys(_)).map(BigInt(_)).sum)
+    val (nb, sxb, syb) = (n - na, sx - sxa, sy - sya)
+    val covnum = n * sxy - sx * sy
+    val varxnum = n * sxx - sx * sx
+    val varynum = n * syy - sy * sy
+    val theta = covnum.toDouble / varxnum.toDouble
+    def adj(sYa: BigInt, sXa: BigInt, nA: BigInt): Double =
+      1000.0 * (sYa.toDouble / nA.toDouble -
+        theta * (sXa.toDouble / nA.toDouble - sx.toDouble / n.toDouble))
+    val r = StatQueries.q236.run(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_a") == na.toLong && r.getAs[Long]("n_b") == nb.toLong)
+    assert(r.getAs[Long]("raw_a_milli") == (1000 * sya / na).toLong)
+    assert(r.getAs[Long]("raw_b_milli") == (1000 * syb / nb).toLong)
+    assert(math.abs(r.getAs[Double]("theta") - theta) < 1e-6)
+    assert(math.abs(r.getAs[Double]("adj_a_milli") - adj(sya, sxa, na)) < 0.5)
+    assert(math.abs(r.getAs[Double]("adj_b_milli") - adj(syb, sxb, nb)) < 0.5)
+    val vr = math.floor(1e4 * (covnum.toDouble * covnum.toDouble) /
+      (varxnum.toDouble * varynum.toDouble)).toLong
+    assert(r.getAs[Long]("var_red_bp") == vr)
+    assert(vr > 9000, "y ~ 2x should reduce variance by >90%")
+  }
+
+  test("q237 Gini: hand-computed inequality, uniform vs concentrated segment") {
+    val dir = java.nio.file.Files.createTempDirectory("q237fix").toString
+    // EQ: 4 customers spending (1,1,1,1)*$1 -> Gini 0. CONC: 5 customers
+    // (0,0,0,0,10)*$1 -> G = (2*(1*0+..+5*10) - 6*10)/(5*10) = 40/50 = 0.8;
+    // top-decile cut k = floor(9*5/10) = 4 -> cum = 0, top10 share = 100%.
+    Seq((1L, "EQ"), (2L, "EQ"), (3L, "EQ"), (4L, "EQ"),
+      (5L, "CONC"), (6L, "CONC"), (7L, "CONC"), (8L, "CONC"), (9L, "CONC"))
+      .toDF("c_custkey", "c_mktsegment").write.parquet(s"$dir/customer.parquet")
+    (Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 1.0), (9L, 10.0))
+      .map { case (k, v) => (k, "1995-01-01", v) })
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = StatQueries.q237.run(spark, dir).collect()
+      .map(x => x.getAs[String]("segment") ->
+        ((x.getAs[Long]("n_customers"), x.getAs[Long]("spend_cents"),
+          x.getAs[Long]("gini_bp"), x.getAs[Long]("top10_bp")))).toMap
+    // EQ: G = (2*(1+2+3+4)*100 - 5*400)/(4*400) = 0 ; k=3 -> cum=300 -> 2500 bp
+    assert(r(("EQ")) == ((4L, 400L, 0L, 2500L)))
+    assert(r(("CONC")) == ((5L, 1000L, 8000L, 10000L)))
+  }
+
+  test("q238 Benford: planted digits, exact ppm bookkeeping") {
+    val dir = java.nio.file.Files.createTempDirectory("q238fix").toString
+    // flag A: 8 prices with leading cent-digit 1 (100 cents = $1.00) and
+    // 2 with digit 9 -> obs 800000/200000 ppm against the Benford table.
+    val rows = (1 to 8).map(i => ("A", 1.00)) ++ Seq(("A", 9.00), ("A", 0.95))
+    rows.toDF("l_returnflag", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = StatQueries.q238.run(spark, dir).collect()
+      .map(x => x.getAs[Int]("digit") ->
+        ((x.getAs[Long]("cnt"), x.getAs[Long]("obs_ppm"),
+          x.getAs[Long]("exp_ppm"), x.getAs[Long]("dev_ppm")))).toMap
+    assert(r(1) == ((8L, 800000L, 301029L, 498971L)))
+    assert(r(9) == ((2L, 200000L, 45757L, 154243L)))
+    assert(r.size == 2)
+  }
+
   test("q233 target encoding: prior shrinkage and LOO exclusion, hand-computed") {
     val dir = java.nio.file.Files.createTempDirectory("q233fix").toString
     // nation 0: 3 orders, 2 F → enc = 10⁴·(2·4+20·2) div (23·4) = 5217;
