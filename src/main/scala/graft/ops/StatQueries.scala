@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1082,6 +1082,56 @@ object StatQueries {
     ),
   )
 
+  /** Shared by q236/q239: the per-customer (pre-period X = 1996 spend,
+    * metric Y = 1997 spend, md5 arm) frame reduced to ONE row of exact
+    * DECIMAL(38,0) moments — n, Σx, Σy, Σxy, Σx², Σy², and the arm-A
+    * slice (na, Σx_A, Σy_A). Everything an experiment readout needs
+    * (lift, CUPED θ/ρ², SRM, MDE) assembles from these nine integers.
+    */
+  private def experimentMoments(s: SparkSession, d: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    def spend(lo: String, hi: String, as: String) = orders(s, d)
+      .where(col("o_orderdate").cast("date") >= lit(lo).cast("date") &&
+        col("o_orderdate").cast("date") < lit(hi).cast("date"))
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast(big).as(as))
+    val pre = spend("1996-01-01", "1997-01-01", "x")
+      .withColumnRenamed("o_custkey", "ck1")
+    val post = spend("1997-01-01", "1998-01-01", "y")
+      .withColumnRenamed("o_custkey", "ck2")
+    val base = customer(s, d).select(col("c_custkey"))
+      .join(pre, col("c_custkey") === col("ck1"), "left_outer")
+      .join(post, col("c_custkey") === col("ck2"), "left_outer")
+      .select(col("c_custkey"),
+        coalesce(col("x"), lit(0).cast(big)).as("x"),
+        coalesce(col("y"), lit(0).cast(big)).as("y"))
+      .withColumn("arm",
+        when(substring(md5(concat(lit("graft-cuped:"),
+          col("c_custkey").cast("string"))), 1, 2) < "80", "A")
+          .otherwise("B"))
+    base.agg(
+        count(lit(1)).cast(big).as("n"),
+        sum("x").cast(big).as("sx"), sum("y").cast(big).as("sy"),
+        sum(col("x") * col("y")).cast(big).as("sxy"),
+        sum(col("x") * col("x")).cast(big).as("sxx"),
+        sum(col("y") * col("y")).cast(big).as("syy"),
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).cast(big).as("na"),
+        sum(when(col("arm") === "A", col("x")).otherwise(lit(0).cast(big)))
+          .cast(big).as("sxa"),
+        sum(when(col("arm") === "A", col("y")).otherwise(lit(0).cast(big)))
+          .cast(big).as("sya"))
+        .withColumn("nb", (col("n") - col("na")).cast(big))
+        .withColumn("sxb", (col("sx") - col("sxa")).cast(big))
+        .withColumn("syb", (col("sy") - col("sya")).cast(big))
+        .withColumn("covnum",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast(big))
+        .withColumn("varxnum",
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast(big))
+        .withColumn("varynum",
+          (col("n") * col("syy") - col("sy") * col("sy")).cast(big))
+  }
+
   // ---------------------------------------------------------------------
   // q236 — CUPED variance reduction for the A/B report (Deng, Xu,
   // Kohavi & Walker, WSDM 2013): the experiment metric (per-customer
@@ -1111,48 +1161,7 @@ object StatQueries {
   // does. Assumes var(X) > 0 (any real pre-period does).
   val q236: QuerySpec = QuerySpec(
     "q236_cuped",
-    (s, d) => {
-      val big = DecimalType(38, 0)
-      def spend(lo: String, hi: String, as: String) = orders(s, d)
-        .where(col("o_orderdate").cast("date") >= lit(lo).cast("date") &&
-          col("o_orderdate").cast("date") < lit(hi).cast("date"))
-        .groupBy(col("o_custkey"))
-        .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
-          .cast(big).as(as))
-      val pre = spend("1996-01-01", "1997-01-01", "x")
-        .withColumnRenamed("o_custkey", "ck1")
-      val post = spend("1997-01-01", "1998-01-01", "y")
-        .withColumnRenamed("o_custkey", "ck2")
-      val base = customer(s, d).select(col("c_custkey"))
-        .join(pre, col("c_custkey") === col("ck1"), "left_outer")
-        .join(post, col("c_custkey") === col("ck2"), "left_outer")
-        .select(col("c_custkey"),
-          coalesce(col("x"), lit(0).cast(big)).as("x"),
-          coalesce(col("y"), lit(0).cast(big)).as("y"))
-        .withColumn("arm",
-          when(substring(md5(concat(lit("graft-cuped:"),
-            col("c_custkey").cast("string"))), 1, 2) < "80", "A")
-            .otherwise("B"))
-      base.agg(
-        count(lit(1)).cast(big).as("n"),
-        sum("x").cast(big).as("sx"), sum("y").cast(big).as("sy"),
-        sum(col("x") * col("y")).cast(big).as("sxy"),
-        sum(col("x") * col("x")).cast(big).as("sxx"),
-        sum(col("y") * col("y")).cast(big).as("syy"),
-        sum(when(col("arm") === "A", 1L).otherwise(0L)).cast(big).as("na"),
-        sum(when(col("arm") === "A", col("x")).otherwise(lit(0).cast(big)))
-          .cast(big).as("sxa"),
-        sum(when(col("arm") === "A", col("y")).otherwise(lit(0).cast(big)))
-          .cast(big).as("sya"))
-        .withColumn("nb", (col("n") - col("na")).cast(big))
-        .withColumn("sxb", (col("sx") - col("sxa")).cast(big))
-        .withColumn("syb", (col("sy") - col("sya")).cast(big))
-        .withColumn("covnum",
-          (col("n") * col("sxy") - col("sx") * col("sy")).cast(big))
-        .withColumn("varxnum",
-          (col("n") * col("sxx") - col("sx") * col("sx")).cast(big))
-        .withColumn("varynum",
-          (col("n") * col("syy") - col("sy") * col("sy")).cast(big))
+    (s, d) => experimentMoments(s, d)
         .select(
           col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
           expr("CAST((1000 * sya) div na AS BIGINT)").as("raw_a_milli"),
@@ -1169,8 +1178,7 @@ object StatQueries {
             .as("adj_b_milli"),
           expr("CAST(floor(10000.0 * (CAST(covnum AS DOUBLE) * CAST(covnum AS DOUBLE)) / " +
             "(CAST(varxnum AS DOUBLE) * CAST(varynum AS DOUBLE))) AS BIGINT)")
-            .as("var_red_bp"))
-    },
+            .as("var_red_bp")),
     Some(
       "WITH pre AS (SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS HUGEINT) AS x " +
         "FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01' AND CAST(o_orderdate AS DATE) < DATE '1997-01-01' GROUP BY 1), " +
@@ -1334,7 +1342,151 @@ object StatQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q239 — experiment DESIGN guardrails from the same nine moments
+  // q236 reads: sample-ratio-mismatch χ² (the assignment-health check
+  // every platform runs before trusting a readout — a biased hash or
+  // lossy logging shows up here first), metric standard deviation, and
+  // the minimum detectable effect at α = 0.05 two-sided / power 0.8 —
+  // raw AND CUPED-adjusted (×√(1−ρ²)), so the variance reduction q236
+  // measures is priced directly in "how much smaller an effect can
+  // this experiment see".
+  //
+  // Determinism: SRM χ²·10³ = (10³·(n_A−n_B)²) div n — exact integers
+  // (squared numerator ≥ 0, floored div sign-safe; >3841 milli ⇒
+  // p < 0.05 against χ²₁). MDE = (z₀.₉₇₅+z₀.₈)·√(σ²·(1/n_A+1/n_B))
+  // with σ² = varynum/n² — z constants are FIXED literals 2.801585
+  // (pin the constants, q234/q238 idiom), sqrt/÷ are IEEE-exact on
+  // exact integer inputs in identical shapes (the q166 rule), round 4.
+  //
+  // Scale: inherits experimentMoments' shape — per-customer aggregates
+  // + ONE single-row moment frame; this query adds zero passes.
+  val q239: QuerySpec = {
+    val mde = "2.801585 * sqrt((CAST(varynum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * " +
+      "(1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))"
+    val rho2 = "(CAST(covnum AS DOUBLE) * CAST(covnum AS DOUBLE)) / " +
+      "(CAST(varxnum AS DOUBLE) * CAST(varynum AS DOUBLE))"
+    QuerySpec(
+      "q239_experiment_design",
+      (s, d) => experimentMoments(s, d).select(
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        expr("CAST((1000 * (na - nb) * (na - nb)) div n AS BIGINT)")
+          .as("srm_chi2_milli"),
+        round(expr("sqrt(CAST(varynum AS DOUBLE)) / CAST(n AS DOUBLE)"), 4)
+          .as("sd_y_cents"),
+        round(expr(mde), 4).as("mde_cents"),
+        round(expr(s"($mde) * sqrt(1.0 - $rho2)"), 4).as("mde_cuped_cents")),
+      Some(
+        "WITH pre AS (SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS HUGEINT) AS x " +
+          "FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01' AND CAST(o_orderdate AS DATE) < DATE '1997-01-01' GROUP BY 1), " +
+          "post AS (SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS HUGEINT) AS y " +
+          "FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01' AND CAST(o_orderdate AS DATE) < DATE '1998-01-01' GROUP BY 1), " +
+          "base AS (SELECT c_custkey, coalesce(x, 0) AS x, coalesce(y, 0) AS y, " +
+          "CASE WHEN substring(md5('graft-cuped:' || CAST(c_custkey AS VARCHAR)), 1, 2) < '80' THEN 'A' ELSE 'B' END AS arm " +
+          "FROM customer LEFT JOIN pre ON pre.o_custkey = c_custkey LEFT JOIN post ON post.o_custkey = c_custkey), " +
+          "m AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy, " +
+          "sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy, " +
+          "CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS HUGEINT) AS na, " +
+          "sum(CASE WHEN arm = 'A' THEN x ELSE 0 END) AS sxa, " +
+          "sum(CASE WHEN arm = 'A' THEN y ELSE 0 END) AS sya FROM base), " +
+          "dd AS (SELECT *, n - na AS nb, " +
+          "n * sxy - sx * sy AS covnum, n * sxx - sx * sx AS varxnum, n * syy - sy * sy AS varynum FROM m) " +
+          "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+          "CAST((1000 * (na - nb) * (na - nb)) // n AS BIGINT) AS srm_chi2_milli, " +
+          "round(sqrt(CAST(varynum AS DOUBLE)) / CAST(n AS DOUBLE), 4) AS sd_y_cents, " +
+          "round(2.801585 * sqrt((CAST(varynum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * " +
+          "(1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))), 4) AS mde_cents, " +
+          "round((2.801585 * sqrt((CAST(varynum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * " +
+          "(1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))) * " +
+          "sqrt(1.0 - (CAST(covnum AS DOUBLE) * CAST(covnum AS DOUBLE)) / " +
+          "(CAST(varxnum AS DOUBLE) * CAST(varynum AS DOUBLE))), 4) AS mde_cuped_cents " +
+          "FROM dd"
+      ),
+    )
+  }
+
+  // ---------------------------------------------------------------------
+  // q240 — isotonic calibration by pool-adjacent-violators (Barlow et
+  // al. 1972; Zadrozny & Elkan 2002 for classifier calibration): the
+  // MONOTONE regression of conversion rate on score bin — the fit a
+  // scoring pipeline ships when the raw per-bin rates (q211's table)
+  // wiggle against the known monotone prior. Computed via the minimax
+  // identity f(i) = max_{j≤i} min_{k≥i} mean(y_j..y_k), which is pure
+  // relational algebra over the BIN table — no sequential pooling loop.
+  //
+  // Determinism: bins from FIXED integer edges on exact cents (clamp
+  // ((cents+10⁵) div 55·10³, 0..19) — q198's pin-the-edges rule, and
+  // the div runs on HUGEINT in DuckDB, never DECIMAL //); block means
+  // are ONE double division of exact prefix-sum integers (IEEE-exact,
+  // identical shape both engines); min/max over doubles are
+  // value-deterministic; raw rates exact bp.
+  //
+  // Scale: the fact pass reduces to ≤20 bin rows; the j≤k pair frame
+  // (≤210 rows) and the (i,j,k) minimax joins are DOMAIN-bounded
+  // nested-loop joins over that bin table — the O(B²) work is on B
+  // = 20 CONFIG rows however large the corpus, the same bounded-frame
+  // exception as q78/q174 (a per-row PAV sweep would be sequential;
+  // this shape stays declarative and scale-free).
+  val q240: QuerySpec = QuerySpec(
+    "q240_isotonic_calibration",
+    (s, d) => {
+      val conv = orders(s, d)
+        .where(col("o_orderdate").cast("date") >= lit("1997-01-01").cast("date") &&
+          col("o_orderdate").cast("date") < lit("1998-01-01").cast("date"))
+        .select(col("o_custkey").as("ck")).distinct()
+        .withColumn("lab", lit(1L))
+      val scored = customer(s, d)
+        .select(col("c_custkey"),
+          expr("least(greatest(CAST((CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) + 100000) div 55000 AS BIGINT), 0), 19)")
+            .as("bin"))
+        .join(conv, col("c_custkey") === col("ck"), "left_outer")
+        .select(col("bin"), coalesce(col("lab"), lit(0L)).as("label"))
+      val bins = scored.groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("label").as("g"))
+      // ≤20 rows from here down — every window/join is domain-bounded
+      val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+      val pref = bins
+        .withColumn("ncum", sum("n").over(w))
+        .withColumn("gcum", sum("g").over(w))
+      val pairs = pref
+        .select(col("bin").as("jb"),
+          (col("ncum") - col("n")).as("nprev"), (col("gcum") - col("g")).as("gprev"))
+        .join(pref.select(col("bin").as("kb"), col("ncum").as("nk"), col("gcum").as("gk")),
+          col("jb") <= col("kb"))
+        .select(col("jb"), col("kb"),
+          ((col("gk") - col("gprev")).cast("double") /
+            (col("nk") - col("nprev")).cast("double")).as("mean"))
+      val iso = bins.select(col("bin").as("i"))
+        .join(pairs, col("jb") <= col("i") && col("kb") >= col("i"))
+        .groupBy("i", "jb").agg(min("mean").as("mn"))
+        .groupBy("i").agg(max("mn").as("fit"))
+      bins.join(iso, col("bin") === col("i"))
+        .select(col("bin"), col("n"), col("g"),
+          expr("(10000 * g) div n").as("raw_bp"),
+          round(col("fit"), 6).as("iso_rate"))
+        .orderBy("bin")
+    },
+    Some(
+      "WITH conv AS (SELECT DISTINCT o_custkey FROM orders " +
+        "WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01' AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'), " +
+        "scored AS (SELECT CAST(least(greatest((CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS HUGEINT) + 100000) // 55000, 0), 19) AS BIGINT) AS bin, " +
+        "CASE WHEN o_custkey IS NULL THEN 0 ELSE 1 END AS label " +
+        "FROM customer LEFT JOIN conv ON o_custkey = c_custkey), " +
+        "bins AS (SELECT bin, count(*) AS n, sum(label) AS g FROM scored GROUP BY 1), " +
+        "pref AS (SELECT bin, n, g, sum(n) OVER (ORDER BY bin) AS ncum, sum(g) OVER (ORDER BY bin) AS gcum FROM bins), " +
+        "pairs AS (SELECT j.bin AS jb, k.bin AS kb, " +
+        "CAST(k.gcum - (j.gcum - j.g) AS DOUBLE) / CAST(k.ncum - (j.ncum - j.n) AS DOUBLE) AS mean " +
+        "FROM pref j JOIN pref k ON j.bin <= k.bin), " +
+        "mm AS (SELECT i.bin AS i, p.jb, min(p.mean) AS mn FROM bins i " +
+        "JOIN pairs p ON p.jb <= i.bin AND p.kb >= i.bin GROUP BY 1, 2), " +
+        "iso AS (SELECT i, max(mn) AS fit FROM mm GROUP BY 1) " +
+        "SELECT b.bin AS bin, b.n AS n, CAST(b.g AS BIGINT) AS g, " +
+        "CAST((10000 * g) // n AS BIGINT) AS raw_bp, round(fit, 6) AS iso_rate " +
+        "FROM bins b JOIN iso ON iso.i = b.bin ORDER BY bin"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q168, q169, q170, q171, q172, q175, q176, q182, q183, q184, q185, q198,
-      q232, q233, q234, q235, q236, q237, q238)
+      q232, q233, q234, q235, q236, q237, q238, q239, q240)
 }

@@ -342,6 +342,72 @@ class StatQueriesSpec extends SparkSpec {
     assert(r(("2-HIGH")) == ((1L, 0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("q239 experiment design: SRM and MDE match an independent moment recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("q239fix").toString
+    val cust = (1L to 12L)
+    val pre = cust.map(k => (k, 100.0 * k))
+    val post = cust.map(k => (k, 200.0 * k + (if (k % 3 == 0) 50.0 else 0.0)))
+    cust.toDF("c_custkey").write.parquet(s"$dir/customer.parquet")
+    (pre.map { case (k, v) => (k, "1996-06-01", v) } ++
+      post.map { case (k, v) => (k, "1997-06-01", v) })
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    def armOf(k: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"graft-cuped:$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.substring(0, 2) < "80") "A" else "B"
+    }
+    val xs = pre.map { case (k, v) => k -> BigInt(math.round(v * 100)) }.toMap
+    val ys = post.map { case (k, v) => k -> BigInt(math.round(v * 100)) }.toMap
+    val n = BigInt(cust.size)
+    val (sx, sy) = (cust.map(xs(_)).sum, cust.map(ys(_)).sum)
+    val (sxy, sxx, syy) = (cust.map(k => xs(k) * ys(k)).sum,
+      cust.map(k => xs(k) * xs(k)).sum, cust.map(k => ys(k) * ys(k)).sum)
+    val na = BigInt(cust.count(armOf(_) == "A"))
+    val nb = n - na
+    val covnum = n * sxy - sx * sy
+    val varxnum = n * sxx - sx * sx
+    val varynum = n * syy - sy * sy
+    val mde = 2.801585 * math.sqrt((varynum.toDouble / (n.toDouble * n.toDouble)) *
+      (1.0 / na.toDouble + 1.0 / nb.toDouble))
+    val rho2 = (covnum.toDouble * covnum.toDouble) /
+      (varxnum.toDouble * varynum.toDouble)
+    val r = StatQueries.q239.run(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_a") == na.toLong && r.getAs[Long]("n_b") == nb.toLong)
+    assert(r.getAs[Long]("srm_chi2_milli") ==
+      (1000 * (na - nb) * (na - nb) / n).toLong)
+    assert(math.abs(r.getAs[Double]("sd_y_cents") -
+      math.sqrt(varynum.toDouble) / n.toDouble) < 0.01)
+    assert(math.abs(r.getAs[Double]("mde_cents") - mde) < 0.01)
+    assert(math.abs(r.getAs[Double]("mde_cuped_cents") - mde * math.sqrt(1 - rho2)) < 0.01)
+    assert(r.getAs[Double]("mde_cuped_cents") < r.getAs[Double]("mde_cents"),
+      "a predictive covariate must shrink the MDE")
+  }
+
+  test("q240 isotonic calibration: PAV pools the violating bins, fit is monotone") {
+    val dir = java.nio.file.Files.createTempDirectory("q240fix").toString
+    // bin 0 (acctbal -500): rate 2/4; bin 1 (acctbal 0): rate 1/4 —
+    // VIOLATION -> pooled to 3/8; bin 2 (acctbal 200): rate 2/2 = 1.
+    val custs = Seq(
+      (1L, -500.0), (2L, -500.0), (3L, -500.0), (4L, -500.0),
+      (5L, 0.0), (6L, 0.0), (7L, 0.0), (8L, 0.0),
+      (9L, 200.0), (10L, 200.0))
+    custs.toDF("c_custkey", "c_acctbal").write.parquet(s"$dir/customer.parquet")
+    Seq(1L, 2L, 5L, 9L, 10L).map(k => (k, "1997-03-01", 1.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = StatQueries.q240.run(spark, dir).collect()
+      .map(x => x.getAs[Long]("bin") ->
+        ((x.getAs[Long]("n"), x.getAs[Long]("g"), x.getAs[Long]("raw_bp"),
+          x.getAs[Double]("iso_rate")))).toMap
+    assert(r(0L) == ((4L, 2L, 5000L, 0.375)))
+    assert(r(1L) == ((4L, 1L, 2500L, 0.375)))
+    assert(r(2L) == ((2L, 2L, 10000L, 1.0)))
+    val fits = StatQueries.q240.run(spark, dir).collect().map(_.getAs[Double]("iso_rate"))
+    assert(fits.sameElements(fits.sorted), "isotonic fit must be non-decreasing")
+  }
+
   test("q236 CUPED: adjustment matches an independent moment recompute") {
     val dir = java.nio.file.Files.createTempDirectory("q236fix").toString
     // 12 customers; pre-period spend strongly predicts post-period
