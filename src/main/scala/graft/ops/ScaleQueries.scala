@@ -2140,9 +2140,73 @@ object ScaleQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q241 — ε-differentially-private histogram RELEASE with the audit a
+  // release pipeline runs before publishing: per (event_type, weekday)
+  // cell, the true count, the two-sided-geometric (discrete Laplace)
+  // noise, and the released count. The geometric mechanism (Ghosh,
+  // Roughgarden & Sundararajan, STOC'09) is the integer-exact optimal
+  // mechanism for counts; cells are disjoint so the release composes
+  // in PARALLEL — one ε covers the whole table. q148/q199/q227 AUDIT
+  // anonymity properties; this is the ladder's final rung, the
+  // mechanism that actually leaves the trust boundary.
+  //
+  // Determinism: noise = G₁ − G₂ with Gᵢ = ⌊−ln(1 − uᵢ)⌋ (ε = 1 ⇒
+  // ln α = −1), uᵢ = (hᵢ + ½)/2³² from two md5 chunks of the CELL KEY
+  // (the q234 multi-draw idiom) — u is a dyadic rational strictly
+  // inside (0,1), the same exact-ratio-into-ln class every µnat query
+  // trusts cross-engine. Seeding noise from the cell key makes reruns
+  // idempotent (re-publishing must NOT spend budget twice — the
+  // Chamandy lesson applied to DP); production swaps the public hash
+  // for a KEYED PRF of the same shape, which changes secrecy, not
+  // this plan.
+  //
+  // Scale: one fact pass partial-aggs to the |types|·7 domain-bounded
+  // cell table; noise is per-cell scalar arithmetic. true_n/abs_err
+  // stay INSIDE the boundary (they are the audit); only
+  // (cell, released) ships.
+  val q241: QuerySpec = {
+    def geom(pos: Int) =
+      s"CAST(floor(-ln(1.0 - ((CAST(u$pos AS DOUBLE) + 0.5) / 4294967296.0))) AS BIGINT)"
+    QuerySpec(
+      "q241_dp_release",
+      (s, d) => {
+        val cells = events(s, d)
+          .groupBy(col("event_type"),
+            expr("datediff(CAST(ts AS DATE), DATE '1970-01-01') % 7").as("dow"))
+          .agg(count(lit(1)).as("true_n"))
+        cells
+          .withColumn("h",
+            md5(concat(lit("graft-dp:"), col("event_type"), lit(":"),
+              col("dow").cast("string"))))
+          .withColumn("u1", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+          .withColumn("u2", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
+          .withColumn("noise", expr(s"${geom(1)} - ${geom(2)}"))
+          .select(col("event_type"), col("dow").cast("int").as("dow"),
+            col("true_n"), col("noise"),
+            (col("true_n") + col("noise")).as("released"))
+          .orderBy("event_type", "dow")
+      },
+      Some(
+        "WITH cells AS (SELECT event_type, " +
+          "datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS dow, " +
+          "count(*) AS true_n FROM events GROUP BY 1, 2), " +
+          "k AS (SELECT *, md5('graft-dp:' || event_type || ':' || CAST(dow AS VARCHAR)) AS h FROM cells), " +
+          "u AS (SELECT event_type, dow, true_n, " +
+          "CAST(('0x' || substr(h, 1, 8)) AS BIGINT) AS u1, " +
+          "CAST(('0x' || substr(h, 9, 8)) AS BIGINT) AS u2 FROM k), " +
+          "nz AS (SELECT event_type, dow, true_n, " +
+          "CAST(floor(-ln(1.0 - ((CAST(u1 AS DOUBLE) + 0.5) / 4294967296.0))) AS BIGINT) - " +
+          "CAST(floor(-ln(1.0 - ((CAST(u2 AS DOUBLE) + 0.5) / 4294967296.0))) AS BIGINT) AS noise FROM u) " +
+          "SELECT event_type, CAST(dow AS INTEGER) AS dow, true_n, noise, " +
+          "true_n + noise AS released FROM nz ORDER BY event_type, dow"
+      ),
+    )
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q87, q187, q90, q93, q94, q95, q96, q97, q100, q101, q102, q105, q106, q107,
       q108, q109, q110, q112, q124, q129, q132, q133, q144, q147, q148, q154,
       q155, q158, q159, q160, q161, q162, q163, q165, q166, q167, q199, q200, q204,
-      q206, q220, q227)
+      q206, q220, q227, q241)
 }

@@ -1088,7 +1088,13 @@ object StatQueries {
     * slice (na, Σx_A, Σy_A). Everything an experiment readout needs
     * (lift, CUPED θ/ρ², SRM, MDE) assembles from these nine integers.
     */
-  private def experimentMoments(s: SparkSession, d: String): DataFrame = {
+  private def experimentMoments(s: SparkSession, d: String): DataFrame =
+    momentsOf(experimentBase(s, d))
+
+  /** The per-customer experiment frame: (c_custkey, x = 1996 spend
+    * cents, y = 1997 spend cents, md5 arm) — exact DECIMAL(38,0).
+    */
+  private def experimentBase(s: SparkSession, d: String): DataFrame = {
     val big = DecimalType(38, 0)
     def spend(lo: String, hi: String, as: String) = orders(s, d)
       .where(col("o_orderdate").cast("date") >= lit(lo).cast("date") &&
@@ -1100,7 +1106,7 @@ object StatQueries {
       .withColumnRenamed("o_custkey", "ck1")
     val post = spend("1997-01-01", "1998-01-01", "y")
       .withColumnRenamed("o_custkey", "ck2")
-    val base = customer(s, d).select(col("c_custkey"))
+    customer(s, d).select(col("c_custkey"))
       .join(pre, col("c_custkey") === col("ck1"), "left_outer")
       .join(post, col("c_custkey") === col("ck2"), "left_outer")
       .select(col("c_custkey"),
@@ -1110,6 +1116,10 @@ object StatQueries {
         when(substring(md5(concat(lit("graft-cuped:"),
           col("c_custkey").cast("string"))), 1, 2) < "80", "A")
           .otherwise("B"))
+  }
+
+  private def momentsOf(base: DataFrame): DataFrame = {
+    val big = DecimalType(38, 0)
     base.agg(
         count(lit(1)).cast(big).as("n"),
         sum("x").cast(big).as("sx"), sum("y").cast(big).as("sy"),
@@ -1486,7 +1496,69 @@ object StatQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q242 — Mahalanobis multivariate outliers over the (pre, post)
+  // spend plane: the top-20 customers whose 1996/1997 spend pair is
+  // furthest from the joint distribution in covariance-adjusted
+  // distance — the MULTIVARIATE complement of q90's univariate
+  // median/MAD screen (a customer can sit inside both marginals yet be
+  // a wild BIVARIATE outlier: huge pre-spend, zero post-spend — the
+  // churn whale exactly this distance surfaces).
+  //
+  // Determinism: m² = (Vy·dx² − 2·Cxy·dx·dy + Vx·dy²)/(Vx·Vy − Cxy²)
+  // where dx = n·x − Σx (exact integer deviations scaled by n) and
+  // Vx/Vy/Cxy are the exact co-moment numerators q236/q239 already
+  // compute — every input an exact DECIMAL(38,0), cast to double at
+  // the leaves of ONE identical assembly (q166 rule), so the ranking
+  // doubles are bit-equal across engines; ties broken by custkey.
+  //
+  // Scale: the per-customer frame cross-joins the 1-row moment anchor;
+  // top-20 by (m² desc, custkey) compiles to TakeOrderedAndProject (a
+  // bounded heap per partition + 20-row merge — no global sort).
+  val q242: QuerySpec = QuerySpec(
+    "q242_mahalanobis_outliers",
+    (s, d) => {
+      val m2 = "(CAST(varynum AS DOUBLE) * (CAST(dx AS DOUBLE) * CAST(dx AS DOUBLE)) - " +
+        "2.0 * CAST(covnum AS DOUBLE) * (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)) + " +
+        "CAST(varxnum AS DOUBLE) * (CAST(dy AS DOUBLE) * CAST(dy AS DOUBLE))) / " +
+        "(CAST(varxnum AS DOUBLE) * CAST(varynum AS DOUBLE) - " +
+        "CAST(covnum AS DOUBLE) * CAST(covnum AS DOUBLE))"
+      val big = DecimalType(38, 0)
+      val base = experimentBase(s, d)
+      base.crossJoin(momentsOf(base)) // 1-row moment anchor
+        .withColumn("dx", (col("n") * col("x") - col("sx")).cast(big))
+        .withColumn("dy", (col("n") * col("y") - col("sy")).cast(big))
+        .withColumn("m2", expr(m2))
+        .orderBy(col("m2").desc, col("c_custkey").asc)
+        .limit(20)
+        .select(col("c_custkey"),
+          col("x").cast("long").as("x_cents"), col("y").cast("long").as("y_cents"),
+          round(col("m2"), 6).as("m2"))
+    },
+    Some(
+      "WITH pre AS (SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS HUGEINT) AS x " +
+        "FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01' AND CAST(o_orderdate AS DATE) < DATE '1997-01-01' GROUP BY 1), " +
+        "post AS (SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS HUGEINT) AS y " +
+        "FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01' AND CAST(o_orderdate AS DATE) < DATE '1998-01-01' GROUP BY 1), " +
+        "base AS (SELECT c_custkey, coalesce(x, 0) AS x, coalesce(y, 0) AS y " +
+        "FROM customer LEFT JOIN pre ON pre.o_custkey = c_custkey LEFT JOIN post ON post.o_custkey = c_custkey), " +
+        "m AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy, " +
+        "sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM base), " +
+        "dd AS (SELECT n, sx, sy, n * sxy - sx * sy AS covnum, " +
+        "n * sxx - sx * sx AS varxnum, n * syy - sy * sy AS varynum FROM m), " +
+        "dist AS (SELECT c_custkey, x, y, " +
+        "(CAST(varynum AS DOUBLE) * (CAST(n * x - sx AS DOUBLE) * CAST(n * x - sx AS DOUBLE)) - " +
+        "2.0 * CAST(covnum AS DOUBLE) * (CAST(n * x - sx AS DOUBLE) * CAST(n * y - sy AS DOUBLE)) + " +
+        "CAST(varxnum AS DOUBLE) * (CAST(n * y - sy AS DOUBLE) * CAST(n * y - sy AS DOUBLE))) / " +
+        "(CAST(varxnum AS DOUBLE) * CAST(varynum AS DOUBLE) - " +
+        "CAST(covnum AS DOUBLE) * CAST(covnum AS DOUBLE)) AS m2 " +
+        "FROM base CROSS JOIN dd) " +
+        "SELECT c_custkey, CAST(x AS BIGINT) AS x_cents, CAST(y AS BIGINT) AS y_cents, " +
+        "round(m2, 6) AS m2 FROM dist ORDER BY m2 DESC, c_custkey LIMIT 20"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q168, q169, q170, q171, q172, q175, q176, q182, q183, q184, q185, q198,
-      q232, q233, q234, q235, q236, q237, q238, q239, q240)
+      q232, q233, q234, q235, q236, q237, q238, q239, q240, q242)
 }

@@ -381,6 +381,39 @@ class ScaleQueriesSpec extends SparkSpec {
     assert(r.toSeq == Seq((1L, "S1", 2L), (2L, "S2", 1L)))
   }
 
+  test("q241 DP release: seeded geometric noise matches an in-JVM recompute; release = true + noise") {
+    val dir = java.nio.file.Files.createTempDirectory("q241fix").toString
+    val day0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00") // epoch day 19723 -> dow 4
+    val day1 = java.sql.Timestamp.valueOf("2024-01-02 10:00:00")
+    (Seq.fill(7)(("view", day0)) ++ Seq.fill(3)(("view", day1)) ++
+      Seq.fill(5)(("click", day0)))
+      .toDF("event_type", "ts").write.parquet(s"$dir/events.parquet")
+
+    def noiseOf(tp: String, dow: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"graft-dp:$tp:$dow".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      def g(off: Int): Long = {
+        val h = java.lang.Long.parseLong(hex.slice(off, off + 8), 16)
+        math.floor(-math.log(1.0 - ((h.toDouble + 0.5) / 4294967296.0))).toLong
+      }
+      g(0) - g(8)
+    }
+    def dowOf(ts: java.sql.Timestamp): Int =
+      (ts.toLocalDateTime.toLocalDate.toEpochDay % 7).toInt
+    val r = ScaleQueries.q241.run(spark, dir).collect()
+      .map(x => (x.getAs[String]("event_type"), x.getAs[Int]("dow")) ->
+        ((x.getAs[Long]("true_n"), x.getAs[Long]("noise"),
+          x.getAs[Long]("released")))).toMap
+    assert(r.size == 3)
+    for (((tp, dow), (tn, nz, rel)) <- r) {
+      assert(nz == noiseOf(tp, dow), s"cell ($tp, $dow)")
+      assert(rel == tn + nz)
+    }
+    assert(r((("view", dowOf(day0))))._1 == 7L)
+    assert(r((("click", dowOf(day0))))._1 == 5L)
+  }
+
   test("q227 t-closeness: planted skewed classes fire per threshold with exact TVD") {
     val dir = java.nio.file.Files.createTempDirectory("q227fix").toString
     // Three classes over segments {A, B}; corpus mix 24 A / 6 B (N=30).

@@ -408,6 +408,42 @@ class StatQueriesSpec extends SparkSpec {
     assert(fits.sameElements(fits.sorted), "isotonic fit must be non-decreasing")
   }
 
+  test("q242 Mahalanobis: the churn whale tops the list; m2 matches a recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("q242fix").toString
+    val cust = (1L to 10L)
+    // y ~ 2x for everyone except customer 10: big pre-spend, ZERO
+    // post-spend — inside both marginals' ranges, wild bivariately.
+    val pre = cust.map(k => (k, 100.0 * k))
+    val post = cust.filter(_ != 10L).map(k => (k, 200.0 * k))
+    cust.toDF("c_custkey").write.parquet(s"$dir/customer.parquet")
+    (pre.map { case (k, v) => (k, "1996-06-01", v) } ++
+      post.map { case (k, v) => (k, "1997-06-01", v) })
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+
+    val xs = cust.map(k => k -> BigInt(k * 10000)).toMap
+    val ys = cust.map(k => k -> (if (k == 10L) BigInt(0) else BigInt(k * 20000))).toMap
+    val n = BigInt(10)
+    val (sx, sy) = (cust.map(xs(_)).sum, cust.map(ys(_)).sum)
+    val (sxy, sxx, syy) = (cust.map(k => xs(k) * ys(k)).sum,
+      cust.map(k => xs(k) * xs(k)).sum, cust.map(k => ys(k) * ys(k)).sum)
+    val (cov, vx, vy) = (n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+    def m2(k: Long): Double = {
+      val dx = (n * xs(k) - sx).toDouble
+      val dy = (n * ys(k) - sy).toDouble
+      (vy.toDouble * dx * dx - 2.0 * cov.toDouble * dx * dy + vx.toDouble * dy * dy) /
+        (vx.toDouble * vy.toDouble - cov.toDouble * cov.toDouble)
+    }
+    val rows = StatQueries.q242.run(spark, dir).collect()
+    assert(rows.head.getAs[Long]("c_custkey") == 10L, "the churn whale ranks first")
+    val expectedOrder = cust.sortBy(k => (-m2(k), k)).toSeq
+    assert(rows.map(_.getAs[Long]("c_custkey")).toSeq == expectedOrder)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("c_custkey")
+      assert(math.abs(r.getAs[Double]("m2") - m2(k)) < 1e-4, s"m2 of customer $k")
+    }
+  }
+
   test("q236 CUPED: adjustment matches an independent moment recompute") {
     val dir = java.nio.file.Files.createTempDirectory("q236fix").toString
     // 12 customers; pre-period spend strongly predicts post-period
