@@ -1303,7 +1303,9 @@ object StatQueries {
   // expected leading-digit distribution of lineitem prices, the
   // data-forensics screen (Benford 1938; fabricated or unit-mangled
   // numeric columns drift from log-uniform digit frequencies long
-  // before summary stats notice). Per (flag, digit 1–9): count,
+  // before summary stats notice). q102 profiles the raw digit SHARES;
+  // this completes it into the TEST — the fixed expected-law table and
+  // the per-digit deviation the screen actually alerts on. Per (flag, digit 1–9): count,
   // observed ppm, expected ppm, absolute deviation ppm — the per-flag
   // Σ|obs − exp| is a total-variation distance in exact ppm.
   //

@@ -810,6 +810,85 @@ object TimeSeriesQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q243 — split-conformal forecast band + coverage audit (Vovk's
+  // conformal prediction, the split/inductive form of Papadopoulos et
+  // al. 2002): per return flag, the seasonal-naive forecast's (q225's
+  // baseline) 90% prediction band calibrated on pre-2001 residuals
+  // and AUDITED on the 2001 holdout. Conformal is the
+  // distribution-free way to put a guarantee on ANY forecaster: if
+  // residuals are exchangeable, a band at the ⌈0.9(n+1)⌉-th smallest
+  // calibration residual covers ≥ 90% of future days — the audit
+  // column checks that promise on data the calibration never saw.
+  // Completes the uncertainty axis: q234 bootstraps a METRIC, this
+  // bands a FORECAST.
+  //
+  // Determinism: fully integer — residuals are exact cent deltas of
+  // decimal sums, the band is value-at-rank k = (9(n+1)+9) div 10
+  // (row_number over the (r, day) total order; day unique per flag),
+  // coverage is an exact bp div. No float anywhere.
+  //
+  // Scale: ONE fact pass to the (flag × day) calendar-bounded daily
+  // table; the lag-7 pairing is a self-EQUIJOIN on day−7 (the q166
+  // rule — lag() over the full series would be one task); the
+  // per-flag rank window runs on ≤ |calendar| rows (q78 exception);
+  // the 3-row band frame broadcasts back onto the holdout.
+  val q243: QuerySpec = QuerySpec(
+    "q243_conformal_band",
+    (s, d) => {
+      val big = DecimalType(38, 0)
+      val daily = lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"),
+          col("l_shipdate").cast("date").as("day"))
+        .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2))) * 100)
+          .cast(big).as("y"))
+      val prev = daily.select(col("flag").as("pflag"),
+        col("day").as("pday"), col("y").as("yhat"))
+      val resid = daily
+        .join(prev, col("pflag") === col("flag") &&
+          col("pday") === date_sub(col("day"), 7))
+        .select(col("flag"), col("day"),
+          abs(col("y") - col("yhat")).cast(big).as("r"))
+      val cal = resid.where(col("day") < lit("2001-01-01").cast("date"))
+      val hold = resid.where(col("day") >= lit("2001-01-01").cast("date"))
+      val ranked = cal.withColumn("rn",
+        row_number().over(Window.partitionBy("flag").orderBy(col("r"), col("day"))))
+      val counts = cal.groupBy("flag").agg(count(lit(1)).as("n_cal"))
+        .withColumn("k", expr("(9 * (n_cal + 1) + 9) div 10"))
+      val band = ranked.join(broadcast(counts), Seq("flag"))
+        .where(col("rn") === col("k"))
+        .select(col("flag"), col("n_cal"), col("r").as("band"))
+      val cover = hold.join(broadcast(band), Seq("flag"))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n_hold"),
+          sum(when(col("r") <= col("band"), 1L).otherwise(0L)).as("n_in"))
+      band.join(cover, Seq("flag"))
+        .select(col("flag"), col("n_cal"),
+          col("band").cast("long").as("band_cents"), col("n_hold"),
+          expr("CAST((10000 * n_in) div n_hold AS BIGINT)").as("cover_bp"))
+        .orderBy("flag")
+    },
+    Some(
+      "WITH daily AS (SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS HUGEINT) AS y FROM lineitem GROUP BY 1, 2), " +
+        "resid AS (SELECT d.flag, d.day, abs(d.y - p.y) AS r FROM daily d " +
+        "JOIN daily p ON p.flag = d.flag AND p.day = d.day - 7), " +
+        "cal AS (SELECT * FROM resid WHERE day < DATE '2001-01-01'), " +
+        "hold AS (SELECT * FROM resid WHERE day >= DATE '2001-01-01'), " +
+        "ranked AS (SELECT flag, r, row_number() OVER (PARTITION BY flag ORDER BY r, day) AS rn FROM cal), " +
+        "cnt AS (SELECT flag, count(*) AS n_cal, (9 * (count(*) + 1) + 9) // 10 AS k FROM cal GROUP BY 1), " +
+        "band AS (SELECT c.flag, c.n_cal, rk.r AS band FROM cnt c " +
+        "JOIN ranked rk ON rk.flag = c.flag AND rk.rn = c.k), " +
+        "cover AS (SELECT h.flag, count(*) AS n_hold, " +
+        "sum(CASE WHEN h.r <= b.band THEN 1 ELSE 0 END) AS n_in " +
+        "FROM hold h JOIN band b ON b.flag = h.flag GROUP BY 1) " +
+        "SELECT b.flag AS flag, b.n_cal, CAST(b.band AS BIGINT) AS band_cents, c.n_hold, " +
+        "CAST((10000 * n_in) // n_hold AS BIGINT) AS cover_bp " +
+        "FROM band b JOIN cover c ON c.flag = b.flag ORDER BY b.flag"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q118, q135, q136, q141, q143, q145, q146, q151, q152, q203, q225, q231)
+    Seq(q118, q135, q136, q141, q143, q145, q146, q151, q152, q203, q225, q231,
+      q243)
 }

@@ -2,6 +2,8 @@ package graft.ops
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+
 import graft.SparkSpec
 
 /** Fixture pins for the time-series family's exact-integer decision
@@ -221,5 +223,35 @@ class TimeSeriesQueriesSpec extends SparkSpec {
     assert(row.getAs[Long]("slope_med_milli") == 1000L,
       "the pairwise-slope median must resist a single anomalous day")
     assert(row.getAs[Long]("slope_q3_milli") == 225000L)
+  }
+
+  test("q243 conformal band: rank pick, band value, and holdout coverage, hand-planted") {
+    val dir = java.nio.file.Files.createTempDirectory("q243fix").toString
+    // flag A: base week at 10.00; then 21 calibration days whose lag-7
+    // residuals are a permutation of 1..21 cents -> n_cal = 21,
+    // k = (9*22+9) div 10 = 20, band = 20 cents (2nd largest).
+    // Holdout: residual 5 (covered) and residual 100 (not) -> 5000 bp.
+    val rs = (0 until 21).map(i => ((i * 5) % 21) + 1)
+    val vals = scala.collection.mutable.Map[Int, Long]() // day index -> cents
+    (0 until 7).foreach(i => vals(i) = 1000L)
+    rs.zipWithIndex.foreach { case (r, i) => vals(i + 7) = vals(i) + r }
+    val d0 = java.time.LocalDate.parse("2000-01-01")
+    val calRows = vals.toSeq.map { case (i, c) =>
+      (d0.plusDays(i).toString, c / 100.0)
+    }
+    val holdRows = Seq(
+      ("2001-01-01", 5.00), ("2001-01-08", 5.05),   // r = 5
+      ("2001-01-02", 5.00), ("2001-01-09", 6.00))   // r = 100
+    (calRows ++ holdRows).toDF("d", "l_extendedprice")
+      .select(to_timestamp(col("d")).as("l_shipdate"),
+        col("l_extendedprice"), lit("A").as("l_returnflag"))
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = TimeSeriesQueries.q243.run(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_cal") == 21L)
+    assert(row.getAs[Long]("band_cents") == 20L)
+    assert(row.getAs[Long]("n_hold") == 2L)
+    assert(row.getAs[Long]("cover_bp") == 5000L)
   }
 }
