@@ -1256,8 +1256,11 @@ object StatQueries {
       val ranked = Ranks.withGlobalPrefixSum(
         base, Seq(col("segment").asc, col("x").asc, col("ck").asc),
         col("x"), "grk", "gcum")
-      // 5-row segment frame: counts/sums + exclusive prefix offsets
-      val offs = base.groupBy(col("segment").as("oseg"))
+      // 5-row segment frame: counts/sums + exclusive prefix offsets —
+      // aggregated from the RANKED frame (Ranks pins its input, so
+      // this branch reuses that one materialization instead of
+      // re-running the customer⋈spend join a second time)
+      val offs = ranked.groupBy(col("segment").as("oseg"))
         .agg(count(lit(1)).as("n"), sum("x").cast(big).as("sx"))
         .withColumn("noff", coalesce(
           sum("n").over(Window.orderBy("oseg").rowsBetween(Window.unboundedPreceding, -1)),
@@ -1560,7 +1563,112 @@ object StatQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q244 — difference-in-differences with a placebo parallel-trends
+  // check (Card & Krueger 1994 is the canonical deployment): the
+  // causal estimate for a treatment that was NOT randomized — here a
+  // policy footprint over nations 0–4 (fixed rule), outcome = per-
+  // customer spend, pre = 1996, post = 1997. DiD = (post−pre gap of
+  // treated) − (gap of controls) nets out both group-level baselines
+  // and the common time trend; its identifying assumption (parallel
+  // trends) is CHECKED, not assumed: the same estimator on the
+  // 1995→1996 pre-period (placebo) must be ≈ 0. Completes the
+  // experiment stack's observational half (q155 lift + q236 CUPED +
+  // q239 guardrails all need randomization; this is what you run when
+  // you didn't get to randomize).
+  //
+  // Determinism: all period sums exact DECIMAL(38,0) cents; estimates
+  // are rationals with cleared denominators — DiD·10³ =
+  // (10³·(n_C·ΔT − n_T·ΔC)) / (n_T·n_C) with the TOWARD-ZERO
+  // sign-split division (the q231 idiom: Spark div truncates, DuckDB
+  // // floors; they agree only on non-negatives, and gaps/DiD can be
+  // negative).
+  //
+  // Scale: three date-pruned per-customer aggregates joined on
+  // custkey, ONE conditional group aggregate to a single row —
+  // nothing after the per-customer frame scales with data.
+  val q244: QuerySpec = {
+    def sdiv(num: String, den: String) =
+      s"CASE WHEN $num >= 0 THEN (1000 * ($num)) div ($den) " +
+        s"ELSE -((1000 * (-($num))) div ($den)) END"
+    def sdivSql(num: String, den: String) =
+      s"CASE WHEN $num >= 0 THEN (1000 * ($num)) // ($den) " +
+        s"ELSE -((1000 * (-($num))) // ($den)) END"
+    val didNum = "nc * (s97t - s96t) - nt * (s97c - s96c)"
+    val plaNum = "nc * (s96t - s95t) - nt * (s96c - s95c)"
+    QuerySpec(
+      "q244_diff_in_diff",
+      (s, d) => {
+        val big = DecimalType(38, 0)
+        def spend(lo: String, hi: String, as: String) = orders(s, d)
+          .where(col("o_orderdate").cast("date") >= lit(lo).cast("date") &&
+            col("o_orderdate").cast("date") < lit(hi).cast("date"))
+          .groupBy(col("o_custkey"))
+          .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+            .cast(big).as(as))
+        val base = customer(s, d)
+          .select(col("c_custkey"), (col("c_nationkey") < 5).as("treated"))
+          .join(spend("1995-01-01", "1996-01-01", "v95")
+            .withColumnRenamed("o_custkey", "k1"),
+            col("c_custkey") === col("k1"), "left_outer")
+          .join(spend("1996-01-01", "1997-01-01", "v96")
+            .withColumnRenamed("o_custkey", "k2"),
+            col("c_custkey") === col("k2"), "left_outer")
+          .join(spend("1997-01-01", "1998-01-01", "v97")
+            .withColumnRenamed("o_custkey", "k3"),
+            col("c_custkey") === col("k3"), "left_outer")
+          .select(col("treated"),
+            coalesce(col("v95"), lit(0).cast(big)).as("v95"),
+            coalesce(col("v96"), lit(0).cast(big)).as("v96"),
+            coalesce(col("v97"), lit(0).cast(big)).as("v97"))
+        base.agg(
+          sum(when(col("treated"), 1L).otherwise(0L)).cast(big).as("nt"),
+          sum(when(!col("treated"), 1L).otherwise(0L)).cast(big).as("nc"),
+          sum(when(col("treated"), col("v95")).otherwise(lit(0).cast(big))).cast(big).as("s95t"),
+          sum(when(col("treated"), col("v96")).otherwise(lit(0).cast(big))).cast(big).as("s96t"),
+          sum(when(col("treated"), col("v97")).otherwise(lit(0).cast(big))).cast(big).as("s97t"),
+          sum(when(!col("treated"), col("v95")).otherwise(lit(0).cast(big))).cast(big).as("s95c"),
+          sum(when(!col("treated"), col("v96")).otherwise(lit(0).cast(big))).cast(big).as("s96c"),
+          sum(when(!col("treated"), col("v97")).otherwise(lit(0).cast(big))).cast(big).as("s97c"))
+          .select(
+            col("nt").cast("long").as("n_treat"),
+            col("nc").cast("long").as("n_ctrl"),
+            expr(s"CAST(${sdiv("s97t - s96t", "nt")} AS BIGINT)").as("treat_gap_milli"),
+            expr(s"CAST(${sdiv("s97c - s96c", "nc")} AS BIGINT)").as("ctrl_gap_milli"),
+            expr(s"CAST(${sdiv(didNum, "nt * nc")} AS BIGINT)").as("did_milli"),
+            expr(s"CAST(${sdiv(plaNum, "nt * nc")} AS BIGINT)").as("placebo_milli"))
+      },
+      Some(
+        "WITH s95 AS (SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS HUGEINT) AS v95 " +
+          "FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01' AND CAST(o_orderdate AS DATE) < DATE '1996-01-01' GROUP BY 1), " +
+          "s96 AS (SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS HUGEINT) AS v96 " +
+          "FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01' AND CAST(o_orderdate AS DATE) < DATE '1997-01-01' GROUP BY 1), " +
+          "s97 AS (SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS HUGEINT) AS v97 " +
+          "FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01' AND CAST(o_orderdate AS DATE) < DATE '1998-01-01' GROUP BY 1), " +
+          "base AS (SELECT c_nationkey < 5 AS treated, coalesce(v95, 0) AS v95, " +
+          "coalesce(v96, 0) AS v96, coalesce(v97, 0) AS v97 FROM customer " +
+          "LEFT JOIN s95 ON s95.o_custkey = c_custkey " +
+          "LEFT JOIN s96 ON s96.o_custkey = c_custkey " +
+          "LEFT JOIN s97 ON s97.o_custkey = c_custkey), " +
+          "m AS (SELECT CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS HUGEINT) AS nt, " +
+          "CAST(sum(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS HUGEINT) AS nc, " +
+          "sum(CASE WHEN treated THEN v95 ELSE 0 END) AS s95t, " +
+          "sum(CASE WHEN treated THEN v96 ELSE 0 END) AS s96t, " +
+          "sum(CASE WHEN treated THEN v97 ELSE 0 END) AS s97t, " +
+          "sum(CASE WHEN NOT treated THEN v95 ELSE 0 END) AS s95c, " +
+          "sum(CASE WHEN NOT treated THEN v96 ELSE 0 END) AS s96c, " +
+          "sum(CASE WHEN NOT treated THEN v97 ELSE 0 END) AS s97c FROM base) " +
+          "SELECT CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_ctrl, " +
+          s"CAST(${sdivSql("s97t - s96t", "nt")} AS BIGINT) AS treat_gap_milli, " +
+          s"CAST(${sdivSql("s97c - s96c", "nc")} AS BIGINT) AS ctrl_gap_milli, " +
+          s"CAST(${sdivSql(didNum, "nt * nc")} AS BIGINT) AS did_milli, " +
+          s"CAST(${sdivSql(plaNum, "nt * nc")} AS BIGINT) AS placebo_milli " +
+          "FROM m"
+      ),
+    )
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q168, q169, q170, q171, q172, q175, q176, q182, q183, q184, q185, q198,
-      q232, q233, q234, q235, q236, q237, q238, q239, q240, q242)
+      q232, q233, q234, q235, q236, q237, q238, q239, q240, q242, q244)
 }

@@ -444,6 +444,38 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q244 DiD: hand-planted gaps, negative control gap, placebo zero") {
+    val dir = java.nio.file.Files.createTempDirectory("q244fix").toString
+    // treated (nation 0): 2 customers; control (nation 9): 2 customers.
+    // spends (dollars): treated 95/96/97 = (10,10), (20,20), (30,40);
+    // control = (10,12), (20,18), (15,13).
+    // treat gap = (30+40)-(20+20) = +30 -> mean +15 -> 15000*100? cents!
+    Seq((1L, 0), (2L, 0), (3L, 9), (4L, 9))
+      .toDF("c_custkey", "c_nationkey").write.parquet(s"$dir/customer.parquet")
+    val orders = Seq(
+      // custkey, year, dollars
+      (1L, "1995-06-01", 10.0), (1L, "1996-06-01", 20.0), (1L, "1997-06-01", 30.0),
+      (2L, "1995-06-01", 10.0), (2L, "1996-06-01", 20.0), (2L, "1997-06-01", 40.0),
+      (3L, "1995-06-01", 10.0), (3L, "1996-06-01", 20.0), (3L, "1997-06-01", 15.0),
+      (4L, "1995-06-01", 12.0), (4L, "1996-06-01", 18.0), (4L, "1997-06-01", 13.0))
+    orders.toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    // cents: treated pre 4000, post 7000 -> gap 3000, mean 1500 cents
+    //        -> 1_500_000 milli; control pre 3800, post 2800 -> gap
+    //        -1000, mean -500 -> -500_000 milli (negative: sign split).
+    // DiD = (nc*3000 - nt*(-1000))*1000 / (nt*nc) = (6000+2000)*250
+    //     = 2_000_000 milli.
+    // placebo: treated 95->96 gap 4000-2000=2000, control 3800-2200=1600
+    //   -> (2*2000 - 2*1600)*1000/4 = 200_000 milli (trend NOT parallel
+    //   in this fixture -- asserts the estimator, not the assumption).
+    val r = StatQueries.q244.run(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_treat") == 2L && r.getAs[Long]("n_ctrl") == 2L)
+    assert(r.getAs[Long]("treat_gap_milli") == 1500000L)
+    assert(r.getAs[Long]("ctrl_gap_milli") == -500000L)
+    assert(r.getAs[Long]("did_milli") == 2000000L)
+    assert(r.getAs[Long]("placebo_milli") == 200000L)
+  }
+
   test("q236 CUPED: adjustment matches an independent moment recompute") {
     val dir = java.nio.file.Files.createTempDirectory("q236fix").toString
     // 12 customers; pre-period spend strongly predicts post-period
