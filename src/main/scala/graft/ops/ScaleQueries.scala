@@ -2166,8 +2166,6 @@ object ScaleQueries {
   // stay INSIDE the boundary (they are the audit); only
   // (cell, released) ships.
   val q241: QuerySpec = {
-    def geom(pos: Int) =
-      s"CAST(floor(-ln(1.0 - ((CAST(u$pos AS DOUBLE) + 0.5) / 4294967296.0))) AS BIGINT)"
     QuerySpec(
       "q241_dp_release",
       (s, d) => {
@@ -2176,12 +2174,9 @@ object ScaleQueries {
             expr("datediff(CAST(ts AS DATE), DATE '1970-01-01') % 7").as("dow"))
           .agg(count(lit(1)).as("true_n"))
         cells
-          .withColumn("h",
-            md5(concat(lit("graft-dp:"), col("event_type"), lit(":"),
-              col("dow").cast("string"))))
-          .withColumn("u1", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
-          .withColumn("u2", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
-          .withColumn("noise", expr(s"${geom(1)} - ${geom(2)}"))
+          .withColumn("noise",
+            DpNoise.twoSidedGeometric(concat(lit("graft-dp:"),
+              col("event_type"), lit(":"), col("dow").cast("string"))))
           .select(col("event_type"), col("dow").cast("int").as("dow"),
             col("true_n"), col("noise"),
             (col("true_n") + col("noise")).as("released"))
