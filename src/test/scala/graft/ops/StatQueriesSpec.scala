@@ -476,6 +476,33 @@ class StatQueriesSpec extends SparkSpec {
     assert(r.getAs[Long]("placebo_milli") == 200000L)
   }
 
+  test("plan shapes: q234 hashes below the Generate, q237 single materialization, q242 TakeOrdered") {
+    import org.apache.spark.sql.execution.FormattedMode
+    def plan(q: QuerySpec): String =
+      q.run(spark, sfDir).queryExecution.explainString(FormattedMode)
+
+    // q234: the generator must carry only substring/conv — an md5 in
+    // posexplode's arguments means the digest hoist regressed and each
+    // row hashes 32x instead of 8x (measured 2.7x slower).
+    val p234 = plan(StatQueries.q234)
+    val gen = p234.linesIterator.find(_.contains("posexplode")).getOrElse("")
+    assert(!gen.contains("md5"), s"digests must be projected BELOW the Generate:\n$gen")
+    assert(p234.contains("AS d7#"), "all 8 digest columns must exist in the child Project")
+
+    // q237: the rank and offset branches must share ONE pinned
+    // materialization — a parquet scan in the final plan means the
+    // customer-join subtree is being recomputed per branch.
+    val p237 = plan(StatQueries.q237)
+    assert(!p237.contains("Scan parquet"),
+      "every branch must read the localCheckpoint, not re-scan parquet")
+    assert(p237.contains("localCheckpoint"), "the Ranks pin must be present")
+
+    // q242: top-20 must be a bounded heap, never a global sort
+    val p242 = plan(StatQueries.q242)
+    assert(p242.contains("TakeOrderedAndProject"),
+      "top-20 must compile to TakeOrderedAndProject")
+  }
+
   test("q236 CUPED: adjustment matches an independent moment recompute") {
     val dir = java.nio.file.Files.createTempDirectory("q236fix").toString
     // 12 customers; pre-period spend strongly predicts post-period
