@@ -934,7 +934,53 @@ object TrainingDataQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q245 — WEIGHTED sampling without replacement (Efraimidis &
+  // Spirakis 2006, the A-ES scheme): the top-50 docs by key
+  // ln(u)/w with u a per-doc seeded uniform and w = n_chars — a
+  // one-pass, coordination-free sample where doc i's inclusion
+  // probability is exactly proportional-to-size without replacement.
+  // q65/q66/q82 sample UNIFORMLY (per-row coin flips); quality- or
+  // size-weighted corpus selection ("sample 1M docs ∝ quality") needs
+  // A-ES: the weight changes each doc's key DISTRIBUTION, not its
+  // threshold, so no global pass over the weight total is needed and
+  // appends never reshuffle prior draws (the q65 reproducibility rule
+  // with weights).
+  //
+  // Determinism: u = (h + ½)/2³² from the doc's salted md5 (the
+  // DpNoise dyadic-rational class); ln and the division are identical
+  // IEEE shapes in both engines, so the top-50 SET is bit-reproducible
+  // and the oracle hash-matches the membership exactly. Ties are
+  // impossible (distinct md5 draws), but doc_id still closes the total
+  // order (§7.0).
+  //
+  // Scale: one stateless projection + top-50, which compiles to
+  // TakeOrderedAndProject (per-partition bounded heap + 50-row merge —
+  // no sort, no shuffle of the corpus, no weight-total pass).
+  val q245: QuerySpec = QuerySpec(
+    "q245_weighted_sample",
+    (s, d) => {
+      val u = (conv(substring(md5(concat(lit("graft-wsample:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double") +
+        lit(0.5)) / lit(4294967296.0)
+      documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (log(u) / col("n_chars").cast("double")).as("k"))
+        .orderBy(col("k").desc, col("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some(
+      "SELECT doc_id, source, n_chars FROM (" +
+        "SELECT doc_id, source, n_chars, " +
+        "ln((CAST(CAST(('0x' || substr(md5('graft-wsample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0) " +
+        "/ CAST(n_chars AS DOUBLE) AS k " +
+        "FROM documents ORDER BY k DESC, doc_id LIMIT 50) ORDER BY doc_id"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q65, q66, q68, q69, q70, q75, q76, q77, q78, q79, q86, q120, q134, q142,
-      q149, q164, q173, q174, q193)
+      q149, q164, q173, q174, q193, q245)
 }

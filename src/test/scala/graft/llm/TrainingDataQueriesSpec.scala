@@ -328,4 +328,27 @@ class TrainingDataQueriesSpec extends SparkSpec {
       if (key % 2 == 0) assert(scrubbed.contains("<PHONE>"))
     }
   }
+
+  test("q245 A-ES weighted sample: picks match hand-computed keys; heavy docs dominate") {
+    val dir = java.nio.file.Files.createTempDirectory("q245fix").toString
+    // 60 docs, weights: doc 1..50 have n_chars=10, docs 51..60 have
+    // n_chars=100000 -> the ten heavy docs must all be inside a top-50
+    // whose exact membership the in-JVM key recompute pins.
+    val docs = (1L to 60L).map(i => (i, "s", if (i > 50) 100000L else 10L))
+    docs.toDF("doc_id", "source", "n_chars").write.parquet(s"$dir/documents.parquet")
+
+    def keyOf(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"graft-wsample:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      math.log((h.toDouble + 0.5) / 4294967296.0) / w.toDouble
+    }
+    val expected = docs.map { case (i, _, w) => (i, keyOf(i, w)) }
+      .sortBy { case (i, k) => (-k, i) }.take(50).map(_._1).sorted
+    val got = graft.llm.TrainingDataQueries.q245.run(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(got == expected)
+    assert((51L to 60L).forall(got.contains), "all heavy docs must be selected")
+  }
 }
