@@ -980,7 +980,55 @@ object TrainingDataQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q246 — GROUP-aware k-fold assignment + leakage audit: folds are a
+  // pure hash of the SOURCE, and every doc inherits its source's fold
+  // — the grouped cross-validation contract (all of a group in one
+  // fold). Row-level folds (q65's shape) leak when near-duplicates
+  // cluster within a group: a doc in fold 1 and its sibling in fold 2
+  // lets the validator memorize the training data. The audit column
+  // is the contract made measurable: sources spanning >1 fold must be
+  // ZERO, and it is computed, not assumed.
+  //
+  // Determinism: fold = md5 draw of the source mod 5 (the q65 rule at
+  // group grain) — appends to an existing source can never move it.
+  //
+  // Scale: one doc pass partial-aggs per (source, fold) — group-
+  // domain-bounded — then a 5-row rollup; the audit rides the same
+  // frame (a countDistinct over |sources| rows, not docs).
+  val q246: QuerySpec = QuerySpec(
+    "q246_group_kfold",
+    (s, d) => {
+      val fold = pmod(conv(substring(md5(concat(lit("graft-fold:"),
+        col("source"))), 1, 8), 16, 10).cast("long"), lit(5L))
+      val perSource = documents(s, d)
+        .groupBy(col("source"), fold.as("fold"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      val audit = perSource.groupBy("source")
+        .agg(countDistinct("fold").as("nf"))
+        .agg(sum(when(col("nf") > 1, 1L).otherwise(0L)).as("sources_multi_fold"))
+      perSource.groupBy("fold")
+        .agg(count(lit(1)).as("n_sources"), sum("n_docs").as("n_docs"),
+          sum("n_chars").cast("long").as("n_chars"))
+        .crossJoin(audit) // 1-row audit anchor
+        .select(col("fold"), col("n_sources"), col("n_docs"), col("n_chars"),
+          col("sources_multi_fold"))
+        .orderBy("fold")
+    },
+    Some(
+      "WITH ps AS (SELECT source, " +
+        "CAST(('0x' || substr(md5('graft-fold:' || source), 1, 8)) AS BIGINT) % 5 AS fold, " +
+        "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars " +
+        "FROM documents GROUP BY 1, 2), " +
+        "audit AS (SELECT CAST(sum(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS sources_multi_fold " +
+        "FROM (SELECT source, count(DISTINCT fold) AS nf FROM ps GROUP BY 1)) " +
+        "SELECT fold, count(*) AS n_sources, CAST(sum(n_docs) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars, sources_multi_fold " +
+        "FROM ps CROSS JOIN audit GROUP BY fold, sources_multi_fold ORDER BY fold"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q65, q66, q68, q69, q70, q75, q76, q77, q78, q79, q86, q120, q134, q142,
-      q149, q164, q173, q174, q193, q245)
+      q149, q164, q173, q174, q193, q245, q246)
 }

@@ -2199,9 +2199,55 @@ object ScaleQueries {
     )
   }
 
+  // ---------------------------------------------------------------------
+  // q247 — overdispersion index per event type: the variance-to-mean
+  // ratio of per-user event counts (Fisher's dispersion index) in
+  // exact milli-units. The count-model diagnostic q146 gives for
+  // INTER-ARRIVAL gaps, applied to COUNTS: Poisson ⇒ 1000, clumped
+  // users ≫ 1000 (fit a negative binomial, not Poisson; also the
+  // "one crawler is hammering us" signal), ≪ 1000 = rate-limited.
+  // Decides the error model before anyone fits a count regression on
+  // behavioral data.
+  //
+  // Determinism: D = s²/x̄ = (n·Σx² − (Σx)²) / ((n−1)·Σx) — one exact
+  // rational per type with denominators cleared in DECIMAL(38,0)
+  // (numerator ≥ 0 by Cauchy–Schwarz, the q146 sign rule), floored
+  // milli division. No float anywhere.
+  //
+  // Scale: per-(user, type) counts partial-agg map-side; the moment
+  // rollup is |types| rows. Σx² ≤ n·max²: DECIMAL(38,0) headroom to
+  // 10¹⁹ users at 10⁹ events each.
+  val q247: QuerySpec = QuerySpec(
+    "q247_dispersion_index",
+    (s, d) => {
+      val big = DecimalType(38, 0)
+      events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast(big).as("n"),
+          sum("x").cast(big).as("sx"),
+          sum(col("x") * col("x")).cast(big).as("sxx"))
+        .select(col("event_type"), col("n").cast("long").as("n_users"),
+          expr("CAST((1000 * sx) div n AS BIGINT)").as("mean_milli"),
+          expr("CAST((1000 * (n * sxx - sx * sx)) div ((n - 1) * sx) AS BIGINT)")
+            .as("dispersion_milli"))
+        .orderBy("event_type")
+    },
+    Some(
+      "WITH pu AS (SELECT user_id, event_type, count(*) AS x FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n, sum(CAST(x AS HUGEINT)) AS sx, " +
+        "sum(CAST(x AS HUGEINT) * x) AS sxx FROM pu GROUP BY 1) " +
+        "SELECT event_type, CAST(n AS BIGINT) AS n_users, " +
+        "CAST((1000 * sx) // n AS BIGINT) AS mean_milli, " +
+        "CAST((1000 * (n * sxx - sx * sx)) // ((n - 1) * sx) AS BIGINT) AS dispersion_milli " +
+        "FROM m ORDER BY event_type"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q87, q187, q90, q93, q94, q95, q96, q97, q100, q101, q102, q105, q106, q107,
       q108, q109, q110, q112, q124, q129, q132, q133, q144, q147, q148, q154,
       q155, q158, q159, q160, q161, q162, q163, q165, q166, q167, q199, q200, q204,
-      q206, q220, q227, q241)
+      q206, q220, q227, q241, q247)
 }

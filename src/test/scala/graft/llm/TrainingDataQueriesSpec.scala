@@ -351,4 +351,25 @@ class TrainingDataQueriesSpec extends SparkSpec {
     assert(got == expected)
     assert((51L to 60L).forall(got.contains), "all heavy docs must be selected")
   }
+
+  test("q246 group k-fold: docs inherit their source's fold; the leakage audit is zero") {
+    val dir = java.nio.file.Files.createTempDirectory("q246fix").toString
+    val docs = (1L to 30L).map(i => (i, s"src${i % 3}", 100L))
+    docs.toDF("doc_id", "source", "n_chars").write.parquet(s"$dir/documents.parquet")
+
+    def foldOf(src: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"graft-fold:$src".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 5
+    }
+    val expected = Seq("src0", "src1", "src2").groupBy(foldOf)
+      .map { case (f, srcs) => f -> ((srcs.size.toLong, 10L * srcs.size, 1000L * srcs.size)) }
+    val rows = graft.llm.TrainingDataQueries.q246.run(spark, dir).collect()
+    val got = rows.map(r => r.getAs[Long]("fold") ->
+      ((r.getAs[Long]("n_sources"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_chars")))).toMap
+    assert(got == expected)
+    assert(rows.forall(_.getAs[Long]("sources_multi_fold") == 0L),
+      "no source may span folds")
+  }
 }

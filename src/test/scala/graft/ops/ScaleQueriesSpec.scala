@@ -381,6 +381,25 @@ class ScaleQueriesSpec extends SparkSpec {
     assert(r.toSeq == Seq((1L, "S1", 2L), (2L, "S2", 1L)))
   }
 
+  test("q247 dispersion: constant counts give 0, clumped counts hand-computed") {
+    val dir = java.nio.file.Files.createTempDirectory("q247fix").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    // type P: 4 users, 1 event each -> variance 0, D = 0, mean 1000.
+    // type C: users a (1 event) and b (5 events): n=2 sx=6 sxx=26 ->
+    //   D = 1000*(2*26-36) div (1*6) = 2666; mean = 3000.
+    val rows =
+      (1 to 4).map(u => (s"u$u", "P", t0)) ++
+        Seq(("a", "C", t0)) ++ (1 to 5).map(_ => ("b", "C", t0))
+    import spark.implicits._
+    rows.toDF("user_id", "event_type", "ts").write.parquet(s"$dir/events.parquet")
+    val r = ScaleQueries.q247.run(spark, dir).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        ((x.getAs[Long]("n_users"), x.getAs[Long]("mean_milli"),
+          x.getAs[Long]("dispersion_milli")))).toMap
+    assert(r(("P")) == ((4L, 1000L, 0L)))
+    assert(r(("C")) == ((2L, 3000L, 2666L)))
+  }
+
   test("q241 DP release: seeded geometric noise matches an in-JVM recompute; release = true + noise") {
     val dir = java.nio.file.Files.createTempDirectory("q241fix").toString
     val day0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00") // epoch day 19723 -> dow 4
