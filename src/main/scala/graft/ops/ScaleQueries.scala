@@ -2245,9 +2245,78 @@ object ScaleQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q248 — Mantel–Haenszel stratified association (Mantel & Haenszel
+  // 1959): the common odds ratio of (high-discount exposure → returned
+  // outcome) ADJUSTED for order priority, next to the marginal
+  // (pooled) odds ratio that ignores it. When the strata are a
+  // confounder the two disagree — Simpson's paradox — and the pooled
+  // number is the WRONG one; q159 tests unstratified independence,
+  // q244 adjusts across time, this adjusts across a categorical
+  // confounder: the third leg of the observational-inference stack.
+  //
+  // Determinism: per-stratum MH terms R_k = (a_k·d_k·10⁶) div n_k and
+  // S_k = (b_k·c_k·10⁶) div n_k are exact non-negative integers (the
+  // fixed-point estimator — summing per-stratum DOUBLE terms would be
+  // partition-order-dependent, the §7.0 float-summation hazard);
+  // OR_MH·10³ = (10³·ΣR) div ΣS, all floored divisions on
+  // non-negatives. Pooled OR likewise from the four pooled cells.
+  //
+  // Scale: ONE conditional aggregate over the joined fact (the 2×2×K
+  // table is |priorities|-bounded); everything after runs on K rows.
+  val q248: QuerySpec = QuerySpec(
+    "q248_mantel_haenszel",
+    (s, d) => {
+      val big = DecimalType(38, 0)
+      val exposed = col("l_discount") >= 0.06
+      val outcome = col("l_returnflag") === "R"
+      val cells = lineitem(s, d)
+        .join(orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority").as("stratum")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("stratum")
+        .agg(
+          sum(when(exposed && outcome, 1L).otherwise(0L)).cast(big).as("a"),
+          sum(when(exposed && !outcome, 1L).otherwise(0L)).cast(big).as("b"),
+          sum(when(!exposed && outcome, 1L).otherwise(0L)).cast(big).as("c"),
+          sum(when(!exposed && !outcome, 1L).otherwise(0L)).cast(big).as("dd"))
+      cells
+        .select(col("a"), col("b"), col("c"), col("dd"),
+          expr("(a * dd * 1000000) div (a + b + c + dd)").as("r"),
+          expr("(b * c * 1000000) div (a + b + c + dd)").as("s"))
+        .agg(
+          sum("a").as("a"), sum("b").as("b"), sum("c").as("c"), sum("dd").as("dd"),
+          sum("r").cast(big).as("sr"), sum("s").cast(big).as("ss"))
+        .select(
+          col("a").cast("long").as("n_exp_out"),
+          col("b").cast("long").as("n_exp_ok"),
+          col("c").cast("long").as("n_ctl_out"),
+          col("dd").cast("long").as("n_ctl_ok"),
+          expr("CAST((1000 * a * dd) div (b * c) AS BIGINT)").as("or_marginal_milli"),
+          expr("CAST((1000 * sr) div ss AS BIGINT)").as("or_mh_milli"))
+    },
+    Some(
+      "WITH cells AS (SELECT o_orderpriority AS stratum, " +
+        "CAST(sum(CASE WHEN l_discount >= 0.06 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS HUGEINT) AS a, " +
+        "CAST(sum(CASE WHEN l_discount >= 0.06 AND NOT l_returnflag = 'R' THEN 1 ELSE 0 END) AS HUGEINT) AS b, " +
+        "CAST(sum(CASE WHEN NOT l_discount >= 0.06 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS HUGEINT) AS c, " +
+        "CAST(sum(CASE WHEN NOT l_discount >= 0.06 AND NOT l_returnflag = 'R' THEN 1 ELSE 0 END) AS HUGEINT) AS dd " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1), " +
+        "terms AS (SELECT a, b, c, dd, " +
+        "(a * dd * 1000000) // (a + b + c + dd) AS r, " +
+        "(b * c * 1000000) // (a + b + c + dd) AS s FROM cells), " +
+        "m AS (SELECT sum(a) AS a, sum(b) AS b, sum(c) AS c, sum(dd) AS dd, " +
+        "sum(r) AS sr, sum(s) AS ss FROM terms) " +
+        "SELECT CAST(a AS BIGINT) AS n_exp_out, CAST(b AS BIGINT) AS n_exp_ok, " +
+        "CAST(c AS BIGINT) AS n_ctl_out, CAST(dd AS BIGINT) AS n_ctl_ok, " +
+        "CAST((1000 * a * dd) // (b * c) AS BIGINT) AS or_marginal_milli, " +
+        "CAST((1000 * sr) // ss AS BIGINT) AS or_mh_milli FROM m"
+    ),
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q87, q187, q90, q93, q94, q95, q96, q97, q100, q101, q102, q105, q106, q107,
       q108, q109, q110, q112, q124, q129, q132, q133, q144, q147, q148, q154,
       q155, q158, q159, q160, q161, q162, q163, q165, q166, q167, q199, q200, q204,
-      q206, q220, q227, q241, q247)
+      q206, q220, q227, q241, q247, q248)
 }

@@ -381,6 +381,32 @@ class ScaleQueriesSpec extends SparkSpec {
     assert(r.toSeq == Seq((1L, "S1", 2L), (2L, "S2", 1L)))
   }
 
+  test("q248 Mantel-Haenszel: a planted Simpson's paradox flips the pooled OR") {
+    val dir = java.nio.file.Files.createTempDirectory("q248fix").toString
+    // stratum A (order 1): a=1 b=9 c=20 d=80 -> OR 0.44
+    // stratum B (order 2): a=60 b=40 c=3 d=1 -> OR 0.50
+    // pooled: (61*81)/(49*23) = 4.38 -- the paradox: both strata < 1.
+    // fixed-point: sr = 80e6 div 110 + 60e6 div 104 = 727272+576923
+    //              ss = 180e6 div 110 + 120e6 div 104 = 1636363+1153846
+    // or_mh_milli = 1000*1304195 div 2790209 = 467
+    // or_marginal_milli = 4941000 div 1127 = 4384
+    def rows(ok: Long, n: Int, disc: Double, flag: String) =
+      Seq.fill(n)((ok, disc, flag))
+    val li = rows(1L, 1, 0.06, "R") ++ rows(1L, 9, 0.06, "N") ++
+      rows(1L, 20, 0.0, "R") ++ rows(1L, 80, 0.0, "N") ++
+      rows(2L, 60, 0.06, "R") ++ rows(2L, 40, 0.06, "N") ++
+      rows(2L, 3, 0.0, "R") ++ rows(2L, 1, 0.0, "N")
+    li.toDF("l_orderkey", "l_discount", "l_returnflag")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "A"), (2L, "B")).toDF("o_orderkey", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = ScaleQueries.q248.run(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_exp_out") == 61L && r.getAs[Long]("n_ctl_ok") == 81L)
+    assert(r.getAs[Long]("or_marginal_milli") == 4384L, "pooled OR must sit above 1")
+    assert(r.getAs[Long]("or_mh_milli") == 467L,
+      "the stratified common OR must sit below 1 - the paradox resolved")
+  }
+
   test("q247 dispersion: constant counts give 0, clumped counts hand-computed") {
     val dir = java.nio.file.Files.createTempDirectory("q247fix").toString
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
