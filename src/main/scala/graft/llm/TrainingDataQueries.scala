@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{TextFunctions => TF}
 import graft.ops.QuerySpec
@@ -1028,7 +1029,63 @@ object TrainingDataQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q249 — capture–recapture population estimate (Chapman's
+  // bias-corrected Lincoln–Petersen): two independent 25% hash-samples
+  // of the corpus play the two "captures", and the overlap estimates
+  // the TOTAL population — N̂ = (n₁+1)(n₂+1)/(m+1) − 1. The planning
+  // primitive for what a pipeline cannot see: how many distinct docs
+  // does the full crawl hold when you've only seen two partial crawls,
+  // how many duplicates remain when two dedup passes each caught a
+  // sample. Here ground truth exists, so the estimator ships WITH its
+  // audit: the true count and the relative error in bp.
+  //
+  // Determinism: both captures are salted md5 threshold draws (the q65
+  // rule — disjoint salts make them independent); the estimate is one
+  // exact integer expression, error bp an exact floored div.
+  //
+  // Scale: ONE scan, one conditional aggregate to a single row — the
+  // estimator never materializes either sample.
+  val q249: QuerySpec = QuerySpec(
+    "q249_capture_recapture",
+    (s, d) => {
+      val big = DecimalType(38, 0)
+      val inA = hexDraw("graft-capA:", col("doc_id")) < "40"
+      val inB = hexDraw("graft-capB:", col("doc_id")) < "40"
+      documents(s, d)
+        .agg(
+          count(lit(1)).cast(big).as("n_true"),
+          sum(when(inA, 1L).otherwise(0L)).cast(big).as("n1"),
+          sum(when(inB, 1L).otherwise(0L)).cast(big).as("n2"),
+          sum(when(inA && inB, 1L).otherwise(0L)).cast(big).as("m"))
+        .withColumn("est",
+          expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1").cast(big))
+        .select(
+          col("n1").cast("long").as("n_capture1"),
+          col("n2").cast("long").as("n_capture2"),
+          col("m").cast("long").as("n_overlap"),
+          col("est").cast("long").as("n_estimated"),
+          col("n_true").cast("long").as("n_true"),
+          expr("CAST((10000 * abs(est - n_true)) div n_true AS BIGINT)")
+            .as("err_bp"))
+    },
+    Some {
+      val a = hexDrawSql("graft-capA:", "doc_id")
+      val b = hexDrawSql("graft-capB:", "doc_id")
+      "WITH m AS (SELECT CAST(count(*) AS HUGEINT) AS n_true, " +
+        s"CAST(sum(CASE WHEN $a < '40' THEN 1 ELSE 0 END) AS HUGEINT) AS n1, " +
+        s"CAST(sum(CASE WHEN $b < '40' THEN 1 ELSE 0 END) AS HUGEINT) AS n2, " +
+        s"CAST(sum(CASE WHEN $a < '40' AND $b < '40' THEN 1 ELSE 0 END) AS HUGEINT) AS m " +
+        "FROM documents), " +
+        "e AS (SELECT *, ((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS est FROM m) " +
+        "SELECT CAST(n1 AS BIGINT) AS n_capture1, CAST(n2 AS BIGINT) AS n_capture2, " +
+        "CAST(m AS BIGINT) AS n_overlap, CAST(est AS BIGINT) AS n_estimated, " +
+        "CAST(n_true AS BIGINT) AS n_true, " +
+        "CAST((10000 * abs(est - n_true)) // n_true AS BIGINT) AS err_bp FROM e"
+    },
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q65, q66, q68, q69, q70, q75, q76, q77, q78, q79, q86, q120, q134, q142,
-      q149, q164, q173, q174, q193, q245, q246)
+      q149, q164, q173, q174, q193, q245, q246, q249)
 }

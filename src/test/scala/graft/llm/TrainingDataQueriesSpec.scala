@@ -372,4 +372,27 @@ class TrainingDataQueriesSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("sources_multi_fold") == 0L),
       "no source may span folds")
   }
+
+  test("q249 capture-recapture: Chapman arithmetic against an in-JVM recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("q249fix").toString
+    val docs = (1L to 400L).map(i => (i, "s", 10L))
+    docs.toDF("doc_id", "source", "n_chars").write.parquet(s"$dir/documents.parquet")
+
+    def draw(salt: String, id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$salt$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      hex.substring(0, 2) < "40"
+    }
+    val a = (1L to 400L).filter(draw("graft-capA:", _)).toSet
+    val b = (1L to 400L).filter(draw("graft-capB:", _)).toSet
+    val (n1, n2, m) = (a.size.toLong, b.size.toLong, (a intersect b).size.toLong)
+    val est = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    val r = graft.llm.TrainingDataQueries.q249.run(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_capture1") == n1 && r.getAs[Long]("n_capture2") == n2)
+    assert(r.getAs[Long]("n_overlap") == m)
+    assert(r.getAs[Long]("n_estimated") == est)
+    assert(r.getAs[Long]("n_true") == 400L)
+    assert(r.getAs[Long]("err_bp") == 10000 * math.abs(est - 400) / 400)
+    assert(m > 0, "fixture must produce an overlap for Chapman to be informative")
+  }
 }
