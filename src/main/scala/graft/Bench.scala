@@ -115,6 +115,14 @@ object Bench {
     val writeQueries = Set(
       "q179_bucketed_join", "q186_catalog_fact_serving",
       "q190_kcore_peel", "q212_latest_runs_listing")
+    // Guard against silent drift: on a full-suite run every write
+    // benchmark must still exist under its expected name, or the
+    // read/write split would silently misattribute storage cost to
+    // read_total across rounds.
+    if (only.isEmpty) {
+      val missing = writeQueries -- medians.map(_._1).toSet
+      require(missing.isEmpty, s"writeQueries renamed/removed: $missing")
+    }
     val writeTotal = medians.collect { case (k, v) if writeQueries(k) => v }.sum
     val readTotal = total - writeTotal
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"pass_totals":$pt,"spread_pct":${f"$spreadPct%.1f"},"read_total":${f"$readTotal%.3f"},"write_total":${f"$writeTotal%.3f"}}""")

@@ -480,7 +480,7 @@ object SimilarityPipeline {
     // dedup (t ≥ 0.8 ⇒ w ≤ 0.63) passes; stress/recall specs that
     // WANT the degenerate regime opt out via maxCellWidth.
     require(w <= maxCellWidth,
-      f"pca-grid cell width $w%.3f exceeds $maxCellWidth%.3f (threshold $threshold%.2f ≤ 7/9" +
+      f"pca-grid cell width $w%.3f exceeds $maxCellWidth%.3f (threshold $threshold%.2f < 7/9" +
         " ⇒ 3×3 probe covers the whole projected span ⇒ super-linear candidates);" +
         " raise the threshold or opt out explicitly for stress testing")
     val normed = l2Normalized(corpus)
@@ -568,7 +568,7 @@ object SimilarityPipeline {
       budgetFactor: Double = 8.0): DataFrame = {
     val w = math.sqrt(2.0 * (1.0 - threshold))
     require(w <= 2.0 / 3,
-      f"adaptive near-dup needs threshold > 7/9 (got $threshold%.2f): below it the 3×3" +
+      f"adaptive near-dup needs threshold >= 7/9 (got $threshold%.2f): below it the 3×3" +
         " probe cannot thin ANY corpus and grid applicability is moot")
     val normed = l2Normalized(corpus)
     val n = corpus.count()

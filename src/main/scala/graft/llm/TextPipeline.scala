@@ -114,7 +114,7 @@ object TextPipeline {
   }
 
   /** Portable-hash MinHash signatures: one md5-derived 60-bit hash per
-    * shingle, then k Carter–Wegman rehashes (aᵢ·h+bᵢ mod 2⁶¹−1) —
+    * shingle, then k Carter–Wegman rehashes (aᵢ·h+bᵢ mod 2³¹−1) —
     * every step reproducible verbatim in DuckDB SQL, which is what
     * buys q31 a real oracle. Same wide shape and map-side combine as
     * [[minHashSignatures]].

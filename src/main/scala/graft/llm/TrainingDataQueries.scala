@@ -952,7 +952,9 @@ object TrainingDataQueries {
   // DpNoise dyadic-rational class); ln and the division are identical
   // IEEE shapes in both engines, so the top-50 SET is bit-reproducible
   // and the oracle hash-matches the membership exactly. Ties are
-  // impossible (distinct md5 draws), but doc_id still closes the total
+  // improbable but not impossible (u is a 32-bit truncation of md5 —
+  // birthday collisions past ~77k docs, and equal u + equal n_chars
+  // ties the key); the doc_id tiebreak is what closes the total
   // order (§7.0).
   //
   // Scale: one stateless projection + top-50, which compiles to

@@ -29,8 +29,16 @@ object Registry {
     * backtick token). Round 6 landed a query in a snapshot commit with
     * no declaration, no spec, and a broken oracle; both `Verify`'s
     * preflight and `RegistryIntegritySpec` call this so an undeclared
-    * registration now fails loudly before it can ship.
+    * registration now fails loudly before it can ship. Only an actual
+    * §2.3 TABLE ROW (a line starting `| `qNN_name``) counts as a
+    * declaration — a narrative backtick mention elsewhere in SURVEY.md
+    * does not satisfy the gate.
     */
-  def undeclaredIn(surveyText: String): Seq[String] =
-    all.map(_.name).filterNot(n => surveyText.contains(s"`$n`"))
+  def undeclaredIn(surveyText: String): Seq[String] = {
+    val declared = surveyText.linesIterator
+      .filter(_.startsWith("| `q"))
+      .flatMap(l => "`(q[0-9]+_[a-z0-9_]+)`".r.findFirstMatchIn(l).map(_.group(1)))
+      .toSet
+    all.map(_.name).filterNot(declared)
+  }
 }
