@@ -681,8 +681,102 @@ object RelationalQueries {
     ),
   )
 
+  // ---------------------------------------------------------------------
+  // q250 — TPC-H Q12's shape (two-branch conditional aggregate over a
+  // fact⋈fact join): for each return class of lines shipped in 1997,
+  // how many belong to high-priority orders vs everything else. The
+  // testdata lineitem carries no l_shipmode/l_receiptdate (TESTDATA.md),
+  // so l_returnflag stands in as the small-cardinality grouping key and
+  // l_shipdate as the year window — the SHAPE (selective date filter
+  // pushed to the fact scan, equi-join on the order key, CASE-branch
+  // sums with map-side combine, 3-row result) is Q12's exactly.
+  //
+  // Scale: both sides are fact-sized, so this is the one relational
+  // query whose join legitimately shuffles both inputs on o_orderkey —
+  // no broadcast pretence. The 1997 filter prunes lineitem row groups
+  // before the exchange (min/max stats on l_shipdate), orders carries
+  // only (o_orderkey, o_orderpriority) into the shuffle after pruning,
+  // and the conditional sums collapse to 3 groups map-side. On a
+  // cluster with both tables bucketed by order key (q179's layout) the
+  // exchange disappears entirely.
+  val q250: QuerySpec = QuerySpec(
+    "q250_priority_linecount",
+    (s, d) =>
+      lineitem(s, d)
+        .where(
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+        )
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0).otherwise(1))
+            .as("low_line_count"),
+        )
+        .orderBy("l_returnflag"),
+    Some(
+      "SELECT l_returnflag, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q251 — TPC-H Q16's shape (distinct-count grouping behind a NOT IN
+  // supplier exclusion): how many distinct suppliers ship each
+  // surviving (brand, type, size) part profile, excluding suppliers in
+  // bad standing. The testdata has no partsupp table and supplier has
+  // no s_comment (TESTDATA.md), so lineitem provides the part⇄supplier
+  // association and s_acctbal < 0 stands in for the complaints
+  // predicate — the SHAPE (negated dim predicates, IN-list on size,
+  // NOT IN subquery as an anti-join, count(DISTINCT) per 3-part key,
+  // count-desc ordering) is Q16's exactly.
+  //
+  // Scale: the exclusion list is a filtered slice of the supplier dim
+  // — broadcast left_anti, so the fact never shuffles for it (NOT IN
+  // is null-sensitive in general, but s_suppkey is a non-null key, so
+  // anti-join ≡ NOT IN here; the E4 bloom form takes over if the dim
+  // ever outgrows broadcast). The part predicates prune the dim BEFORE
+  // its join (~15% of sizes survive the IN-list), and countDistinct
+  // compiles to the two-phase partial-distinct aggregate — per-group
+  // supplier sets never concentrate on one task.
+  val q251: QuerySpec = QuerySpec(
+    "q251_supplier_cnt_excl",
+    (s, d) =>
+      lineitem(s, d)
+        .join(part(s, d), col("l_partkey") === col("p_partkey"))
+        .where(
+          col("p_brand") =!= "Brand#45" &&
+            !col("p_type").like("MEDIUM%") &&
+            col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+        .join(
+          broadcast(supplier(s, d).where(col("s_acctbal") < 0).select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"),
+          "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size")),
+    Some(
+      "SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%' " +
+        "AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45) " +
+        "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+        "GROUP BY p_brand, p_type, p_size " +
+        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+    ),
+  )
+
   val all: Seq[QuerySpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q125, q226,
+    q250, q251,
   )
 }

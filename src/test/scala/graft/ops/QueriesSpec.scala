@@ -48,6 +48,52 @@ class QueriesSpec extends SparkSpec {
     assert(total == Tables.lineitem(spark, sfDir).count())
   }
 
+  test("q250: branch assignment, window exclusion and the join are exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q250fix").toString
+    // order 1 is high priority, order 2 low, order 3 high-but-unshipped
+    Seq((1L, "1-URGENT"), (2L, "5-LOW"), (3L, "2-HIGH"))
+      .toDF("o_orderkey", "o_orderpriority").write.parquet(s"$dir/orders.parquet")
+    // two 1997 lines for order 1 (flag A), one 1997 line for order 2
+    // (flag A), one 1997 line for order 2 (flag R), and a 1996 line for
+    // order 3 that the window must drop.
+    Seq(
+      (1L, "A", "1997-03-01"), (1L, "A", "1997-06-01"),
+      (2L, "A", "1997-04-01"), (2L, "R", "1997-05-01"),
+      (3L, "A", "1996-12-31"),
+    ).toDF("l_orderkey", "l_returnflag", "d")
+      .select(col("l_orderkey"), col("l_returnflag"), to_timestamp(col("d")).as("l_shipdate"))
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = RelationalQueries.q250.run(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("A" -> ((2L, 1L)), "R" -> ((0L, 1L))), s"wrong branches: $got")
+  }
+
+  test("q251: predicates, NOT IN exclusion and distinct-count are exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q251fix").toString
+    // part 1 survives; 2 fails brand, 3 fails type, 4 fails size
+    Seq(
+      (1L, "Brand#11", "ECONOMY BRASS", 4),
+      (2L, "Brand#45", "ECONOMY BRASS", 4),
+      (3L, "Brand#11", "MEDIUM PLATED", 4),
+      (4L, "Brand#11", "ECONOMY BRASS", 5),
+    ).toDF("p_partkey", "p_brand", "p_type", "p_size").write.parquet(s"$dir/part.parquet")
+    // supplier 30 is in bad standing → its lines are excluded
+    Seq((10L, 100.0), (20L, 0.0), (30L, -1.0))
+      .toDF("s_suppkey", "s_acctbal").write.parquet(s"$dir/supplier.parquet")
+    // part 1: suppliers 10 (twice — distinct must collapse), 20, and 30
+    // (excluded); the filtered parts get supplier 10 but must not appear.
+    Seq(
+      (1L, 10L), (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (3L, 10L), (4L, 10L),
+    ).toDF("l_partkey", "l_suppkey").write.parquet(s"$dir/lineitem.parquet")
+    val got = RelationalQueries.q251.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(got == Map(("Brand#11", "ECONOMY BRASS", 4) -> 2L), s"wrong groups: $got")
+  }
+
   test("q226: every expectation rule CATCHES its planted violation") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
