@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnShim
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expressions for dense float-vector math.
   *
@@ -34,6 +34,17 @@ object VectorExpressions {
     */
   def vecCosine(a: Column, b: Column): Column =
     ColumnShim.column(FloatVecCosine(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Exact fixed-point dot product: Σ q(aᵢ)·q(bᵢ) with
+    * q(x) = round(double(x)·scale) half-away-from-zero — an exact int64
+    * (the q92 centroid idiom applied to the dot product). Because every
+    * term is an integer, the sum is shuffle/order-proof and reproducible
+    * verbatim in any engine — the property that lets similarity RANKINGS
+    * be hash-pinned cross-engine (q29) instead of float-ordered.
+    * `vecDotFp(a, a)` is the fixed-point squared norm.
+    */
+  def vecDotFp(a: Column, b: Column, scale: Long): Column =
+    ColumnShim.column(FloatVecDotFp(ColumnShim.expression(a), ColumnShim.expression(b), scale))
 
   private[expressions] def checkVecTypes(left: Expression, right: Expression, name: String): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -80,6 +91,81 @@ case class FloatVecDot(left: Expression, right: Expression)
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
          |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fixed-point dot product over float arrays (exact int64).
+  *
+  * Quantization is round-half-away-from-zero on the BINARY double value
+  * of `element·scale` — the semantics of C `round()`/DuckDB `round()`,
+  * implemented as `floor(|p|) + (frac ≥ 0.5)` (the frac subtraction is
+  * exact for any double, so this is bit-equal to libm round without a
+  * libm call). The multiply `double(float)·double(long)` is one
+  * correctly-rounded IEEE op — identical in every engine — so the whole
+  * expression is integer-exact and cross-engine reproducible.
+  */
+case class FloatVecDotFp(left: Expression, right: Expression, scale: Long)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.checkVecTypes(left, right, prettyName)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_dot_fp"
+
+  @inline private def q(x: Float): Long = {
+    val p = x.toDouble * scale.toDouble
+    val ap = math.abs(p)
+    val f = math.floor(ap)
+    val m = f.toLong + (if (ap - f >= 0.5d) 1L else 0L)
+    if (p < 0) -m else m
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) s += q(x.getFloat(i)) * q(y.getFloat(i))
+      i += 1
+    }
+    s
+  }
+
+  // freshName'd locals — see FloatVecDot.doGenCode for why.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val px = ctx.freshName("px")
+      val py = ctx.freshName("py")
+      val ap = ctx.freshName("ap")
+      val f = ctx.freshName("f")
+      val qx = ctx.freshName("qx")
+      val qy = ctx.freshName("qy")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    double $px = (double) $a.getFloat($i) * ${scale}.0D;
+         |    double $ap = Math.abs($px); double $f = Math.floor($ap);
+         |    long $qx = (long) $f + (($ap - $f >= 0.5D) ? 1L : 0L);
+         |    if ($px < 0) $qx = -$qx;
+         |    double $py = (double) $b.getFloat($i) * ${scale}.0D;
+         |    $ap = Math.abs($py); $f = Math.floor($ap);
+         |    long $qy = (long) $f + (($ap - $f >= 0.5D) ? 1L : 0L);
+         |    if ($py < 0) $qy = -$qy;
+         |    $s += $qx * $qy;
          |  }
          |}
          |${ev.value} = $s;

@@ -43,6 +43,32 @@ object VectorFunctions {
     when(denom > 0, dotHof(a, b) / denom).otherwise(lit(0.0))
   }
 
+  /** Exact fixed-point dot product Σ round(aᵢ·scale)·round(bᵢ·scale) as
+    * int64 — the hash-pinnable form of [[dot]] (q92's fix-point idiom
+    * applied to similarity ranking). `dotFp(a, a, s)` is the fixed-point
+    * squared norm. Native codegen'd ([[graft.expressions.FloatVecDotFp]]).
+    */
+  def dotFp(a: Column, b: Column, scale: Long): Column =
+    graft.expressions.VectorExpressions.vecDotFp(a, b, scale)
+
+  /** HOF form of [[dotFp]] — same floor-based half-away-from-zero
+    * quantization, interpreted; parity-tested bit-for-bit.
+    */
+  def dotFpHof(a: Column, b: Column, scale: Long): Column = {
+    def fpq(x: Column): Column = {
+      val p = x.cast("double") * lit(scale.toDouble)
+      val ap = abs(p)
+      val f = floor(ap)
+      val m = f.cast("long") + when(ap - f >= 0.5, lit(1L)).otherwise(lit(0L))
+      when(p < 0, -m).otherwise(m)
+    }
+    aggregate(
+      zip_with(a, b, (x, y) => fpq(x) * fpq(y)),
+      lit(0L),
+      (acc, v) => acc + v,
+    )
+  }
+
   /** Squared L2 distance (cheaper than sqrt for nearest-neighbor ranking). */
   def l2Sq(a: Column, b: Column): Column =
     aggregate(

@@ -99,13 +99,34 @@ object LlmQueries {
     ),
   )
 
+  /** 1e7 — full float precision (a float has ~7.2 significant digits),
+    * sized so q29's DECIMAL(38,0) square and BIGINT quotient cannot
+    * overflow: |d| ≤ 64·(0.53·10⁷)² ≈ 1.01e14 on unit-norm dim-64
+    * vectors, d²·10⁴ ≈ 1e32 < 10³⁸, quotient ≈ 1.01e18 < 2⁶³.
+    */
+  val Q29Scale = 10000000L
+
   // q29 — similarity search: exact cosine top-k against one anchor
   // vector. The anchor arrives via broadcast nested-loop join of a
-  // 1-row frame (no driver collect); the scan computes cosine in one
-  // codegen'd pass; TakeOrderedAndProject keeps a 20-row heap per
-  // partition. 100 TB path: same plan per query vector — for batch ANN
-  // see q35's LSH bucketing. No oracle (float ordering); property
-  // tests in SimilaritySpec pin the semantics.
+  // 1-row frame (no driver collect); the scan computes the ranking key
+  // in one codegen'd pass; TakeOrderedAndProject keeps a 20-row heap
+  // per partition. 100 TB path: same plan per query vector — for batch
+  // ANN see q35's LSH bucketing.
+  //
+  // Oracle-checked since round 8 (was float-ordered/no-oracle): the
+  // ranking is defined over EXACT integers (the q92 fix-point idiom
+  // applied to the dot product). Per candidate b against anchor a:
+  //   d  = Σ round(aᵢ·10⁷)·round(bᵢ·10⁷)   (exact int64, |d| ≲ 1.01e14)
+  //   n  = Σ round(bᵢ·10⁷)²                 (fixed-point squared norm)
+  //   key = sign(d) · (d²·10⁴ div n)        (d² in DECIMAL(38,0);
+  //                                          quotient ≤ ~1.01e18 < 2⁶³)
+  // key is monotone in cosine — cos² = d²/(nₐ·n) with nₐ constant, the
+  // sign carries the branch — at 1e-18 relative resolution, ties broken
+  // by vec_id. Every step is integer-exact and reproduced verbatim in
+  // the DuckDB oracle, so the SELECTION AND ORDER hash-match
+  // cross-engine; the float cosine VALUES stay property-pinned
+  // (SimilarityPipelineSpec pins fp-ranking ≡ float-cosine ranking on
+  // the corpus, VectorExpressionsSpec pins native ≡ HOF bit-for-bit).
   val q29: QuerySpec = QuerySpec(
     "q29_similarity_topk",
     (s, d) => {
@@ -116,12 +137,31 @@ object LlmQueries {
         .where(col("vec_id") =!= 0)
         .select(
           col("vec_id"),
-          round(VF.cosine(col("embedding"), col("anchor_emb")), 6).as("score"),
+          VF.dotFp(col("embedding"), col("anchor_emb"), Q29Scale).as("dot_fp"),
+          VF.dotFp(col("embedding"), col("embedding"), Q29Scale).as("n_fp"),
         )
-        .orderBy(desc("score"), asc("vec_id"))
+        .select(
+          col("vec_id"),
+          col("dot_fp"),
+          (when(col("dot_fp") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr("(cast(dot_fp as decimal(38,0)) * dot_fp * 10000) div n_fp")).as("rank_fp"),
+        )
+        .orderBy(desc("rank_fp"), asc("vec_id"))
         .limit(20)
     },
-    None,
+    Some(
+      "WITH fp AS (SELECT vec_id, list_transform(embedding, " +
+        s"x -> CAST(round(CAST(x AS DOUBLE) * $Q29Scale) AS BIGINT)) AS q FROM embeddings), " +
+        "a AS (SELECT q AS qa FROM fp WHERE vec_id = 0), " +
+        "d AS (SELECT f.vec_id, " +
+        "CAST(list_sum(list_transform(generate_series(1, len(f.q)), i -> f.q[i] * qa[i])) AS BIGINT) AS dot_fp, " +
+        "CAST(list_sum(list_transform(f.q, x -> x * x)) AS BIGINT) AS n_fp " +
+        "FROM fp f, a WHERE f.vec_id <> 0) " +
+        "SELECT vec_id, dot_fp, " +
+        "CAST((CASE WHEN dot_fp < 0 THEN -1 ELSE 1 END) * " +
+        "((CAST(dot_fp AS HUGEINT) * dot_fp * 10000) // n_fp) AS BIGINT) AS rank_fp " +
+        "FROM d ORDER BY rank_fp DESC, vec_id LIMIT 20"
+    ),
   )
 
   // q30 — near-duplicate pairs by exact 3-gram-shingle Jaccard ≥ 0.5.

@@ -28,12 +28,51 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("native vec_dot_fp matches the HOF form bit-for-bit and ranks like float cosine") {
+    val S = graft.llm.LlmQueries.Q29Scale
+    val anchor = emb.where(col("vec_id") === 0).select(col("embedding").as("a"))
+    val both = emb.join(broadcast(anchor))
+      .select(
+        col("vec_id"),
+        VectorFunctions.dotFp(col("embedding"), col("a"), S).as("d_native"),
+        VectorFunctions.dotFpHof(col("embedding"), col("a"), S).as("d_hof"),
+      )
+      .collect()
+    both.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"dot_fp mismatch at vec ${r.getLong(0)}")
+    }
+    // the q29 property: the exact-integer ranking key reproduces the
+    // float-cosine ranking on the whole corpus (float cosine VALUES
+    // stay the semantic ground truth; the fp key is the hash-pinnable
+    // ORDER carrier)
+    val ranked = emb.join(broadcast(anchor)).where(col("vec_id") =!= 0)
+      .select(
+        col("vec_id"),
+        VectorFunctions.cosine(col("embedding"), col("a")).as("cos"),
+        VectorFunctions.dotFp(col("embedding"), col("a"), S).as("dot_fp"),
+        VectorFunctions.dotFp(col("embedding"), col("embedding"), S).as("n_fp"),
+      )
+      .select(
+        col("vec_id"), col("cos"),
+        (when(col("dot_fp") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("(cast(dot_fp as decimal(38,0)) * dot_fp * 10000) div n_fp")).as("key"),
+      )
+      .collect()
+    val byFloat = ranked.sortBy(r => (-r.getDouble(1), r.getLong(0))).map(_.getLong(0)).toSeq
+    val byKey = ranked.sortBy(r => (-r.getLong(2), r.getLong(0))).map(_.getLong(0)).toSeq
+    assert(byKey == byFloat, "fixed-point key must reproduce the float-cosine order")
+  }
+
   test("native expressions are codegen-capable (not CodegenFallback) and handle edges") {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     val e = FloatVecCosine(
       org.apache.spark.sql.graftshim.ColumnShim.expression(col("x")),
       org.apache.spark.sql.graftshim.ColumnShim.expression(col("y")))
     assert(!e.isInstanceOf[CodegenFallback], "vec_cosine must emit real codegen")
+    val efp = FloatVecDotFp(
+      org.apache.spark.sql.graftshim.ColumnShim.expression(col("x")),
+      org.apache.spark.sql.graftshim.ColumnShim.expression(col("y")), 10000000L)
+    assert(!efp.isInstanceOf[CodegenFallback], "vec_dot_fp must emit real codegen")
     val edge = Seq(
       (Seq.empty[Float], Seq.empty[Float]),
       (Seq(0f, 0f), Seq(1f, 1f)),
