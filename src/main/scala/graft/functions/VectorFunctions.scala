@@ -80,6 +80,33 @@ object VectorFunctions {
       (acc, v) => acc + v,
     )
 
+  /** PORTABLE random-hyperplane LSH bucket (q31's portable-hash-family
+    * idiom applied to sign-LSH): ±1 plane components derived from
+    * md5("plane:p:i") — the top bit of the digest's first byte — and
+    * the per-plane sign taken on the EXACT fixed-point dot
+    * [[dotFp]](v, plane) ≥ 0 (±scale factors out, so the sign equals
+    * sign(Σ ±round(vᵢ·scale)), an integer — shuffle/order-proof).
+    * Every step is reproducible verbatim in DuckDB SQL (md5, integer
+    * sums), which is what lets q37/q38's whole candidate cascade be
+    * hash-pinned cross-engine. [[signBucket]] (splitmix64 planes, float
+    * dot) remains the at-scale variant — same plan, cheaper hash —
+    * recall-parity-pinned in spec.
+    */
+  def signBucketPortable(v: Column, dim: Int, nPlanes: Int, scale: Long = 10000000L): Column = {
+    require(nPlanes <= 62, "bucket packs sign bits into a long")
+    val planeCols: Seq[Column] = (0 until nPlanes).map { p =>
+      val comps: Seq[Float] = (0 until dim).map { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"plane:$p:$i".getBytes("UTF-8"))
+        // top bit of byte 0 clear ⟺ first hex char ≤ '7'
+        if ((d(0) & 0x80) == 0) 1.0f else -1.0f
+      }
+      val planeLit = array(comps.map(lit(_)): _*)
+      when(dotFp(v, planeLit, scale) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    planeCols.reduce(_ bitwiseOR _)
+  }
+
   /** Random-hyperplane LSH bucket for cosine similarity: the sign-bit
     * pattern of `planes.length` fixed pseudo-random hyperplanes packed
     * into a long. Vectors in the same bucket are likely neighbors —

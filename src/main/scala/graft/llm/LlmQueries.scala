@@ -377,38 +377,105 @@ object LlmQueries {
     },
   )
 
+  /** Shared DuckDB CTE prefix for the portable sign-LSH quantizer
+    * (q37/q38): data-scaled bit count, md5-derived ±1 planes, q29's
+    * fixed-point element lists, per-(vector, plane) integer sign sums,
+    * assembled cell bitmask. Mirrors
+    * [[SimilarityPipeline.withCellsPortable]] step for step — a plane
+    * or quantization change breaks both queries' oracles together.
+    */
+  private[llm] val portableCellsCteSql: String =
+    "bits AS (SELECT GREATEST(1, LEAST(16, CAST(round(log2(GREATEST(1.0, count(*)/64.0))) AS INT))) AS nb " +
+      "FROM embeddings), " +
+      "planes AS (SELECT p, i, CASE WHEN substr(md5('plane:'||p||':'||i),1,1) <= '7' THEN 1 ELSE -1 END AS s " +
+      "FROM (SELECT unnest(generate_series(0, (SELECT nb FROM bits)-1)) AS p), " +
+      "(SELECT unnest(generate_series(0, 63)) AS i)), " +
+      s"fp AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Q29Scale) AS BIGINT)) AS q " +
+      "FROM embeddings), " +
+      "el AS (SELECT vec_id, i-1 AS i, q[i] AS qi FROM fp, LATERAL (SELECT unnest(generate_series(1, len(q))) AS i) t), " +
+      "cellbit AS (SELECT e.vec_id, pl.p, CASE WHEN sum(pl.s * e.qi) >= 0 THEN (1::BIGINT << pl.p) ELSE 0 END AS bit " +
+      "FROM el e JOIN planes pl ON pl.i = e.i GROUP BY 1, 2), " +
+      "cells AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS cell FROM cellbit GROUP BY 1)"
+
   // q37 — IVF approximate nearest neighbors: 5 query vectors, top-3
   // neighbors each under the data-scaled sign-LSH coarse quantizer
   // (cells ∝ N / target occupancy) with hamming-≤1 multiprobe.
-  // Rows-only check (float scores); SimilarityPipelineSpec pins recall
-  // vs brute force.
+  //
+  // Oracle-checked since round 8 (was float-scored/rows-only): the
+  // registered run uses the PORTABLE quantizer — md5-derived ±1 planes,
+  // cell signs on exact fixed-point dots — and ranks candidates per
+  // query with q29's exact integer key sign(d)·(d²·10⁴ div n), so the
+  // whole cascade (planes → cells → multiprobe → candidates → ranking)
+  // hash-matches the DuckDB oracle. The splitmix64/float form
+  // ([[SimilarityPipeline.annTopK]]) remains the at-scale variant,
+  // recall-pinned vs brute force in SimilarityPipelineSpec.
   val q37: QuerySpec = QuerySpec(
     "q37_ann_ivf",
     (s, d) => {
       val emb = embeddings(s, d)
       val bits = SimilarityPipeline.cellBits(emb.count())
       SimilarityPipeline
-        .annTopK(emb, emb.where(col("vec_id") < 5), k = 3, bits = bits)
-        .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+        .annTopKPortable(emb, emb.where(col("vec_id") < 5), k = 3, bits = bits)
         .orderBy("query_id", "vec_id")
     },
-    None,
+    Some(
+      s"WITH $portableCellsCteSql, " +
+        "q AS (SELECT c.vec_id AS query_id, c.cell AS qcell, f.q AS qq FROM cells c JOIN fp f USING (vec_id) " +
+        "WHERE c.vec_id < 5), " +
+        "probes AS (SELECT query_id, qq, qcell AS probe FROM q " +
+        "UNION ALL SELECT query_id, qq, CAST(xor(qcell, 1::BIGINT << b) AS BIGINT) FROM q, " +
+        "LATERAL (SELECT unnest(generate_series(0, (SELECT nb FROM bits)-1)) AS b) t), " +
+        "scored AS (SELECT p.query_id, c.vec_id, " +
+        "CAST(list_sum(list_transform(generate_series(1, len(f.q)), i -> f.q[i] * p.qq[i])) AS BIGINT) AS dot_fp, " +
+        "CAST(list_sum(list_transform(f.q, x -> x * x)) AS BIGINT) AS n_fp " +
+        "FROM probes p JOIN cells c ON c.cell = p.probe AND c.vec_id <> p.query_id " +
+        "JOIN fp f ON f.vec_id = c.vec_id), " +
+        "keyed AS (SELECT query_id, vec_id, dot_fp, " +
+        "CAST((CASE WHEN dot_fp < 0 THEN -1 ELSE 1 END) * " +
+        "((CAST(dot_fp AS HUGEINT) * dot_fp * 10000) // n_fp) AS BIGINT) AS rank_fp FROM scored), " +
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rank_fp DESC, vec_id) AS rn " +
+        "FROM keyed) " +
+        "SELECT query_id, vec_id, dot_fp, rank_fp FROM ranked WHERE rn <= 3 ORDER BY query_id, vec_id"
+    ),
   )
 
   // q38 — embedding-cosine near-dup pairs under the same quantizer:
-  // banded hamming-≤1 candidates, exact cosine verified relationally
-  // (codegen'd, no N² cross product). Rows-only check.
+  // banded hamming-≤1 candidates, threshold verified relationally on
+  // candidates only (no N² cross product).
+  //
+  // Oracle-checked since round 8 (was float-verified/rows-only): the
+  // portable quantizer generates candidates and the cos ≥ 2/5
+  // threshold is cross-multiplied into the exact integer test
+  // d ≥ 0 ∧ 25·d² ≥ 4·nₐ·n_b in DECIMAL(38,0) — no float decision
+  // anywhere, so candidates AND the verified set hash-match DuckDB.
+  // Output carries cos2_bp = d²·10⁴ div (nₐ·n_b), the exact squared
+  // cosine in basis points.
   val q38: QuerySpec = QuerySpec(
     "q38_embed_near_dup",
     (s, d) => {
       val emb = embeddings(s, d)
       val bits = SimilarityPipeline.cellBits(emb.count())
       SimilarityPipeline
-        .annNearDupPairs(emb, threshold = 0.4, bits = bits)
-        .select(col("va"), col("vb"), round(col("cos"), 4).as("cos"))
+        .annNearDupPairsPortable(emb, tNum = 2, tDen = 5, bits = bits)
         .orderBy("va", "vb")
     },
-    None,
+    Some(
+      s"WITH $portableCellsCteSql, " +
+        "banded AS (SELECT c.vec_id, b AS m, c.cell & ~(1::BIGINT << b) AS key " +
+        "FROM cells c, LATERAL (SELECT unnest(generate_series(0, (SELECT nb FROM bits)-1)) AS b) t), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb " +
+        "FROM banded a JOIN banded b ON a.m = b.m AND a.key = b.key AND a.vec_id < b.vec_id), " +
+        "verified AS (SELECT va, vb, " +
+        "CAST(list_sum(list_transform(generate_series(1, len(fa.q)), i -> fa.q[i] * fb.q[i])) AS BIGINT) AS dot_fp, " +
+        "CAST(list_sum(list_transform(fa.q, x -> x * x)) AS BIGINT) AS na, " +
+        "CAST(list_sum(list_transform(fb.q, x -> x * x)) AS BIGINT) AS nb2 " +
+        "FROM cand JOIN fp fa ON fa.vec_id = va JOIN fp fb ON fb.vec_id = vb) " +
+        "SELECT va, vb, dot_fp, " +
+        "CAST((CAST(dot_fp AS HUGEINT) * dot_fp * 10000) // (CAST(na AS HUGEINT) * nb2) AS BIGINT) AS cos2_bp " +
+        "FROM verified " +
+        "WHERE dot_fp >= 0 AND CAST(dot_fp AS HUGEINT) * dot_fp * 25 >= 4 * CAST(na AS HUGEINT) * nb2 " +
+        "ORDER BY va, vb"
+    ),
   )
 
   // q39 — bounded-heap top-k per group via the custom TopK Aggregator

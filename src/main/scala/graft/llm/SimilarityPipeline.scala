@@ -273,6 +273,92 @@ object SimilarityPipeline {
       .where(col("cos") >= threshold)
   }
 
+  // ------------------------------------------------------------------
+  // Portable forms (round 8): same cascade shapes as withCells /
+  // annTopK / annNearDupPairs, but every float decision replaced by an
+  // exact-integer one (md5-derived planes, fixed-point dots, q29's
+  // ranking key, cross-multiplied threshold) so the WHOLE candidate
+  // cascade hash-matches a DuckDB oracle — the q31/q32 r7 precedent
+  // applied to the ANN axis. The splitmix64/float forms above remain
+  // the at-scale variants, recall-parity-pinned in spec.
+  // ------------------------------------------------------------------
+
+  /** [[withCells]] with md5-derived planes and integer sign decisions. */
+  def withCellsPortable(corpus: DataFrame, bits: Int, dim: Int = 64): DataFrame =
+    corpus.withColumn("cell", VectorFunctions.signBucketPortable(col("embedding"), dim, bits))
+
+  /** [[annTopK]] with the portable quantizer and q29's exact ranking
+    * key sign(d)·(d²·10⁴ div n) — per query, the anchor norm is
+    * constant, so the key is monotone in cosine at 1e-18 resolution;
+    * ties broken by vec_id. Output is all exact int64.
+    */
+  def annTopKPortable(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int, dim: Int = 64): DataFrame = {
+    val S = graft.llm.LlmQueries.Q29Scale
+    val c = withCellsPortable(corpus, bits, dim)
+    val probes = array(
+      col("cell") +: (0 until bits).map(b => col("cell").bitwiseXOR(lit(1L << b))): _*)
+    val q = withCellsPortable(queries, bits, dim)
+      .select(
+        col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(probes).as("probe"))
+    val scored = c
+      .join(broadcast(q), col("cell") === col("probe") && col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        VectorFunctions.dotFp(col("embedding"), col("q_emb"), S).as("dot_fp"),
+        VectorFunctions.dotFp(col("embedding"), col("embedding"), S).as("n_fp"),
+      )
+      .select(
+        col("query_id"), col("vec_id"), col("dot_fp"),
+        (when(col("dot_fp") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("(cast(dot_fp as decimal(38,0)) * dot_fp * 10000) div n_fp")).as("rank_fp"),
+      )
+    val w = Window.partitionBy("query_id").orderBy(desc("rank_fp"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
+  }
+
+  /** [[annNearDupPairs]] with the portable quantizer and an EXACT
+    * threshold: cos ≥ tn/td ⟺ d ≥ 0 ∧ td²·d² ≥ tn²·nₐ·n_b — all in
+    * DECIMAL(38,0), no float anywhere. Emits the exact integer
+    * `cos2_bp` = d²·10⁴ div (nₐ·n_b) (squared cosine in basis points)
+    * instead of a rounded float score.
+    */
+  def annNearDupPairsPortable(corpus: DataFrame, tNum: Int, tDen: Int, bits: Int, dim: Int = 64): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be a rational in (0, 1]")
+    val S = graft.llm.LlmQueries.Q29Scale
+    val e = withCellsPortable(corpus, bits, dim).select(col("vec_id"), col("cell"), col("embedding"))
+    val banded = e.select(
+      col("vec_id"),
+      explode(array((0 until bits).map(b =>
+        struct(lit(b).as("m"), col("cell").bitwiseAND(lit(~(1L << b))).as("key"))): _*)).as("bk"))
+      .select(col("vec_id"), col("bk.m").as("m"), col("bk.key").as("key"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.m") === col("b.m") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct() // same-cell pairs collide on every masked key
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    cand
+      .join(emb.select(col("vec_id").as("va"), col("embedding").as("ea")), Seq("va"))
+      .join(emb.select(col("vec_id").as("vb"), col("embedding").as("eb")), Seq("vb"))
+      .select(
+        col("va"), col("vb"),
+        VectorFunctions.dotFp(col("ea"), col("eb"), S).as("dot_fp"),
+        VectorFunctions.dotFp(col("ea"), col("ea"), S).as("na"),
+        VectorFunctions.dotFp(col("eb"), col("eb"), S).as("nb"),
+      )
+      .where(col("dot_fp") >= 0 &&
+        expr(s"cast(dot_fp as decimal(38,0)) * dot_fp * ${tDen.toLong * tDen} >= " +
+          s"cast(na as decimal(38,0)) * nb * ${tNum.toLong * tNum}"))
+      .select(
+        col("va"), col("vb"), col("dot_fp"),
+        expr("(cast(dot_fp as decimal(38,0)) * dot_fp * 10000) div (cast(na as decimal(38,0)) * nb)")
+          .as("cos2_bp"),
+      )
+  }
+
   // -------------------------------------------------------------------
   // PCA — the dimensionality reduction that fronts ANN at scale
   // (project 64-dim embeddings to a few principal axes before

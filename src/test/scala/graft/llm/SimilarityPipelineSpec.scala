@@ -101,6 +101,69 @@ class SimilarityPipelineSpec extends SparkSpec {
     }
   }
 
+  test("annTopKPortable: fp ranking agrees with float cosine over its own candidates, pinned recall") {
+    val queries = emb.where(col("vec_id") < 5)
+    val bits = SimilarityPipeline.cellBits(emb.count())
+    val ann = SimilarityPipeline.annTopKPortable(emb, queries, 3, bits)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(ann.nonEmpty && ann.forall { case (q, v, _, _) => q != v })
+    // the float-cosine property: the fp-keyed top-3 per query must be
+    // the same set the float cosine would pick from the SAME candidate
+    // pool (the integer key only replaces the ORDER carrier, never the
+    // geometry)
+    val bf = SimilarityPipeline.bruteForceTopK(emb, queries, emb.count().toInt)
+      .as[(Long, Long, Double)].collect()
+    val bfMap = bf.map { case (q, v, s) => (q, v) -> s }.toMap
+    val cands = SimilarityPipeline.annTopKPortable(emb, queries, emb.count().toInt, bits)
+      .as[(Long, Long, Long, Long)].collect()
+    val floatTop = cands.groupBy(_._1).map { case (q, g) =>
+      q -> g.map(r => (r._2, bfMap((q, r._2)))).sortBy(r => (-r._2, r._1)).take(3).map(_._1).toSet
+    }
+    val fpTop = ann.groupBy(_._1).map { case (q, g) => q -> g.map(_._2).toSet }
+    floatTop.foreach { case (q, t) =>
+      assert(fpTop(q) == t, s"fp top-3 for query $q diverged from float cosine over same candidates")
+    }
+    // recall@3 vs global brute force — pinned empirically (md5 planes)
+    val trueTop = bf.groupBy(_._1).map { case (q, g) =>
+      q -> g.sortBy(r => (-r._3, r._2)).take(3).map(_._2).toSet
+    }
+    val recall = trueTop.map { case (q, t) =>
+      (t intersect fpTop.getOrElse(q, Set.empty)).size.toDouble / t.size
+    }.sum / trueTop.size
+    assert(recall >= 0.4, s"portable recall@3 dropped to $recall")
+  }
+
+  test("annNearDupPairsPortable: integer threshold ≡ float threshold, subset of brute force, pinned recall") {
+    val bits = SimilarityPipeline.cellBits(emb.count())
+    val ann = SimilarityPipeline.annNearDupPairsPortable(emb, 2, 5, bits)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(ann.map(p => (p._1, p._2)).distinct.length == ann.length, "banding must dedupe pairs")
+    // every emitted pair clears the float threshold too (the fp test is
+    // the same inequality on quantized values; 1e-6 covers quantization)
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val all = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        graft.functions.VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .as[(Long, Long, Double)].collect()
+    val cosMap = all.map(p => (p._1, p._2) -> p._3).toMap
+    assert(ann.forall(p => cosMap((p._1, p._2)) >= 0.4 - 1e-6),
+      "an emitted pair fails the float threshold beyond quantization tolerance")
+    val truth = all.filter(_._3 >= 0.4).map(p => (p._1, p._2)).toSet
+    val found = ann.map(p => (p._1, p._2)).toSet
+    assert((found -- truth).forall(p => math.abs(cosMap(p) - 0.4) < 1e-6),
+      "portable set may differ from float truth only at the quantization boundary")
+    if (truth.nonEmpty) {
+      val recall = (found intersect truth).size.toDouble / truth.size
+      assert(recall >= 0.4, s"portable near-dup recall dropped to $recall (truth=${truth.size})")
+    }
+    // cos2_bp sanity: exact integer ≈ 10⁴·cos² on every pair
+    ann.foreach { p =>
+      val c = cosMap((p._1, p._2))
+      assert(math.abs(p._4.toDouble - c * c * 10000.0) < 2.0,
+        s"cos2_bp ${p._4} diverges from float cos²·10⁴ at pair (${p._1},${p._2})")
+    }
+  }
+
   test("kmeansCentroids: deterministic, adapts to the labeled clusters, assignment improves with iterations") {
     val cells = 10
     val c1 = SimilarityPipeline.kmeansCentroids(emb, cells, iters = 1)
