@@ -46,6 +46,7 @@ class StreamingFactMaintenanceRocksSpec extends StreamingFactMaintenanceSpec wit
 class StreamingFunnelRocksSpec extends StreamingFunnelSpec with RocksDBState
 class StreamingHeavyHittersRocksSpec extends StreamingHeavyHittersSpec with RocksDBState
 class StreamingIncrementalDedupRocksSpec extends StreamingIncrementalDedupSpec with RocksDBState
+class StreamingNearDupLedgerRocksSpec extends StreamingNearDupLedgerSpec with RocksDBState
 class StreamingIngestRocksSpec extends StreamingIngestSpec with RocksDBState
 class StreamingOpsRocksSpec extends StreamingOpsSpec with RocksDBState
 class StreamingScd2RocksSpec extends StreamingScd2Spec with RocksDBState
