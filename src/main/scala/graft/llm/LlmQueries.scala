@@ -668,6 +668,64 @@ object LlmQueries {
     ),
   )
 
+  // q252 — perceptual-hash image near-dup (round 8): dHash/aHash over
+  // 8×8 integer gray grids, banded-hamming candidates, integer verify —
+  // the candidates-then-verify family (q41 sets, q38 vectors, q55
+  // strings) extended to the MEDIA axis. The media table is derived
+  // deterministically from documents (the q45 stub discipline) WITH
+  // PLANTED RE-ENCODES: every doc yields an original ('png'); docs with
+  // doc_id%4=0 add a bit-identical 'bmp' copy (lossless re-encode →
+  // hamming 0) and doc_id%4=1 a 'jpg' copy with one perturbed cell
+  // (lossy re-encode → hamming ≤ 1) — the query RECOVERS every planted
+  // pair from hash structure alone (banding guarantees a clean band at
+  // hamming ≤ 3 by pigeonhole). All arithmetic is integer comparisons +
+  // bit packing in 56-bit hashes, so the whole cascade hash-matches the
+  // DuckDB oracle; the REAL-pixel path (ImageIO/BMP decode → the same
+  // bit rules) is pinned in MultimodalSpec with an actual PNG↔BMP
+  // re-encoded pair.
+  val q252: QuerySpec = QuerySpec(
+    "q252_phash_near_dup",
+    (s, d) => {
+      val MM = graft.multimodal.Multimodal
+      val g = documents(s, d)
+        .select(col("doc_id"), MM.textPixelGrid64(col("text")).as("v"))
+      val originals = g.select(
+        (col("doc_id") * 2).as("media_id"), lit("png").as("format"), col("v"))
+      val copies = g.where(pmod(col("doc_id"), lit(4)) <= 1)
+        .select(
+          (col("doc_id") * 2 + 1).as("media_id"),
+          when(pmod(col("doc_id"), lit(4)) === 0, lit("bmp")).otherwise(lit("jpg")).as("format"),
+          when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(array(pmod(element_at(col("v"), 1) + 7, lit(256))), slice(col("v"), 2, 63)))
+            .otherwise(col("v")).as("v"))
+      MM.phashNearDupPairs(originals.unionByName(copies), maxHamming = 12)
+        .orderBy("ma", "mb")
+    },
+    Some(
+      "WITH g AS (SELECT doc_id, list_transform(generate_series(0, 63), j -> " +
+        "CAST(('0x' || substr(md5(substr(text, (j*len(text))//64 + 1, " +
+        "((j+1)*len(text))//64 - (j*len(text))//64)), 1, 2)) AS INT)) AS v FROM documents), " +
+        "media AS (SELECT doc_id*2 AS media_id, 'png' AS format, v FROM g " +
+        "UNION ALL SELECT doc_id*2+1, CASE WHEN doc_id%4=0 THEN 'bmp' ELSE 'jpg' END, " +
+        "CASE WHEN doc_id%4=1 THEN list_concat([(v[1]+7)%256], v[2:64]) ELSE v END " +
+        "FROM g WHERE doc_id%4 <= 1), " +
+        "h AS (SELECT media_id, format, " +
+        "(SELECT CAST(sum(CASE WHEN v[r*8+c+2] > v[r*8+c+1] THEN (1::BIGINT << (r*7+c)) ELSE 0 END) AS BIGINT) " +
+        "FROM (SELECT unnest(generate_series(0,7)) AS r), (SELECT unnest(generate_series(0,6)) AS c)) AS dhash, " +
+        "(SELECT CAST(sum(CASE WHEN 56*v[j+1] > (SELECT sum(v[k+1]) FROM (SELECT unnest(generate_series(0,55)) AS k)) " +
+        "THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) FROM (SELECT unnest(generate_series(0,55)) AS j)) AS ahash " +
+        "FROM media), " +
+        "banded AS (SELECT media_id, format, dhash, ahash, b, (dhash >> (14*b)) & 16383 AS key " +
+        "FROM h, LATERAL (SELECT unnest(generate_series(0,3)) AS b) t), " +
+        "cand AS (SELECT DISTINCT a.media_id ma, b.media_id mb, a.format fa, b.format fb, " +
+        "a.dhash da, b.dhash db, a.ahash aa, b.ahash ab " +
+        "FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key AND a.media_id < b.media_id) " +
+        "SELECT ma, mb, fa, fb, CAST(bit_count(xor(da, db)) AS BIGINT) AS ham_d, " +
+        "CAST(bit_count(xor(aa, ab)) AS BIGINT) AS ham_a " +
+        "FROM cand WHERE bit_count(xor(da, db)) <= 12 ORDER BY ma, mb"
+    ),
+  )
+
   // q46 — skew-salted join, oracle-proven: the deterministic salting in
   // graft.ops.Skew must be INVISIBLE in the result (same rows as the
   // plain join, which is exactly what the unsalted oracle SQL
@@ -1155,5 +1213,5 @@ object LlmQueries {
   val all: Seq[QuerySpec] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q55, q201, q202, q217, q218, q224,
-      q228, q229, q230)
+      q228, q229, q230, q252)
 }

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -404,4 +404,149 @@ object Multimodal {
         max("height").as("max_h"),
       )
       .orderBy("kind", "format")
+
+  // ------------------------------------------------------------------
+  // Perceptual image hashing (round 8): dHash (row gradients) + aHash
+  // (mean threshold) over an 8×8 integer gray grid — ALL arithmetic is
+  // integer comparisons and bit packing, so the hashes are exact,
+  // container-independent, and cross-engine reproducible. Two grid
+  // sources share one bit rule:
+  //  - the DECODE path ([[perceptualHashes]]): real pixels via
+  //    ImageIO/BMP ([[PureJvmMedia.grayGrid64]]) — ScalaTest-pinned
+  //    with a planted PNG↔BMP re-encoded duplicate;
+  //  - the METADATA path ([[textPixelGrid64]]): a deterministic grid
+  //    derived from a text payload (the q45 stub discipline), which is
+  //    what lets the near-dup query be ORACLE-checked end to end.
+  // Hashes are 56-bit (never the sign bit) so shifts and packing
+  // behave identically in Spark and DuckDB BIGINTs.
+  // ------------------------------------------------------------------
+
+  /** dHash bit rule over a 64-int grid: bit r·7+c = 1 iff
+    * v[r·8+c+1] > v[r·8+c] (8 rows × 7 horizontal gradients). Gradient
+    * comparisons are invariant to uniform brightness shift.
+    */
+  def dhash56Of(v: Array[Int]): Long = {
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 7) {
+        if (v(r * 8 + c + 1) > v(r * 8 + c)) h |= 1L << (r * 7 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** aHash bit rule over the grid's first 56 cells: bit j = 1 iff
+    * 56·v[j] > Σ v[0..55] — the mean test cross-multiplied into exact
+    * integers (no float mean).
+    */
+  def ahash56Of(v: Array[Int]): Long = {
+    var total = 0L
+    var j = 0
+    while (j < 56) { total += v(j); j += 1 }
+    var h = 0L
+    j = 0
+    while (j < 56) {
+      if (56L * v(j) > total) h |= 1L << j
+      j += 1
+    }
+    h
+  }
+
+  /** Column twin of [[dhash56Of]] — same bit rule as a static expansion
+    * of 56 codegen'd comparisons over an `array<int>` column.
+    */
+  def dhash56(v: Column): Column =
+    (0 until 8).flatMap(r => (0 until 7).map(c =>
+      when(element_at(v, r * 8 + c + 2) > element_at(v, r * 8 + c + 1),
+        lit(1L << (r * 7 + c))).otherwise(lit(0L))))
+      .reduce(_ bitwiseOR _)
+
+  /** Column twin of [[ahash56Of]]. */
+  def ahash56(v: Column): Column = {
+    val total = (0 until 56).map(j => element_at(v, j + 1).cast("long")).reduce(_ + _)
+    (0 until 56).map(j =>
+      when(element_at(v, j + 1).cast("long") * 56 > total, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** Deterministic 8×8 "pixel" grid from a TEXT payload — the metadata
+    * path's stand-in for decoded pixels (the q45 stub discipline, made
+    * structural): the text is tiled into 64 length-proportional chunks
+    * (the analog of rescaling an image to the hash grid), each cell is
+    * the first md5 byte of its chunk. Identical payloads ⇒ identical
+    * grids; a payload sharing most of its content shares most cells.
+    * Reproducible verbatim in DuckDB, which is what makes the q252
+    * cascade oracle-checkable.
+    */
+  def textPixelGrid64(text: Column): Column = {
+    val L = length(text)
+    transform(sequence(lit(0), lit(63)), j => {
+      val start = floor((j * L).cast("double") / 64.0).cast("int")
+      val end = floor(((j + lit(1)) * L).cast("double") / 64.0).cast("int")
+      conv(substring(md5(text.substr(start + lit(1), end - start)), 1, 2), 16, 10).cast("int")
+    })
+  }
+
+  /** Candidates-then-verify near-dup over perceptual hashes: band the
+    * 56-bit dHash into 4×14-bit keys (hamming LSH — a pair within
+    * hamming ≤ 3 ALWAYS shares a clean band by pigeonhole; planted
+    * re-encodes sit at ≤ 1), equijoin on (band, key), verify
+    * `bit_count(xor)` ≤ `maxHamming` on candidates only. One corpus
+    * pass computes hashes; the band explode is ×4; nothing is
+    * all-pairs. Input must carry (media_id, format, v:array<int>).
+    */
+  def phashNearDupPairs(media: DataFrame, maxHamming: Int): DataFrame = {
+    val hashed = media.select(
+      col("media_id"), col("format"),
+      dhash56(col("v")).as("dhash"), ahash56(col("v")).as("ahash"))
+    val banded = hashed.select(
+      col("media_id"), col("format"), col("dhash"), col("ahash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"),
+          shiftright(col("dhash"), 14 * b).bitwiseAND(lit(0x3FFFL)).as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("format"), col("dhash"), col("ahash"),
+        col("bk.b").as("b"), col("bk.key").as("key"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.b") === col("b.b") && col("a.key") === col("b.key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(
+        col("a.media_id").as("ma"), col("b.media_id").as("mb"),
+        col("a.format").as("fa"), col("b.format").as("fb"),
+        col("a.dhash").as("da"), col("b.dhash").as("db"),
+        col("a.ahash").as("aa"), col("b.ahash").as("ab"))
+      .distinct() // identical hashes collide in all four bands
+    cand
+      .select(
+        col("ma"), col("mb"), col("fa"), col("fb"),
+        bit_count(col("da").bitwiseXOR(col("db"))).cast("long").as("ham_d"),
+        bit_count(col("aa").bitwiseXOR(col("ab"))).cast("long").as("ham_a"))
+      .where(col("ham_d") <= maxHamming)
+  }
+
+  /** Decode-path perceptual hashes: one (media_id, format, dhash,
+    * ahash) row per image payload, grids from REAL pixels — ImageIO
+    * for png/jpeg/gif, the pure-JVM BMP parser for bmp (two decode
+    * paths, one integer grid contract). Same mapPartitions shape as
+    * [[decodeFeatures]]; non-image rows are skipped.
+    */
+  def perceptualHashes(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val fmt = r.format.toLowerCase
+        val grid: Option[Array[Int]] =
+          if (fmt == "bmp") Some(PureJvmMedia.grayGrid64Bmp(r.bytes, PureJvmMedia.parseBmp(r.bytes)))
+          else if (PureJvmMedia.ImageIoFormats.contains(fmt))
+            Some(PureJvmMedia.grayGrid64(PureJvmMedia.decodeImage(r.bytes)))
+          else None
+        grid.map(v => (r.media_id, r.format, dhash56Of(v), ahash56Of(v)))
+      }
+    }.toDF("media_id", "format", "dhash", "ahash")
+  }
 }

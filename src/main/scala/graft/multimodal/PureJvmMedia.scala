@@ -190,6 +190,66 @@ object PureJvmMedia {
     }
   }
 
+  /** 8×8 block-pooled mean gray grid in PURE INTEGER math, 0..255 per
+    * cell: per block, cell = Σ(r+g+b) div (3·pixels) — no float
+    * anywhere, so a LOSSLESS re-encode of the same pixels (PNG vs BMP)
+    * yields the bit-identical grid, and the perceptual hashes built on
+    * it ([[Multimodal.dhash56Of]]/[[Multimodal.ahash56Of]]) cannot
+    * drift across containers. Top-down row order (content, not
+    * container, defines the grid).
+    */
+  def grayGrid64(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    Array.tabulate(64) { j =>
+      val (gx, gy) = (j % 8, j / 8)
+      val x0 = gx * w / 8; val x1 = math.max(x0 + 1, (gx + 1) * w / 8)
+      val y0 = gy * h / 8; val y1 = math.max(y0 + 1, (gy + 1) * h / 8)
+      var acc = 0L; var n = 0L
+      var y = y0
+      while (y < math.min(y1, h)) {
+        var x = x0
+        while (x < math.min(x1, w)) {
+          val rgb = img.getRGB(x, y)
+          acc += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          n += 1
+          x += 1
+        }
+        y += 1
+      }
+      if (n == 0) 0 else (acc / (3L * n)).toInt
+    }
+  }
+
+  /** [[grayGrid64]] from a parsed BMP — the SAME integer math over the
+    * container's raw samples (BGR sums ≡ RGB sums), so PNG and BMP
+    * encodings of identical pixels produce identical grids through
+    * DIFFERENT decode paths (spec-pinned).
+    */
+  def grayGrid64Bmp(bytes: Array[Byte], b: BmpInfo): Array[Int] = {
+    def channelSum(x: Int, y: Int): Long = {
+      val row = if (b.topDown) y else b.height - 1 - y
+      val o = b.pixelOffset + row * b.rowStride + x * (b.bitsPerPixel / 8)
+      b.bitsPerPixel match {
+        case 8 => 3L * (bytes(o) & 0xff)
+        case _ => ((bytes(o) & 0xff) + (bytes(o + 1) & 0xff) + (bytes(o + 2) & 0xff)).toLong
+      }
+    }
+    Array.tabulate(64) { j =>
+      val (gx, gy) = (j % 8, j / 8)
+      val x0 = gx * b.width / 8; val x1 = math.max(x0 + 1, (gx + 1) * b.width / 8)
+      val y0 = gy * b.height / 8; val y1 = math.max(y0 + 1, (gy + 1) * b.height / 8)
+      var acc = 0L; var n = 0L
+      var y = y0
+      while (y < math.min(y1, b.height)) {
+        var x = x0
+        while (x < math.min(x1, b.width)) { acc += channelSum(x, y); n += 1; x += 1 }
+        y += 1
+      }
+      if (n == 0) 0 else (acc / (3L * n)).toInt
+    }
+  }
+
   /** Formats `javax.imageio` decodes out of the box — compressed raster
     * containers that previously hit the loud unsupported error. The JRE
     * ships the codecs (zero new deps).
