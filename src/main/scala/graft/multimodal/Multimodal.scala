@@ -500,9 +500,13 @@ object Multimodal {
     * all-pairs. Input must carry (media_id, format, v:array<int>).
     */
   def phashNearDupPairs(media: DataFrame, maxHamming: Int): DataFrame = {
+    // pin the hash table so the self-join's two sides don't recompute
+    // the grid (the q98 idiom) — 4 small columns per media item, and
+    // at production scale this frame IS the persisted hash ledger
     val hashed = media.select(
       col("media_id"), col("format"),
       dhash56(col("v")).as("dhash"), ahash56(col("v")).as("ahash"))
+      .localCheckpoint(true)
     val banded = hashed.select(
       col("media_id"), col("format"), col("dhash"), col("ahash"),
       explode(array((0 until 4).map(b =>
