@@ -484,11 +484,15 @@ object Multimodal {
     */
   def textPixelGrid64(text: Column): Column = {
     val L = length(text)
-    transform(sequence(lit(0), lit(63)), j => {
-      val start = floor((j * L).cast("double") / 64.0).cast("int")
-      val end = floor(((j + lit(1)) * L).cast("double") / 64.0).cast("int")
+    // static 64-element array, NOT a transform() lambda: higher-order
+    // functions are CodegenFallback, and this grid is the corpus-sized
+    // pass — the unrolled form keeps all 64 md5s inside whole-stage
+    // codegen (the q234 generator-CSE lesson applied at build time)
+    array((0 until 64).map { j =>
+      val start = floor((lit(j) * L).cast("double") / 64.0).cast("int")
+      val end = floor((lit(j + 1) * L).cast("double") / 64.0).cast("int")
       conv(substring(md5(text.substr(start + lit(1), end - start)), 1, 2), 16, 10).cast("int")
-    })
+    }: _*)
   }
 
   /** Candidates-then-verify near-dup over perceptual hashes: band the
