@@ -922,30 +922,50 @@ object LlmQueries {
   // worth a join). Candidate pairs mirror to both directions so every
   // anchor ranks its own negatives; per-anchor state is 2 rows.
   //
-  // Rows-only (float ordering); banded-recall + band-membership
-  // properties pinned in SimilaritySpec alongside q38's.
+  // Oracle-checked since round 8 (was float-banded/rows-only): the
+  // registered run rides the portable quantizer
+  // ([[SimilarityPipeline.annHardNegativesPortable]]) with BOTH band
+  // bounds cross-multiplied into exact integer tests
+  // (cos ≥ 1/5 ⟺ d ≥ 0 ∧ 25·d² ≥ nₐ·n_b; cos < 3/5 ⟺ 25·d² < 9·nₐ·n_b
+  // on the survivors, where d ≥ 0 already holds) and the per-anchor
+  // top-2 ranked by q29's integer key against the negative's norm — so
+  // candidates, band membership, AND ranking hash-match the DuckDB
+  // oracle. The float form (annNearDupPairs + window) remains the
+  // at-scale variant, property-pinned in SimilarityPipelineSpec.
   val q217: QuerySpec = QuerySpec(
     "q217_hard_negative_mining",
     (s, d) => {
       val emb = embeddings(s, d)
       val bits = SimilarityPipeline.cellBits(emb.count())
-      // pin: the mirror union below reads the band twice; without the
-      // pin the whole candidate join (the expensive half) runs twice.
-      // The pinned frame is pairs-in-band — tiny relative to the corpus.
-      val band = SimilarityPipeline
-        .annNearDupPairs(emb, threshold = 0.2, bits = bits)
-        .where(col("cos") < 0.6)
-        .pinLineage()
-      val directed = band.select(col("va").as("anchor_id"), col("vb").as("negative_id"), col("cos"))
-        .unionByName(band.select(col("vb").as("anchor_id"), col("va").as("negative_id"), col("cos")))
-      val w = Window.partitionBy("anchor_id").orderBy(desc("cos"), asc("negative_id"))
-      directed
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 2)
-        .select(col("anchor_id"), col("rank"), col("negative_id"), round(col("cos"), 4).as("cos"))
+      SimilarityPipeline
+        .annHardNegativesPortable(emb, k = 2, loNum = 1, loDen = 5, hiNum = 3, hiDen = 5, bits = bits)
         .orderBy("anchor_id", "rank")
     },
-    None,
+    Some(
+      s"WITH $portableCellsCteSql, " +
+        "banded AS (SELECT c.vec_id, b AS m, c.cell & ~(1::BIGINT << b) AS key " +
+        "FROM cells c, LATERAL (SELECT unnest(generate_series(0, (SELECT nb FROM bits)-1)) AS b) t), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb " +
+        "FROM banded a JOIN banded b ON a.m = b.m AND a.key = b.key AND a.vec_id < b.vec_id), " +
+        "verified AS (SELECT va, vb, " +
+        "CAST(list_sum(list_transform(generate_series(1, len(fa.q)), i -> fa.q[i] * fb.q[i])) AS BIGINT) AS dot_fp, " +
+        "CAST(list_sum(list_transform(fa.q, x -> x * x)) AS BIGINT) AS na, " +
+        "CAST(list_sum(list_transform(fb.q, x -> x * x)) AS BIGINT) AS nb2 " +
+        "FROM cand JOIN fp fa ON fa.vec_id = va JOIN fp fb ON fb.vec_id = vb), " +
+        "band AS (SELECT * FROM verified WHERE dot_fp >= 0 " +
+        "AND CAST(dot_fp AS HUGEINT) * dot_fp * 25 >= CAST(na AS HUGEINT) * nb2 " +
+        "AND CAST(dot_fp AS HUGEINT) * dot_fp * 25 < 9 * CAST(na AS HUGEINT) * nb2), " +
+        "directed AS (SELECT va AS anchor_id, vb AS negative_id, dot_fp, nb2 AS n_neg, na, nb2 FROM band " +
+        "UNION ALL SELECT vb, va, dot_fp, na, na, nb2 FROM band), " +
+        "keyed AS (SELECT anchor_id, negative_id, dot_fp, " +
+        "(CAST(dot_fp AS HUGEINT) * dot_fp * 10000) // n_neg AS rank_fp, " +
+        "CAST((CAST(dot_fp AS HUGEINT) * dot_fp * 10000) // (CAST(na AS HUGEINT) * nb2) AS BIGINT) AS cos2_bp " +
+        "FROM directed), " +
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY rank_fp DESC, negative_id) AS rank " +
+        "FROM keyed) " +
+        "SELECT anchor_id, CAST(rank AS BIGINT) AS rank, negative_id, dot_fp, cos2_bp " +
+        "FROM ranked WHERE rank <= 2 ORDER BY anchor_id, rank"
+    ),
   )
 
   // q224 — semantic near-dup pairs via LOSSLESS PCA-grid blocking:

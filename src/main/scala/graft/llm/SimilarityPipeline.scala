@@ -324,8 +324,12 @@ object SimilarityPipeline {
     * `cos2_bp` = d²·10⁴ div (nₐ·n_b) (squared cosine in basis points)
     * instead of a rounded float score.
     */
-  def annNearDupPairsPortable(corpus: DataFrame, tNum: Int, tDen: Int, bits: Int, dim: Int = 64): DataFrame = {
-    require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be a rational in (0, 1]")
+  /** The portable cascade's shared core: banded hamming-≤1 candidate
+    * pairs with their exact fixed-point dot and squared norms —
+    * (va, vb, dot_fp, na, nb) — every threshold/band consumer applies
+    * its own exact integer predicate on top.
+    */
+  private def portableVerifiedPairs(corpus: DataFrame, bits: Int, dim: Int): DataFrame = {
     val S = graft.llm.LlmQueries.Q29Scale
     val e = withCellsPortable(corpus, bits, dim).select(col("vec_id"), col("cell"), col("embedding"))
     val banded = e.select(
@@ -349,6 +353,11 @@ object SimilarityPipeline {
         VectorFunctions.dotFp(col("ea"), col("ea"), S).as("na"),
         VectorFunctions.dotFp(col("eb"), col("eb"), S).as("nb"),
       )
+  }
+
+  def annNearDupPairsPortable(corpus: DataFrame, tNum: Int, tDen: Int, bits: Int, dim: Int = 64): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be a rational in (0, 1]")
+    portableVerifiedPairs(corpus, bits, dim)
       .where(col("dot_fp") >= 0 &&
         expr(s"cast(dot_fp as decimal(38,0)) * dot_fp * ${tDen.toLong * tDen} >= " +
           s"cast(na as decimal(38,0)) * nb * ${tNum.toLong * tNum}"))
@@ -357,6 +366,52 @@ object SimilarityPipeline {
         expr("(cast(dot_fp as decimal(38,0)) * dot_fp * 10000) div (cast(na as decimal(38,0)) * nb)")
           .as("cos2_bp"),
       )
+  }
+
+  /** Hard-negative mining on the portable cascade (q217's r8 form):
+    * candidate pairs inside the cosine band [loNum/loDen, hiNum/hiDen)
+    * — both bounds as EXACT cross-multiplied integer tests (lo > 0 ⇒
+    * d ≥ 0 on every survivor, so the upper test needs no sign branch) —
+    * mirrored to both directions so every anchor ranks its own
+    * negatives, top-k per anchor by the q29 integer key computed
+    * against the NEGATIVE's norm (the anchor norm is constant within
+    * its ranking). Output is all exact int64.
+    */
+  def annHardNegativesPortable(
+      corpus: DataFrame, k: Int,
+      loNum: Int, loDen: Int, hiNum: Int, hiDen: Int,
+      bits: Int, dim: Int = 64): DataFrame = {
+    require(loNum > 0 && loDen > 0 && hiNum > 0 && hiDen > 0 &&
+      loNum.toLong * hiDen < hiNum.toLong * loDen, "band must be 0 < lo < hi")
+    val band = portableVerifiedPairs(corpus, bits, dim)
+      .where(col("dot_fp") >= 0 &&
+        expr(s"cast(dot_fp as decimal(38,0)) * dot_fp * ${loDen.toLong * loDen} >= " +
+          s"cast(na as decimal(38,0)) * nb * ${loNum.toLong * loNum}") &&
+        expr(s"cast(dot_fp as decimal(38,0)) * dot_fp * ${hiDen.toLong * hiDen} < " +
+          s"cast(na as decimal(38,0)) * nb * ${hiNum.toLong * hiNum}"))
+      .select(col("va"), col("vb"), col("dot_fp"), col("na"), col("nb"))
+      // the mirror union reads the band twice; without the pin the
+      // whole candidate join (the expensive half) would run twice
+      .localCheckpoint(true)
+    val directed = band
+      .select(col("va").as("anchor_id"), col("vb").as("negative_id"),
+        col("dot_fp"), col("nb").as("n_neg"), col("na"), col("nb"))
+      .unionByName(band
+        .select(col("vb").as("anchor_id"), col("va").as("negative_id"),
+          col("dot_fp"), col("na").as("n_neg"), col("na"), col("nb")))
+      .select(
+        col("anchor_id"), col("negative_id"), col("dot_fp"),
+        // d ≥ 0 throughout the band, so the key is the plain quotient
+        expr("(cast(dot_fp as decimal(38,0)) * dot_fp * 10000) div n_neg").as("rank_fp"),
+        expr("(cast(dot_fp as decimal(38,0)) * dot_fp * 10000) div (cast(na as decimal(38,0)) * nb)")
+          .as("cos2_bp"),
+      )
+    val w = Window.partitionBy("anchor_id").orderBy(desc("rank_fp"), asc("negative_id"))
+    directed
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("anchor_id"), col("rank").cast("long").as("rank"),
+        col("negative_id"), col("dot_fp"), col("cos2_bp"))
   }
 
   // -------------------------------------------------------------------
