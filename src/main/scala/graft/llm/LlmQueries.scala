@@ -1022,8 +1022,16 @@ object LlmQueries {
   // brute-force top-k shape (broadcast queries, per-partition heaps).
   // At 100 TB the float ranking runs on a SAMPLE of queries (it exists
   // only to audit the int index) — the corpus-sized artifact is the
-  // int8 index alone. Rows-only (float ranking inside the audit);
-  // SimilaritySpec pins quantizer exactness (|q| ≤ 127, sign
+  // int8 index alone.
+  //
+  // Oracle-checked since round 8 (was rows-only): the audit's
+  // reference ranking is now the q29 fixed-point dot (exact int64;
+  // monotone with the float ranking at 1e-7 quantization), and the
+  // int8 side was ALWAYS integer — the quantization itself is one
+  // round(double(x)/double(s)·127) per element, every step a single
+  // correctly-rounded IEEE op reproduced verbatim in the oracle — so
+  // both rankings, and therefore the recall counts, hash-match DuckDB.
+  // SimilaritySpec still pins quantizer exactness (|q| ≤ 127, sign
   // preservation) and recall@10 = 10 on a scale-separated fixture.
   val q218: QuerySpec = QuerySpec(
     "q218_int8_recall_audit",
@@ -1045,7 +1053,7 @@ object LlmQueries {
       // computed twice. Recall@10 = rows ranked ≤10 under BOTH orders.
       val scored = quant.join(broadcast(queries), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
-          VF.dot(col("embedding"), col("f_emb")).as("fs"),
+          VF.dotFp(col("embedding"), col("f_emb"), Q29Scale).as("fs"),
           expr("aggregate(zip_with(q, q_emb, (x, y) -> CAST(x AS BIGINT) * y), CAST(0 AS BIGINT), (a, v) -> a + v)").as("is"))
       val wF = Window.partitionBy("query_id").orderBy(desc("fs"), asc("vec_id"))
       val wI = Window.partitionBy("query_id").orderBy(desc("is"), asc("vec_id"))
@@ -1057,7 +1065,26 @@ object LlmQueries {
         .select(col("query_id"), col("n_recovered"), lit(10L).as("k"))
         .orderBy("query_id")
     },
-    None,
+    Some(
+      "WITH el AS (SELECT vec_id, i-1 AS i, embedding[i] AS x " +
+        "FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t), " +
+        "s AS (SELECT i, greatest(max(abs(x)), CAST(1e-12 AS FLOAT)) AS m FROM el GROUP BY i), " +
+        "qel AS (SELECT e.vec_id, e.i, " +
+        "CAST(round(CAST(e.x AS DOUBLE) / CAST(s.m AS DOUBLE) * 127.0) AS INT) AS q, " +
+        s"CAST(round(CAST(e.x AS DOUBLE) * $Q29Scale) AS BIGINT) AS fx " +
+        "FROM el e JOIN s ON s.i = e.i), " +
+        "queries AS (SELECT vec_id AS query_id, i, q AS qq, fx AS qfx FROM qel WHERE vec_id < 10), " +
+        "scored AS (SELECT qu.query_id, c.vec_id, " +
+        "CAST(sum(CAST(c.q AS BIGINT) * qu.qq) AS BIGINT) AS iscore, " +
+        "CAST(sum(c.fx * qu.qfx) AS BIGINT) AS fscore " +
+        "FROM qel c JOIN queries qu ON qu.i = c.i AND c.vec_id <> qu.query_id GROUP BY 1, 2), " +
+        "ranked AS (SELECT query_id, vec_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, vec_id) AS rf, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY iscore DESC, vec_id) AS ri " +
+        "FROM scored) " +
+        "SELECT query_id, count(CASE WHEN rf <= 10 AND ri <= 10 THEN 1 END) AS n_recovered, " +
+        "CAST(10 AS BIGINT) AS k FROM ranked GROUP BY 1 ORDER BY query_id"
+    ),
   )
 
   // ---------------------------------------------------------------------
