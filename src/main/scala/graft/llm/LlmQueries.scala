@@ -101,8 +101,18 @@ object LlmQueries {
 
   /** 1e7 — full float precision (a float has ~7.2 significant digits),
     * sized so q29's DECIMAL(38,0) square and BIGINT quotient cannot
-    * overflow: |d| ≤ 64·(0.53·10⁷)² ≈ 1.01e14 on unit-norm dim-64
-    * vectors, d²·10⁴ ≈ 1e32 < 10³⁸, quotient ≈ 1.01e18 < 2⁶³.
+    * overflow. PRECONDITION: every dotFp-keyed ranking in this file
+    * assumes NEAR-UNIT-NORM embeddings (the testdata's are, and
+    * production embedding columns should be L2-normalized upstream).
+    * The unit-norm argument (r9 ADVICE fix — the earlier 64·(0.53e7)²
+    * figure was arithmetic nonsense): n_fp = Σ round(vᵢ·10⁷)² ≈
+    * 10¹⁴·‖v‖² ≈ 1e14, |dot_fp| ≤ √(n_fp·m_fp) ≈ 1e14 by
+    * Cauchy–Schwarz, so d² ≈ 1e28, d²·10⁴ ≈ 1e32 < 10³⁸, and the
+    * quotient d²·10⁴/n_fp ≈ n_fp·10⁴ ≈ 1e18 < 2⁶³. For general norms
+    * the quotient bound is n_fp·10⁴ and grows with ‖v‖²; past ~30× unit
+    * norm Spark's decimal overflow silently NULLs rank keys (rows sort
+    * last) while DuckDB's BIGINT cast errors loudly — keep inputs near
+    * unit norm rather than leaning on either behavior.
     */
   val Q29Scale = 10000000L
 
@@ -385,8 +395,13 @@ object LlmQueries {
     * or quantization change breaks both queries' oracles together.
     */
   private[llm] val portableCellsCteSql: String =
-    "bits AS (SELECT GREATEST(1, LEAST(16, CAST(round(log2(GREATEST(1.0, count(*)/64.0))) AS INT))) AS nb " +
-      "FROM embeddings), " +
+    // nb mirrors SimilarityPipeline.cellBits's INTEGER-ONLY derivation
+    // (largest k in [1,16] with n² ≥ 64²·2^(2k−1)) — no float log on
+    // either side, so engines cannot disagree at half-integer
+    // boundaries (r9 ADVICE fix)
+    "bits AS (SELECT COALESCE((SELECT max(k) FROM (SELECT unnest(generate_series(1, 16)) AS k), " +
+      "(SELECT count(*) AS n FROM embeddings) " +
+      "WHERE CAST(n AS HUGEINT) * n >= 4096 * (CAST(1 AS HUGEINT) << (2*k - 1))), 1) AS nb), " +
       "planes AS (SELECT p, i, CASE WHEN substr(md5('plane:'||p||':'||i),1,1) <= '7' THEN 1 ELSE -1 END AS s " +
       "FROM (SELECT unnest(generate_series(0, (SELECT nb FROM bits)-1)) AS p), " +
       "(SELECT unnest(generate_series(0, 63)) AS i)), " +

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
+import graft.ops.Pin.PinOps
 
 /** Similarity search over embedding columns, in three scale tiers:
   *
@@ -102,10 +103,21 @@ object SimilarityPipeline {
 
   /** Hyperplane count for ~`targetOccupancy` vectors per cell
     * (cells = 2^bits ≈ n / targetOccupancy, clamped to [1, 16] bits).
+    *
+    * INTEGER-ONLY derivation (r9, ADVICE fix): round(log₂(n/occ)) = the
+    * largest k with n/occ ≥ 2^(k−1/2), i.e. n² ≥ occ²·2^(2k−1) — an
+    * exact integer comparison, so the DuckDB oracles reproduce the bit
+    * count with the SAME integer test instead of a float log whose
+    * last-ulp behavior near half-integer boundaries could differ
+    * between engines and desynchronize the whole q37/q38/q217 cascade.
+    * (Half-up rounding at the boundary c = 2^(k+1/2) picks k+1 — the
+    * ≥ in the integer test — matching Scala `.round` and DuckDB
+    * `round` on positive values.)
     */
   def cellBits(n: Long, targetOccupancy: Int = 64): Int = {
-    val cells = math.max(1.0, n.toDouble / targetOccupancy)
-    math.min(16, math.max(1, (math.log(cells) / math.log(2.0)).round.toInt))
+    val n2 = BigInt(n) * BigInt(n)
+    val occ2 = BigInt(targetOccupancy) * BigInt(targetOccupancy)
+    (1 to 16).reverse.find(k => n2 >= occ2 * (BigInt(1) << (2 * k - 1))).getOrElse(1)
   }
 
   /** Adds the quantizer assignment as a `cell` column. */
@@ -391,8 +403,11 @@ object SimilarityPipeline {
           s"cast(na as decimal(38,0)) * nb * ${hiNum.toLong * hiNum}"))
       .select(col("va"), col("vb"), col("dot_fp"), col("na"), col("nb"))
       // the mirror union reads the band twice; without the pin the
-      // whole candidate join (the expensive half) would run twice
-      .localCheckpoint(true)
+      // whole candidate join (the expensive half) would run twice.
+      // pinLineage, not a bare localCheckpoint: the
+      // spark.graft.reliableCheckpoints durability hatch must keep
+      // covering this path on lossy-executor clusters (r9 ADVICE fix)
+      .pinLineage()
     val directed = band
       .select(col("va").as("anchor_id"), col("vb").as("negative_id"),
         col("dot_fp"), col("nb").as("n_neg"), col("na"), col("nb"))

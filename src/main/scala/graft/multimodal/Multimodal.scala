@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ops.Pin.PinOps
+
 /** Multimodal columns: image/audio/video as opaque `binary` payloads
   * with typed metadata, plus the decode / feature-extract / resize /
   * frame-sample plumbing.
@@ -488,9 +490,15 @@ object Multimodal {
     // functions are CodegenFallback, and this grid is the corpus-sized
     // pass — the unrolled form keeps all 64 md5s inside whole-stage
     // codegen (the q234 generator-CSE lesson applied at build time)
+    // chunk bounds in LONG arithmetic: j·length overflows 32-bit int
+    // for texts past ~34M chars and would silently diverge from the
+    // oracle's BIGINT (j*len)//64 (r9 ADVICE fix); the double quotient
+    // stays exact to 2^53, far past any real document
     array((0 until 64).map { j =>
-      val start = floor((lit(j) * L).cast("double") / 64.0).cast("int")
-      val end = floor((lit(j + 1) * L).cast("double") / 64.0).cast("int")
+      // bounds themselves are ≤ length (int-safe) — only the product
+      // needed the widening; substr takes int positions
+      val start = floor((lit(j.toLong) * L.cast("long")).cast("double") / 64.0).cast("int")
+      val end = floor((lit(j + 1L) * L.cast("long")).cast("double") / 64.0).cast("int")
       conv(substring(md5(text.substr(start + lit(1), end - start)), 1, 2), 16, 10).cast("int")
     }: _*)
   }
@@ -510,7 +518,9 @@ object Multimodal {
     val hashed = media.select(
       col("media_id"), col("format"),
       dhash56(col("v")).as("dhash"), ahash56(col("v")).as("ahash"))
-      .localCheckpoint(true)
+      // pinLineage so the reliable-checkpoint durability flag keeps
+      // covering this query path too (r9 ADVICE fix)
+      .pinLineage()
     val banded = hashed.select(
       col("media_id"), col("format"), col("dhash"), col("ahash"),
       explode(array((0 until 4).map(b =>
