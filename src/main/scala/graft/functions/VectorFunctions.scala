@@ -55,19 +55,40 @@ object VectorFunctions {
     * quantization, interpreted; parity-tested bit-for-bit.
     */
   def dotFpHof(a: Column, b: Column, scale: Long): Column = {
-    def fpq(x: Column): Column = {
-      val p = x.cast("double") * lit(scale.toDouble)
-      val ap = abs(p)
-      val f = floor(ap)
-      val m = f.cast("long") + when(ap - f >= 0.5, lit(1L)).otherwise(lit(0L))
-      when(p < 0, -m).otherwise(m)
-    }
     aggregate(
-      zip_with(a, b, (x, y) => fpq(x) * fpq(y)),
+      zip_with(a, b, (x, y) => fpqElem(x, scale) * fpqElem(y, scale)),
       lit(0L),
       (acc, v) => acc + v,
     )
   }
+
+  /** round(x·scale) half-away-from-zero as int64 — the element-level
+    * quantizer shared by [[dotFpHof]] and [[quantizeFp]]; identical to
+    * DuckDB `CAST(round(CAST(x AS DOUBLE)·scale) AS BIGINT)`.
+    */
+  private def fpqElem(x: Column, scale: Long): Column = {
+    val p = x.cast("double") * lit(scale.toDouble)
+    val ap = abs(p)
+    val f = floor(ap)
+    val m = f.cast("long") + when(ap - f >= 0.5, lit(1L)).otherwise(lit(0L))
+    when(p < 0, -m).otherwise(m)
+  }
+
+  /** The whole vector quantized to `array<long>` at `scale` — the
+    * MATERIALIZED fixed-point form for pipelines that reuse quantized
+    * vectors across stages (q42's k-means: seeds, per-round sums and
+    * the final ranking all read the same integer arrays), where
+    * re-quantizing inside every [[dotFp]] would repeat work.
+    * `dotLong(quantizeFp(a,s), quantizeFp(b,s)) ≡ dotFp(a,b,s)`.
+    */
+  def quantizeFp(v: Column, scale: Long): Column =
+    transform(v, x => fpqElem(x, scale))
+
+  /** Exact Σ aᵢ·bᵢ over two `array<long>` columns (int64 throughout —
+    * caller owns the no-overflow argument; see Q29Scale's bound note).
+    */
+  def dotLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Squared L2 distance (cheaper than sqrt for nearest-neighbor ranking). */
   def l2Sq(a: Column, b: Column): Column =

@@ -562,22 +562,96 @@ object LlmQueries {
     q30.oracle,
   )
 
+  /** One exact-integer Lloyd round as DuckDB CTEs: assignment of `fp`
+    * against centroid table `prev` (argmax int dot, tie → lowest cell),
+    * truncated integer means, isqrt normalization to CS-scaled unit
+    * vectors — mirroring [[SimilarityPipeline.kmeansCentroidsFp]] step
+    * for step (the MATERIALIZED-round-CTE idiom from q122/q189: each
+    * round pins on its own name, `c$t`). Suffixed names so rounds chain.
+    */
+  private def q42RoundCtes(t: Int, prev: String, centScale: Long): String =
+    s"d$t AS (SELECT f.vec_id, c.cell, " +
+      "CAST(list_sum(list_transform(generate_series(1, len(f.q)), i -> f.q[i] * c.cent[i])) AS BIGINT) AS dot " +
+      s"FROM fp f CROSS JOIN $prev c), " +
+      s"a$t AS MATERIALIZED (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+      s"row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rn FROM d$t) WHERE rn = 1), " +
+      s"u$t AS (SELECT a.cell, t.i, CAST(sum(f.q[t.i]) AS BIGINT) AS s, count(*) AS nc " +
+      s"FROM a$t a JOIN fp f ON f.vec_id = a.vec_id, " +
+      "LATERAL (SELECT unnest(generate_series(1, len(f.q))) AS i) t GROUP BY 1, 2), " +
+      // abs-then-negate truncated division so engines' negative-operand
+      // conventions never matter (both see non-negative operands)
+      s"m$t AS (SELECT cell, i, CASE WHEN s < 0 THEN -((-s) // nc) ELSE s // nc END AS m FROM u$t), " +
+      s"n$t AS (SELECT cell, CAST(sum(m * m) AS BIGINT) AS n2 FROM m$t GROUP BY 1), " +
+      s"r$t AS (SELECT cell, ${graft.ops.Exact.isqrtSql("n2")} AS r FROM n$t), " +
+      s"c$t AS MATERIALIZED (SELECT m.cell, list(CASE WHEN r.r = 0 THEN m.m " +
+      s"WHEN m.m < 0 THEN -((-m.m) * $centScale // r.r) ELSE m.m * $centScale // r.r END " +
+      s"ORDER BY m.i) AS cent FROM m$t m JOIN r$t r ON r.cell = m.cell GROUP BY m.cell)"
+
+  /** The full q42 oracle: quantize → seed (lowest vec_ids) → `iters`
+    * Lloyd rounds → final assignment → nprobe-cell probes → q29 integer
+    * ranking. Every step replays [[SimilarityPipeline.kmeansTopKFp]]
+    * verbatim over exact integers.
+    */
+  private def q42OracleSql(iters: Int, nprobe: Int, k: Int, centScale: Long): String = {
+    val rounds = (1 to iters).map(t => q42RoundCtes(t, if (t == 1) "c0" else s"c${t - 1}", centScale))
+    val fin = iters + 1 // final assignment round (assignment CTEs only)
+    s"WITH fp AS MATERIALIZED (SELECT vec_id, list_transform(embedding, " +
+      s"x -> CAST(round(CAST(x AS DOUBLE) * $Q29Scale) AS BIGINT)) AS q FROM embeddings), " +
+      // cells = max(2, isqrt(n) div 2), the exact-isqrt mirror of the
+      // registration's driver-side Exact.isqrtLong
+      s"cs AS (SELECT GREATEST(2, ${graft.ops.Exact.isqrtSql("n")} // 2) AS c " +
+      "FROM (SELECT count(*) AS n FROM fp)), " +
+      "c0 AS MATERIALIZED (SELECT s.rn - 1 AS cell, s.q AS cent FROM " +
+      "(SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) AS rn FROM fp) s, cs WHERE s.rn <= cs.c), " +
+      rounds.mkString("", ", ", ", ") +
+      // final corpus assignment against the last round's centroids
+      s"d$fin AS (SELECT f.vec_id, c.cell, " +
+      "CAST(list_sum(list_transform(generate_series(1, len(f.q)), i -> f.q[i] * c.cent[i])) AS BIGINT) AS dot " +
+      s"FROM fp f CROSS JOIN c$iters c), " +
+      s"af AS MATERIALIZED (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+      s"row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rn FROM d$fin) WHERE rn = 1), " +
+      // query probes: nprobe best cells per query by the same int dot
+      "qd AS (SELECT s.vec_id AS query_id, c.cell, s.q AS qq, " +
+      "CAST(list_sum(list_transform(generate_series(1, len(s.q)), i -> s.q[i] * c.cent[i])) AS BIGINT) AS dot " +
+      s"FROM fp s CROSS JOIN c$iters c WHERE s.vec_id < 5), " +
+      "pr AS (SELECT query_id, cell, qq FROM (SELECT query_id, cell, qq, " +
+      s"row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, cell ASC) AS rn FROM qd) WHERE rn <= $nprobe), " +
+      // candidates = probed cells' members, ranked by q29's exact key
+      "sc AS (SELECT p.query_id, f.vec_id, " +
+      "CAST(list_sum(list_transform(generate_series(1, len(f.q)), i -> f.q[i] * p.qq[i])) AS BIGINT) AS dot_fp, " +
+      "CAST(list_sum(list_transform(f.q, x -> x * x)) AS BIGINT) AS n_fp " +
+      "FROM pr p JOIN af a ON a.cell = p.cell JOIN fp f ON f.vec_id = a.vec_id " +
+      "WHERE f.vec_id <> p.query_id), " +
+      "rk AS (SELECT query_id, vec_id, CAST((CASE WHEN dot_fp < 0 THEN -1 ELSE 1 END) * " +
+      "((CAST(dot_fp AS HUGEINT) * dot_fp * 10000) // n_fp) AS BIGINT) AS rank_fp FROM sc) " +
+      "SELECT query_id, vec_id, rank_fp FROM (SELECT query_id, vec_id, rank_fp, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY rank_fp DESC, vec_id ASC) AS rn FROM rk) " +
+      s"WHERE rn <= $k ORDER BY query_id, vec_id"
+  }
+
   // q42 — ANN under the spherical k-means quantizer (index built in
   // DataFrame ops, nprobe=2). The adaptive-quantizer counterpart of
   // q37's sign-LSH cells: better recall on clustered corpora for a
-  // once-per-corpus build cost. Rows-only (floats); recall and
-  // determinism pinned in SimilarityPipelineSpec.
+  // once-per-corpus build cost.
+  //
+  // Oracle-checked since round 9 (was no-oracle/floats): the registered
+  // run is the FIXED-POINT form — seeding, every Lloyd round, centroid
+  // normalization (truncated means + exact isqrt, see
+  // SimilarityPipeline.kmeansCentroidsFp), probe choice and the final
+  // q29 ranking key are all exact int64 decisions, replayed verbatim by
+  // the materialized-round-CTE oracle (the q122 iterative-integer
+  // precedent). The float kmeansTopK stays the documented production
+  // form; SimilarityPipelineSpec pins fp-vs-float recall agreement.
   val q42: QuerySpec = QuerySpec(
     "q42_ann_kmeans",
     (s, d) => {
       val emb = embeddings(s, d)
-      val cells = math.max(2, math.sqrt(emb.count().toDouble).toInt / 2)
+      val cells = math.max(2L, graft.ops.Exact.isqrtLong(emb.count()) / 2).toInt
       SimilarityPipeline
-        .kmeansTopK(emb, emb.where(col("vec_id") < 5), k = 3, cells = cells, iters = 2, nprobe = 2)
-        .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"))
+        .kmeansTopKFp(emb, emb.where(col("vec_id") < 5), k = 3, cells = cells, iters = 2, nprobe = 2)
         .orderBy("query_id", "vec_id")
     },
-    None,
+    Some(q42OracleSql(iters = 2, nprobe = 2, k = 3, centScale = 1000000L)),
   )
 
   // q43 — vocabulary building: corpus-wide token frequencies, top 50.

@@ -258,6 +258,147 @@ object SimilarityPipeline {
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
   }
 
+  // -------------------------------------------------------------------
+  // FIXED-POINT spherical k-means (q42's r9 form): every decision the
+  // pipeline makes — seeding, Lloyd assignment, centroid update and
+  // normalization, probe choice, final ranking — is defined over exact
+  // int64 arithmetic, so a DuckDB oracle replays the whole algorithm
+  // verbatim and the output hash-matches cross-engine (the q29/q92
+  // fix-point idiom extended to an ITERATIVE algorithm, the q122
+  // pagerank precedent). The float kmeansCentroids/kmeansTopK above
+  // stay as the documented production form (cheaper per step, no
+  // integer-width preconditions); SimilarityPipelineSpec pins the two
+  // forms' recall agreement.
+  //
+  // Integer-width argument (unit-norm inputs, scale S=1e7, centroid
+  // scale CS=1e6, dim 64 — every bound N-INDEPENDENT except the raw
+  // per-cell component sums, which hold to ~9e11 rows per cell):
+  //  - quantized components |qᵢ| ≤ S, so round-0 dots ≤ 64·S² = 6.4e15;
+  //  - truncated means |mᵢ| ≤ S, norms ‖m‖² ≤ 64·S² = 6.4e15 < 2⁵³
+  //    (Exact.isqrt's domain), isqrt ≤ 8e7;
+  //  - normalized centroids |ĉᵢ| = |mᵢ|·CS/⌊‖m‖⌋ ≈ CS, so per-round
+  //    assignment dots ≤ 64·S·CS·(1+1/r) ≈ 6.4e14;
+  //  - the final ranking is q29's key with its own documented bounds.
+  // -------------------------------------------------------------------
+
+  /** `iters` exact-integer Lloyd rounds over a pre-quantized corpus
+    * `fp = (vec_id, q: array<long>)`. Seeds are the `cells` lowest
+    * vec_ids' raw fp vectors (norm ≈ scale on unit-norm input, so
+    * round-0 argmax-dot is argmax-cosine up to quantization — and the
+    * DEFINITION is the integer dot, identical in both engines).
+    * Per round: argmax-dot assignment (tie → lowest cell), truncated
+    * integer mean (sign·(|Σq| div n)), then normalization to a
+    * CS-scaled unit vector via [[graft.ops.Exact.isqrt]] — the count
+    * and norm cancel out of cosine, so this IS spherical k-means, just
+    * with the normalization pinned to exact integers. Empty cells drop
+    * out (assignment is argmax over live centroids, both engines).
+    */
+  def kmeansCentroidsFp(
+      fp: DataFrame, cells: Int, iters: Int, centScale: Long = 1000000L): DataFrame = {
+    require(cells > 0 && iters >= 1)
+    var cents = fp
+      .orderBy("vec_id")
+      .limit(cells)
+      .select(
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int").as("cell"),
+        col("q").as("cent"))
+    for (_ <- 1 to iters) {
+      val means = assignCellsFp(fp, cents)
+        .join(fp, "vec_id")
+        .select(col("cell"), posexplode(col("q")).as(Seq("i", "v")))
+        .groupBy("cell", "i")
+        .agg(sum("v").as("s"), count(lit(1)).as("nc"))
+        // truncated integer mean via abs/negate so Spark `div` (trunc)
+        // and DuckDB `//` agree regardless of their negative-operand
+        // conventions — both see non-negative operands only
+        .select(col("cell"), col("i"),
+          when(col("s") < 0, -expr("(-s) div nc")).otherwise(expr("s div nc")).as("m"))
+      val norms = means
+        .groupBy("cell")
+        .agg(sum(col("m") * col("m")).as("n2"))
+        .select(col("cell"), graft.ops.Exact.isqrt(col("n2")).as("r"))
+      val updated = means
+        .join(norms, "cell")
+        .select(col("cell"), col("i"),
+          when(col("r") === 0, col("m"))
+            .otherwise(
+              when(col("m") < 0, -expr(s"((-m) * $centScale) div r"))
+                .otherwise(expr(s"(m * $centScale) div r"))).as("c"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ic"))
+        .select(col("cell"), transform(col("ic"), x => x.getField("c")).as("cent"))
+      cents = updated.pinLineage()
+    }
+    cents
+  }
+
+  /** Argmax-integer-dot assignment of `fp = (vec_id, q)` against
+    * `cents = (cell, cent)` — [[assignCells]]'s shape (broadcast join +
+    * partial-aggregable max over a (dot, −cell) struct, tie → lowest
+    * cell) with the float cosine replaced by [[VectorFunctions.dotLong]].
+    */
+  def assignCellsFp(fp: DataFrame, cents: DataFrame): DataFrame =
+    fp.join(broadcast(cents))
+      .select(
+        col("vec_id"),
+        struct(
+          VectorFunctions.dotLong(col("q"), col("cent")).as("dot"),
+          (-col("cell")).as("negCell")).as("sc"))
+      .groupBy("vec_id")
+      .agg(max(col("sc")).as("best"))
+      .select(col("vec_id"), (-col("best.negCell")).cast("int").as("cell"))
+
+  /** IVF top-k under the fixed-point k-means quantizer: the
+    * hash-matchable form of [[kmeansTopK]]. Same plan shape — index
+    * build is the once-per-corpus cost, queries probe their `nprobe`
+    * best cells (integer dot, tie → lowest cell), candidates ranked by
+    * q29's exact integer key (query norm constant per group, candidate
+    * norm divided out, sign-carried quotient at 1e-18 resolution).
+    * Output (query_id, vec_id, rank_fp) is all int64.
+    */
+  def kmeansTopKFp(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      cells: Int,
+      iters: Int = 2,
+      nprobe: Int = 2,
+      scale: Long = 10000000L,
+  ): DataFrame = {
+    // the quantized corpus is read by every Lloyd round, the final
+    // assignment AND the ranking join — pin it once (at production
+    // scale this frame is the persisted fp ledger)
+    val fp = corpus
+      .select(col("vec_id"), VectorFunctions.quantizeFp(col("embedding"), scale).as("q"))
+      .pinLineage()
+    val cents = kmeansCentroidsFp(fp, cells, iters)
+    val assigned = fp.join(assignCellsFp(fp, cents), "vec_id")
+    val qfp = queries.select(
+      col("vec_id").as("query_id"),
+      VectorFunctions.quantizeFp(col("embedding"), scale).as("qq"))
+    val wq = Window.partitionBy("query_id").orderBy(desc("cdot"), asc("cell"))
+    val probes = qfp
+      .join(broadcast(cents))
+      .select(col("query_id"), col("qq"), col("cell"),
+        VectorFunctions.dotLong(col("qq"), col("cent")).as("cdot"))
+      .withColumn("__rn", row_number().over(wq))
+      .where(col("__rn") <= nprobe)
+      .select(col("query_id"), col("qq"), col("cell"))
+    val w = Window.partitionBy("query_id").orderBy(desc("rank_fp"), asc("vec_id"))
+    assigned
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorFunctions.dotLong(col("q"), col("qq")).as("dot_fp"),
+        VectorFunctions.dotLong(col("q"), col("q")).as("n_fp"))
+      .select(col("query_id"), col("vec_id"),
+        (when(col("dot_fp") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("(cast(dot_fp as decimal(38,0)) * dot_fp * 10000) div n_fp")).as("rank_fp"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select("query_id", "vec_id", "rank_fp")
+  }
+
   /** Near-dup pairs under the sign-LSH quantizer: candidates = pairs
     * whose cells agree on all bits or differ in exactly one (banded
     * join on each bit-masked key), then exact cosine ≥ `threshold`

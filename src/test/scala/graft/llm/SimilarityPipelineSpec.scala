@@ -216,6 +216,51 @@ class SimilarityPipelineSpec extends SparkSpec {
     assert(recall(km) >= 0.5, s"kmeans recall@3 = ${recall(km)}")
   }
 
+  test("kmeansTopKFp: integer ranking mirrors float cosine order, deterministic, recall agrees with float form") {
+    val queries = emb.where(col("vec_id") < 5)
+    val n = emb.count()
+    // q42's registered parameters
+    val cells = math.max(2L, graft.ops.Exact.isqrtLong(n) / 2).toInt
+    def runFp() = SimilarityPipeline
+      .kmeansTopKFp(emb, queries, 3, cells, iters = 2, nprobe = 2)
+      .as[(Long, Long, Long)].collect()
+    val fp = runFp()
+    assert(fp.nonEmpty && fp.forall { case (q, v, _) => q != v })
+    assert(fp.groupBy(_._1).forall(_._2.length == 3))
+    // deterministic build (retry-safe index — the reason the seeds are
+    // plain lowest-vec_id rather than any sampled choice)
+    assert(runFp().sortBy(r => (r._1, r._2)).toSeq == fp.sortBy(r => (r._1, r._2)).toSeq)
+    // the integer key resolves cos² at ~1e-18 — its order must agree
+    // with float cosine up to double noise on every returned ranking
+    val bf = SimilarityPipeline.bruteForceTopK(emb, queries, n.toInt)
+      .as[(Long, Long, Double)].collect()
+    val cosMap = bf.map { case (q, v, s) => (q, v) -> s }.toMap
+    fp.groupBy(_._1).foreach { case (q, g) =>
+      val cosines = g.sortBy(r => (-r._3, r._2)).map(v => cosMap((q, v._2)))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b - 1e-6 },
+        s"fp rank order diverges from float cosine at query $q: ${cosines.mkString(",")}")
+    }
+    // recall agreement with the float form at identical parameters:
+    // the fixed-point path is the same algorithm with decisions pinned
+    // to integers, so quality must match up to quantization-flipped
+    // borderline assignments (slack = one neighbor over 15)
+    def recall(found: Array[(Long, Long)]): Double = {
+      val trueTop = bf.groupBy(_._1).map { case (q, g) =>
+        q -> g.sortBy(r => (-r._3, r._2)).take(3).map(_._2).toSet
+      }
+      val got = found.groupBy(_._1).map { case (q, g) => q -> g.map(_._2).toSet }
+      trueTop.map { case (q, t) =>
+        (t intersect got.getOrElse(q, Set.empty)).size.toDouble / t.size
+      }.sum / trueTop.size
+    }
+    val fl = SimilarityPipeline.kmeansTopK(emb, queries, 3, cells, iters = 2, nprobe = 2)
+      .as[(Long, Long, Double)].collect()
+    val rFp = recall(fp.map(r => (r._1, r._2)))
+    val rFl = recall(fl.map(r => (r._1, r._2)))
+    assert(rFp >= rFl - (1.0 / 15.0) - 1e-9,
+      s"fixed-point recall $rFp fell below float recall $rFl beyond one borderline neighbor")
+  }
+
   test("pcaProject: recovers a planted principal direction, 10x variance dominance") {
     // x = t·u + ε with u a fixed unit direction in 8-dim space and ε
     // tiny deterministic noise: PC1 must align with u and dominate.
