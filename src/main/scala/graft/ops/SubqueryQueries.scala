@@ -270,5 +270,110 @@ object SubqueryQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q113, q114, q115, q116, q128, q138)
+  // ---------------------------------------------------------------------
+  // q253 — correlated min-over-group with a multi-dim join (TPC-H Q2's
+  // shape, r9): for every size-15 '%ALL'-type part, the European
+  // supplier(s) offering it at the minimum observed cost. The testdata
+  // has no partsupp (TESTDATA.md), so the q176/q251 emulation supplies
+  // it: cost per (part, supplier) = min lineitem extended price — the
+  // SHAPE (dim-filtered outer block, region-gated supplier chain, a
+  // correlated `cost = (SELECT min(cost) ... WHERE same part)` scalar,
+  // acctbal-desc top-100) is Q2's exactly.
+  //
+  // Scale: the ps emulation is one (part, supplier) hash aggregate of
+  // the fact; nation/region and the size-filtered part dim broadcast;
+  // the correlated min decorrelates into a per-part aggregate of the
+  // SAME European frame (computed once, reused for gate and output —
+  // no second fact scan) re-joined on (part, cost) — the aggregate and
+  // the re-join share the l_partkey shuffle key. Doubles survive the
+  // equality gate because min() SELECTS one of the scanned values
+  // rather than computing a new float (the q116 decimal-equality rule
+  // has nothing to protect here).
+  val q253: QuerySpec = QuerySpec(
+    "q253_min_cost_supplier",
+    (s, d) => {
+      val ps = lineitem(s, d)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min("l_extendedprice").as("cost"))
+      val euro = ps
+        .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(
+          broadcast(region(s, d).where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("l_partkey", "l_suppkey", "cost", "s_name", "s_acctbal", "n_name")
+      val minc = euro.groupBy(col("l_partkey").as("mk")).agg(min("cost").as("min_cost"))
+      euro
+        .join(
+          broadcast(part(s, d).where(col("p_size") === 15 && col("p_type").like("%ALL"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(minc, col("l_partkey") === col("mk") && col("cost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+          col("cost").as("min_cost"))
+        .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    },
+    Some(
+      "WITH ps AS (SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost " +
+        "FROM lineitem GROUP BY 1, 2), " +
+        "euro AS (SELECT ps.l_partkey, ps.cost, s.s_name, s.s_acctbal, n.n_name " +
+        "FROM ps JOIN supplier s ON ps.l_suppkey = s.s_suppkey " +
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey " +
+        "JOIN region r ON n.n_regionkey = r.r_regionkey WHERE r.r_name = 'EUROPE') " +
+        "SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, e.cost AS min_cost " +
+        "FROM euro e JOIN part p ON e.l_partkey = p.p_partkey " +
+        "WHERE p.p_size = 15 AND p.p_type LIKE '%ALL' " +
+        "AND e.cost = (SELECT min(e2.cost) FROM euro e2 WHERE e2.l_partkey = e.l_partkey) " +
+        "ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey LIMIT 100"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
+  // q254 — group share of a global aggregate behind HAVING (TPC-H Q11's
+  // shape, r9): parts whose one-nation revenue exceeds TWICE the mean
+  // per-part value — Q11's 0.0001/SF fraction made scale-free (a fixed
+  // fraction empties at larger part counts; share-of-mean keeps the
+  // HAVING selective at every SF, ~8% here at both test scales).
+  // partsupp's value emulates as lineitem revenue per part (q253's
+  // emulation, revenue instead of min cost); the SHAPE (nation-gated
+  // supplier chain, per-key aggregate, HAVING sum > global aggregate ×
+  // fraction via scalar subqueries over the same view, value-desc
+  // ordering) is Q11's exactly.
+  //
+  // Scale: one l_partkey hash aggregate (nation filter broadcast-
+  // pruned before the fact shuffle); the global (total, count) pair
+  // re-enters as a 1-row broadcast, never a driver collect. The HAVING
+  // compare stays in EXACT decimal, cross-multiplied
+  // (value·n_parts > total·2) so no engine ever divides — the q38
+  // threshold idiom applied to money.
+  val q254: QuerySpec = QuerySpec(
+    "q254_part_value_share",
+    (s, d) => {
+      val rev = lineitem(s, d)
+        .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(
+          broadcast(nation(s, d).where(col("n_name") === "NATION_19")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(revenueDecimal.as("value_dec"))
+      val tot = rev.agg(sum(col("value_dec")).as("tot"), count(lit(1)).as("n_parts"))
+      rev
+        .join(broadcast(tot))
+        .where(col("value_dec") * col("n_parts") > col("tot") * 2)
+        .select(col("l_partkey").as("ps_partkey"),
+          round(col("value_dec").cast("double"), 4).as("value"))
+        .orderBy(desc("value"), col("ps_partkey"))
+    },
+    Some(
+      s"WITH r AS (SELECT l_partkey, $revenueDecimalSql AS v " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE n_name = 'NATION_19' GROUP BY 1) " +
+        "SELECT l_partkey AS ps_partkey, round(CAST(v AS DOUBLE), 4) AS value " +
+        "FROM r WHERE v * (SELECT count(*) FROM r) > (SELECT sum(v) FROM r) * 2 " +
+        "ORDER BY value DESC, ps_partkey"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q113, q114, q115, q116, q128, q138, q253, q254)
 }
