@@ -2049,6 +2049,51 @@ object ScaleQueries {
   )
 
   // ---------------------------------------------------------------------
+  // q255 — the AUTO-salted join (r9): q220 emits the skew DECISION,
+  // q46 executes a blanket salted join — this closes the loop with the
+  // operator that READS the histogram and salts selectively
+  // ([[Skew.autoSaltedInnerJoin]]). The join key emulates the classic
+  // default-key pathology (the null/default customer): 3 of every 4
+  // events collapse onto key 0, the rest stay per-user cold keys — so
+  // the plan table holds ONE hot key (factor capped at 16) and every
+  // cold key passes through unsalted with an unreplicated dim row.
+  // The salting must be INVISIBLE: the oracle is the plain join SQL
+  // (the q46 proof shape); hot-key fan-out, cold-key pass-through,
+  // plan-size and factor caps are pinned in SkewSpec.
+  //
+  // Scale: the plan costs one map-side-combined aggregate over the
+  // fact; the plan table is ≤ maxHotKeys rows BY CONSTRUCTION
+  // (heaviest-first, ties on key) so its two broadcasts never outgrow
+  // the driver; right-side replication is ∝ Σ hot factors, never
+  // |dim|×salts as q46's blanket form pays. An un-planned hot key
+  // degrades to one reducer — a latency cost, never a correctness one.
+  val q255: QuerySpec = QuerySpec(
+    "q255_auto_salted_join",
+    (s, d) => {
+      val ev = events(s, d).select(
+        when(col("user_id") % 4 =!= 0, lit(0L)).otherwise(col("user_id")).as("k"),
+        col("value"))
+      val dim = ev.select("k").distinct()
+        .withColumn("weight", pmod(col("k"), lit(97L)) + 1)
+      Skew
+        .autoSaltedInnerJoin(ev, dim, Seq("k"),
+          minSaltFactor = 2, maxHotKeys = 100, maxSaltFactor = 16)
+        .groupBy("k", "weight")
+        .agg(count(lit(1)).as("n"), dsum("value").as("sum_value"))
+        .select(col("k"), col("weight"), col("n"),
+          round(col("sum_value") * col("weight"), 2).as("weighted"))
+        .orderBy("k")
+    },
+    Some(
+      "WITH e AS (SELECT CASE WHEN user_id % 4 <> 0 THEN 0 ELSE user_id END AS k, value FROM events), " +
+        "dw AS (SELECT k, k % 97 + 1 AS weight FROM (SELECT DISTINCT k FROM e)) " +
+        "SELECT e.k, dw.weight, count(*) AS n, " +
+        s"round(${dsumSql("e.value")} * dw.weight, 2) AS weighted " +
+        "FROM e JOIN dw ON e.k = dw.k GROUP BY 1, 2 ORDER BY e.k"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
   // q227 — t-closeness audit, the distribution-attack complement that
   // completes the privacy ladder (q148 bounds class SIZE, q199 bounds
   // distinct sensitive VALUES, this bounds the class's sensitive
@@ -2318,5 +2363,5 @@ object ScaleQueries {
     Seq(q87, q187, q90, q93, q94, q95, q96, q97, q100, q101, q102, q105, q106, q107,
       q108, q109, q110, q112, q124, q129, q132, q133, q144, q147, q148, q154,
       q155, q158, q159, q160, q161, q162, q163, q165, q166, q167, q199, q200, q204,
-      q206, q220, q227, q241, q247, q248)
+      q206, q220, q227, q241, q247, q248, q255)
 }
