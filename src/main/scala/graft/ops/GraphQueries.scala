@@ -211,6 +211,58 @@ object GraphQueries {
   )
 
   // ---------------------------------------------------------------------
+  // q256 — HUB-CAPPED clustering coefficient (r9): q180's bounded-work
+  // form ([[GraphOps.hubCappedClusteringCoeff]]). The top 1% of
+  // vertices by (degree desc, v) — the q63 heavy-hitter trigger,
+  // rank-based so it fires on any degree distribution — are
+  // excluded-and-reported (is_hub, cc_bp = −1; exclusion, never
+  // sampling, so the WHOLE operator stays deterministic and
+  // oracle-checked); everyone else gets the exact coefficient over the
+  // hub-pruned subgraph, with both degrees reported. q180 remains the
+  // full exact statistic; this is the form a 100 TB graph runs when
+  // the densest vertices dominate wedge mass (q180's 256× probe:
+  // 531.8 s, ~all of it wedges at the dense tail).
+  //
+  // Determinism: the hub set is a rank with a total order; everything
+  // downstream is q180's integer arithmetic on the pruned subgraph.
+  // Work bound: every pruned degree ≤ the lowest hub degree BY
+  // CONSTRUCTION — the wedge table is m·d_cap-bounded.
+  val q256: QuerySpec = QuerySpec(
+    "q256_cc_hub_capped",
+    (s, d) =>
+      GraphOps.hubCappedClusteringCoeff(copurchaseEdges(s, d), "a", "b", hubFrac = 100)
+        .select(col("v").as("part_key"), col("degree"), col("is_hub"),
+          col("pruned_degree"), col("n_tri"), col("cc_bp"))
+        .orderBy("part_key"),
+    Some(
+      s"WITH $edgesCteSql, " +
+        "deg AS (SELECT v, count(*) AS degree FROM " +
+        "(SELECT a AS v FROM edges UNION ALL SELECT b FROM edges) GROUP BY 1), " +
+        "t AS (SELECT count(*) AS n FROM deg), " +
+        "hubs AS MATERIALIZED (SELECT v FROM " +
+        "(SELECT v, row_number() OVER (ORDER BY degree DESC, v) AS rk FROM deg), t " +
+        "WHERE rk <= (n + 99) // 100), " +
+        "ep AS MATERIALIZED (SELECT a, b FROM edges " +
+        "WHERE a NOT IN (SELECT v FROM hubs) AND b NOT IN (SELECT v FROM hubs)), " +
+        "degp AS (SELECT v, count(*) AS pd FROM " +
+        "(SELECT a AS v FROM ep UNION ALL SELECT b FROM ep) GROUP BY 1), " +
+        "tris AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM ep e1 " +
+        "JOIN ep e2 ON e1.b = e2.a JOIN ep e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        "pern AS (SELECT v, count(*) AS n_tri FROM (SELECT x AS v FROM tris " +
+        "UNION ALL SELECT y FROM tris UNION ALL SELECT z FROM tris) GROUP BY 1) " +
+        "SELECT d.v AS part_key, d.degree, d.v IN (SELECT v FROM hubs) AS is_hub, " +
+        "CAST(coalesce(dp.pd, 0) AS BIGINT) AS pruned_degree, " +
+        "CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_tri, " +
+        "CASE WHEN d.v IN (SELECT v FROM hubs) THEN -1 " +
+        "WHEN coalesce(dp.pd, 0) >= 2 THEN " +
+        "(20000 * CAST(coalesce(p.n_tri, 0) AS BIGINT)) // (dp.pd * (dp.pd - 1)) " +
+        "ELSE 0 END AS cc_bp " +
+        "FROM deg d LEFT JOIN degp dp ON dp.v = d.v LEFT JOIN pern p ON p.v = d.v " +
+        "ORDER BY part_key"
+    ),
+  )
+
+  // ---------------------------------------------------------------------
   // q190 — bounded k-core peel ([[GraphOps.kCorePeel]]): 4 synchronous
   // rounds of dropping co-purchase vertices with degree < 80, then
   // each survivor's in-core degree. The graph-quality filter the
@@ -250,5 +302,5 @@ object GraphQueries {
     },
   )
 
-  val all: Seq[QuerySpec] = Seq(q121, q122, q139, q150, q180, q190)
+  val all: Seq[QuerySpec] = Seq(q121, q122, q139, q150, q180, q190, q256)
 }

@@ -38,6 +38,47 @@ class GraphOpsSpec extends SparkSpec {
     fixtures.foreach(f => assert(tri(f) == triBrute(f), s"fixture $f"))
   }
 
+  test("hubCappedClusteringCoeff: star center excluded-and-reported, triangles stay exact on the pruned graph") {
+    // two disjoint triangles + a degree-6 star center wired to all six
+    // vertices: with hubFrac = 7 (⌈7/7⌉ = 1 hub) exactly the center is
+    // excluded, and every survivor's coefficient is the PRUNED graph's
+    // exact value — a plain triangle corner: cc_bp = 20000·1/(2·1)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L),
+    ) ++ (1L to 6L).map(v => (100L, v))
+    val got = GraphOps.hubCappedClusteringCoeff(edges.toDF("a", "b"), "a", "b", hubFrac = 7)
+      .as[(Long, Long, Boolean, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(100L) == ((100L, 6L, true, 0L, 0L, -1L)), s"hub row ${got(100L)}")
+    (1L to 6L).foreach { v =>
+      assert(got(v) == ((v, 3L, false, 2L, 1L, 10000L)), s"survivor $v: ${got(v)}")
+    }
+  }
+
+  test("hubCappedClusteringCoeff: hub count is ⌈|V|/hubFrac⌉ and pruned degrees respect the cap") {
+    val edges = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct().as("x")
+      .join(Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey").distinct().as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") && col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+    val out = GraphOps.hubCappedClusteringCoeff(edges, "a", "b", hubFrac = 100)
+      .as[(Long, Long, Boolean, Long, Long, Long)].collect()
+    val n = out.length.toLong
+    val hubs = out.filter(_._3)
+    assert(hubs.length.toLong == (n + 99) / 100,
+      s"expected ${(n + 99) / 100} hubs over $n vertices, got ${hubs.length}")
+    // the work bound the operator exists for: nothing in the pruned
+    // graph is heavier than the lightest excluded hub
+    val minHubDeg = hubs.map(_._2).min
+    val maxPruned = out.filter(!_._3).map(_._4).max
+    assert(maxPruned <= minHubDeg,
+      s"pruned degree $maxPruned exceeds the hub cap $minHubDeg")
+    // hubs are excluded-and-reported, never scored
+    assert(hubs.forall(h => h._4 == 0L && h._5 == 0L && h._6 == -1L))
+  }
+
   test("hub skew: star core plus one closing edge counts exactly one triangle") {
     // vertex 0 adjacent to 1..40 (hub), single closing edge (1,2):
     // orientation keeps the hub's out-degree at ~1, and the count is
