@@ -287,5 +287,80 @@ object InteropQueries {
     ),
   )
 
-  val all: Seq[QuerySpec] = Seq(q71, q72, q153, q156, q179, q212)
+  // ---------------------------------------------------------------------
+  // q257 — reconcile through the connector under RUNTIME FILTERING
+  // (r9): the J1/J3-via-S1 shape the round-8 verdict flagged — a join
+  // between the DSv2 sink scan and a ledger-side key frame. The scan
+  // implements `SupportsRuntimeFiltering` (JsonlScan), so Spark
+  // injects the ledger's logical_date key set into the scan at
+  // EXECUTION time and the listing walk prunes run directories with
+  // it — the connector analog of the reference's driver-side key
+  // lookup (warehouse/loader.py:60-91). 12 runs land; only the 4
+  // matching the ledger's two months are planned (JsonlSourceSpec
+  // pins the planned-partition count on the same mechanism).
+  //
+  // Determinism: q212's landing discipline (one decimal-exact
+  // integer-cents row per run); the oracle computes the identical
+  // reconciled aggregate from the orders table directly — the
+  // hash-match proves the runtime filter changed the PLAN, never the
+  // answer. The ledger derives from the ORDERS SOURCE with a real
+  // pushed filter above the scan (DPP's selective-predicate
+  // requirement — exactly the production shape, where the ledger IS a
+  // table).
+  val q257: QuerySpec = QuerySpec(
+    "q257_runtime_pruned_reconcile",
+    (s, d) => {
+      val root = roundTripDir("jsonl_runtime")
+      val monthly = Tables.orders(s, d)
+        .where(col("o_orderdate").between(lit("1995-01-01"), lit("1995-06-30")))
+        .groupBy(
+          (col("o_custkey") % 2).cast("string").as("customer_id"),
+          trunc(col("o_orderdate").cast("date"), "month").as("logical_date"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").cast("string").as("revenue_cents"))
+        .withColumn("source", lit("gads"))
+        .withColumn("query_name", lit("monthly_revenue"))
+        .withColumn("run_id", lit("r1"))
+      monthly.write.mode("overwrite")
+        .partitionBy("source", "customer_id", "query_name", "logical_date", "run_id")
+        .json(root)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def runDirs(p: org.apache.hadoop.fs.Path, depth: Int): Seq[org.apache.hadoop.fs.Path] =
+        if (depth == 5) Seq(p)
+        else fs.listStatus(p).filter(_.isDirectory).toSeq
+          .flatMap(st => runDirs(st.getPath, depth + 1))
+      runDirs(new org.apache.hadoop.fs.Path(root), 0).foreach { dir =>
+        val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_SEAL.json"), true)
+        try out.write("""{"record_count":1,"sealed":true}""".getBytes("UTF-8"))
+        finally out.close()
+      }
+      // the ledger: the two most recent landed months, selected by a
+      // REAL filter over the orders source (the DPP shape)
+      val ledger = Tables.orders(s, d)
+        .where(col("o_orderdate").between(lit("1995-05-01"), lit("1995-06-30")))
+        .select(trunc(col("o_orderdate").cast("date"), "month").as("logical_date"))
+        .distinct()
+      Extraction.readSink(s, root)
+        .join(broadcast(ledger), Seq("logical_date"))
+        .groupBy("customer_id")
+        .agg(sum(col("revenue_cents").cast("long")).as("total_cents"))
+        .orderBy("customer_id")
+    },
+    Some(
+      // replays the landing discipline: per-(customer, month) integer
+      // cents FIRST (exactly what each run holds), then the reconcile
+      // sums the ledger's two months
+      "WITH m AS (SELECT CAST(o_custkey % 2 AS VARCHAR) AS customer_id, " +
+        "date_trunc('month', CAST(o_orderdate AS DATE)) AS logical_date, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents " +
+        "FROM orders WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-06-30' " +
+        "GROUP BY 1, 2) " +
+        "SELECT customer_id, CAST(sum(cents) AS BIGINT) AS total_cents FROM m " +
+        "WHERE logical_date >= DATE '1995-05-01' " +
+        "GROUP BY 1 ORDER BY customer_id"
+    ),
+  )
+
+  val all: Seq[QuerySpec] = Seq(q71, q72, q153, q156, q179, q212, q257)
 }

@@ -529,7 +529,46 @@ class JsonlScan(
     pushed: Array[Filter],
     limit: Option[Int] = None,
     topN: Option[(Seq[(String, Boolean)], Int)] = None,
-) extends Scan with Batch {
+) extends Scan with Batch with SupportsRuntimeFiltering {
+
+  // ------------------------------------------------------------------
+  // Runtime filtering (r9): the LAST pushdown Spark offers that this
+  // source can serve. A join whose key is one of the five partition
+  // columns (the reconcile shapes — state⟕pointer through the
+  // connector, J1/J3 via S1) gets its build-side key set injected
+  // HERE at execution time as In(...) filters, and the listing walk
+  // prunes run DIRECTORIES with them exactly like planning-time
+  // filters — the connector analog of the reference's driver-side key
+  // lookup (warehouse/loader.py:60-91), except the key set arrives
+  // from a distributed join instead of a python dict. Without this, a
+  // reconcile join through the connector scans every sealed run at
+  // 100 TB no matter how few dates/customers the ledger side selects.
+  //
+  // Only partition-shape filters are kept (same isPartitionFilter
+  // gate as planning-time pushdown — anything else would prune
+  // directories the conservative lister cannot re-check); dropping a
+  // runtime filter is always CORRECT because Spark re-applies the
+  // join itself above the scan. Runtime filters compose with pushed
+  // TopN/LIMIT soundly: both are conjunctive row-set reductions the
+  // operators above re-verify. (JsonlCountScan does not implement
+  // this: aggregate pushdown only fires when the aggregate sits
+  // DIRECTLY over the scan, so a runtime-filter-producing join can
+  // never co-exist with it.)
+  // ------------------------------------------------------------------
+  private var runtime: Array[Filter] = Array.empty
+
+  // only the partition columns that SURVIVED column pruning: Spark's
+  // PartitionPruning rule resolves every declared attribute against
+  // this scan's output and errors on any it cannot find — and a join
+  // key is by definition in the output
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    JsonlPartitionSource.PartitionCols
+      .filter(requiredSchema.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter(JsonlPartitionSource.isPartitionFilter)
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
@@ -542,8 +581,8 @@ class JsonlScan(
 
   override def planInputPartitions(): Array[InputPartition] = topN match {
     case Some((keys, n)) =>
-      JsonlPartitionSource.listSealedTopN(path, pushed, keys, n).toArray
-    case None => JsonlPartitionSource.listSealed(path, pushed).toArray
+      JsonlPartitionSource.listSealedTopN(path, pushed ++ runtime, keys, n).toArray
+    case None => JsonlPartitionSource.listSealed(path, pushed ++ runtime).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

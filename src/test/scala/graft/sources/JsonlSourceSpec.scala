@@ -298,4 +298,57 @@ class JsonlSourceSpec extends SparkSpec {
     assert(filtered.select("x").as[String].collect().toSet ==
       Set("2024-01-04/r1-2", "2024-01-04/r2-2"))
   }
+
+  test("runtime filtering: a join on a partition key prunes run directories at execution time") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // classic-DPP shape without AQE so the BatchScanExec is directly
+    // inspectable in the executed plan (semantics identical with AQE)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the reconcile shape: ledger side selects ONE of the three dates.
+      // The ledger must be a real source with a Filter above it — a
+      // literal local frame constant-folds the predicate away and DPP's
+      // selective-predicate check never fires (matches production,
+      // where the ledger IS a table)
+      val dimPath = Files.createTempDirectory("dpp_ledger").toString
+      Seq("2024-01-01", "2024-01-02", "2024-01-03")
+        .toDF("d").select(to_date(col("d")).as("logical_date"))
+        .write.mode("overwrite").parquet(dimPath)
+      val ledger = spark.read.parquet(dimPath)
+        .where(col("logical_date") === "2024-01-02")
+      val joined = sinkDf
+        .join(ledger, Seq("logical_date"))
+        .agg(sum(col("clicks").cast("long")).as("total_clicks"))
+      assert(joined.as[Long].head() == 60L) // 2 customers × (10+20)
+      val scans = joined.queryExecution.executedPlan.collect {
+        case b: BatchScanExec if b.scan.isInstanceOf[JsonlScan] => b
+      }
+      assert(scans.size == 1, s"expected one connector scan:\n${joined.queryExecution.executedPlan}")
+      // Spark injected the build-side key set as a runtime filter…
+      assert(scans.head.runtimeFilters.nonEmpty,
+        s"no runtime filter reached the scan:\n${joined.queryExecution.executedPlan}")
+      // …and the listing pruned run DIRECTORIES with it: of the 6
+      // sealed runs only the 2 matching the ledger date are planned
+      assert(scans.head.inputPartitions.size == 2,
+        s"expected 2 runtime-pruned partitions, got ${scans.head.inputPartitions.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("runtime filtering keeps answers identical when the filter is dropped as unsupported") {
+    // a scan asked to runtime-filter on shapes it cannot serve must
+    // DROP them (Spark re-applies the join above) — never mis-prune
+    val scan = new JsonlScan(root.toString,
+      org.apache.spark.sql.types.StructType(Seq()), Array.empty)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.StringStartsWith("customer_id", "c")))
+    // unsupported shape dropped: listing stays complete
+    assert(scan.planInputPartitions().length ==
+      JsonlPartitionSource.listSealed(root.toString, Array.empty).size)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("customer_id", Array("c1"))))
+    assert(scan.planInputPartitions().length ==
+      JsonlPartitionSource.listSealed(root.toString,
+        Array(org.apache.spark.sql.sources.In("customer_id", Array("c1")))).size)
+  }
 }
