@@ -86,23 +86,39 @@ object Bench {
     // (SCALE_NOTES); the median of 3 interleaved passes is robust to a
     // transient spike landing on any one pass, and the printed per-pass
     // totals give every future number its own error bar.
-    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
+    val basePasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
     // Probe runs (multi-minute queries at replica scales) can skip the
     // warmup pass: session-init noise is amortized at those runtimes
     // and the probe methodology (SCALE_NOTES) is single-pass isolated.
     if (sys.env.get("SPARK_GRAFT_BENCH_WARMUP").forall(_ != "0")) runPass("warmup")
-    val timed: Seq[Seq[(String, Double)]] = (1 to passes).map(i => runPass(s"pass$i"))
+    var timed: Seq[Seq[(String, Double)]] = (1 to basePasses).map(i => runPass(s"pass$i"))
+    def passTotalsOf(t: Seq[Seq[(String, Double)]]): Seq[Double] = t.map(_.map(_._2).sum)
+    // Same-run dispersion: (max-min)/median of the pass totals — the
+    // error bar to read any cross-round comparison against.
+    def spreadOf(pt: Seq[Double]): Double =
+      if (pt.isEmpty || pt.min <= 0) 0.0
+      else 100.0 * (pt.max - pt.min) / pt.sorted.apply(pt.size / 2)
+    // Spread hygiene (round-9, after r8's 15.8%-spread artifact): when
+    // the default 3 passes disperse past 12%, one pass ran hot and the
+    // median sits on a 2-good-1-bad sample — two more passes make the
+    // median a 5-sample statistic and keep driver artifacts readable
+    // round-over-round. Bounded (at most 2 extra), and only on the
+    // default configuration — an explicit SPARK_GRAFT_BENCH_PASSES is
+    // a probe methodology and stays exactly what it asked for.
+    if (sys.env.get("SPARK_GRAFT_BENCH_PASSES").isEmpty &&
+      spreadOf(passTotalsOf(timed)) > 12.0) {
+      System.err.println(
+        f"[bench] 3-pass spread ${spreadOf(passTotalsOf(timed))}%.1f%% > 12%% — running 2 more passes")
+      timed = timed ++ (basePasses + 1 to basePasses + 2).map(i => runPass(s"pass$i"))
+    }
+    val passes = timed.size
     val medians: Seq[(String, Double)] = ordered.map { case (name, _) =>
       val obs = timed.map(_.toMap.apply(name)).sorted
       name -> obs(obs.size / 2)
     }
-    val passTotals = timed.map(_.map(_._2).sum)
+    val passTotals = passTotalsOf(timed)
     val total = medians.map(_._2).sum
-    // Same-run dispersion: (max-min)/median of the pass totals — the
-    // error bar to read any cross-round comparison against.
-    val spreadPct =
-      if (passTotals.isEmpty || passTotals.min <= 0) 0.0
-      else 100.0 * (passTotals.max - passTotals.min) / passTotals.sorted.apply(passTotals.size / 2)
+    val spreadPct = spreadOf(passTotals)
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val pt = passTotals.map(t => f"$t%.2f").mkString("[", ",", "]")
@@ -114,7 +130,10 @@ object Bench {
     // is the query-plan-only figure to read plan regressions against.
     val writeQueries = Set(
       "q179_bucketed_join", "q186_catalog_fact_serving",
-      "q190_kcore_peel", "q212_latest_runs_listing")
+      "q190_kcore_peel", "q212_latest_runs_listing",
+      // r9: same landing+seal shape as q212 (12 runs written per
+      // execution) — storage cost, not query-plan cost
+      "q257_runtime_pruned_reconcile")
     // Guard against silent drift: on a full-suite run every write
     // benchmark must still exist under its expected name, or the
     // read/write split would silently misattribute storage cost to
