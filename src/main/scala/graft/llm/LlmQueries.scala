@@ -934,25 +934,102 @@ object LlmQueries {
   )
 
   // ---------------------------------------------------------------------
+  /** One fixed-point power-iteration round as DuckDB CTEs (axis `ax`,
+    * round `t`): matvec over the downscaled scatter `ap`, uniform
+    * downscale to 5e5, optional Gram–Schmidt against the final axis 1
+    * (scale-2^19 truncated coefficient), isqrt normalization to 1e6 —
+    * mirroring [[SimilarityPipeline.topTwoAxesFp]]'s round step for
+    * step (the q42 materialized-round idiom applied to PCA).
+    */
+  private def pcaRoundCtes(ax: Int, t: Int, orth: Boolean): String = {
+    val prev = if (t == 1) s"v${ax}_0" else s"v${ax}_${t - 1}"
+    val base =
+      s"w${ax}_$t AS (SELECT ap.i, CAST(sum(ap.a * v.v) AS BIGINT) AS w " +
+        s"FROM ap JOIN $prev v ON v.i = ap.j GROUP BY 1), " +
+        s"d${ax}_$t AS (SELECT (max(abs(w)) // 500000) + 1 AS dw FROM w${ax}_$t), " +
+        s"s${ax}_$t AS (SELECT i, CASE WHEN w < 0 THEN -((-w) // dw) ELSE w // dw END AS w " +
+        s"FROM w${ax}_$t, d${ax}_$t)"
+    val pre = if (!orth) s"s${ax}_$t" else {
+      s"o${ax}_$t"
+    }
+    val orthCtes = if (!orth) "" else
+      s", g${ax}_$t AS (SELECT CAST(sum(s.w * a.v) AS BIGINT) AS dw, " +
+        s"CAST(sum(a.v * a.v) AS BIGINT) AS d11 FROM s${ax}_$t s JOIN a1f a ON a.i = s.i), " +
+        s"o${ax}_$t AS (SELECT i, w - (CASE WHEN p < 0 THEN -((-p) // 524288) ELSE p // 524288 END) AS w " +
+        s"FROM (SELECT s.i, s.w, CASE WHEN d11 = 0 THEN 0 ELSE " +
+        "(CASE WHEN dw < 0 THEN -((-dw) * 524288 // d11) ELSE (dw * 524288) // d11 END) * a.v END AS p " +
+        s"FROM s${ax}_$t s JOIN a1f a ON a.i = s.i, g${ax}_$t))"
+    base + orthCtes +
+      s", n${ax}_$t AS (SELECT ${graft.ops.Exact.isqrtSql("n2")} AS r " +
+      s"FROM (SELECT CAST(sum(w*w) AS BIGINT) AS n2 FROM $pre)), " +
+      s"v${ax}_$t AS MATERIALIZED (SELECT i, CASE WHEN r = 0 THEN w " +
+      s"WHEN w < 0 THEN -((-w) * 1000000 // r) ELSE w * 1000000 // r END AS v FROM $pre, n${ax}_$t)"
+  }
+
+  /** The full q202 oracle: quantize → truncated-mean center → HUGEINT
+    * scatter → uniform downscale → `iters` fixed-point rounds per axis
+    * (axis 2 deflated against the pinned axis 1) → sign pins → exact
+    * integer projections. Replays [[SimilarityPipeline.pcaProjectFp]]
+    * verbatim.
+    */
+  private def q202OracleSql(iters: Int): String = {
+    val rounds1 = (1 to iters).map(t => pcaRoundCtes(1, t, orth = false)).mkString(", ")
+    val rounds2 = (1 to iters).map(t => pcaRoundCtes(2, t, orth = true)).mkString(", ")
+    s"WITH fp AS MATERIALIZED (SELECT vec_id, list_transform(embedding, " +
+      s"x -> CAST(round(CAST(x AS DOUBLE) * $Q29Scale) AS BIGINT)) AS q FROM embeddings), " +
+      "el AS (SELECT vec_id, i-1 AS i, q[i] AS x FROM fp, " +
+      "LATERAL (SELECT unnest(generate_series(1, len(q))) AS i) t), " +
+      "mn AS (SELECT i, CASE WHEN s < 0 THEN -((-s) // n) ELSE s // n END AS m " +
+      "FROM (SELECT i, CAST(sum(x) AS BIGINT) AS s, count(*) AS n FROM el GROUP BY 1)), " +
+      "ce AS MATERIALIZED (SELECT e.vec_id, e.i, e.x - m.m AS x FROM el e JOIN mn m ON m.i = e.i), " +
+      "a0 AS MATERIALIZED (SELECT e1.i AS i, e2.i AS j, " +
+      "CAST(sum(CAST(e1.x AS HUGEINT) * e2.x) AS HUGEINT) AS a0 " +
+      "FROM ce e1 JOIN ce e2 ON e1.vec_id = e2.vec_id GROUP BY 1, 2), " +
+      "da AS (SELECT (max(abs(a0)) // 60000000000) + 1 AS d FROM a0), " +
+      "ap AS MATERIALIZED (SELECT i, j, CAST(CASE WHEN a0 < 0 THEN -((-a0) // d) " +
+      "ELSE a0 // d END AS BIGINT) AS a FROM a0, da), " +
+      "dg AS (SELECT i, a FROM ap WHERE i = j), " +
+      "k1 AS (SELECT i AS k FROM dg ORDER BY a DESC, i LIMIT 1), " +
+      "v1_0 AS (SELECT DISTINCT i, CASE WHEN i = (SELECT k FROM k1) THEN 1000000 ELSE 0 END AS v FROM ap), " +
+      rounds1 + ", " +
+      s"sg1 AS (SELECT CASE WHEN sum(v) >= 0 THEN 1 ELSE -1 END AS sg FROM v1_$iters), " +
+      s"a1f AS MATERIALIZED (SELECT i, v * sg AS v FROM v1_$iters, sg1), " +
+      "k2 AS (SELECT i AS k FROM dg WHERE i <> (SELECT k FROM k1) ORDER BY a DESC, i LIMIT 1), " +
+      "v2_0 AS (SELECT DISTINCT i, CASE WHEN i = (SELECT k FROM k2) THEN 1000000 ELSE 0 END AS v FROM ap), " +
+      rounds2 + ", " +
+      s"sg2 AS (SELECT CASE WHEN sum(v) >= 0 THEN 1 ELSE -1 END AS sg FROM v2_$iters), " +
+      s"a2f AS MATERIALIZED (SELECT i, v * sg AS v FROM v2_$iters, sg2) " +
+      "SELECT c.vec_id, CAST(sum(c.x * a1.v) AS BIGINT) AS p1_fp, " +
+      "CAST(sum(c.x * a2.v) AS BIGINT) AS p2_fp " +
+      "FROM ce c JOIN a1f a1 ON a1.i = c.i JOIN a2f a2 ON a2.i = c.i " +
+      "GROUP BY 1 ORDER BY vec_id"
+  }
+
   // q202 — PCA projection of the embedding corpus onto its top-2
-  // principal axes (declarative power iteration + Hotelling
-  // deflation, [[SimilarityPipeline.pcaProject]]): the dimensionality
-  // reduction that fronts ANN at scale. The corpus is touched twice
-  // (covariance pass, projection pass); everything between runs on
-  // d-row / d²-row frames with localCheckpoint-pinned iterates — no
-  // driver collect anywhere. No oracle (iterative float math);
-  // properties pinned in SimilarityPipelineSpec: PC1 variance ≥ PC2
-  // variance ≥ best coordinate axis, axes unit-norm and orthogonal,
-  // deterministic across runs. Sign convention: axes are normalized
-  // to non-negative loading sum so the output is sign-stable.
+  // principal axes: the dimensionality reduction that fronts ANN at
+  // scale. The corpus is touched twice (scatter pass, projection
+  // pass); everything between runs on d-row / d²-row frames with
+  // pinned iterates — no driver collect anywhere.
+  //
+  // Oracle-checked since round 9 (was rows-only/float): the registered
+  // run is the FIXED-POINT form ([[SimilarityPipeline.pcaProjectFp]])
+  // — the q42 move applied to an EIGENVECTOR iteration. Quantization,
+  // truncated-mean centering, the exact integer scatter matrix
+  // (DECIMAL accumulate, uniform downscale), every power-iteration
+  // round (matvec → downscale → isqrt-normalize, axis 2 deflated
+  // against the pinned axis 1 at a 2¹⁹-scale truncated coefficient),
+  // sign pins, and the final projections are ALL integer decisions,
+  // replayed verbatim by materialized-round DuckDB CTEs. The float
+  // pcaProject/topTwoAxes stay the production form — variance
+  // dominance, orthogonality, determinism, and fp-vs-float axis
+  // agreement pinned in SimilarityPipelineSpec.
   val q202: QuerySpec = QuerySpec(
     "q202_pca_project",
     (s, d) =>
       SimilarityPipeline
-        .pcaProject(embeddings(s, d), iters = 15)
-        .select(col("vec_id"), round(col("p1"), 4).as("p1"), round(col("p2"), 4).as("p2"))
+        .pcaProjectFp(embeddings(s, d), iters = 8)
         .orderBy("vec_id"),
-    None, // iterative float math — rows-only; variance/orthogonality/determinism pinned in SimilarityPipelineSpec
+    Some(q202OracleSql(iters = 8)),
   )
 
   // ---------------------------------------------------------------------

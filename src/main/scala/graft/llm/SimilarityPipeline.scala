@@ -725,6 +725,193 @@ object SimilarityPipeline {
       .select(col("i"), (col("v1") * col("s1")).as("a1"), (col("v2") * col("s2")).as("a2"))
   }
 
+  // -------------------------------------------------------------------
+  // FIXED-POINT PCA (r9): the q42 move — define every decision of an
+  // iterative numeric algorithm over exact integers — applied to power
+  // iteration, which upgrades q202 from rows-only to a real DuckDB
+  // oracle. The float topTwoAxes/pcaProject above stay the production
+  // form; the spec pins fp-vs-float axis agreement on an anisotropic
+  // corpus.
+  //
+  // Integer-width plan (S = 1e7 quantization, CS = 1e6 axis scale,
+  // T = 5e5 per-round downscale target, dim 64; trunc division always
+  // via abs/negate so both engines agree):
+  //  - centered values |c| ≤ 2S; scatter entries |A₀| ≤ N·4e14 —
+  //    summed in DECIMAL(38,0)/HUGEINT, then uniformly downscaled by
+  //    D_A = (max|A₀| div 6e10)+1 so |A| ≤ 6e10 (int64 from here on);
+  //  - matvec |Σ A·v| ≤ 64·6e10·(CS+ε) < 3.9e18 < 2⁶³;
+  //  - per-round downscale to |w| ≤ T ⇒ ‖w‖ ≤ 4e6, norms ≤ 64·T² =
+  //    1.6e13 < 2⁵³ (Exact.isqrt domain), normalized |v| ≤ CS·(1+1/r);
+  //  - Gram–Schmidt at fixed-point scale 2¹⁹ = 524288 (the largest
+  //    that fits: worst-case |dotw| ≤ ‖w‖·‖a₁‖ ≤ 4e6·4e6 = 1.6e13 even
+  //    on the degenerate r=0 path, and 1.6e13·2¹⁹ = 8.4e18 < 2⁶³);
+  //    projection components ≤ ‖w‖ ≤ 4e6, the orthogonalized vector
+  //    stays ≤ 4.5e6 and its norm² ≤ 1.3e15 < 2⁵³. The coefficient
+  //    quantum leaves a parallel residual ≤ ‖a₁‖/2¹⁹ ≈ 2e-6 relative —
+  //    axis 2 is therefore the true second direction only when
+  //    λ₂/λ₁ ≫ 2e-6 (every realistic spectrum; the spec pins a 20×
+  //    fixture). Consumers needing a distance-contraction guarantee
+  //    fold the 2e-6 into their safety margin.
+  // Seeds are the argmax-diagonal coordinate axes (ties → lowest i;
+  // axis 2 excludes axis 1's seed) — deterministic, SQL-trivial, and
+  // aligned with the dominant directions. Zero matrices/vectors flow
+  // through as honest zeros (D = max div T + 1 ≥ 1; r = 0 keeps w).
+  // -------------------------------------------------------------------
+
+  private val FpDownscaleTarget = 500000L
+
+  /** One matvec round over the downscaled scatter frame `ap` (i, j, a). */
+  private def fpMatvec(ap: DataFrame, v: DataFrame): DataFrame =
+    ap.join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))), Seq("j"))
+      .groupBy("i")
+      .agg(sum(col("a") * col("vj")).as("w"))
+
+  /** Uniform downscale to |w| ≤ target: D = (max|w| div target) + 1. */
+  private def fpDownscale(w: DataFrame, target: Long): DataFrame = {
+    val mw = w.agg(max(abs(col("w"))).as("mw"))
+    w.crossJoin(broadcast(mw))
+      .select(col("i"),
+        (when(col("w") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr(s"abs(w) div ((mw div $target) + 1)")).as("w"))
+  }
+
+  /** isqrt normalization to centScale (the q42 centroid step). */
+  private def fpNormalize(w: DataFrame, centScale: Long): DataFrame = {
+    val r = w.agg(sum(col("w") * col("w")).as("n2"))
+      .select(graft.ops.Exact.isqrt(col("n2")).as("r"))
+    w.crossJoin(broadcast(r))
+      .select(col("i"),
+        when(col("r") === 0, col("w"))
+          .otherwise(
+            when(col("w") < 0, -expr(s"((-w) * $centScale) div r"))
+              .otherwise(expr(s"(w * $centScale) div r"))).as("v"))
+  }
+
+  /** Fixed-point Gram–Schmidt: w − round-toward-zero((dotw/d11)·a₁) at
+    * coefficient scale 2¹⁹ (see the width plan above).
+    */
+  private def fpOrth(w: DataFrame, axis1: DataFrame): DataFrame = {
+    val j = w.join(axis1.select(col("i"), col("v").as("a1c")), Seq("i"))
+    val anch = j.agg(
+      sum(col("w") * col("a1c")).as("dw"),
+      sum(col("a1c") * col("a1c")).as("d11"))
+    j.crossJoin(broadcast(anch))
+      .select(col("i"), col("w"),
+        when(col("d11") === 0, lit(0L))
+          .otherwise(
+            (when(col("dw") < 0, lit(-1L)).otherwise(lit(1L)) *
+              expr("(abs(dw) * 524288) div d11")) * col("a1c")).as("p"))
+      .select(col("i"),
+        (col("w") -
+          (when(col("p") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr("abs(p) div 524288"))).as("w"))
+  }
+
+  /** Sign pin: negate so the loading sum is non-negative (orientation
+    * stability, the same convention as the float axes).
+    */
+  private def fpSignPin(v: DataFrame): DataFrame = {
+    val s = v.agg(when(sum(col("v")) >= 0, lit(1L)).otherwise(lit(-1L)).as("sg"))
+    v.crossJoin(broadcast(s)).select(col("i"), (col("v") * col("sg")).as("v"))
+  }
+
+  /** Top-2 fixed-point axes of a pre-quantized corpus
+    * `fp = (vec_id, q: array<long>)`: truncated-mean centering, exact
+    * integer scatter matrix (DECIMAL accumulate, uniform downscale),
+    * `iters` exact power-iteration rounds per axis (axis 2
+    * orthogonalized against the FINAL axis 1 every round — deflation
+    * with a fixed pivot, so the axis-1 sequence is untouched), signs
+    * pinned. Returns the d-row (i, a1, a2) loading table, both at
+    * `centScale`. Every step replayable verbatim in DuckDB.
+    */
+  def topTwoAxesFp(fp: DataFrame, iters: Int = 8, centScale: Long = 1000000L): DataFrame = {
+    require(iters >= 1)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val el = fp.select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
+    val mean = el.groupBy("i")
+      .agg(sum("x").as("s"), count(lit(1)).as("n"))
+      .select(col("i"),
+        when(col("s") < 0, -expr("(-s) div n")).otherwise(expr("s div n")).as("m"))
+    val marr = mean.agg(
+      expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)").as("marr"))
+    val cfp = fp.crossJoin(broadcast(marr))
+      .select(col("vec_id"), zip_with(col("q"), col("marr"), (x, mm) => x - mm).as("c"))
+      .pinLineage()
+    // scatter matrix: double posexplode (generator-in-codegen, the
+    // covariance shape) with DECIMAL accumulation — the exchange
+    // carries d² rows per partition, never N·d² raw pairs
+    val a0 = cfp
+      .select(col("c"), posexplode(col("c")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("c")).as(Seq("j", "xj")))
+      .groupBy("i", "j")
+      .agg(sum((col("xi") * col("xj")).cast(dec38)).as("a0"))
+    val maxa = a0.agg(max(abs(col("a0"))).as("ma"))
+    val ap = a0.crossJoin(broadcast(maxa))
+      .select(col("i"), col("j"),
+        (when(col("a0") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("abs(a0) div ((ma div 60000000000) + 1)")).as("a"))
+      .coalesce(1) // d² rows — one task per loop stage (powerIteration's note)
+      .pinLineage()
+    val diag = ap.where(col("i") === col("j"))
+    def seedFrom(k: DataFrame): DataFrame =
+      ap.select(col("i")).distinct().crossJoin(broadcast(k))
+        .select(col("i"), when(col("i") === col("k"), lit(centScale)).otherwise(lit(0L)).as("v"))
+        .coalesce(1).pinLineage()
+    val k1 = diag.agg(max(struct(col("a"), (-col("i")).as("ni"))).as("b"))
+      .select((-col("b.ni")).cast("int").as("k"))
+    var v1 = seedFrom(k1)
+    for (_ <- 1 to iters)
+      v1 = fpNormalize(fpDownscale(fpMatvec(ap, v1), FpDownscaleTarget), centScale)
+        .coalesce(1).pinLineage()
+    val a1 = fpSignPin(v1).coalesce(1).pinLineage()
+    val k2 = diag.crossJoin(broadcast(k1.select(col("k").as("k1"))))
+      .where(col("i") =!= col("k1"))
+      .agg(max(struct(col("a"), (-col("i")).as("ni"))).as("b"))
+      .select((-col("b.ni")).cast("int").as("k"))
+    var v2 = seedFrom(k2)
+    for (_ <- 1 to iters)
+      v2 = fpNormalize(
+        fpOrth(fpDownscale(fpMatvec(ap, v2), FpDownscaleTarget), a1), centScale)
+        .coalesce(1).pinLineage()
+    val a2 = fpSignPin(v2)
+    a1.select(col("i"), col("v").as("a1"))
+      .join(a2.select(col("i"), col("v").as("a2")), Seq("i"))
+  }
+
+  /** Fixed-point PCA projection (q202's r9 form): quantize, learn the
+    * fixed-point top-2 axes, and project the CENTERED integer vectors
+    * onto them — output (vec_id, p1_fp, p2_fp) exact int64 at scale
+    * S·CS = 1e13 per unit² (|p| ≤ 64·2S·(CS+ε) ≈ 1.3e15). The whole
+    * chain — quantization, centering, scatter, every iteration,
+    * normalization, signs, projections — is integer-exact and
+    * hash-matches the DuckDB replay.
+    */
+  def pcaProjectFp(
+      corpus: DataFrame, iters: Int = 8,
+      scale: Long = 10000000L, centScale: Long = 1000000L): DataFrame = {
+    val fp = corpus
+      .select(col("vec_id"), VectorFunctions.quantizeFp(col("embedding"), scale).as("q"))
+      .pinLineage()
+    val el = fp.select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
+    val mean = el.groupBy("i")
+      .agg(sum("x").as("s"), count(lit(1)).as("n"))
+      .select(col("i"),
+        when(col("s") < 0, -expr("(-s) div n")).otherwise(expr("s div n")).as("m"))
+    val marr = mean.agg(
+      expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)").as("marr"))
+    val axes = topTwoAxesFp(fp, iters, centScale)
+    val a1arr = axes.agg(
+      expr("transform(array_sort(collect_list(struct(i, a1))), s -> s.a1)").as("a1arr"))
+    val a2arr = axes.agg(
+      expr("transform(array_sort(collect_list(struct(i, a2))), s -> s.a2)").as("a2arr"))
+    fp.crossJoin(broadcast(marr))
+      .crossJoin(broadcast(a1arr))
+      .crossJoin(broadcast(a2arr))
+      .select(col("vec_id"),
+        VectorFunctions.dotLong(zip_with(col("q"), col("marr"), (x, mm) => x - mm), col("a1arr")).as("p1_fp"),
+        VectorFunctions.dotLong(zip_with(col("q"), col("marr"), (x, mm) => x - mm), col("a2arr")).as("p2_fp"))
+  }
+
   /** Top-2 principal axes and the corpus projected onto them. Returns
     * (vec_id, p1, p2). The projection is one broadcast join of the
     * two d-row axes into the exploded corpus — the same shape as

@@ -289,6 +289,67 @@ class SimilarityPipelineSpec extends SparkSpec {
     assert(math.abs(cosU) > 0.99, s"PC1 must align with the planted direction, cos=$cosU")
   }
 
+  test("fixed-point PCA: axes agree with the planted directions and the float form, orthogonal, deterministic") {
+    // q202's r9 registered form, on a TWO-direction planted fixture
+    // with a ~20x eigenvalue ratio. (The single-direction fixture
+    // above has lambda2/lambda1 ~ 4e-7 — BELOW the documented 2e-6
+    // Gram-Schmidt coefficient quantum, so no fixed-point arithmetic
+    // of this width could recover its second axis; realistic spectra
+    // sit far above the quantum.)
+    val d0 = 8
+    val u = Array.tabulate(d0)(i => math.sin(i + 1.0))
+    val un = { val n = math.sqrt(u.map(x => x * x).sum); u.map(x => (x / n).toFloat) }
+    // second direction: orthogonalize cos(2i) against u
+    val w0 = Array.tabulate(d0)(i => math.cos(2.0 * (i + 1)))
+    val wOrth = {
+      val du = w0.zip(un).map { case (a, b) => a * b }.sum
+      val r = w0.zip(un).map { case (a, b) => a - du * b }
+      val n = math.sqrt(r.map(x => x * x).sum); r.map(x => (x / n).toFloat)
+    }
+    val fixture = (0 until 200).map { k =>
+      val t = (k % 41) - 20.0
+      val t2 = (((k * 7) % 29) - 14.0) * 0.35
+      val vec = Array.tabulate(d0)(i =>
+        (t * un(i) + t2 * wOrth(i) + 0.01 * math.cos(k * (i + 1))).toFloat)
+      (k.toLong, vec.toSeq)
+    }.toDF("vec_id", "embedding")
+    val fp = fixture.select(col("vec_id"),
+      graft.functions.VectorFunctions.quantizeFp(col("embedding"), 10000000L).as("q"))
+    def axes() = SimilarityPipeline.topTwoAxesFp(fp, iters = 8)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    val a = axes()
+    // deterministic (oracle replay depends on it)
+    assert(axes().toSeq == a.toSeq)
+    // axes align with BOTH planted directions at fp scale
+    val n1 = math.sqrt(a.map(r => r._2.toDouble * r._2).sum)
+    val cosU = a.map(_._2.toDouble / n1).zip(un).map { case (x, b) => x * b }.sum
+    assert(math.abs(cosU) > 0.99, s"fp PC1 must align with planted direction, cos=$cosU")
+    val n2 = math.sqrt(a.map(r => r._3.toDouble * r._3).sum)
+    val cosW = a.map(_._3.toDouble / n2).zip(wOrth).map { case (x, b) => x * b }.sum
+    assert(math.abs(cosW) > 0.95, s"fp PC2 must align with second planted direction, cos=$cosW")
+    // orthogonality within the documented 2^-19 coefficient quantum
+    val ortho = a.map(r => (r._2.toDouble / n1) * (r._3.toDouble / n2)).sum
+    assert(math.abs(ortho) < 2e-4, s"fp axes not orthogonal enough: $ortho")
+    // fp projections rank-agree with float projections on axis 1
+    val pFp = SimilarityPipeline.pcaProjectFp(fixture, iters = 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val pFl = SimilarityPipeline.pcaProject(fixture, iters = 20)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    val sgn = {
+      // sign conventions may differ between fp and float axes
+      val dot = pFp.map(_._2.toDouble).zip(pFl.map(_._2)).map { case (x, y) => x * y }.sum
+      if (dot >= 0) 1.0 else -1.0
+    }
+    val orderFp = pFp.sortBy(r => (sgn * r._2, r._1)).map(_._1).toSeq
+    val orderFl = pFl.sortBy(r => (r._2, r._1)).map(_._1).toSeq
+    // the planted spread along u is in integer steps of ~0.5 units —
+    // far past both forms' resolution, so the p1 ORDER must agree up
+    // to ties (same-t cohorts); compare the t-cohort sequences
+    def cohorts(ids: Seq[Long]): Seq[Long] = ids.map(_ % 41)
+    assert(cohorts(orderFp) == cohorts(orderFl),
+      "fp projection order diverged from float beyond tie cohorts")
+  }
+
   test("pcaProject: orthonormal axes and deterministic projections on the corpus") {
     import SimilarityPipeline.{covariance, pcaProject}
     val proj = pcaProject(emb, iters = 15).as[(Long, Double, Double)].collect()
