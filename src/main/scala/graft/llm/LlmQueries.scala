@@ -966,18 +966,18 @@ object LlmQueries {
       s"WHEN w < 0 THEN -((-w) * 1000000 // r) ELSE w * 1000000 // r END AS v FROM $pre, n${ax}_$t)"
   }
 
-  /** The full q202 oracle: quantize → truncated-mean center → HUGEINT
+  /** The fixed-point axes chain FROM an existing `fp` CTE
+    * (vec_id, q: list<bigint>): truncated-mean center → HUGEINT
     * scatter → uniform downscale → `iters` fixed-point rounds per axis
-    * (axis 2 deflated against the pinned axis 1) → sign pins → exact
-    * integer projections. Replays [[SimilarityPipeline.pcaProjectFp]]
-    * verbatim.
+    * (axis 2 deflated against the pinned axis 1) → sign pins. Leaves
+    * `ce` (centered elements), `a1f`, `a2f` in scope — shared by the
+    * q202 (projection) and q224 (grid) oracles so the PCA replay can
+    * never fork between them.
     */
-  private def q202OracleSql(iters: Int): String = {
+  private def pcaAxesCtes(iters: Int): String = {
     val rounds1 = (1 to iters).map(t => pcaRoundCtes(1, t, orth = false)).mkString(", ")
     val rounds2 = (1 to iters).map(t => pcaRoundCtes(2, t, orth = true)).mkString(", ")
-    s"WITH fp AS MATERIALIZED (SELECT vec_id, list_transform(embedding, " +
-      s"x -> CAST(round(CAST(x AS DOUBLE) * $Q29Scale) AS BIGINT)) AS q FROM embeddings), " +
-      "el AS (SELECT vec_id, i-1 AS i, q[i] AS x FROM fp, " +
+    "el AS (SELECT vec_id, i-1 AS i, q[i] AS x FROM fp, " +
       "LATERAL (SELECT unnest(generate_series(1, len(q))) AS i) t), " +
       "mn AS (SELECT i, CASE WHEN s < 0 THEN -((-s) // n) ELSE s // n END AS m " +
       "FROM (SELECT i, CAST(sum(x) AS BIGINT) AS s, count(*) AS n FROM el GROUP BY 1)), " +
@@ -998,12 +998,20 @@ object LlmQueries {
       "v2_0 AS (SELECT DISTINCT i, CASE WHEN i = (SELECT k FROM k2) THEN 1000000 ELSE 0 END AS v FROM ap), " +
       rounds2 + ", " +
       s"sg2 AS (SELECT CASE WHEN sum(v) >= 0 THEN 1 ELSE -1 END AS sg FROM v2_$iters), " +
-      s"a2f AS MATERIALIZED (SELECT i, v * sg AS v FROM v2_$iters, sg2) " +
+      s"a2f AS MATERIALIZED (SELECT i, v * sg AS v FROM v2_$iters, sg2)"
+  }
+
+  /** The full q202 oracle: quantize + [[pcaAxesCtes]] + exact integer
+    * projections. Replays [[SimilarityPipeline.pcaProjectFp]] verbatim.
+    */
+  private def q202OracleSql(iters: Int): String =
+    s"WITH fp AS MATERIALIZED (SELECT vec_id, list_transform(embedding, " +
+      s"x -> CAST(round(CAST(x AS DOUBLE) * $Q29Scale) AS BIGINT)) AS q FROM embeddings), " +
+      pcaAxesCtes(iters) + " " +
       "SELECT c.vec_id, CAST(sum(c.x * a1.v) AS BIGINT) AS p1_fp, " +
       "CAST(sum(c.x * a2.v) AS BIGINT) AS p2_fp " +
       "FROM ce c JOIN a1f a1 ON a1.i = c.i JOIN a2f a2 ON a2.i = c.i " +
       "GROUP BY 1 ORDER BY vec_id"
-  }
 
   // q202 — PCA projection of the embedding corpus onto its top-2
   // principal axes: the dimensionality reduction that fronts ANN at
@@ -1134,6 +1142,86 @@ object LlmQueries {
     ),
   )
 
+  /** The full q224 oracle: raw fp + exact-isqrt normalization +
+    * [[pcaAxesCtes]] on the NORMALIZED corpus + fp projections → grid
+    * cells (inlined [[SimilarityPipeline.gridWidthFp]] width) →
+    * integer histogram decision → BOTH branches (grid 3×3 probe /
+    * renamed portable sign-LSH chain, both verified by the same
+    * cross-multiplied test on raw fp) → the decision picks. Replays
+    * [[SimilarityPipeline.adaptiveNearDupPairsFp]] verbatim, INCLUDING
+    * the physical-strategy choice.
+    */
+  private def q224OracleSql(iters: Int, tNum: Int, tDen: Int, budgetFactor: Int): String = {
+    val w = SimilarityPipeline.gridWidthFp(tNum, tDen)
+    val tn2 = tNum.toLong * tNum
+    val td2 = tDen.toLong * tDen
+    s"WITH fpr AS MATERIALIZED (SELECT vec_id, list_transform(embedding, " +
+      s"x -> CAST(round(CAST(x AS DOUBLE) * $Q29Scale) AS BIGINT)) AS q FROM embeddings), " +
+      s"nr AS (SELECT vec_id, ${graft.ops.Exact.isqrtSql("n2")} AS r " +
+      "FROM (SELECT vec_id, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM fpr)), " +
+      "fp AS MATERIALIZED (SELECT f.vec_id, list_transform(f.q, " +
+      s"x -> CASE WHEN r = 0 THEN x WHEN x < 0 THEN -((-x) * $Q29Scale // r) " +
+      s"ELSE (x * $Q29Scale) // r END) AS q FROM fpr f JOIN nr ON nr.vec_id = f.vec_id), " +
+      pcaAxesCtes(iters) + ", " +
+      // fp projections → downscale to p'-scale 1e6 → floor-div cells
+      "pj AS (SELECT c.vec_id, CAST(sum(c.x * a1.v) AS BIGINT) AS p1, " +
+      "CAST(sum(c.x * a2.v) AS BIGINT) AS p2 " +
+      "FROM ce c JOIN a1f a1 ON a1.i = c.i JOIN a2f a2 ON a2.i = c.i GROUP BY 1), " +
+      "pd AS (SELECT vec_id, " +
+      "CASE WHEN p1 < 0 THEN -((-p1) // 10000000) ELSE p1 // 10000000 END AS d1, " +
+      "CASE WHEN p2 < 0 THEN -((-p2) // 10000000) ELSE p2 // 10000000 END AS d2 FROM pj), " +
+      "cl AS MATERIALIZED (SELECT vec_id, " +
+      s"CASE WHEN d1 >= 0 THEN d1 // $w ELSE -(((-d1) + $w - 1) // $w) END AS cx, " +
+      s"CASE WHEN d2 >= 0 THEN d2 // $w ELSE -(((-d2) + $w - 1) // $w) END AS cy FROM pd), " +
+      "hist AS (SELECT cx, cy, count(*) AS hn FROM cl GROUP BY 1, 2), " +
+      "nv AS (SELECT count(*) AS n FROM cl), " +
+      "imp AS (SELECT (coalesce((SELECT sum(a.hn * b.hn) FROM hist a JOIN hist b " +
+      "ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1), 0) - n) // 2 " +
+      s"<= $budgetFactor * n AS grid_ok FROM nv), " +
+      // grid branch: 3×3 probe equijoin + exact verify on raw fp
+      "gprobe AS (SELECT vec_id, cx + dx AS cx, cy + dy AS cy FROM cl, " +
+      "(SELECT unnest(generate_series(-1, 1)) AS dx), " +
+      "(SELECT unnest(generate_series(-1, 1)) AS dy)), " +
+      "gcand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb FROM gprobe a " +
+      "JOIN cl b ON a.cx = b.cx AND a.cy = b.cy AND a.vec_id < b.vec_id), " +
+      "gver AS (SELECT va, vb, " +
+      "CAST(list_sum(list_transform(generate_series(1, len(fa.q)), i -> fa.q[i] * fb.q[i])) AS BIGINT) AS dot_fp, " +
+      "CAST(list_sum(list_transform(fa.q, x -> x * x)) AS BIGINT) AS na, " +
+      "CAST(list_sum(list_transform(fb.q, x -> x * x)) AS BIGINT) AS nb2 " +
+      "FROM gcand JOIN fpr fa ON fa.vec_id = va JOIN fpr fb ON fb.vec_id = vb), " +
+      "gout AS (SELECT va, vb, dot_fp, " +
+      "CAST((CAST(dot_fp AS HUGEINT) * dot_fp * 10000) // (CAST(na AS HUGEINT) * nb2) AS BIGINT) AS cos2_bp " +
+      s"FROM gver WHERE dot_fp >= 0 AND CAST(dot_fp AS HUGEINT) * dot_fp * $td2 >= $tn2 * CAST(na AS HUGEINT) * nb2), " +
+      // fallback branch: the q38 portable chain, renamed onto fpr
+      "bits AS (SELECT COALESCE((SELECT max(k) FROM (SELECT unnest(generate_series(1, 16)) AS k), " +
+      "(SELECT count(*) AS n FROM embeddings) " +
+      "WHERE CAST(n AS HUGEINT) * n >= 4096 * (CAST(1 AS HUGEINT) << (2*k - 1))), 1) AS nb), " +
+      "planes AS (SELECT p, i, CASE WHEN substr(md5('plane:'||p||':'||i),1,1) <= '7' THEN 1 ELSE -1 END AS s " +
+      "FROM (SELECT unnest(generate_series(0, (SELECT nb FROM bits)-1)) AS p), " +
+      "(SELECT unnest(generate_series(0, 63)) AS i)), " +
+      "el2 AS (SELECT vec_id, i-1 AS i, q[i] AS qi FROM fpr, " +
+      "LATERAL (SELECT unnest(generate_series(1, len(q))) AS i) t), " +
+      "cellbit AS (SELECT e.vec_id, pl.p, CASE WHEN sum(pl.s * e.qi) >= 0 THEN (1::BIGINT << pl.p) ELSE 0 END AS bit " +
+      "FROM el2 e JOIN planes pl ON pl.i = e.i GROUP BY 1, 2), " +
+      "cells2 AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS cell FROM cellbit GROUP BY 1), " +
+      "banded AS (SELECT c.vec_id, b AS m, c.cell & ~(1::BIGINT << b) AS key " +
+      "FROM cells2 c, LATERAL (SELECT unnest(generate_series(0, (SELECT nb FROM bits)-1)) AS b) t), " +
+      "lcand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb " +
+      "FROM banded a JOIN banded b ON a.m = b.m AND a.key = b.key AND a.vec_id < b.vec_id), " +
+      "lver AS (SELECT va, vb, " +
+      "CAST(list_sum(list_transform(generate_series(1, len(fa.q)), i -> fa.q[i] * fb.q[i])) AS BIGINT) AS dot_fp, " +
+      "CAST(list_sum(list_transform(fa.q, x -> x * x)) AS BIGINT) AS na, " +
+      "CAST(list_sum(list_transform(fb.q, x -> x * x)) AS BIGINT) AS nb2 " +
+      "FROM lcand JOIN fpr fa ON fa.vec_id = va JOIN fpr fb ON fb.vec_id = vb), " +
+      "lout AS (SELECT va, vb, dot_fp, " +
+      "CAST((CAST(dot_fp AS HUGEINT) * dot_fp * 10000) // (CAST(na AS HUGEINT) * nb2) AS BIGINT) AS cos2_bp " +
+      s"FROM lver WHERE dot_fp >= 0 AND CAST(dot_fp AS HUGEINT) * dot_fp * $td2 >= $tn2 * CAST(na AS HUGEINT) * nb2) " +
+      // the replayed DECISION picks the branch
+      "SELECT va, vb, dot_fp, cos2_bp FROM gout WHERE (SELECT grid_ok FROM imp) " +
+      "UNION ALL SELECT va, vb, dot_fp, cos2_bp FROM lout WHERE NOT (SELECT grid_ok FROM imp) " +
+      "ORDER BY va, vb"
+  }
+
   // q224 — semantic near-dup pairs via LOSSLESS PCA-grid blocking:
   // reduce (normalized) embeddings to the learned top-2 axes (q202's
   // machinery), grid-bucket at cell width √(2(1−t)), probe the 3×3
@@ -1162,17 +1250,28 @@ object LlmQueries {
   // points. Axes are explicitly Gram–Schmidt-orthogonalized, so the
   // contraction guarantee holds for any iteration count.
   //
-  // Rows-only (float scores); lossless recall, planted-envelope
-  // detection, branch choice (plan-pinned), rail boundary, and
-  // corpus-emptiness properties in SimilarityPipelineSpec.
+  // Oracle-checked since round 9 (was rows-only): the registered run
+  // is the FIXED-POINT adaptive cascade
+  // (SimilarityPipeline.adaptiveNearDupPairsFp) — exact-isqrt
+  // normalization, the q202 fixed-point axes, integer projections and
+  // grid cells (CEILING width + documented safety margin preserves the
+  // contraction-losslessness direction under the fixed-point error
+  // budget), an integer cell-histogram decision, and the t = 4/5
+  // threshold cross-multiplied on BOTH branches — so the oracle
+  // replays the whole operator INCLUDING its physical-strategy choice
+  // (on this isotropic corpus: the sign-LSH branch, whose honest
+  // answer at t = 4/5 is empty — the oracle computes the same branch
+  // and the same empty set). The float adaptiveNearDupPairs stays the
+  // production form; lossless recall, planted-envelope detection,
+  // branch choice (both forms), rail boundary, and corpus-emptiness
+  // properties in SimilarityPipelineSpec.
   val q224: QuerySpec = QuerySpec(
     "q224_pca_grid_near_dup",
     (s, d) =>
       SimilarityPipeline
-        .adaptiveNearDupPairs(embeddings(s, d), threshold = 0.8, iters = 6)
-        .select(col("va"), col("vb"), round(col("cos"), 4).as("cos"))
+        .adaptiveNearDupPairsFp(embeddings(s, d), tNum = 4, tDen = 5, iters = 6)
         .orderBy("va", "vb"),
-    None,
+    Some(q224OracleSql(iters = 6, tNum = 4, tDen = 5, budgetFactor = 8)),
   )
 
   // q218 — int8-quantization recall audit: quantize every embedding to

@@ -878,20 +878,12 @@ object SimilarityPipeline {
       .join(a2.select(col("i"), col("v").as("a2")), Seq("i"))
   }
 
-  /** Fixed-point PCA projection (q202's r9 form): quantize, learn the
-    * fixed-point top-2 axes, and project the CENTERED integer vectors
-    * onto them — output (vec_id, p1_fp, p2_fp) exact int64 at scale
-    * S·CS = 1e13 per unit² (|p| ≤ 64·2S·(CS+ε) ≈ 1.3e15). The whole
-    * chain — quantization, centering, scatter, every iteration,
-    * normalization, signs, projections — is integer-exact and
-    * hash-matches the DuckDB replay.
+  /** Exact integer projections of a pre-quantized corpus onto fp axes:
+    * center on the truncated integer means, dot against both axes —
+    * (vec_id, p1_fp, p2_fp) at scale S·CS per unit²
+    * (|p| ≤ 64·2S·(CS+ε) ≈ 1.3e15, int64-exact).
     */
-  def pcaProjectFp(
-      corpus: DataFrame, iters: Int = 8,
-      scale: Long = 10000000L, centScale: Long = 1000000L): DataFrame = {
-    val fp = corpus
-      .select(col("vec_id"), VectorFunctions.quantizeFp(col("embedding"), scale).as("q"))
-      .pinLineage()
+  def projectFpOnAxes(fp: DataFrame, axes: DataFrame): DataFrame = {
     val el = fp.select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
     val mean = el.groupBy("i")
       .agg(sum("x").as("s"), count(lit(1)).as("n"))
@@ -899,7 +891,6 @@ object SimilarityPipeline {
         when(col("s") < 0, -expr("(-s) div n")).otherwise(expr("s div n")).as("m"))
     val marr = mean.agg(
       expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)").as("marr"))
-    val axes = topTwoAxesFp(fp, iters, centScale)
     val a1arr = axes.agg(
       expr("transform(array_sort(collect_list(struct(i, a1))), s -> s.a1)").as("a1arr"))
     val a2arr = axes.agg(
@@ -910,6 +901,150 @@ object SimilarityPipeline {
       .select(col("vec_id"),
         VectorFunctions.dotLong(zip_with(col("q"), col("marr"), (x, mm) => x - mm), col("a1arr")).as("p1_fp"),
         VectorFunctions.dotLong(zip_with(col("q"), col("marr"), (x, mm) => x - mm), col("a2arr")).as("p2_fp"))
+  }
+
+  /** Fixed-point PCA projection (q202's r9 form): quantize, learn the
+    * fixed-point top-2 axes, and project — every step integer-exact
+    * and hash-matched by the DuckDB replay.
+    */
+  def pcaProjectFp(
+      corpus: DataFrame, iters: Int = 8,
+      scale: Long = 10000000L, centScale: Long = 1000000L): DataFrame = {
+    val fp = corpus
+      .select(col("vec_id"), VectorFunctions.quantizeFp(col("embedding"), scale).as("q"))
+      .pinLineage()
+    projectFpOnAxes(fp, topTwoAxesFp(fp, iters, centScale))
+  }
+
+  /** Exact-isqrt L2 normalization of a quantized corpus: each
+    * component sign·((|x|·scale) div ⌊‖q‖⌋) — unit vectors at scale S,
+    * zero vectors pass through. Near-unit inputs keep |x·scale| ≤ 1e14
+    * (the Q29Scale precondition); ‖q‖² ≤ 64·S² < 2⁵³ = isqrt's domain.
+    */
+  def l2NormalizeFp(fp: DataFrame, scale: Long = 10000000L): DataFrame = {
+    val norms = fp.select(col("vec_id"),
+      graft.ops.Exact.isqrt(VectorFunctions.dotLong(col("q"), col("q"))).as("r"))
+    fp.select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
+      .join(norms, "vec_id")
+      .select(col("vec_id"), col("i"),
+        when(col("r") === 0, col("x"))
+          .otherwise(
+            when(col("x") < 0, -expr(s"((-x) * $scale) div r"))
+              .otherwise(expr(s"(x * $scale) div r"))).as("x"))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("i"), col("x")))).as("ix"))
+      .select(col("vec_id"), transform(col("ix"), s => s.getField("x")).as("q"))
+  }
+
+  /** The fixed-point grid cell width for threshold tn/td at p'-scale
+    * CS (1e6 = one unit of projected distance): ceiling-isqrt of
+    * 2(1−t)·CS² — CEILING, not floor: wider cells keep the
+    * contraction-losslessness direction — plus a 1/1024 + 8-quantum
+    * safety margin that dominates every fixed-point error source
+    * (axis-norm quantum ~2e-6, qn rounding, projection truncation).
+    */
+  def gridWidthFp(tNum: Int, tDen: Int): Long = {
+    val w0 = graft.ops.Exact.isqrtLong(2L * (tDen - tNum) * 1000000000000L / tDen) + 1
+    w0 + w0 / 1024 + 8
+  }
+
+  /** Fixed-point grid cells: projections downscaled to p'-scale 1e6
+    * (sign-split truncation), FLOOR-divided by the cell width (floor,
+    * not trunc — negative coordinates must not fold onto cell 0).
+    */
+  def gridCellsFp(fp: DataFrame, axes: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    val w = gridWidthFp(tNum, tDen)
+    projectFpOnAxes(fp, axes)
+      .select(col("vec_id"),
+        when(col("p1_fp") < 0, -expr("(-p1_fp) div 10000000"))
+          .otherwise(expr("p1_fp div 10000000")).as("d1"),
+        when(col("p2_fp") < 0, -expr("(-p2_fp) div 10000000"))
+          .otherwise(expr("p2_fp div 10000000")).as("d2"))
+      .select(col("vec_id"),
+        when(col("d1") >= 0, expr(s"d1 div $w"))
+          .otherwise(-expr(s"((-d1) + $w - 1) div $w")).as("cx"),
+        when(col("d2") >= 0, expr(s"d2 div $w"))
+          .otherwise(-expr(s"((-d2) + $w - 1) div $w")).as("cy"))
+  }
+
+  /** [[gridImpliedCandidates]] for the fp cells (same histogram-only
+    * statistic; integer arithmetic end to end).
+    */
+  def gridImpliedCandidatesFp(cells: DataFrame): Long = {
+    val hist = cells.groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+    val ordered = hist.as("a")
+      .join(hist.as("b"),
+        abs(col("a.cx") - col("b.cx")) <= 1 && abs(col("a.cy") - col("b.cy")) <= 1)
+      .agg(coalesce(sum(col("a.n") * col("b.n")), lit(0L)).cast("long"))
+      .head().getLong(0)
+    val n = cells.count()
+    (ordered - n) / 2
+  }
+
+  /** Grid-branch pairs under the exact integer threshold: 3×3 probe
+    * equijoin on the fp cells, verify d ≥ 0 ∧ td²·d² ≥ tn²·nₐ·n_b on
+    * RAW fp vectors (same test as the sign-LSH branch, so both
+    * branches emit identical values for identical pairs). Output
+    * (va, vb, dot_fp, cos2_bp) — all int64.
+    */
+  private def gridPairsFp(fpRaw: DataFrame, cells: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    val probes = cells.select(
+      col("vec_id"),
+      explode(expr("flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), dy -> struct(cx + dx AS cx, cy + dy AS cy))))"))
+        .as("cell"))
+      .select(col("vec_id"), col("cell.cx").as("cx"), col("cell.cy").as("cy"))
+    val cand = probes.as("a")
+      .join(cells.as("b"),
+        col("a.cx") === col("b.cx") && col("a.cy") === col("b.cy") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct() // near-boundary pairs can meet in 2 probe windows
+    cand
+      .join(fpRaw.select(col("vec_id").as("va"), col("q").as("qa")), Seq("va"))
+      .join(fpRaw.select(col("vec_id").as("vb"), col("q").as("qb")), Seq("vb"))
+      .select(col("va"), col("vb"),
+        VectorFunctions.dotLong(col("qa"), col("qb")).as("dot_fp"),
+        VectorFunctions.dotLong(col("qa"), col("qa")).as("na"),
+        VectorFunctions.dotLong(col("qb"), col("qb")).as("nb"))
+      .where(col("dot_fp") >= 0 &&
+        expr(s"cast(dot_fp as decimal(38,0)) * dot_fp * ${tDen.toLong * tDen} >= " +
+          s"cast(na as decimal(38,0)) * nb * ${tNum.toLong * tNum}"))
+      .select(col("va"), col("vb"), col("dot_fp"),
+        expr("(cast(dot_fp as decimal(38,0)) * dot_fp * 10000) div (cast(na as decimal(38,0)) * nb)")
+          .as("cos2_bp"))
+  }
+
+  /** FIXED-POINT adaptive near-dup (q224's r9 form): the same physical
+    * strategy choice as [[adaptiveNearDupPairs]] — lossless PCA-grid
+    * when the cell histogram implies ≤ budgetFactor·N candidates,
+    * linear sign-LSH + exact verify otherwise — with EVERY decision
+    * integer-exact: fp normalization ([[l2NormalizeFp]]), fp axes
+    * ([[topTwoAxesFp]]), fp projections/cells (ceiling width +
+    * documented safety margin keeps the grid branch lossless under
+    * the fixed-point error budget), an integer histogram decision,
+    * and the cross-multiplied threshold on both branches. Both
+    * branches and the CHOICE replay verbatim in DuckDB — an adaptive
+    * operator whose whole planning is oracle-checkable.
+    */
+  def adaptiveNearDupPairsFp(
+      corpus: DataFrame,
+      tNum: Int, tDen: Int,
+      iters: Int = 6,
+      budgetFactor: Int = 8,
+      scale: Long = 10000000L): DataFrame = {
+    require(tNum > 0 && tDen > 0 && 9L * tNum >= 7L * tDen,
+      s"adaptive near-dup needs threshold >= 7/9 (got $tNum/$tDen): below it the 3x3" +
+        " probe cannot thin ANY corpus and grid applicability is moot")
+    val n = corpus.count()
+    val fpRaw = corpus
+      .select(col("vec_id"), VectorFunctions.quantizeFp(col("embedding"), scale).as("q"))
+      .pinLineage()
+    val fpNorm = l2NormalizeFp(fpRaw, scale).pinLineage()
+    val cells = gridCellsFp(fpNorm, topTwoAxesFp(fpNorm, iters), tNum, tDen)
+      .pinLineage() // the index artifact: N×3, read by histogram + join
+    if (gridImpliedCandidatesFp(cells) <= budgetFactor.toLong * n)
+      gridPairsFp(fpRaw, cells, tNum, tDen)
+    else annNearDupPairsPortable(corpus, tNum, tDen, cellBits(n))
   }
 
   /** Top-2 principal axes and the corpus projected onto them. Returns

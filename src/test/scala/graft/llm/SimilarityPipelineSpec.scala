@@ -505,6 +505,64 @@ class SimilarityPipelineSpec extends SparkSpec {
     assert(SimilarityPipeline.gridImpliedCandidates(projC) > 8.0 * n)
   }
 
+  test("q224 fp form: planted corpus takes the GRID branch losslessly; registered corpus takes the fallback — the whole decision integer-exact") {
+    // mirrors the float adaptive test for adaptiveNearDupPairsFp (the
+    // r9 registered form): same planted-anisotropy fixture, the exact
+    // integer threshold t = 4/5, and the integer histogram decision
+    val dim = 64
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val bases = Array.fill(10)(unit())
+    val planted = bases.zipWithIndex.flatMap { case (b, k) =>
+      val self = Seq((k.toLong, b.map(_.toFloat).toSeq))
+      if (k < 4) {
+        val p = unit()
+        val d = b.zip(p).map { case (x, y) => x * y }.sum
+        val r = b.zip(p).map { case (x, y) => y - d * x }
+        val rn = math.sqrt(r.map(x => x * x).sum)
+        val mix = b.zip(r).map { case (x, y) => 0.9 * x + math.sqrt(1 - 0.81) * y / rn }
+        self :+ ((100L + k, mix.map(_.toFloat).toSeq))
+      } else self
+    }
+    val dir = java.nio.file.Files.createTempDirectory("q224fp").toString
+    planted.toSeq.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val corpus = graft.ops.Tables.embeddings(spark, dir)
+    val fpPlanted = SimilarityPipeline.adaptiveNearDupPairsFp(corpus, tNum = 4, tDen = 5, iters = 6)
+    // branch pin: grid (the 3×3 probe explode is in the plan)
+    assert(fpPlanted.queryExecution.analyzed.toString.contains("sequence(-1, 1"),
+      "planted anisotropic corpus should take the lossless GRID branch (fp)")
+    val rows = fpPlanted.as[(Long, Long, Long, Long)].collect()
+    val e2 = corpus.select(col("vec_id"), col("embedding"))
+    val truth = e2.as("a").join(e2.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        graft.functions.VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .where(col("c") >= 0.8).as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2)).toSet
+    assert(truth.size == 4)
+    assert(rows.map(r => (r._1, r._2)).toSet == truth,
+      s"fp grid-branch blocking missed pairs: ${truth -- rows.map(r => (r._1, r._2)).toSet}")
+    // exact threshold semantics: every emitted cos2_bp ≥ t²·10⁴ = 6400
+    assert(rows.forall(_._4 >= 6400L), s"cos2_bp below threshold: ${rows.mkString(",")}")
+    // the registered corpus run takes the FALLBACK branch and its
+    // empty answer is brute-force-correct (pinned by the float test)
+    val fpCorpus = SimilarityPipeline.adaptiveNearDupPairsFp(emb, tNum = 4, tDen = 5, iters = 6)
+    assert(!fpCorpus.queryExecution.analyzed.toString.contains("sequence(-1, 1"),
+      "isotropic corpus should take the sign-LSH fallback branch (fp)")
+    assert(LlmQueries.q224.run(spark, sfDir).count() == 0)
+    // integer decision statistic agrees with the float one in kind:
+    // implied candidates on the isotropic corpus exceed the budget
+    val n = emb.count()
+    val fpN = SimilarityPipeline.l2NormalizeFp(
+      emb.select(col("vec_id"),
+        graft.functions.VectorFunctions.quantizeFp(col("embedding"), 10000000L).as("q")))
+    val cellsC = SimilarityPipeline.gridCellsFp(
+      fpN, SimilarityPipeline.topTwoAxesFp(fpN, 6), 4, 5)
+    assert(SimilarityPipeline.gridImpliedCandidatesFp(cellsC) > 8L * n)
+  }
+
   test("pcaGridNearDupPairs survives a rank-deficient corpus: exact duplicates still pair (the NaN guard)") {
     // 6 identical vectors + 2 mutually-orthogonal others: the
     // normalized corpus is (near-)rank-deficient, power iteration can
