@@ -1142,6 +1142,58 @@ object LlmQueries {
     ),
   )
 
+  // q258 — CAPPED hard-negative mining (r9): q217 with the candidate
+  // stage bounded per anchor. The 256× probe showed q217 going
+  // output-proportional when the negative band sits in the BULK of
+  // the cosine distribution (the rotation-decorrelated replica — true
+  // band mass quadratic); this registers the production lever: per
+  // anchor, only the first `cap` banded candidates in a portable
+  // md5-hash order (unbiased, deterministic, replayable) are ever
+  // exact-scored, so scoring/banding/ranking run on ≤ N·cap rows BY
+  // CONTRACT however dense the band — the deliberate recall trade a
+  // contrastive-training pipeline makes (it needs SOME hard negatives
+  // per anchor, never ALL of them). With cap ≥ the true fan-in the
+  // output EQUALS q217's (spec-pinned); the oracle replays the cap,
+  // the band, and the ranking exactly.
+  val q258: QuerySpec = QuerySpec(
+    "q258_hard_negatives_capped",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val bits = SimilarityPipeline.cellBits(emb.count())
+      SimilarityPipeline
+        .annHardNegativesCapped(emb, k = 2, loNum = 1, loDen = 5, hiNum = 3, hiDen = 5,
+          bits = bits, cap = 32)
+        .orderBy("anchor_id", "rank")
+    },
+    Some(
+      s"WITH $portableCellsCteSql, " +
+        "banded AS (SELECT c.vec_id, b AS m, c.cell & ~(1::BIGINT << b) AS key " +
+        "FROM cells c, LATERAL (SELECT unnest(generate_series(0, (SELECT nb FROM bits)-1)) AS b) t), " +
+        "candd AS (SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS negative_id " +
+        "FROM banded a JOIN banded b ON a.m = b.m AND a.key = b.key AND a.vec_id <> b.vec_id), " +
+        "capped AS (SELECT anchor_id, negative_id FROM (SELECT anchor_id, negative_id, " +
+        "row_number() OVER (PARTITION BY anchor_id ORDER BY " +
+        "md5('hn|' || CAST(anchor_id AS VARCHAR) || '|' || CAST(negative_id AS VARCHAR)), negative_id) AS rn " +
+        "FROM candd) WHERE rn <= 32), " +
+        "scored AS (SELECT anchor_id, negative_id, " +
+        "CAST(list_sum(list_transform(generate_series(1, len(fa.q)), i -> fa.q[i] * fb.q[i])) AS BIGINT) AS dot_fp, " +
+        "CAST(list_sum(list_transform(fa.q, x -> x * x)) AS BIGINT) AS na, " +
+        "CAST(list_sum(list_transform(fb.q, x -> x * x)) AS BIGINT) AS nb2 " +
+        "FROM capped JOIN fp fa ON fa.vec_id = anchor_id JOIN fp fb ON fb.vec_id = negative_id), " +
+        "band AS (SELECT * FROM scored WHERE dot_fp >= 0 " +
+        "AND CAST(dot_fp AS HUGEINT) * dot_fp * 25 >= CAST(na AS HUGEINT) * nb2 " +
+        "AND CAST(dot_fp AS HUGEINT) * dot_fp * 25 < 9 * CAST(na AS HUGEINT) * nb2), " +
+        "keyed AS (SELECT anchor_id, negative_id, dot_fp, " +
+        "(CAST(dot_fp AS HUGEINT) * dot_fp * 10000) // nb2 AS rank_fp, " +
+        "CAST((CAST(dot_fp AS HUGEINT) * dot_fp * 10000) // (CAST(na AS HUGEINT) * nb2) AS BIGINT) AS cos2_bp " +
+        "FROM band), " +
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY rank_fp DESC, negative_id) AS rank " +
+        "FROM keyed) " +
+        "SELECT anchor_id, CAST(rank AS BIGINT) AS rank, negative_id, dot_fp, cos2_bp " +
+        "FROM ranked WHERE rank <= 2 ORDER BY anchor_id, rank"
+    ),
+  )
+
   /** The full q224 oracle: raw fp + exact-isqrt normalization +
     * [[pcaAxesCtes]] on the NORMALIZED corpus + fp projections → grid
     * cells (inlined [[SimilarityPipeline.gridWidthFp]] width) →
@@ -1525,5 +1577,5 @@ object LlmQueries {
   val all: Seq[QuerySpec] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q55, q201, q202, q217, q218, q224,
-      q228, q229, q230, q252)
+      q228, q229, q230, q252, q258)
 }

@@ -570,6 +570,86 @@ object SimilarityPipeline {
         col("negative_id"), col("dot_fp"), col("cos2_bp"))
   }
 
+  /** Directed banded candidates under a DETERMINISTIC per-anchor cap:
+    * each vector's hamming-≤1 collision partners, ordered by a
+    * portable md5 key (unbiased with respect to ids and geometry —
+    * the q31 hash-order idiom) with negative_id as the total-order
+    * tie-break, truncated to `cap` per anchor. The cap is the r9
+    * answer to q217's 256× probe: on a corpus whose similarity band
+    * sits in the BULK of the cosine distribution, true band mass is
+    * quadratic and every surfaced pair must be exact-scored — the cap
+    * converts that to ≤ N·cap scored rows BY CONTRACT, trading recall
+    * the caller can see (the cap is part of the operator's name).
+    */
+  private[llm] def cappedDirectedCandidates(
+      corpus: DataFrame, bits: Int, cap: Int, dim: Int = 64): DataFrame = {
+    require(cap > 0)
+    val e = withCellsPortable(corpus, bits, dim).select(col("vec_id"), col("cell"))
+    val banded = e.select(
+      col("vec_id"),
+      explode(array((0 until bits).map(b =>
+        struct(lit(b).as("m"), col("cell").bitwiseAND(lit(~(1L << b))).as("key"))): _*)).as("bk"))
+      .select(col("vec_id"), col("bk.m").as("m"), col("bk.key").as("key"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("__h").asc, col("negative_id").asc)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.m") === col("b.m") && col("a.key") === col("b.key") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("anchor_id"), col("b.vec_id").as("negative_id"))
+      .distinct() // same-cell pairs collide on every masked key
+      .withColumn("__h",
+        md5(concat_ws("|", lit("hn"), col("anchor_id").cast("string"),
+          col("negative_id").cast("string"))))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= cap)
+      .select("anchor_id", "negative_id")
+  }
+
+  /** CAPPED hard-negative mining (q258): [[annHardNegativesPortable]]
+    * with the candidate stage bounded per anchor — exact scoring, the
+    * cross-multiplied band, and the q29 ranking all run on ≤ N·cap
+    * rows however dense the band is. With `cap` ≥ the true candidate
+    * fan-in the result EQUALS the uncapped operator (spec-pinned);
+    * below it, recall trades deterministically (md5 order — unbiased,
+    * replayable, and hash-matched by the oracle). Candidates are
+    * directed from the start (no mirror union): each anchor caps and
+    * ranks its OWN view of the band.
+    */
+  def annHardNegativesCapped(
+      corpus: DataFrame, k: Int,
+      loNum: Int, loDen: Int, hiNum: Int, hiDen: Int,
+      bits: Int, cap: Int, dim: Int = 64): DataFrame = {
+    require(loNum > 0 && loDen > 0 && hiNum > 0 && hiDen > 0 &&
+      loNum.toLong * hiDen < hiNum.toLong * loDen, "band must be 0 < lo < hi")
+    val S = graft.llm.LlmQueries.Q29Scale
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    val scored = cappedDirectedCandidates(corpus, bits, cap, dim)
+      .join(emb.select(col("vec_id").as("anchor_id"), col("embedding").as("ea")), Seq("anchor_id"))
+      .join(emb.select(col("vec_id").as("negative_id"), col("embedding").as("eb")), Seq("negative_id"))
+      .select(
+        col("anchor_id"), col("negative_id"),
+        VectorFunctions.dotFp(col("ea"), col("eb"), S).as("dot_fp"),
+        VectorFunctions.dotFp(col("ea"), col("ea"), S).as("na"),
+        VectorFunctions.dotFp(col("eb"), col("eb"), S).as("nb"))
+      .where(col("dot_fp") >= 0 &&
+        expr(s"cast(dot_fp as decimal(38,0)) * dot_fp * ${loDen.toLong * loDen} >= " +
+          s"cast(na as decimal(38,0)) * nb * ${loNum.toLong * loNum}") &&
+        expr(s"cast(dot_fp as decimal(38,0)) * dot_fp * ${hiDen.toLong * hiDen} < " +
+          s"cast(na as decimal(38,0)) * nb * ${hiNum.toLong * hiNum}"))
+      .select(
+        col("anchor_id"), col("negative_id"), col("dot_fp"),
+        expr("(cast(dot_fp as decimal(38,0)) * dot_fp * 10000) div nb").as("rank_fp"),
+        expr("(cast(dot_fp as decimal(38,0)) * dot_fp * 10000) div (cast(na as decimal(38,0)) * nb)")
+          .as("cos2_bp"))
+    val w = Window.partitionBy("anchor_id").orderBy(desc("rank_fp"), asc("negative_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("anchor_id"), col("rank").cast("long").as("rank"),
+        col("negative_id"), col("dot_fp"), col("cos2_bp"))
+  }
+
   // -------------------------------------------------------------------
   // PCA — the dimensionality reduction that fronts ANN at scale
   // (project 64-dim embeddings to a few principal axes before

@@ -261,6 +261,41 @@ class SimilarityPipelineSpec extends SparkSpec {
       s"fixed-point recall $rFp fell below float recall $rFl beyond one borderline neighbor")
   }
 
+  test("annHardNegativesCapped: huge cap reproduces q217 exactly; small cap bounds the scored frame and stays deterministic") {
+    val n = emb.count()
+    val bits = SimilarityPipeline.cellBits(n)
+    // cap ≥ any possible fan-in (N) ⇒ identical to the uncapped form
+    val uncapped = SimilarityPipeline
+      .annHardNegativesPortable(emb, k = 2, 1, 5, 3, 5, bits)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val wide = SimilarityPipeline
+      .annHardNegativesCapped(emb, k = 2, 1, 5, 3, 5, bits, cap = n.toInt)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(wide.toSeq == uncapped.toSeq,
+      "cap >= fan-in must reproduce the uncapped operator exactly")
+    // the work bound the cap exists for: the scored frame is <= N·cap
+    val cap = 8
+    val capped = SimilarityPipeline.cappedDirectedCandidates(emb, bits, cap)
+    val perAnchor = capped.groupBy("anchor_id").agg(count(lit(1)).as("c"))
+    assert(perAnchor.where(col("c") > cap).isEmpty, "cap violated")
+    assert(capped.count() <= cap * n)
+    // deterministic (the md5 order is a pure function of ids)
+    val o1 = SimilarityPipeline
+      .annHardNegativesCapped(emb, k = 2, 1, 5, 3, 5, bits, cap = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val o2 = SimilarityPipeline
+      .annHardNegativesCapped(emb, k = 2, 1, 5, 3, 5, bits, cap = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(o1.toSeq == o2.toSeq)
+    // subset pin: the capped candidate frame is a per-anchor PREFIX of
+    // the full directed banded candidate set (note the top-k OUTPUT is
+    // deliberately not a subset of the uncapped output — an anchor that
+    // lost its rank-1 negative to the cap promotes its rank-3, which is
+    // exactly the documented recall trade)
+    val allCand = SimilarityPipeline.cappedDirectedCandidates(emb, bits, n.toInt)
+    assert(capped.exceptAll(allCand).isEmpty)
+  }
+
   test("pcaProject: recovers a planted principal direction, 10x variance dominance") {
     // x = t·u + ε with u a fixed unit direction in 8-dim space and ε
     // tiny deterministic noise: PC1 must align with u and dominate.
