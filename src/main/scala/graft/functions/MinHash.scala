@@ -92,6 +92,17 @@ object MinHash {
   def portableHash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Top 48 bits of [[portableHash60]], via a bit shift (NOT `divide`
+    * — double division loses exactness above 2⁵³; the operand is
+    * non-negative so >>12 ≡ //4096). 48 bits because the KMV
+    * cardinality estimate (k−1)·2⁴⁸ div h₍ₖ₎ must keep its numerator
+    * inside int64 in EVERY engine (255·2⁴⁸ ≈ 7.2e16 < 2⁶³). DuckDB
+    * mirror: `CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) // 4096`.
+    * Used by the KMV sketches (graft.ops.SketchQueries,
+    * graft.streaming.StreamingKmvReach).
+    */
+  def portableHash48(c: Column): Column = shiftright(portableHash60(c), 12)
+
   /** Mersenne prime 2³¹−1: the Carter–Wegman modulus. 31 bits — not
     * 61 — deliberately: a,b,h mod p < 2³¹ keeps every product under
     * 2⁶² so BOTH engines evaluate (a·h + b) mod p in plain BIGINT

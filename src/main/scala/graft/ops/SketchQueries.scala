@@ -60,15 +60,7 @@ import org.apache.spark.sql.functions._
   */
 object SketchQueries {
   import Tables._
-  import graft.functions.MinHash.portableHash60
-
-  /** 48-bit portable hash: top 48 of the 60-bit md5 prefix, via a
-    * bit shift (NOT `divide`, which is double division and loses
-    * exactness above 2⁵³; the operand is non-negative so >>12 ≡
-    * //4096). DuckDB mirror:
-    * `CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) // 4096`.
-    */
-  private def hash48(c: Column): Column = shiftright(portableHash60(c), 12)
+  import graft.functions.MinHash.{portableHash48 => hash48, portableHash60}
 
   private val duckHash48 =
     "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT) // 4096"

@@ -48,5 +48,6 @@ class StreamingHeavyHittersRocksSpec extends StreamingHeavyHittersSpec with Rock
 class StreamingIncrementalDedupRocksSpec extends StreamingIncrementalDedupSpec with RocksDBState
 class StreamingNearDupLedgerRocksSpec extends StreamingNearDupLedgerSpec with RocksDBState
 class StreamingIngestRocksSpec extends StreamingIngestSpec with RocksDBState
+class StreamingKmvReachRocksSpec extends StreamingKmvReachSpec with RocksDBState
 class StreamingOpsRocksSpec extends StreamingOpsSpec with RocksDBState
 class StreamingScd2RocksSpec extends StreamingScd2Spec with RocksDBState
