@@ -592,10 +592,15 @@ object LlmQueries {
     * ranking. Every step replays [[SimilarityPipeline.kmeansTopKFp]]
     * verbatim over exact integers.
     */
-  private def q42OracleSql(iters: Int, nprobe: Int, k: Int, centScale: Long): String = {
+  /** The shared fixed-point k-means CTE chain (quantize → seed →
+    * `iters` Lloyd rounds → final assignment): yields `fp (vec_id, q)`
+    * and `af (vec_id, cell)`. The prefix of [[q42OracleSql]], factored
+    * so q259's semantic dedup replays the identical clustering.
+    */
+  private def kmeansAssignCteSql(iters: Int, centScale: Long): String = {
     val rounds = (1 to iters).map(t => q42RoundCtes(t, if (t == 1) "c0" else s"c${t - 1}", centScale))
     val fin = iters + 1 // final assignment round (assignment CTEs only)
-    s"WITH fp AS MATERIALIZED (SELECT vec_id, list_transform(embedding, " +
+    s"fp AS MATERIALIZED (SELECT vec_id, list_transform(embedding, " +
       s"x -> CAST(round(CAST(x AS DOUBLE) * $Q29Scale) AS BIGINT)) AS q FROM embeddings), " +
       // cells = max(2, isqrt(n) div 2), the exact-isqrt mirror of the
       // registration's driver-side Exact.isqrtLong
@@ -609,7 +614,11 @@ object LlmQueries {
       "CAST(list_sum(list_transform(generate_series(1, len(f.q)), i -> f.q[i] * c.cent[i])) AS BIGINT) AS dot " +
       s"FROM fp f CROSS JOIN c$iters c), " +
       s"af AS MATERIALIZED (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
-      s"row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rn FROM d$fin) WHERE rn = 1), " +
+      s"row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rn FROM d$fin) WHERE rn = 1)"
+  }
+
+  private def q42OracleSql(iters: Int, nprobe: Int, k: Int, centScale: Long): String = {
+    s"WITH ${kmeansAssignCteSql(iters, centScale)}, " +
       // query probes: nprobe best cells per query by the same int dot
       "qd AS (SELECT s.vec_id AS query_id, c.cell, s.q AS qq, " +
       "CAST(list_sum(list_transform(generate_series(1, len(s.q)), i -> s.q[i] * c.cent[i])) AS BIGINT) AS dot " +
@@ -1194,6 +1203,49 @@ object LlmQueries {
     ),
   )
 
+  // q259 — SEMANTIC dedup (r9): the SemDeDup recipe (cluster the
+  // embedding corpus, drop within-cluster pairs above a cosine
+  // threshold) as the semantic-axis member of the dedup family —
+  // q25 exact / q30 MinHash-lexical / q38 embedding-LSH / q252 pixel
+  // / THIS: embedding-cluster. Blocking is q42's fixed-point k-means
+  // (the IVF cells double as SemDeDup clusters — one clustering pays
+  // for both the ANN index and the dedup pass), the decision is the
+  // keep-first rule (drop v iff a lower-id cluster-mate sits at
+  // cos ≥ 3/10, witness = the minimal such mate), and every step —
+  // Lloyd rounds, assignment, the cross-multiplied threshold, the
+  // min-witness pick — is exact int64, so the oracle replays the whole
+  // pipeline (clustering INCLUDED) via the shared kmeans CTE chain.
+  // Intra-cell pairs only: Σ|cell|²/2 ≈ n^1.5 at q42's cell sizing,
+  // with the published 100 TB lever (cells ∝ n ⇒ constant cluster
+  // size ⇒ linear pair work) documented on the operator.
+  val q259: QuerySpec = QuerySpec(
+    "q259_semantic_dedup",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val cells = math.max(2L, graft.ops.Exact.isqrtLong(emb.count()) / 2).toInt
+      SimilarityPipeline
+        .semanticDedupFp(emb, cells = cells, tNum = 3, tDen = 10, iters = 2)
+        .orderBy("vec_id")
+    },
+    Some(
+      s"WITH ${kmeansAssignCteSql(iters = 2, centScale = 1000000L)}, " +
+        "pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.cell AS cell " +
+        "FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id), " +
+        "scored AS (SELECT va, vb, cell, " +
+        "CAST(list_sum(list_transform(generate_series(1, len(fa.q)), i -> fa.q[i] * fb.q[i])) AS BIGINT) AS dot_fp, " +
+        "CAST(list_sum(list_transform(fa.q, x -> x * x)) AS BIGINT) AS na, " +
+        "CAST(list_sum(list_transform(fb.q, x -> x * x)) AS BIGINT) AS nb2 " +
+        "FROM pairs JOIN fp fa ON fa.vec_id = va JOIN fp fb ON fb.vec_id = vb), " +
+        "dup AS (SELECT * FROM scored WHERE dot_fp >= 0 " +
+        "AND CAST(dot_fp AS HUGEINT) * dot_fp * 100 >= 9 * CAST(na AS HUGEINT) * nb2) " +
+        "SELECT vec_id, keeper, cell, cos2_bp FROM (SELECT vb AS vec_id, va AS keeper, " +
+        "CAST(cell AS BIGINT) AS cell, " +
+        "CAST((CAST(dot_fp AS HUGEINT) * dot_fp * 10000) // (CAST(na AS HUGEINT) * nb2) AS BIGINT) AS cos2_bp, " +
+        "row_number() OVER (PARTITION BY vb ORDER BY va) AS rn FROM dup) " +
+        "WHERE rn = 1 ORDER BY vec_id"
+    ),
+  )
+
   /** The full q224 oracle: raw fp + exact-isqrt normalization +
     * [[pcaAxesCtes]] on the NORMALIZED corpus + fp projections → grid
     * cells (inlined [[SimilarityPipeline.gridWidthFp]] width) →
@@ -1577,5 +1629,5 @@ object LlmQueries {
   val all: Seq[QuerySpec] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q55, q201, q202, q217, q218, q224,
-      q228, q229, q230, q252, q258)
+      q228, q229, q230, q252, q258, q259)
 }

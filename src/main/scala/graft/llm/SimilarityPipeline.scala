@@ -399,6 +399,63 @@ object SimilarityPipeline {
       .select("query_id", "vec_id", "rank_fp")
   }
 
+  /** SEMANTIC dedup under the fixed-point k-means quantizer (q259) —
+    * the SemDeDup recipe (Abbas et al. 2023, public): cluster the
+    * corpus, compare pairs INSIDE a cluster only, and drop every
+    * vector that has a lower-id cluster-mate at cosine ≥ tNum/tDen.
+    * q25/q30's keep-first rule extended to the SEMANTIC axis: the
+    * survivor set is {v : no u < v in v's cell with cos(u,v) ≥ τ},
+    * and the emitted rows are the DROPS, each with its minimal
+    * witness (`keeper` — which may itself be dropped through a chain,
+    * exactly like q30's pair list; survivors = anti-join on vec_id).
+    *
+    * Work bound: clustering is the once-per-corpus kmeans cost
+    * (n·cells integer dots per round, centroids broadcast); the pair
+    * stage touches INTRA-CELL pairs only — with cells ≈ isqrt(n)/2
+    * (q42's sizing) that is Σ|cell|²/2 ≈ n^1.5 in expectation, never
+    * n². At 100 TB the published lever is cells ∝ n (constant cluster
+    * size ⇒ LINEAR pair work) with the assignment itself going
+    * through the IVF probe (kmeansTopKFp's shape) instead of the
+    * dense broadcast — the decision rule below is unchanged by either
+    * swap. Every decision (Lloyd rounds, assignment, the
+    * cross-multiplied threshold d ≥ 0 ∧ d²·tDen² ≥ tNum²·nₐ·n_b, the
+    * min-witness pick) is exact int64/DECIMAL(38,0), so the whole
+    * operator hash-matches its DuckDB replay.
+    */
+  def semanticDedupFp(
+      corpus: DataFrame, cells: Int, tNum: Int, tDen: Int,
+      iters: Int = 2, scale: Long = 10000000L): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum < tDen, "threshold must be in (0,1)")
+    val fp = corpus
+      .select(col("vec_id"), VectorFunctions.quantizeFp(col("embedding"), scale).as("q"))
+      .pinLineage()
+    val cents = kmeansCentroidsFp(fp, cells, iters)
+    val assigned = fp.join(assignCellsFp(fp, cents), "vec_id")
+    val tn2 = tNum.toLong * tNum
+    val td2 = tDen.toLong * tDen
+    val dup = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("a.cell").as("cell"),
+        VectorFunctions.dotLong(col("a.q"), col("b.q")).as("dot_fp"),
+        VectorFunctions.dotLong(col("a.q"), col("a.q")).as("na"),
+        VectorFunctions.dotLong(col("b.q"), col("b.q")).as("nb"))
+      .where(col("dot_fp") >= 0 &&
+        expr(s"cast(dot_fp as decimal(38,0)) * dot_fp * $td2 >= " +
+          s"cast(na as decimal(38,0)) * nb * $tn2"))
+    // minimal witness per dropped vector — the per-vb frame is the
+    // (tiny) dup-pair set, never the corpus
+    val w = Window.partitionBy("vb").orderBy(asc("va"))
+    dup
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(
+        col("vb").as("vec_id"), col("va").as("keeper"), col("cell").cast("long").as("cell"),
+        expr("cast((cast(dot_fp as decimal(38,0)) * dot_fp * 10000) div " +
+          "(cast(na as decimal(38,0)) * nb) as bigint)").as("cos2_bp"))
+  }
+
   /** Near-dup pairs under the sign-LSH quantizer: candidates = pairs
     * whose cells agree on all bits or differ in exactly one (banded
     * join on each bit-masked key), then exact cosine ≥ `threshold`

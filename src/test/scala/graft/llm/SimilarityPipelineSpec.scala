@@ -296,6 +296,54 @@ class SimilarityPipelineSpec extends SparkSpec {
     assert(capped.exceptAll(allCand).isEmpty)
   }
 
+  test("semanticDedupFp: deterministic drops with minimal witnesses on a planted-cluster fixture") {
+    // x-family: v0 = x, v1 = x (identical), v2 ≈ x (cos ≈ 0.994);
+    // y-family: v3 = y, v4 = y; v5 = z. Seeds are v0/v1 — identical
+    // vectors, so round-1 assignment ties every vector into cell 0,
+    // cell 1 empties out, and the final clustering is the single cell:
+    // drops are exactly {v : ∃ u < v, cos ≥ 3/10} with minimal
+    // witnesses — v1←v0, v2←v0, v4←v3 (all cross-family cosines ≤ 0.12).
+    val s2 = 1.0 / math.sqrt(0.82)
+    def vec(x: Double, y: Double, z: Double): Seq[Float] =
+      Seq(x.toFloat, y.toFloat, z.toFloat, 0f)
+    val fx = Seq(
+      (0L, vec(1, 0, 0)), (1L, vec(1, 0, 0)), (2L, vec(0.9 * s2, 0.1 * s2, 0)),
+      (3L, vec(0, 1, 0)), (4L, vec(0, 1, 0)), (5L, vec(0, 0, 1)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityPipeline.semanticDedupFp(fx, cells = 2, tNum = 3, tDen = 10, iters = 2)
+      .orderBy("vec_id")
+      .as[(Long, Long, Long, Long)].collect()
+    // replicate the exact integer cos2_bp for the (0,2) pair
+    def q(v: Seq[Float]): Seq[Long] = v.map(x => math.round(x.toDouble * 10000000L))
+    def dot(a: Seq[Long], b: Seq[Long]): BigInt =
+      a.zip(b).map { case (x, y) => BigInt(x) * y }.sum
+    val (q0, q2) = (q(vec(1, 0, 0)), q(vec(0.9 * s2, 0.1 * s2, 0)))
+    val bp02 = (dot(q0, q2).pow(2) * 10000 / (dot(q0, q0) * dot(q2, q2))).toLong
+    assert(out.toSeq == Seq((1L, 0L, 0L, 10000L), (2L, 0L, 0L, bp02), (4L, 3L, 0L, 10000L)))
+    assert(bp02 >= 900, "planted near-dup must clear the cross-multiplied (3/10)^2 bar")
+  }
+
+  test("semanticDedupFp: corpus drops are same-cell, threshold-verified, keep-first and distinct") {
+    val cellsN = math.max(2L, graft.ops.Exact.isqrtLong(emb.count()) / 2).toInt
+    val out = SimilarityPipeline.semanticDedupFp(emb, cells = cellsN, tNum = 3, tDen = 10, iters = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // a dropped vector appears exactly once, always with a lower-id keeper
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.forall { case (v, k, _, _) => k < v })
+    // every emitted pair clears the float threshold (quantization at 1e7
+    // keeps the integer and float decisions within ~1e-6 of each other,
+    // and the fixture threshold is nowhere near that margin)
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    out.foreach { case (v, k, _, bp) =>
+      val (a, b) = (vecs(k), vecs(v))
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val cos = d / math.sqrt(a.map(x => x.toDouble * x).sum * b.map(x => x.toDouble * x).sum)
+      assert(cos >= 0.3 - 1e-4, s"drop ($v ← $k): cos $cos below threshold")
+      assert(math.abs(cos * cos * 10000 - bp) <= 1, s"drop ($v ← $k): cos2_bp $bp vs ${cos * cos * 10000}")
+    }
+  }
+
   test("pcaProject: recovers a planted principal direction, 10x variance dominance") {
     // x = t·u + ε with u a fixed unit direction in 8-dim space and ε
     // tiny deterministic noise: PC1 must align with u and dominate.
