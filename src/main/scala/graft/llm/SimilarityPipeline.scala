@@ -430,7 +430,10 @@ object SimilarityPipeline {
       .select(col("vec_id"), VectorFunctions.quantizeFp(col("embedding"), scale).as("q"))
       .pinLineage()
     val cents = kmeansCentroidsFp(fp, cells, iters)
-    val assigned = fp.join(assignCellsFp(fp, cents), "vec_id")
+    // pin: the n·cells assignment pass is the expensive post-cluster
+    // step — both sides of the self-join read THIS frame, not two
+    // recomputations of it
+    val assigned = fp.join(assignCellsFp(fp, cents), "vec_id").pinLineage()
     val tn2 = tNum.toLong * tNum
     val td2 = tDen.toLong * tDen
     val dup = assigned.as("a")
