@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, MathUtils}
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
@@ -46,11 +46,30 @@ object VectorExpressions {
   def vecDotFp(a: Column, b: Column, scale: Long): Column =
     ColumnShim.column(FloatVecDotFp(ColumnShim.expression(a), ColumnShim.expression(b), scale))
 
+  /** Exact Σ aᵢ·bᵢ over two PRE-QUANTIZED `array<long>` columns — the
+    * codegen'd inner loop of every operator that materializes fixed-point
+    * vectors once and reuses them across stages (k-means assignment's
+    * n·cells dots, the PCA scatter projections, intra-cell dedup pairs).
+    * Overflow throws through Spark's ANSI arithmetic, identical to the
+    * HOF `aggregate(zip_with(a,b,_*_))` it replaces — callers own the
+    * no-overflow argument exactly as before, loud-failure-guarded
+    * exactly as before.
+    */
+  def vecDotLong(a: Column, b: Column): Column =
+    ColumnShim.column(LongVecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
+
   private[expressions] def checkVecTypes(left: Expression, right: Expression, name: String): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$name expects (array<float>, array<float>), got ($l, $r)")
+    }
+
+  private[expressions] def checkLongVecTypes(left: Expression, right: Expression, name: String): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$name expects (array<bigint>, array<bigint>), got ($l, $r)")
     }
 }
 
@@ -166,6 +185,63 @@ case class FloatVecDotFp(left: Expression, right: Expression, scale: Long)
          |    long $qy = (long) $f + (($ap - $f >= 0.5D) ? 1L : 0L);
          |    if ($py < 0) $qy = -$qy;
          |    $s += $qx * $qy;
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact int64 dot over two `array<long>` columns (one fused codegen'd
+  * loop). Null elements are skipped (contributes 0) — the same
+  * convention as [[FloatVecDot]]; the fixed-point pipelines' quantized
+  * arrays never carry null elements, where this is indistinguishable
+  * from the HOF form (parity-pinned in spec). Overflow THROWS through
+  * Spark's own ANSI arithmetic (`MathUtils.multiplyExact/addExact` —
+  * the exact code path the HOF's `x * y` takes), never wraps silently:
+  * the callers' no-overflow bounds stay loud-failure-guarded exactly
+  * as they were under the HOF form.
+  */
+case class LongVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.checkLongVecTypes(left, right, prettyName)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_dot_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        s = MathUtils.addExact(s, MathUtils.multiplyExact(x.getLong(i), y.getLong(i)))
+      i += 1
+    }
+    s
+  }
+
+  // freshName'd locals — see FloatVecDot.doGenCode for why.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // the object's static forwarders — the same call Spark's ANSI
+      // Multiply/Add codegen emits
+      val mu = MathUtils.getClass.getName.stripSuffix("$")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $s = $mu.addExact($s, $mu.multiplyExact($a.getLong($i), $b.getLong($i)));
          |  }
          |}
          |${ev.value} = $s;

@@ -86,8 +86,17 @@ object VectorFunctions {
 
   /** Exact Σ aᵢ·bᵢ over two `array<long>` columns (int64 throughout —
     * caller owns the no-overflow argument; see Q29Scale's bound note).
+    * Native codegen'd ([[graft.expressions.LongVecDot]]) since round 9:
+    * the HOF form was the interpreted (CodegenFallback) inner loop of
+    * every fixed-point pipeline stage that reuses materialized
+    * quantized vectors — k-means assignment, PCA projections,
+    * intra-cell dedup pairs.
     */
   def dotLong(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.vecDotLong(a, b)
+
+  /** HOF form of [[dotLong]] — interpreted, kept as the parity oracle. */
+  def dotLongHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Squared L2 distance (cheaper than sqrt for nearest-neighbor ranking). */

@@ -63,6 +63,53 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(byKey == byFloat, "fixed-point key must reproduce the float-cosine order")
   }
 
+  test("native vec_dot_long matches the HOF form bit-for-bit, including wrap-around, and codegen-compiles") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val el = LongVecDot(
+      org.apache.spark.sql.graftshim.ColumnShim.expression(col("x")),
+      org.apache.spark.sql.graftshim.ColumnShim.expression(col("y")))
+    assert(!el.isInstanceOf[CodegenFallback], "vec_dot_long must emit real codegen")
+    // real quantized embeddings: native ≡ HOF on every row
+    val S = graft.llm.LlmQueries.Q29Scale
+    val fp = emb.select(col("vec_id"), VectorFunctions.quantizeFp(col("embedding"), S).as("q"))
+    val anchor = fp.where(col("vec_id") === 0).select(col("q").as("qa"))
+    fp.join(broadcast(anchor))
+      .select(
+        col("vec_id"),
+        VectorFunctions.dotLong(col("q"), col("qa")).as("d_native"),
+        VectorFunctions.dotLongHof(col("q"), col("qa")).as("d_hof"))
+      .collect()
+      .foreach(r => assert(r.getLong(1) == r.getLong(2), s"dot_long mismatch at vec ${r.getLong(0)}"))
+    // overflow parity: both paths fail LOUDLY through ANSI arithmetic
+    // (silent wrap on one side would be the r8-ADVICE silent-vs-loud
+    // divergence class)
+    def overflows(f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): Boolean =
+      intercept[Exception] {
+        Seq((Seq(Long.MaxValue, 3L), Seq(2L, 5L))).toDF("x", "y")
+          .select(f(col("x"), col("y"))).collect()
+      }.toString.toLowerCase.contains("overflow")
+    assert(overflows(VectorFunctions.dotLong), "native must throw on overflow")
+    assert(overflows(VectorFunctions.dotLongHof), "HOF must throw on overflow")
+    val empty = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("x", "y")
+      .select(
+        VectorFunctions.dotLong(col("x"), col("y")).as("n"),
+        VectorFunctions.dotLongHof(col("x"), col("y")).as("h"))
+      .head()
+    assert(empty.getLong(0) == 0L && empty.getLong(1) == 0L)
+    // two instances in one projection (freshName regression, as vec_dot)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val ar = BoundReference(0, ArrayType(LongType, containsNull = false), nullable = false)
+    val br = BoundReference(1, ArrayType(LongType, containsNull = false), nullable = false)
+    val proj = GenerateUnsafeProjection.generate(Seq(LongVecDot(ar, br), LongVecDot(br, ar)))
+    val out = proj(InternalRow(
+      ArrayData.toArrayData(Array(1L, 2L)), ArrayData.toArrayData(Array(3L, 4L))))
+    assert(out.getLong(0) == 11L && out.getLong(1) == 11L)
+  }
+
   test("native expressions are codegen-capable (not CodegenFallback) and handle edges") {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     val e = FloatVecCosine(
