@@ -190,16 +190,23 @@ object SketchQueries {
   // ≤ N/w per row in expectation. The native count_min_sketch
   // aggregate + cmsMergeAll/cmsEstimate expressions remain pinned in
   // SketchQueriesSpec/GraftExtensionsSpec as the binary-partial form.
-  private val CmsD = 4
-  private val CmsW = 1024L
+  private[graft] val CmsD = 4
+  private[graft] val CmsW = 1024L
+
+  /** Row-r CMS bucket of a key column — single-sourced so the batch
+    * sketch (q196) and its streaming twin
+    * ([[graft.streaming.StreamingCmsFreq]]) can never disagree on the
+    * hash family (the splitCol composition rule).
+    */
+  private[graft] def cmsBucket(row: Int, c: Column): Column =
+    pmod(portableHash60(concat(lit(s"cms$row|"), c.cast("string"))), lit(CmsW))
 
   val q196: QuerySpec = QuerySpec(
     "q196_cms_topk_freq",
     (s, d) => {
       val ev = events(s, d).where(col("user_id").isNotNull)
         .select(col("event_type"), col("user_id"))
-      def bucket(row: Int, c: Column): Column =
-        pmod(portableHash60(concat(lit(s"cms$row|"), c.cast("string"))), lit(CmsW))
+      def bucket(row: Int, c: Column): Column = cmsBucket(row, c)
       val cells = (0 until CmsD).map(r =>
         struct(lit(r.toLong).as("d"), bucket(r, col("user_id")).as("b")))
       val counters = ev

@@ -41,6 +41,7 @@ class StatefulSessionizerRocksSpec extends StatefulSessionizerSpec with RocksDBS
 class StreamingAnomalyRocksSpec extends StreamingAnomalySpec with RocksDBState
 class StreamingAttributionRocksSpec extends StreamingAttributionSpec with RocksDBState
 class StreamingCdcRocksSpec extends StreamingCdcSpec with RocksDBState
+class StreamingCmsFreqRocksSpec extends StreamingCmsFreqSpec with RocksDBState
 class StreamingDpReleaseRocksSpec extends StreamingDpReleaseSpec with RocksDBState
 class StreamingFactMaintenanceRocksSpec extends StreamingFactMaintenanceSpec with RocksDBState
 class StreamingFunnelRocksSpec extends StreamingFunnelSpec with RocksDBState
