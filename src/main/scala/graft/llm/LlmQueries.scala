@@ -1246,6 +1246,51 @@ object LlmQueries {
     ),
   )
 
+  // q260 — SEMANTIC decontamination (r9): benchmark leakage by
+  // embedding similarity — the decontamination family's missing axis.
+  // q75/q117/q149/q188/q208 test n-gram overlap, which PARAPHRASED
+  // eval leakage defeats by construction; this flags every training
+  // vector with a benchmark cluster-mate at cos ≥ 3/10, using q259's
+  // machinery verbatim (one fixed-point k-means over the union —
+  // train and bench share cells, which is what makes the cross-frame
+  // comparison intra-cell and the pair work bounded), and emits the
+  // drop manifest a decontamination pass ships: flagged vec_id,
+  // minimal benchmark witness, cell, exact cos2_bp. The benchmark
+  // subset is the declared vec_id % 20 = 0 frame (q75's style: the
+  // "held-out eval" derives from the same table by a stated rule).
+  // The oracle replays clustering, assignment, the cross-multiplied
+  // threshold and the min-witness pick over exact integers.
+  val q260: QuerySpec = QuerySpec(
+    "q260_semantic_decontam",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val cells = math.max(2L, graft.ops.Exact.isqrtLong(emb.count()) / 2).toInt
+      SimilarityPipeline
+        .semanticDecontamFp(emb, isBench = col("vec_id") % 20 === 0,
+          cells = cells, tNum = 3, tDen = 10, iters = 2)
+        .orderBy("vec_id")
+    },
+    Some(
+      s"WITH ${kmeansAssignCteSql(iters = 2, centScale = 1000000L)}, " +
+        "tr AS (SELECT vec_id, cell FROM af WHERE vec_id % 20 <> 0), " +
+        "bm AS (SELECT vec_id, cell FROM af WHERE vec_id % 20 = 0), " +
+        "pairs AS (SELECT t.vec_id AS tv, b.vec_id AS bv, t.cell AS cell " +
+        "FROM tr t JOIN bm b ON t.cell = b.cell), " +
+        "scored AS (SELECT tv, bv, cell, " +
+        "CAST(list_sum(list_transform(generate_series(1, len(ft.q)), i -> ft.q[i] * fb.q[i])) AS BIGINT) AS dot_fp, " +
+        "CAST(list_sum(list_transform(ft.q, x -> x * x)) AS BIGINT) AS na, " +
+        "CAST(list_sum(list_transform(fb.q, x -> x * x)) AS BIGINT) AS nb2 " +
+        "FROM pairs JOIN fp ft ON ft.vec_id = tv JOIN fp fb ON fb.vec_id = bv), " +
+        "hits AS (SELECT * FROM scored WHERE dot_fp >= 0 " +
+        "AND CAST(dot_fp AS HUGEINT) * dot_fp * 100 >= 9 * CAST(na AS HUGEINT) * nb2) " +
+        "SELECT vec_id, bench_witness, cell, cos2_bp FROM (SELECT tv AS vec_id, bv AS bench_witness, " +
+        "CAST(cell AS BIGINT) AS cell, " +
+        "CAST((CAST(dot_fp AS HUGEINT) * dot_fp * 10000) // (CAST(na AS HUGEINT) * nb2) AS BIGINT) AS cos2_bp, " +
+        "row_number() OVER (PARTITION BY tv ORDER BY bv) AS rn FROM hits) " +
+        "WHERE rn = 1 ORDER BY vec_id"
+    ),
+  )
+
   /** The full q224 oracle: raw fp + exact-isqrt normalization +
     * [[pcaAxesCtes]] on the NORMALIZED corpus + fp projections → grid
     * cells (inlined [[SimilarityPipeline.gridWidthFp]] width) →
@@ -1629,5 +1674,5 @@ object LlmQueries {
   val all: Seq[QuerySpec] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q55, q201, q202, q217, q218, q224,
-      q228, q229, q230, q252, q258, q259)
+      q228, q229, q230, q252, q258, q259, q260)
 }

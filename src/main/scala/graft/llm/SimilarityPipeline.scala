@@ -459,6 +459,64 @@ object SimilarityPipeline {
           "(cast(na as decimal(38,0)) * nb) as bigint)").as("cos2_bp"))
   }
 
+  /** SEMANTIC decontamination under the same fixed-point k-means
+    * quantizer (q260): flag every NON-benchmark vector that has a
+    * benchmark cluster-mate at cosine ≥ tNum/tDen — the embedding-axis
+    * member of the decontamination family (q75/q117/q149/q188/q208
+    * test n-gram overlap, which PARAPHRASED eval leakage defeats;
+    * semantic similarity is how production pipelines catch it).
+    * `isBench` marks the benchmark rows inside `corpus` (a predicate
+    * over the corpus columns — at production scale, a membership
+    * column the loader stamps).
+    *
+    * Same machinery, same bounds as [[semanticDedupFp]]: one
+    * clustering over the UNION (train + bench share cells, which is
+    * what makes cross-frame comparison intra-cell), pair work =
+    * train×bench WITHIN a cell only, every decision exact int64 so
+    * the DuckDB oracle replays the pipeline clustering included.
+    * Output: one row per flagged training vector with its minimal
+    * benchmark witness — the drop manifest a decontamination pass
+    * ships.
+    */
+  def semanticDecontamFp(
+      corpus: DataFrame, isBench: Column, cells: Int, tNum: Int, tDen: Int,
+      iters: Int = 2, scale: Long = 10000000L): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum < tDen, "threshold must be in (0,1)")
+    val fp = corpus
+      .select(col("vec_id"), VectorFunctions.quantizeFp(col("embedding"), scale).as("q"),
+        isBench.as("is_bench"))
+      .pinLineage()
+    val cents = kmeansCentroidsFp(fp.select("vec_id", "q"), cells, iters)
+    val assigned = fp
+      .join(assignCellsFp(fp.select("vec_id", "q"), cents), "vec_id")
+      .pinLineage()
+    val train = assigned.where(!col("is_bench"))
+      .select(col("vec_id").as("tv"), col("q").as("tq"), col("cell"))
+    val bench = assigned.where(col("is_bench"))
+      .select(col("vec_id").as("bv"), col("q").as("bq"), col("cell"))
+    val tn2 = tNum.toLong * tNum
+    val td2 = tDen.toLong * tDen
+    val hits = train
+      .join(bench, Seq("cell"))
+      .select(
+        col("tv"), col("bv"), col("cell"),
+        VectorFunctions.dotLong(col("tq"), col("bq")).as("dot_fp"),
+        VectorFunctions.dotLong(col("tq"), col("tq")).as("na"),
+        VectorFunctions.dotLong(col("bq"), col("bq")).as("nb"))
+      .where(col("dot_fp") >= 0 &&
+        expr(s"cast(dot_fp as decimal(38,0)) * dot_fp * $td2 >= " +
+          s"cast(na as decimal(38,0)) * nb * $tn2"))
+    val w = Window.partitionBy("tv").orderBy(asc("bv"))
+    hits
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(
+        col("tv").as("vec_id"), col("bv").as("bench_witness"),
+        col("cell").cast("long").as("cell"),
+        expr("cast((cast(dot_fp as decimal(38,0)) * dot_fp * 10000) div " +
+          "(cast(na as decimal(38,0)) * nb) as bigint)").as("cos2_bp"))
+  }
+
   /** Near-dup pairs under the sign-LSH quantizer: candidates = pairs
     * whose cells agree on all bits or differ in exactly one (banded
     * join on each bit-masked key), then exact cosine ≥ `threshold`

@@ -344,6 +344,54 @@ class SimilarityPipelineSpec extends SparkSpec {
     }
   }
 
+  test("semanticDecontamFp: planted benchmark leaks flagged with minimal witnesses, clean vectors pass") {
+    // bench = {v0 = x, v4 = y}; train: v1 = x (exact leak of v0),
+    // v2 ≈ x (paraphrase leak, cos ≈ 0.994), v3 = y (exact leak of
+    // v4), v5 = z (clean). Seeds v0/v1 are identical ⇒ single cell
+    // (the q259 fixture argument), so expected flags are exactly the
+    // threshold pairs: 1←0, 2←0, 3←4; v5 unflagged.
+    val s2 = 1.0 / math.sqrt(0.82)
+    def vec(x: Double, y: Double, z: Double): Seq[Float] =
+      Seq(x.toFloat, y.toFloat, z.toFloat, 0f)
+    val fx = Seq(
+      (0L, vec(1, 0, 0)), (1L, vec(1, 0, 0)), (2L, vec(0.9 * s2, 0.1 * s2, 0)),
+      (3L, vec(0, 1, 0)), (4L, vec(0, 1, 0)), (5L, vec(0, 0, 1)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityPipeline
+      .semanticDecontamFp(fx, isBench = col("vec_id").isin(0L, 4L),
+        cells = 2, tNum = 3, tDen = 10, iters = 2)
+      .orderBy("vec_id")
+      .as[(Long, Long, Long, Long)].collect()
+    def q(v: Seq[Float]): Seq[Long] = v.map(x => math.round(x.toDouble * 10000000L))
+    def dot(a: Seq[Long], b: Seq[Long]): BigInt =
+      a.zip(b).map { case (x, y) => BigInt(x) * y }.sum
+    val (q0, q2) = (q(vec(1, 0, 0)), q(vec(0.9 * s2, 0.1 * s2, 0)))
+    val bp20 = (dot(q2, q0).pow(2) * 10000 / (dot(q2, q2) * dot(q0, q0))).toLong
+    assert(out.toSeq == Seq((1L, 0L, 0L, 10000L), (2L, 0L, 0L, bp20), (3L, 4L, 0L, 10000L)))
+  }
+
+  test("semanticDecontamFp: corpus flags are train-side only, bench-witnessed, threshold-verified") {
+    val cellsN = math.max(2L, graft.ops.Exact.isqrtLong(emb.count()) / 2).toInt
+    val isBench = col("vec_id") % 20 === 0
+    val out = SimilarityPipeline
+      .semanticDecontamFp(emb, isBench, cells = cellsN, tNum = 3, tDen = 10, iters = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.map(_._1).distinct.length == out.length, "one manifest row per flagged vector")
+    out.foreach { case (v, wtn, _, _) =>
+      assert(v % 20 != 0, s"benchmark vector $v must never be flagged")
+      assert(wtn % 20 == 0, s"witness $wtn must be a benchmark vector")
+    }
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    out.foreach { case (v, wtn, _, bp) =>
+      val (a, b) = (vecs(v), vecs(wtn))
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val cos = d / math.sqrt(a.map(x => x.toDouble * x).sum * b.map(x => x.toDouble * x).sum)
+      assert(cos >= 0.3 - 1e-4, s"flag ($v ← $wtn): cos $cos below threshold")
+      assert(math.abs(cos * cos * 10000 - bp) <= 1)
+    }
+  }
+
   test("pcaProject: recovers a planted principal direction, 10x variance dominance") {
     // x = t·u + ε with u a fixed unit direction in 8-dim space and ε
     // tiny deterministic noise: PC1 must align with u and dominate.
