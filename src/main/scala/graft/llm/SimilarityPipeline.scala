@@ -1093,12 +1093,21 @@ object SimilarityPipeline {
       expr("transform(array_sort(collect_list(struct(i, a1))), s -> s.a1)").as("a1arr"))
     val a2arr = axes.agg(
       expr("transform(array_sort(collect_list(struct(i, a2))), s -> s.a2)").as("a2arr"))
+    // dot is linear, so the centered projection splits exactly in ℤ:
+    // Σ(xᵢ−mᵢ)·aᵢ = dot(q,a) − dot(m,a) — two fully-codegen'd
+    // LongVecDot passes instead of an interpreted (CodegenFallback)
+    // zip_with materializing the centered array per row per axis.
+    // The m-term is row-constant (64 codegen'd multiplies — cheaper
+    // than any mechanism to hoist it); bounds unchanged (each split
+    // term ≤ 64·S·(CS+ε) ≈ 6.4e14 < the documented 1.3e15 envelope).
     fp.crossJoin(broadcast(marr))
       .crossJoin(broadcast(a1arr))
       .crossJoin(broadcast(a2arr))
       .select(col("vec_id"),
-        VectorFunctions.dotLong(zip_with(col("q"), col("marr"), (x, mm) => x - mm), col("a1arr")).as("p1_fp"),
-        VectorFunctions.dotLong(zip_with(col("q"), col("marr"), (x, mm) => x - mm), col("a2arr")).as("p2_fp"))
+        (VectorFunctions.dotLong(col("q"), col("a1arr")) -
+          VectorFunctions.dotLong(col("marr"), col("a1arr"))).as("p1_fp"),
+        (VectorFunctions.dotLong(col("q"), col("a2arr")) -
+          VectorFunctions.dotLong(col("marr"), col("a2arr"))).as("p2_fp"))
   }
 
   /** Fixed-point PCA projection (q202's r9 form): quantize, learn the
