@@ -196,14 +196,20 @@ case class FloatVecDotFp(left: Expression, right: Expression, scale: Long)
 }
 
 /** Exact int64 dot over two `array<long>` columns (one fused codegen'd
-  * loop). Null elements are skipped (contributes 0) — the same
-  * convention as [[FloatVecDot]]; the fixed-point pipelines' quantized
-  * arrays never carry null elements, where this is indistinguishable
-  * from the HOF form (parity-pinned in spec). Overflow THROWS through
-  * Spark's own ANSI arithmetic (`MathUtils.multiplyExact/addExact` —
-  * the exact code path the HOF's `x * y` takes), never wraps silently:
-  * the callers' no-overflow bounds stay loud-failure-guarded exactly
-  * as they were under the HOF form.
+  * loop). Mismatched lengths THROW (the fixed-point pipelines quantize
+  * both sides from same-dimension embeddings, so a length mismatch is
+  * always caller corruption — a silent min-length truncation would
+  * return a wrong partial sum where the HOF's `zip_with` returned
+  * nulls that poisoned the aggregate; loud beats either). Null
+  * elements are skipped (contribute 0) — the same convention as
+  * [[FloatVecDot]]; the quantized arrays never carry null elements,
+  * where this is indistinguishable from the HOF form, and the skip-
+  * vs-HOF-NULL divergence on synthetic null elements is pinned
+  * explicitly in spec. Overflow THROWS through Spark's own ANSI
+  * arithmetic (`MathUtils.multiplyExact/addExact` — the exact code
+  * path the HOF's `x * y` takes), never wraps silently: the callers'
+  * no-overflow bounds stay loud-failure-guarded exactly as they were
+  * under the HOF form.
   */
 case class LongVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -216,7 +222,7 @@ case class LongVecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = LongVecDot.checkedLength(x.numElements(), y.numElements())
     var s = 0L
     var i = 0
     while (i < n) {
@@ -233,11 +239,12 @@ case class LongVecDot(left: Expression, right: Expression)
       // the object's static forwarders — the same call Spark's ANSI
       // Multiply/Add codegen emits
       val mu = MathUtils.getClass.getName.stripSuffix("$")
+      val lvd = LongVecDot.getClass.getName.stripSuffix("$")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
+         |int $n = $lvd.checkedLength($a.numElements(), $b.numElements());
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
@@ -250,6 +257,18 @@ case class LongVecDot(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object LongVecDot {
+  /** Loud length gate, shared by eval and generated code (the codegen
+    * calls the static forwarder). Returns the common length.
+    */
+  def checkedLength(nx: Int, ny: Int): Int = {
+    if (nx != ny)
+      throw new IllegalArgumentException(
+        s"vec_dot_long: array length mismatch ($nx vs $ny) — quantized vectors must share a dimension")
+    nx
+  }
 }
 
 case class FloatVecCosine(left: Expression, right: Expression)

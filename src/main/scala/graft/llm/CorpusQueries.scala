@@ -249,7 +249,7 @@ object CorpusQueries {
       // reused by the cascade, keep-best join, and two counts
       val clean = LlmQueries.cleanDocs(s, d)
         .select("doc_id", "text", "source", "n_chars")
-        .localCheckpoint(eager = true)
+        .pinLineage()
       val edges = TextPipeline.dedupCascade(clean.select("doc_id", "text"))
         .select(col("da"), col("db"))
       val comp = graft.ops.Components.connectedComponents(edges, "da", "db")

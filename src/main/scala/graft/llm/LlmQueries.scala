@@ -428,7 +428,7 @@ object LlmQueries {
     "q37_ann_ivf",
     (s, d) => {
       val emb = embeddings(s, d)
-      val bits = SimilarityPipeline.cellBits(emb.count())
+      val bits = SimilarityPipeline.cellBits(graft.ops.CorpusStats.tableRows(s, d, "embeddings"))
       SimilarityPipeline
         .annTopKPortable(emb, emb.where(col("vec_id") < 5), k = 3, bits = bits)
         .orderBy("query_id", "vec_id")
@@ -469,7 +469,7 @@ object LlmQueries {
     "q38_embed_near_dup",
     (s, d) => {
       val emb = embeddings(s, d)
-      val bits = SimilarityPipeline.cellBits(emb.count())
+      val bits = SimilarityPipeline.cellBits(graft.ops.CorpusStats.tableRows(s, d, "embeddings"))
       SimilarityPipeline
         .annNearDupPairsPortable(emb, tNum = 2, tDen = 5, bits = bits)
         .orderBy("va", "vb")
@@ -655,7 +655,7 @@ object LlmQueries {
     "q42_ann_kmeans",
     (s, d) => {
       val emb = embeddings(s, d)
-      val cells = math.max(2L, graft.ops.Exact.isqrtLong(emb.count()) / 2).toInt
+      val cells = math.max(2L, graft.ops.Exact.isqrtLong(graft.ops.CorpusStats.tableRows(s, d, "embeddings")) / 2).toInt
       SimilarityPipeline
         .kmeansTopKFp(emb, emb.where(col("vec_id") < 5), k = 3, cells = cells, iters = 2, nprobe = 2)
         .orderBy("query_id", "vec_id")
@@ -1119,7 +1119,7 @@ object LlmQueries {
     "q217_hard_negative_mining",
     (s, d) => {
       val emb = embeddings(s, d)
-      val bits = SimilarityPipeline.cellBits(emb.count())
+      val bits = SimilarityPipeline.cellBits(graft.ops.CorpusStats.tableRows(s, d, "embeddings"))
       SimilarityPipeline
         .annHardNegativesPortable(emb, k = 2, loNum = 1, loDen = 5, hiNum = 3, hiDen = 5, bits = bits)
         .orderBy("anchor_id", "rank")
@@ -1168,7 +1168,7 @@ object LlmQueries {
     "q258_hard_negatives_capped",
     (s, d) => {
       val emb = embeddings(s, d)
-      val bits = SimilarityPipeline.cellBits(emb.count())
+      val bits = SimilarityPipeline.cellBits(graft.ops.CorpusStats.tableRows(s, d, "embeddings"))
       SimilarityPipeline
         .annHardNegativesCapped(emb, k = 2, loNum = 1, loDen = 5, hiNum = 3, hiDen = 5,
           bits = bits, cap = 32)
@@ -1222,7 +1222,7 @@ object LlmQueries {
     "q259_semantic_dedup",
     (s, d) => {
       val emb = embeddings(s, d)
-      val cells = math.max(2L, graft.ops.Exact.isqrtLong(emb.count()) / 2).toInt
+      val cells = math.max(2L, graft.ops.Exact.isqrtLong(graft.ops.CorpusStats.tableRows(s, d, "embeddings")) / 2).toInt
       SimilarityPipeline
         .semanticDedupFp(emb, cells = cells, tNum = 3, tDen = 10, iters = 2)
         .orderBy("vec_id")
@@ -1236,7 +1236,7 @@ object LlmQueries {
         "CAST(list_sum(list_transform(fa.q, x -> x * x)) AS BIGINT) AS na, " +
         "CAST(list_sum(list_transform(fb.q, x -> x * x)) AS BIGINT) AS nb2 " +
         "FROM pairs JOIN fp fa ON fa.vec_id = va JOIN fp fb ON fb.vec_id = vb), " +
-        "dup AS (SELECT * FROM scored WHERE dot_fp >= 0 " +
+        "dup AS (SELECT * FROM scored WHERE dot_fp >= 0 AND na > 0 AND nb2 > 0 " +
         "AND CAST(dot_fp AS HUGEINT) * dot_fp * 100 >= 9 * CAST(na AS HUGEINT) * nb2) " +
         "SELECT vec_id, keeper, cell, cos2_bp FROM (SELECT vb AS vec_id, va AS keeper, " +
         "CAST(cell AS BIGINT) AS cell, " +
@@ -1264,7 +1264,7 @@ object LlmQueries {
     "q260_semantic_decontam",
     (s, d) => {
       val emb = embeddings(s, d)
-      val cells = math.max(2L, graft.ops.Exact.isqrtLong(emb.count()) / 2).toInt
+      val cells = math.max(2L, graft.ops.Exact.isqrtLong(graft.ops.CorpusStats.tableRows(s, d, "embeddings")) / 2).toInt
       SimilarityPipeline
         .semanticDecontamFp(emb, isBench = col("vec_id") % 20 === 0,
           cells = cells, tNum = 3, tDen = 10, iters = 2)
@@ -1281,7 +1281,7 @@ object LlmQueries {
         "CAST(list_sum(list_transform(ft.q, x -> x * x)) AS BIGINT) AS na, " +
         "CAST(list_sum(list_transform(fb.q, x -> x * x)) AS BIGINT) AS nb2 " +
         "FROM pairs JOIN fp ft ON ft.vec_id = tv JOIN fp fb ON fb.vec_id = bv), " +
-        "hits AS (SELECT * FROM scored WHERE dot_fp >= 0 " +
+        "hits AS (SELECT * FROM scored WHERE dot_fp >= 0 AND na > 0 AND nb2 > 0 " +
         "AND CAST(dot_fp AS HUGEINT) * dot_fp * 100 >= 9 * CAST(na AS HUGEINT) * nb2) " +
         "SELECT vec_id, bench_witness, cell, cos2_bp FROM (SELECT tv AS vec_id, bv AS bench_witness, " +
         "CAST(cell AS BIGINT) AS cell, " +
@@ -1418,7 +1418,8 @@ object LlmQueries {
     "q224_pca_grid_near_dup",
     (s, d) =>
       SimilarityPipeline
-        .adaptiveNearDupPairsFp(embeddings(s, d), tNum = 4, tDen = 5, iters = 6)
+        .adaptiveNearDupPairsFp(embeddings(s, d), tNum = 4, tDen = 5, iters = 6,
+          knownRows = Some(graft.ops.CorpusStats.tableRows(s, d, "embeddings")))
         .orderBy("va", "vb"),
     Some(q224OracleSql(iters = 6, tNum = 4, tDen = 5, budgetFactor = 8)),
   )

@@ -198,7 +198,7 @@ object SimilarityPipeline {
           transform(col("pm"), x => x.getField("m").cast("float")).as("centroid"))
       // a cell can lose all members; its centroid simply drops out
       // (fewer live cells — harmless, assignment is argmax over live)
-      centroids = updated.localCheckpoint(true)
+      centroids = updated.pinLineage()
     }
     centroids
   }
@@ -444,7 +444,11 @@ object SimilarityPipeline {
         VectorFunctions.dotLong(col("a.q"), col("b.q")).as("dot_fp"),
         VectorFunctions.dotLong(col("a.q"), col("a.q")).as("na"),
         VectorFunctions.dotLong(col("b.q"), col("b.q")).as("nb"))
-      .where(col("dot_fp") >= 0 &&
+      // na/nb > 0 excludes zero quantized vectors: 0 ≥ 0 would pass
+      // the cross-multiplied test vacuously and the cos2_bp div by
+      // na·nb = 0 would throw under ANSI (r9-ADVICE); a zero vector
+      // has no cosine to anything, so it can never be a dup
+      .where(col("dot_fp") >= 0 && col("na") > 0 && col("nb") > 0 &&
         expr(s"cast(dot_fp as decimal(38,0)) * dot_fp * $td2 >= " +
           s"cast(na as decimal(38,0)) * nb * $tn2"))
     // minimal witness per dropped vector — the per-vb frame is the
@@ -503,7 +507,9 @@ object SimilarityPipeline {
         VectorFunctions.dotLong(col("tq"), col("bq")).as("dot_fp"),
         VectorFunctions.dotLong(col("tq"), col("tq")).as("na"),
         VectorFunctions.dotLong(col("bq"), col("bq")).as("nb"))
-      .where(col("dot_fp") >= 0 &&
+      // na/nb > 0: see semanticDedupFp — zero vectors pass 0 ≥ 0
+      // vacuously and divide by zero in cos2_bp
+      .where(col("dot_fp") >= 0 && col("na") > 0 && col("nb") > 0 &&
         expr(s"cast(dot_fp as decimal(38,0)) * dot_fp * $td2 >= " +
           s"cast(na as decimal(38,0)) * nb * $tn2"))
     val w = Window.partitionBy("tv").orderBy(asc("bv"))
@@ -823,7 +829,7 @@ object SimilarityPipeline {
     val dn = d.agg(count(lit(1)).as("dn")) // 1-row dimension anchor
     var v = d.crossJoin(dn)
       .select(col("i"), (lit(1.0) / sqrt(col("dn"))).as("v"))
-      .localCheckpoint(true)
+      .pinLineage()
     for (it <- 1 to iters) {
       val w = covLocal
         .join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))), Seq("j"))
@@ -846,7 +852,7 @@ object SimilarityPipeline {
       // is a per-round fixed floor (codegen + scheduling of ~6 tiny
       // stages), amortized over corpus size: the 16× probe moved the
       // whole query 1.1×.
-      if (it % 3 == 0 || it == iters) v = v.localCheckpoint(true)
+      if (it % 3 == 0 || it == iters) v = v.pinLineage()
     }
     // ±v are both eigenvectors; pin the sign (non-negative loading
     // sum) so downstream projections are orientation-stable.
@@ -883,7 +889,7 @@ object SimilarityPipeline {
       .select(col("i"),
         (lit(1.0) / sqrt(col("dn"))).as("v1"),
         (when(col("i") % 2 === 0, lit(1.0)).otherwise(lit(-1.0)) / sqrt(col("dn"))).as("v2"))
-      .localCheckpoint(true)
+      .pinLineage()
     for (it <- 1 to iters) {
       val w = covLocal
         .join(broadcast(vs.select(col("i").as("j"), col("v1").as("y1"), col("v2").as("y2"))),
@@ -914,7 +920,7 @@ object SimilarityPipeline {
                 .otherwise(lit(0.0)),
               lit(0.0)))).as("v2"))
       // pin cadence: the powerIteration rule (every 3rd + last)
-      if (it % 3 == 0 || it == iters) vs = vs.localCheckpoint(true)
+      if (it % 3 == 0 || it == iters) vs = vs.pinLineage()
     }
     val sgn = vs.agg(
       when(sum(col("v1")) >= 0, lit(1.0)).otherwise(lit(-1.0)).as("s1"),
@@ -1238,11 +1244,14 @@ object SimilarityPipeline {
       tNum: Int, tDen: Int,
       iters: Int = 6,
       budgetFactor: Int = 8,
-      scale: Long = 10000000L): DataFrame = {
+      scale: Long = 10000000L,
+      knownRows: Option[Long] = None): DataFrame = {
     require(tNum > 0 && tDen > 0 && 9L * tNum >= 7L * tDen,
       s"adaptive near-dup needs threshold >= 7/9 (got $tNum/$tDen): below it the 3x3" +
         " probe cannot thin ANY corpus and grid applicability is moot")
-    val n = corpus.count()
+    // callers reading a parquet corpus pass the footer count
+    // (CorpusStats) — same integer, no sizing scan
+    val n = knownRows.getOrElse(corpus.count())
     val fpRaw = corpus
       .select(col("vec_id"), VectorFunctions.quantizeFp(col("embedding"), scale).as("q"))
       .pinLineage()
@@ -1260,7 +1269,7 @@ object SimilarityPipeline {
     * scoring against any fixed linear map.
     */
   def pcaProject(corpus: DataFrame, iters: Int = 15): DataFrame = {
-    val axes = topTwoAxes(covariance(corpus).localCheckpoint(true), iters)
+    val axes = topTwoAxes(covariance(corpus).pinLineage(), iters)
     corpus
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
       .join(broadcast(axes), Seq("i"))
@@ -1391,14 +1400,15 @@ object SimilarityPipeline {
       corpus: DataFrame,
       threshold: Double,
       iters: Int = 6,
-      budgetFactor: Double = 8.0): DataFrame = {
+      budgetFactor: Double = 8.0,
+      knownRows: Option[Long] = None): DataFrame = {
     val w = math.sqrt(2.0 * (1.0 - threshold))
     require(w <= 2.0 / 3,
       f"adaptive near-dup needs threshold >= 7/9 (got $threshold%.2f): below it the 3×3" +
         " probe cannot thin ANY corpus and grid applicability is moot")
     val normed = l2Normalized(corpus)
-    val n = corpus.count()
-    val proj = gridCells(normed, w, iters).localCheckpoint(true) // the index artifact: N×3
+    val n = knownRows.getOrElse(corpus.count())
+    val proj = gridCells(normed, w, iters).pinLineage() // the index artifact: N×3
     if (gridImpliedCandidates(proj) <= budgetFactor * n) gridPairs(normed, proj, threshold)
     else annNearDupPairs(corpus, threshold, cellBits(n))
   }

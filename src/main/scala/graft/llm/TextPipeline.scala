@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.ops.Pin.PinOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -67,7 +68,7 @@ object TextPipeline {
     */
   private[llm] def withPersisted(df: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try body(cached).localCheckpoint(eager = true)
+    try body(cached).pinLineage()
     finally cached.unpersist(blocking = false)
   }
 

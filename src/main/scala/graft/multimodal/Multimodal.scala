@@ -368,11 +368,13 @@ object Multimodal {
     // two verify joins would otherwise re-run the decode ~5×, and a
     // non-bit-deterministic real decoder (GPU/ONNX reductions) would
     // tear candidates vs verify across independent evaluations.
-    // localCheckpoint = the repo's standard one-materialization barrier;
-    // blocks are freed by the ContextCleaner when the result is GC'd.
+    // pinLineage = the repo's standard one-materialization barrier
+    // (localCheckpoint, or a reliable checkpoint under Pin.Flag for
+    // spot/preemptible executors); blocks are freed by the
+    // ContextCleaner when the result is GC'd.
     val emb = decodeFeatures(media, mkDecoder)
       .select(col("media_id").as("vec_id"), col("embedding"))
-      .localCheckpoint(eager = true)
+      .pinLineage()
     val n = emb.count() // index sizing over the checkpoint (same driver action as q37/q38)
     SimilarityPipeline
       .annNearDupPairs(emb, threshold, SimilarityPipeline.cellBits(n), embeddingDim)

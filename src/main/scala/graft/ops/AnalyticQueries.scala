@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Pin.PinOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1052,7 +1053,7 @@ object AnalyticQueries {
           col("l_extendedprice").as("v"))
         .agg(sum(col("l_quantity").cast("long")).as("w"))
         .withColumn("bkt", floor(col("v") / 1000.0).cast("long"))
-        .localCheckpoint(true)
+        .pinLineage()
       val wIn = Window.partitionBy("l_returnflag", "l_linestatus", "bkt")
         .orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val inBkt = lv.withColumn("cin", sum("w").over(wIn))

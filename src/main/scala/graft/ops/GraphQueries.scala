@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Pin.PinOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -180,7 +181,7 @@ object GraphQueries {
       // both consumers (degrees, triangle orientation) read the edge
       // frame — one eager checkpoint pins ONE derivation of the
       // distinct co-purchase self-join instead of two full recomputes
-      val edges = copurchaseEdges(s, d).localCheckpoint(true)
+      val edges = copurchaseEdges(s, d).pinLineage()
       val deg = edges.select(col("a").as("v"))
         .unionAll(edges.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("degree"))

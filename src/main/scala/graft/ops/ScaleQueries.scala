@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Pin.PinOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1053,8 +1054,8 @@ object ScaleQueries {
       val basket = lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
-        .localCheckpoint(true)
-      val perPart = basket.groupBy("p").agg(count(lit(1)).as("np")).localCheckpoint(true)
+        .pinLineage()
+      val perPart = basket.groupBy("p").agg(count(lit(1)).as("np")).pinLineage()
       val total = basket.agg(countDistinct("o").as("total"))
       basket.as("a")
         .join(basket.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
@@ -1119,7 +1120,7 @@ object ScaleQueries {
       // map-side-combined 25-row aggregate, no unpartitioned window.
       val ranked = Ranks.withGlobalRank(
         rev, Seq(col("nk").asc, col("cents").asc, col("ck").asc), "grk")
-        .localCheckpoint(true)
+        .pinLineage()
       val offs = ranked.groupBy(col("nk").as("onk")).agg((min(col("grk")) - 1).as("off"))
       ranked
         .join(broadcast(offs), col("nk") === col("onk"))

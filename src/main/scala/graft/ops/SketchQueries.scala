@@ -196,10 +196,12 @@ object SketchQueries {
   /** Row-r CMS bucket of a key column — single-sourced so the batch
     * sketch (q196) and its streaming twin
     * ([[graft.streaming.StreamingCmsFreq]]) can never disagree on the
-    * hash family (the splitCol composition rule).
+    * hash family (the splitCol composition rule). `w` defaults to the
+    * q196 geometry but is caller-suppliable so a twin running a
+    * different width projects into ITS counter table, not 1024's.
     */
-  private[graft] def cmsBucket(row: Int, c: Column): Column =
-    pmod(portableHash60(concat(lit(s"cms$row|"), c.cast("string"))), lit(CmsW))
+  private[graft] def cmsBucket(row: Int, c: Column, w: Long = CmsW): Column =
+    pmod(portableHash60(concat(lit(s"cms$row|"), c.cast("string"))), lit(w))
 
   val q196: QuerySpec = QuerySpec(
     "q196_cms_topk_freq",

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Pin.PinOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -754,7 +755,7 @@ object TimeSeriesQueries {
       // evaluates exactly twice — once here, once for the in-bucket
       // re-filter.
       val hist = bpairs.groupBy("flag", "bk").agg(count(lit(1)).as("c"))
-        .localCheckpoint(true)
+        .pinLineage()
       val cum = hist.withColumn("cmprev",
         coalesce(sum("c").over(
           Window.partitionBy("flag").orderBy("bk")

@@ -1,5 +1,6 @@
 package graft.sink
 
+import graft.ops.Pin.PinOps
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
@@ -79,8 +80,8 @@ final class RawSink(spark: SparkSession, root: String) {
       .agg(count(lit(1)).as("record_count"))
       .withColumn("run_id", lit(runId))
       .withColumn("schema_version", lit(schemaVersion))
+      .pinLineage()
       .as[SealRow]
-      .localCheckpoint(true)
 
     // K3, distributedly: any targeted (key, run_id) already sealed?
     val confFactory = org.apache.spark.sql.graftshim.ConfShim.confFactory(hadoopConf)
@@ -186,7 +187,7 @@ final class RawSink(spark: SparkSession, root: String) {
       .join(auth, PartitionKey.columns)
       .where(col("run_id") < col("__auth_run"))
       .drop("__auth_run")
-      .localCheckpoint(true)
+      .pinLineage()
     val n = victims.count()
     if (n > 0) {
       val confFactory = org.apache.spark.sql.graftshim.ConfShim.confFactory(hadoopConf)
@@ -202,7 +203,7 @@ final class RawSink(spark: SparkSession, root: String) {
       val survivors = spark.read.parquet(manifestFiles().get: _*)
         .join(victims.select(RawSink.Tuple5Row.schema.fieldNames.map(col): _*),
           RawSink.Tuple5Row.schema.fieldNames.toSeq, "left_anti")
-        .localCheckpoint(true)
+        .pinLineage()
       survivors.write.mode("overwrite").parquet(manifestDir)
     }
     n

@@ -98,7 +98,7 @@ object StreamingCmsFreq {
       .select(
         col("event_type"),
         array((0 until d).map(r =>
-          graft.ops.SketchQueries.cmsBucket(r, col("user_id")).cast("int")): _*).as("bs"))
+          graft.ops.SketchQueries.cmsBucket(r, col("user_id"), w).cast("int")): _*).as("bs"))
       .as[BucketedEvent]
       .groupByKey(_.event_type)
       .flatMapGroupsWithState[CmsState, Freq](

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.ops.Pin.PinOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -90,15 +91,15 @@ object StreamingIncrementalDedup {
     ): BaseState = {
       require(bands * rowsPerBand <= k)
       val shB = TextPipeline.withDocCounts(TextPipeline.docShingles(base, shingleK))
-        .localCheckpoint(eager = true)
+        .pinLineage()
       val bandB = TextPipeline
         .bandKeys(TextPipeline.minHashSignatures(shB.select("doc_id", "s"), k), bands, rowsPerBand)
         .select(col("doc_id").as("base_doc"), col("band"), col("bkey"))
-        .localCheckpoint(eager = true)
+        .pinLineage()
       val baseSets = shB
         .groupBy(col("doc_id").as("base_doc"))
         .agg(collect_set(col("s")).as("base_set"))
-        .localCheckpoint(eager = true)
+        .pinLineage()
       BaseState(bandB, baseSets)
     }
 

@@ -1,5 +1,6 @@
 package graft.tools
 
+import graft.ops.Pin.PinOps
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
@@ -58,7 +59,7 @@ object Inspect {
     // limit() on an unordered frame is nondeterministic across
     // evaluations: materialize the bounded subset ONCE so the summary
     // counts and the rendered samples below describe the same rows.
-    val bounded = preview.limit(limit).localCheckpoint(true)
+    val bounded = preview.limit(limit).pinLineage()
     val summaryDf = bounded
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("sample_rows"))

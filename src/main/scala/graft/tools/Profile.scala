@@ -1,5 +1,6 @@
 package graft.tools
 
+import graft.ops.Pin.PinOps
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -53,7 +54,7 @@ object Profile {
     val embP = graft.ops.Tables.embeddings(spark, sfDir)
     val covP = graft.llm.SimilarityPipeline.covariance(embP)
     time("pca covariance")(covP.count())
-    val covPinned = covP.localCheckpoint(true)
+    val covPinned = covP.pinLineage()
     time("pca power iteration x15")(
       graft.llm.SimilarityPipeline.powerIteration(covPinned, 15).count())
     time("pca full (q202)")(graft.llm.SimilarityPipeline.pcaProject(embP, 15).count())
@@ -67,7 +68,7 @@ object Profile {
     for (r <- 1 to 2) {
       val pairs = graft.llm.TextPipeline.dedupCascade(docs).select(col("da"), col("db"))
       time(s"dedup cascade (q41 core) #$r")(pairs.count())
-      val cached = pairs.localCheckpoint(true)
+      val cached = pairs.pinLineage()
       time(s"components (over cached) #$r")(
         graft.ops.Components.connectedComponents(cached, "da", "db").count())
       time(s"q76 full #$r")(graft.llm.TrainingDataQueries.q76.run(spark, sfDir).count())

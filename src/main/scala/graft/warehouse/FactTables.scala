@@ -1,5 +1,6 @@
 package graft.warehouse
 
+import graft.ops.Pin.PinOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -141,7 +142,7 @@ object FactTables {
       // the very files the insert replaces — measured as
       // FAILED_READ_FILE mid-stream. The checkpoint is bounded by the
       // touched slices.
-      val snap = rows.select(cols.map(col): _*).localCheckpoint(true)
+      val snap = rows.select(cols.map(col): _*).pinLineage()
       val key = "spark.sql.sources.partitionOverwriteMode"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "dynamic")

@@ -96,6 +96,25 @@ class VectorExpressionsSpec extends SparkSpec {
         VectorFunctions.dotLongHof(col("x"), col("y")).as("h"))
       .head()
     assert(empty.getLong(0) == 0L && empty.getLong(1) == 0L)
+    // DOCUMENTED DIVERGENCES from the HOF (r9-ADVICE): (1) a length
+    // mismatch throws loudly where the HOF silently zipped nulls —
+    // lengths never legitimately differ in the fixed-point pipelines,
+    // so a mismatch is corruption and must not yield a partial sum
+    assert(intercept[Exception] {
+      Seq((Seq(1L, 2L, 3L), Seq(4L, 5L))).toDF("x", "y")
+        .select(VectorFunctions.dotLong(col("x"), col("y"))).collect()
+    }.toString.contains("length mismatch"), "native must throw on length mismatch")
+    // (2) a null ELEMENT is skipped (contributes 0) where the HOF
+    // propagated NULL through the whole aggregate — pinned so the
+    // convention is a tested contract, not an accident
+    val withNullEl = Seq((Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](10L, 20L, 30L)))
+      .toDF("x", "y")
+      .select(
+        VectorFunctions.dotLong(col("x"), col("y")).as("n"),
+        VectorFunctions.dotLongHof(col("x"), col("y")).as("h"))
+      .head()
+    assert(withNullEl.getLong(0) == 100L, "native skips null elements (partial sum)")
+    assert(withNullEl.isNullAt(1), "HOF propagates NULL — the divergence this pin documents")
     // two instances in one projection (freshName regression, as vec_dot)
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference
