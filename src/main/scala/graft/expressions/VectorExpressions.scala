@@ -58,6 +58,41 @@ object VectorExpressions {
   def vecDotLong(a: Column, b: Column): Column =
     ColumnShim.column(LongVecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
 
+  /** The whole vector quantized: array<float> → array<long> with
+    * q(x) = round(double(x)·scale) half-away-from-zero per element —
+    * the codegen'd head pass of every fixed-point pipeline
+    * (`transform(v, …)` is CodegenFallback: N·dim interpreted lambda
+    * dispatches before any real work starts; at replica scale the
+    * quantize pass alone was minutes of interpretation).
+    */
+  def vecQuantizeFp(v: Column, scale: Long): Column =
+    ColumnShim.column(FloatVecQuantizeFp(ColumnShim.expression(v), scale))
+
+  /** Element-wise a − b over two `array<long>` columns (exact, throws
+    * on overflow and on length mismatch) — the codegen'd centering
+    * pass of the fixed-point PCA scatter.
+    */
+  def vecSubLong(a: Column, b: Column): Column =
+    ColumnShim.column(LongVecSub(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Exact-isqrt L2 normalization of one quantized vector in one
+    * codegen'd pass: r = isqrt(Σx²), each x → sign·((|x|·scale) div r),
+    * zero vectors pass through. Replaces an explode→join→groupBy→
+    * collect_list pipeline (two shuffles of N·dim rows) with per-row
+    * arithmetic — the shape difference IS the 100 TB story.
+    */
+  def vecL2NormFp(v: Column, scale: Long): Column =
+    ColumnShim.column(LongVecL2NormFp(ColumnShim.expression(v), scale))
+
+  /** Shared loud-failure gate for array-building vector expressions:
+    * the fixed-point pipelines never produce null ELEMENTS, so one is
+    * always upstream corruption — throw rather than propagate a hole.
+    */
+  def checkNoNullElement(isNull: Boolean, name: String, i: Int): Unit =
+    if (isNull)
+      throw new IllegalArgumentException(
+        s"$name: null element at index $i — fixed-point vectors must be dense")
+
   private[expressions] def checkVecTypes(left: Expression, right: Expression, name: String): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
@@ -325,4 +360,209 @@ case class FloatVecCosine(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** array<float> → array<long>: the per-element round-half-away-from-
+  * zero quantizer (bit-identical to [[FloatVecDotFp]]'s `q` and to
+  * DuckDB `CAST(round(CAST(x AS DOUBLE)·scale) AS BIGINT)`), fused
+  * into one codegen'd loop building an UnsafeArrayData. Null ELEMENTS
+  * throw (dense-vector contract — see
+  * `VectorExpressions.checkNoNullElement`); a null ARRAY is null.
+  */
+case class FloatVecQuantizeFp(child: Expression, scale: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<float>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_quantize_fp"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      VectorExpressions.checkNoNullElement(x.isNullAt(i), prettyName, i)
+      val p = x.getFloat(i).toDouble * scale.toDouble
+      val ap = math.abs(p)
+      val f = math.floor(ap)
+      val m = f.toLong + (if (ap - f >= 0.5d) 1L else 0L)
+      out(i) = if (p < 0) -m else m
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  // freshName'd locals — see FloatVecDot.doGenCode for why.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ve = VectorExpressions.getClass.getName.stripSuffix("$")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val ap = ctx.freshName("ap")
+      val f = ctx.freshName("f")
+      val m = ctx.freshName("m")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $ve.checkNoNullElement($a.isNullAt($i), "$prettyName", $i);
+         |  double $p = (double) $a.getFloat($i) * ${scale}.0D;
+         |  double $ap = Math.abs($p); double $f = Math.floor($ap);
+         |  long $m = (long) $f + (($ap - $f >= 0.5D) ? 1L : 0L);
+         |  $out[$i] = ($p < 0) ? -$m : $m;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Element-wise exact subtraction over two `array<long>` columns —
+  * the centering pass q − m of the fixed-point scatter, codegen'd.
+  * Lengths must match (throws via [[LongVecDot.checkedLength]]);
+  * overflow throws through ANSI arithmetic; null elements throw.
+  */
+case class LongVecSub(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.checkLongVecTypes(left, right, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_sub_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = LongVecDot.checkedLength(x.numElements(), y.numElements())
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      VectorExpressions.checkNoNullElement(x.isNullAt(i) || y.isNullAt(i), prettyName, i)
+      out(i) = MathUtils.subtractExact(x.getLong(i), y.getLong(i))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  // freshName'd locals — see FloatVecDot.doGenCode for why.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ve = VectorExpressions.getClass.getName.stripSuffix("$")
+      val lvd = LongVecDot.getClass.getName.stripSuffix("$")
+      val mu = MathUtils.getClass.getName.stripSuffix("$")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $lvd.checkedLength($a.numElements(), $b.numElements());
+         |long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $ve.checkNoNullElement($a.isNullAt($i) || $b.isNullAt($i), "$prettyName", $i);
+         |  $out[$i] = $mu.subtractExact($a.getLong($i), $b.getLong($i));
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact-isqrt L2 normalization of one quantized vector, fused:
+  * r = isqrt(Σx²) with the one-step float-sqrt correction (bit-equal
+  * to `Exact.isqrt`/the DuckDB CASE), each component
+  * sign·((|x|·scale) div r) — truncating division via the sign split,
+  * zero vectors (r = 0) pass through unchanged. Σx² must stay below
+  * 2⁵³ (the isqrt domain — callers' Q29Scale bound gives 64·10¹⁴);
+  * out-of-domain throws. Null elements throw.
+  */
+case class LongVecL2NormFp(child: Expression, scale: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<bigint>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_l2norm_fp"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var n2 = 0L
+    var i = 0
+    while (i < n) {
+      VectorExpressions.checkNoNullElement(x.isNullAt(i), prettyName, i)
+      n2 = MathUtils.addExact(n2, MathUtils.multiplyExact(x.getLong(i), x.getLong(i)))
+      i += 1
+    }
+    val r = LongVecL2NormFp.isqrt53(n2)
+    val out = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      val v = x.getLong(i)
+      out(i) =
+        if (r == 0L) v
+        else if (v < 0) -(MathUtils.multiplyExact(-v, scale) / r)
+        else MathUtils.multiplyExact(v, scale) / r
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  // freshName'd locals — see FloatVecDot.doGenCode for why.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ve = VectorExpressions.getClass.getName.stripSuffix("$")
+      val self = LongVecL2NormFp.getClass.getName.stripSuffix("$")
+      val mu = MathUtils.getClass.getName.stripSuffix("$")
+      val n = ctx.freshName("n")
+      val n2 = ctx.freshName("n2")
+      val r = ctx.freshName("r")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |long $n2 = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $ve.checkNoNullElement($a.isNullAt($i), "$prettyName", $i);
+         |  $n2 = $mu.addExact($n2, $mu.multiplyExact($a.getLong($i), $a.getLong($i)));
+         |}
+         |long $r = $self.isqrt53($n2);
+         |long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $v = $a.getLong($i);
+         |  $out[$i] = ($r == 0L) ? $v
+         |    : ($v < 0) ? -($mu.multiplyExact(-$v, ${scale}L) / $r)
+         |    : $mu.multiplyExact($v, ${scale}L) / $r;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LongVecL2NormFp {
+  /** Exact isqrt for 0 ≤ n < 2⁵³ — the same one-step correction as
+    * `graft.ops.Exact.isqrtLong` (kept callable from generated Java).
+    * Out-of-domain throws: a silent wrong root would silently
+    * desynchronize the hash-matched pipelines.
+    */
+  def isqrt53(n: Long): Long = {
+    if (n < 0 || n >= (1L << 53))
+      throw new IllegalArgumentException(s"isqrt domain: 0 <= n < 2^53, got $n")
+    val y0 = math.floor(math.sqrt(n.toDouble)).toLong
+    if ((y0 + 1) * (y0 + 1) <= n) y0 + 1 else if (y0 * y0 > n) y0 - 1 else y0
+  }
 }

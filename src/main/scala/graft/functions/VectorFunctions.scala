@@ -80,9 +80,34 @@ object VectorFunctions {
     * the final ranking all read the same integer arrays), where
     * re-quantizing inside every [[dotFp]] would repeat work.
     * `dotLong(quantizeFp(a,s), quantizeFp(b,s)) ≡ dotFp(a,b,s)`.
+    * Native codegen'd ([[graft.expressions.FloatVecQuantizeFp]]) since
+    * round 10 — the `transform` HOF was the interpreted head pass of
+    * every fixed-point pipeline; [[quantizeFpHof]] stays as the parity
+    * oracle.
     */
   def quantizeFp(v: Column, scale: Long): Column =
+    graft.expressions.VectorExpressions.vecQuantizeFp(v, scale)
+
+  /** HOF form of [[quantizeFp]] — interpreted, kept as the parity oracle. */
+  def quantizeFpHof(v: Column, scale: Long): Column =
     transform(v, x => fpqElem(x, scale))
+
+  /** Element-wise a − b over quantized vectors (exact; throws on
+    * overflow/length mismatch). Native codegen'd
+    * ([[graft.expressions.LongVecSub]]) — the centering pass of the
+    * fixed-point PCA scatter.
+    */
+  def subLong(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.vecSubLong(a, b)
+
+  /** Exact-isqrt L2 normalization of a quantized vector in ONE
+    * codegen'd per-row pass ([[graft.expressions.LongVecL2NormFp]]):
+    * r = isqrt(Σx²), x → sign·((|x|·scale) div r), zero vectors pass
+    * through — the same integers as the explode/join/groupBy form it
+    * replaced, with zero shuffles.
+    */
+  def l2NormFp(v: Column, scale: Long): Column =
+    graft.expressions.VectorExpressions.vecL2NormFp(v, scale)
 
   /** Exact Σ aᵢ·bᵢ over two `array<long>` columns (int64 throughout —
     * caller owns the no-overflow argument; see Q29Scale's bound note).

@@ -714,17 +714,34 @@ object SimilarityPipeline {
       explode(array((0 until bits).map(b =>
         struct(lit(b).as("m"), col("cell").bitwiseAND(lit(~(1L << b))).as("key"))): _*)).as("bk"))
       .select(col("vec_id"), col("bk.m").as("m"), col("bk.key").as("key"))
-    val w = Window.partitionBy("anchor_id")
-      .orderBy(col("__h").asc, col("negative_id").asc)
-    banded.as("a")
+    // The cap is pushed INTO the band join's output (r10): a bounded
+    // O(cap) buffer per (anchor, band) — map-side partial aggregation
+    // in the join's own stage — so a hot band's collisions die in the
+    // buffer instead of flooding the distinct's exchange. Semantics
+    // are UNCHANGED: the global cap keeps the `cap` md5-smallest
+    // candidates per anchor, and any member of that global set has
+    // < cap predecessors within its own band (its global predecessors
+    // are a superset of its band predecessors), so per-band
+    // bottom-cap → union → distinct → global cap selects the
+    // identical set — enumeration shipped per anchor is ≤ bands·cap
+    // rows however dense the bands are.
+    val perBand = banded.as("a")
       .join(banded.as("b"),
         col("a.m") === col("b.m") && col("a.key") === col("b.key") &&
           col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("anchor_id"), col("b.vec_id").as("negative_id"))
-      .distinct() // same-cell pairs collide on every masked key
+      .select(col("a.vec_id").as("anchor_id"), col("a.m").as("m"),
+        col("b.vec_id").as("negative_id"))
       .withColumn("__h",
         md5(concat_ws("|", lit("hn"), col("anchor_id").cast("string"),
           col("negative_id").cast("string"))))
+      .groupBy("anchor_id", "m")
+      .agg(graft.functions.TopK.bottomK(cap, col("__h"), col("negative_id")).as("tk"))
+      .select(col("anchor_id"), explode(col("tk")).as("s"))
+      .select(col("anchor_id"), col("s.id").as("negative_id"), col("s.h").as("__h"))
+      .distinct() // same-cell pairs collide on every masked key
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("__h").asc, col("negative_id").asc)
+    perBand
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= cap)
       .select("anchor_id", "negative_id")
@@ -964,60 +981,11 @@ object SimilarityPipeline {
 
   private val FpDownscaleTarget = 500000L
 
-  /** One matvec round over the downscaled scatter frame `ap` (i, j, a). */
-  private def fpMatvec(ap: DataFrame, v: DataFrame): DataFrame =
-    ap.join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))), Seq("j"))
-      .groupBy("i")
-      .agg(sum(col("a") * col("vj")).as("w"))
-
-  /** Uniform downscale to |w| ≤ target: D = (max|w| div target) + 1. */
-  private def fpDownscale(w: DataFrame, target: Long): DataFrame = {
-    val mw = w.agg(max(abs(col("w"))).as("mw"))
-    w.crossJoin(broadcast(mw))
-      .select(col("i"),
-        (when(col("w") < 0, lit(-1L)).otherwise(lit(1L)) *
-          expr(s"abs(w) div ((mw div $target) + 1)")).as("w"))
-  }
-
-  /** isqrt normalization to centScale (the q42 centroid step). */
-  private def fpNormalize(w: DataFrame, centScale: Long): DataFrame = {
-    val r = w.agg(sum(col("w") * col("w")).as("n2"))
-      .select(graft.ops.Exact.isqrt(col("n2")).as("r"))
-    w.crossJoin(broadcast(r))
-      .select(col("i"),
-        when(col("r") === 0, col("w"))
-          .otherwise(
-            when(col("w") < 0, -expr(s"((-w) * $centScale) div r"))
-              .otherwise(expr(s"(w * $centScale) div r"))).as("v"))
-  }
-
-  /** Fixed-point Gram–Schmidt: w − round-toward-zero((dotw/d11)·a₁) at
-    * coefficient scale 2¹⁹ (see the width plan above).
+  /** Truncating integer division for y > 0 (both engines' sign-split
+    * `div` idiom, as driver code).
     */
-  private def fpOrth(w: DataFrame, axis1: DataFrame): DataFrame = {
-    val j = w.join(axis1.select(col("i"), col("v").as("a1c")), Seq("i"))
-    val anch = j.agg(
-      sum(col("w") * col("a1c")).as("dw"),
-      sum(col("a1c") * col("a1c")).as("d11"))
-    j.crossJoin(broadcast(anch))
-      .select(col("i"), col("w"),
-        when(col("d11") === 0, lit(0L))
-          .otherwise(
-            (when(col("dw") < 0, lit(-1L)).otherwise(lit(1L)) *
-              expr("(abs(dw) * 524288) div d11")) * col("a1c")).as("p"))
-      .select(col("i"),
-        (col("w") -
-          (when(col("p") < 0, lit(-1L)).otherwise(lit(1L)) *
-            expr("abs(p) div 524288"))).as("w"))
-  }
-
-  /** Sign pin: negate so the loading sum is non-negative (orientation
-    * stability, the same convention as the float axes).
-    */
-  private def fpSignPin(v: DataFrame): DataFrame = {
-    val s = v.agg(when(sum(col("v")) >= 0, lit(1L)).otherwise(lit(-1L)).as("sg"))
-    v.crossJoin(broadcast(s)).select(col("i"), (col("v") * col("sg")).as("v"))
-  }
+  @inline private def truncDiv(x: Long, y: Long): Long =
+    if (x < 0) -((-x) / y) else x / y
 
   /** Top-2 fixed-point axes of a pre-quantized corpus
     * `fp = (vec_id, q: array<long>)`: truncated-mean centering, exact
@@ -1027,9 +995,26 @@ object SimilarityPipeline {
     * with a fixed pivot, so the axis-1 sequence is untouched), signs
     * pinned. Returns the d-row (i, a1, a2) loading table, both at
     * `centScale`. Every step replayable verbatim in DuckDB.
+    *
+    * Execution split (the r10 rework, measured not guessed): the ONLY
+    * data-scale stage is the scatter — N·d² multiply-adds, distributed
+    * with map-side DECIMAL combine. Everything after operates on the
+    * d×d matrix, which is BOUNDED BY THE EMBEDDING DIMENSION (d² = 4096
+    * longs at d = 64) and independent of corpus size — so it is
+    * collected once (the same driver-safety class as RawSink's
+    * metadata-sized seal list or a broadcast build) and the 2·iters
+    * power rounds run as exact int64 driver arithmetic. The previous
+    * form ran each round as distributed jobs over 64-row frames with
+    * per-round checkpoints: ~12.5 s of pure scheduling at ANY corpus
+    * size (the profiled r9 sf0.1 cost — the rounds themselves are
+    * microseconds of integer math). Same integers bit for bit: each
+    * driver op mirrors one oracle CTE (matvec, `div`-downscale,
+    * isqrt-normalize, 2¹⁹-coefficient deflation, sign pin), with
+    * `Math.*Exact` making any width-plan violation loud.
     */
   def topTwoAxesFp(fp: DataFrame, iters: Int = 8, centScale: Long = 1000000L): DataFrame = {
     require(iters >= 1)
+    val spark = fp.sparkSession
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val el = fp.select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
     val mean = el.groupBy("i")
@@ -1039,47 +1024,88 @@ object SimilarityPipeline {
     val marr = mean.agg(
       expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)").as("marr"))
     val cfp = fp.crossJoin(broadcast(marr))
-      .select(col("vec_id"), zip_with(col("q"), col("marr"), (x, mm) => x - mm).as("c"))
+      .select(col("vec_id"), VectorFunctions.subLong(col("q"), col("marr")).as("c"))
       .pinLineage()
     // scatter matrix: double posexplode (generator-in-codegen, the
     // covariance shape) with DECIMAL accumulation — the exchange
     // carries d² rows per partition, never N·d² raw pairs
-    val a0 = cfp
+    val a0rows = cfp
       .select(col("c"), posexplode(col("c")).as(Seq("i", "xi")))
       .select(col("i"), col("xi"), posexplode(col("c")).as(Seq("j", "xj")))
       .groupBy("i", "j")
       .agg(sum((col("xi") * col("xj")).cast(dec38)).as("a0"))
-    val maxa = a0.agg(max(abs(col("a0"))).as("ma"))
-    val ap = a0.crossJoin(broadcast(maxa))
-      .select(col("i"), col("j"),
-        (when(col("a0") < 0, lit(-1L)).otherwise(lit(1L)) *
-          expr("abs(a0) div ((ma div 60000000000) + 1)")).as("a"))
-      .coalesce(1) // d² rows — one task per loop stage (powerIteration's note)
-      .pinLineage()
-    val diag = ap.where(col("i") === col("j"))
-    def seedFrom(k: DataFrame): DataFrame =
-      ap.select(col("i")).distinct().crossJoin(broadcast(k))
-        .select(col("i"), when(col("i") === col("k"), lit(centScale)).otherwise(lit(0L)).as("v"))
-        .coalesce(1).pinLineage()
-    val k1 = diag.agg(max(struct(col("a"), (-col("i")).as("ni"))).as("b"))
-      .select((-col("b.ni")).cast("int").as("k"))
-    var v1 = seedFrom(k1)
-    for (_ <- 1 to iters)
-      v1 = fpNormalize(fpDownscale(fpMatvec(ap, v1), FpDownscaleTarget), centScale)
-        .coalesce(1).pinLineage()
-    val a1 = fpSignPin(v1).coalesce(1).pinLineage()
-    val k2 = diag.crossJoin(broadcast(k1.select(col("k").as("k1"))))
-      .where(col("i") =!= col("k1"))
-      .agg(max(struct(col("a"), (-col("i")).as("ni"))).as("b"))
-      .select((-col("b.ni")).cast("int").as("k"))
-    var v2 = seedFrom(k2)
-    for (_ <- 1 to iters)
-      v2 = fpNormalize(
-        fpOrth(fpDownscale(fpMatvec(ap, v2), FpDownscaleTarget), a1), centScale)
-        .coalesce(1).pinLineage()
-    val a2 = fpSignPin(v2)
-    a1.select(col("i"), col("v").as("a1"))
-      .join(a2.select(col("i"), col("v").as("a2")), Seq("i"))
+      .collect() // d² rows — dimension-bounded, never corpus-bounded
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("a1", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("a2", org.apache.spark.sql.types.LongType, nullable = false)))
+    if (a0rows.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+    // ---- driver-exact integer power iteration (mirrors the oracle
+    // CTE chain `ap`/`dg`/`k1`/`v*_t` op for op) ----
+    val dim = a0rows.iterator.map(_.getInt(0)).max + 1
+    val a0m = Array.ofDim[BigInt](dim, dim)
+    a0rows.foreach(r => a0m(r.getInt(0))(r.getInt(1)) = BigInt(r.getDecimal(2).toBigInteger))
+    val maxA = a0m.iterator.flatten.map(_.abs).max
+    val dA = maxA / 60000000000L + 1 // operands non-negative: BigInt / = div
+    val am = Array.tabulate(dim, dim) { (i, j) =>
+      val v = a0m(i)(j)
+      (if (v.signum < 0) -((-v) / dA) else v / dA).toLong
+    }
+    def matvec(v: Array[Long]): Array[Long] =
+      Array.tabulate(dim) { i =>
+        var s = 0L; var j = 0
+        while (j < dim) { s = Math.addExact(s, Math.multiplyExact(am(i)(j), v(j))); j += 1 }
+        s
+      }
+    def downscale(w: Array[Long]): Array[Long] = {
+      val dw = w.iterator.map(math.abs).max / FpDownscaleTarget + 1
+      w.map(truncDiv(_, dw))
+    }
+    def normalize(w: Array[Long]): Array[Long] = {
+      var n2 = 0L
+      w.foreach(x => n2 = Math.addExact(n2, Math.multiplyExact(x, x)))
+      val r = graft.ops.Exact.isqrtLong(n2)
+      if (r == 0L) w
+      else w.map(x => truncDiv(Math.multiplyExact(x, centScale), r))
+    }
+    def signPin(v: Array[Long]): Array[Long] = {
+      val s = if (v.sum >= 0) 1L else -1L
+      v.map(_ * s)
+    }
+    def seed(k: Int): Array[Long] =
+      Array.tabulate(dim)(i => if (i == k) centScale else 0L)
+    // argmax diagonal, ties → lowest i (the oracle's ORDER BY a DESC, i)
+    val diag = Array.tabulate(dim)(i => (am(i)(i), i))
+    val k1 = diag.maxBy { case (a, i) => (a, -i) }._2
+    var v1 = seed(k1)
+    for (_ <- 1 to iters) v1 = normalize(downscale(matvec(v1)))
+    val a1 = signPin(v1)
+    def orth(w: Array[Long]): Array[Long] = {
+      var dw = 0L; var d11 = 0L
+      var i = 0
+      while (i < dim) {
+        dw = Math.addExact(dw, Math.multiplyExact(w(i), a1(i)))
+        d11 = Math.addExact(d11, Math.multiplyExact(a1(i), a1(i)))
+        i += 1
+      }
+      if (d11 == 0L) w
+      else {
+        val coef = truncDiv(Math.multiplyExact(dw, 524288L), d11)
+        Array.tabulate(dim) { i =>
+          val p = Math.multiplyExact(coef, a1(i))
+          Math.subtractExact(w(i), truncDiv(p, 524288L))
+        }
+      }
+    }
+    val k2 = diag.filter(_._2 != k1).maxBy { case (a, i) => (a, -i) }._2
+    var v2 = seed(k2)
+    for (_ <- 1 to iters) v2 = normalize(orth(downscale(matvec(v2))))
+    val a2 = signPin(v2)
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](dim)
+    for (i <- 0 until dim) rows.add(org.apache.spark.sql.Row(i, a1(i), a2(i)))
+    spark.createDataFrame(rows, outSchema)
   }
 
   /** Exact integer projections of a pre-quantized corpus onto fp axes:
@@ -1134,20 +1160,12 @@ object SimilarityPipeline {
     * zero vectors pass through. Near-unit inputs keep |x·scale| ≤ 1e14
     * (the Q29Scale precondition); ‖q‖² ≤ 64·S² < 2⁵³ = isqrt's domain.
     */
-  def l2NormalizeFp(fp: DataFrame, scale: Long = 10000000L): DataFrame = {
-    val norms = fp.select(col("vec_id"),
-      graft.ops.Exact.isqrt(VectorFunctions.dotLong(col("q"), col("q"))).as("r"))
-    fp.select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
-      .join(norms, "vec_id")
-      .select(col("vec_id"), col("i"),
-        when(col("r") === 0, col("x"))
-          .otherwise(
-            when(col("x") < 0, -expr(s"((-x) * $scale) div r"))
-              .otherwise(expr(s"(x * $scale) div r"))).as("x"))
-      .groupBy("vec_id")
-      .agg(array_sort(collect_list(struct(col("i"), col("x")))).as("ix"))
-      .select(col("vec_id"), transform(col("ix"), s => s.getField("x")).as("q"))
-  }
+  def l2NormalizeFp(fp: DataFrame, scale: Long = 10000000L): DataFrame =
+    // one codegen'd per-row pass (LongVecL2NormFp) — same integers as
+    // the explode→join→groupBy form it replaced (r ties to components
+    // within one row, so the per-row fusion is semantically free), but
+    // ZERO shuffles instead of two over N·dim element rows
+    fp.select(col("vec_id"), VectorFunctions.l2NormFp(col("q"), scale).as("q"))
 
   /** The fixed-point grid cell width for threshold tn/td at p'-scale
     * CS (1e6 = one unit of projected distance): ceiling-isqrt of
