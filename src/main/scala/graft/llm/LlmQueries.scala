@@ -1291,6 +1291,148 @@ object LlmQueries {
     ),
   )
 
+  /** One IVF-probed Lloyd round as CTEs: fine centroids pick their
+    * coarse cell (`fg`), points pick their best LIVE coarse cell
+    * (`pg`), the assignment argmax runs only over the coarse cell's
+    * fine members (`d`/`a` — the blocked probe), then the exact
+    * q42RoundCtes mean/normalize update. Mirrors
+    * [[SimilarityPipeline.ivfAssignCellsFp]] op for op.
+    */
+  private def ivfRoundCtes(t: Int, prev: String, centScale: Long): String =
+    s"fgd$t AS (SELECT c.cell, g.gcell, " +
+      "CAST(list_sum(list_transform(generate_series(1, len(c.cent)), i -> c.cent[i] * g.gcent[i])) AS BIGINT) AS dot " +
+      s"FROM $prev c CROSS JOIN g0 g), " +
+      s"fg$t AS MATERIALIZED (SELECT cell, gcell FROM (SELECT cell, gcell, " +
+      s"row_number() OVER (PARTITION BY cell ORDER BY dot DESC, gcell ASC) AS rn FROM fgd$t) WHERE rn = 1), " +
+      s"pgd$t AS (SELECT f.vec_id, g.gcell, " +
+      "CAST(list_sum(list_transform(generate_series(1, len(f.q)), i -> f.q[i] * g.gcent[i])) AS BIGINT) AS dot " +
+      s"FROM fp f CROSS JOIN g0 g WHERE g.gcell IN (SELECT DISTINCT gcell FROM fg$t)), " +
+      s"pg$t AS (SELECT vec_id, gcell FROM (SELECT vec_id, gcell, " +
+      s"row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, gcell ASC) AS rn FROM pgd$t) WHERE rn = 1), " +
+      s"d$t AS (SELECT f.vec_id, c.cell, " +
+      "CAST(list_sum(list_transform(generate_series(1, len(f.q)), i -> f.q[i] * c.cent[i])) AS BIGINT) AS dot " +
+      s"FROM fp f JOIN pg$t p ON p.vec_id = f.vec_id " +
+      s"JOIN fg$t x ON x.gcell = p.gcell JOIN $prev c ON c.cell = x.cell), " +
+      s"a$t AS MATERIALIZED (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+      s"row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rn FROM d$t) WHERE rn = 1), " +
+      s"u$t AS (SELECT a.cell, t.i, CAST(sum(f.q[t.i]) AS BIGINT) AS s, count(*) AS nc " +
+      s"FROM a$t a JOIN fp f ON f.vec_id = a.vec_id, " +
+      "LATERAL (SELECT unnest(generate_series(1, len(f.q))) AS i) t GROUP BY 1, 2), " +
+      s"m$t AS (SELECT cell, i, CASE WHEN s < 0 THEN -((-s) // nc) ELSE s // nc END AS m FROM u$t), " +
+      s"n$t AS (SELECT cell, CAST(sum(m * m) AS BIGINT) AS n2 FROM m$t GROUP BY 1), " +
+      s"r$t AS (SELECT cell, ${graft.ops.Exact.isqrtSql("n2")} AS r FROM n$t), " +
+      s"c$t AS MATERIALIZED (SELECT m.cell, list(CASE WHEN r.r = 0 THEN m.m " +
+      s"WHEN m.m < 0 THEN -((-m.m) * $centScale // r.r) ELSE m.m * $centScale // r.r END " +
+      s"ORDER BY m.i) AS cent FROM m$t m JOIN r$t r ON r.cell = m.cell GROUP BY m.cell)"
+
+  /** The scaled (cells ∝ n, IVF-probed) clustering chain: quantize →
+    * cells = max(2, n div targetCell) fine seeds + isqrt(cells) coarse
+    * seeds → `iters` probed Lloyd rounds → probed final assignment.
+    * Yields `fp` and `af` — [[ivfAssignCteSql]] is to q261/q262 what
+    * [[kmeansAssignCteSql]] is to q42/q259/q260.
+    */
+  private def ivfAssignCteSql(iters: Int, targetCell: Int, centScale: Long): String = {
+    val rounds = (1 to iters).map(t => ivfRoundCtes(t, if (t == 1) "c0" else s"c${t - 1}", centScale))
+    val fin = iters + 1
+    s"fp AS MATERIALIZED (SELECT vec_id, list_transform(embedding, " +
+      s"x -> CAST(round(CAST(x AS DOUBLE) * $Q29Scale) AS BIGINT)) AS q FROM embeddings), " +
+      s"cs AS (SELECT GREATEST(2, n // $targetCell) AS c FROM (SELECT count(*) AS n FROM fp)), " +
+      s"gs AS (SELECT GREATEST(1, ${graft.ops.Exact.isqrtSql("c")}) AS g FROM cs), " +
+      "g0 AS MATERIALIZED (SELECT s.rn - 1 AS gcell, s.q AS gcent FROM " +
+      "(SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) AS rn FROM fp) s, gs WHERE s.rn <= gs.g), " +
+      "c0 AS MATERIALIZED (SELECT s.rn - 1 AS cell, s.q AS cent FROM " +
+      "(SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) AS rn FROM fp) s, cs WHERE s.rn <= cs.c), " +
+      rounds.mkString("", ", ", ", ") +
+      s"fgd$fin AS (SELECT c.cell, g.gcell, " +
+      "CAST(list_sum(list_transform(generate_series(1, len(c.cent)), i -> c.cent[i] * g.gcent[i])) AS BIGINT) AS dot " +
+      s"FROM c$iters c CROSS JOIN g0 g), " +
+      s"fg$fin AS (SELECT cell, gcell FROM (SELECT cell, gcell, " +
+      s"row_number() OVER (PARTITION BY cell ORDER BY dot DESC, gcell ASC) AS rn FROM fgd$fin) WHERE rn = 1), " +
+      s"pgd$fin AS (SELECT f.vec_id, g.gcell, " +
+      "CAST(list_sum(list_transform(generate_series(1, len(f.q)), i -> f.q[i] * g.gcent[i])) AS BIGINT) AS dot " +
+      s"FROM fp f CROSS JOIN g0 g WHERE g.gcell IN (SELECT DISTINCT gcell FROM fg$fin)), " +
+      s"pg$fin AS (SELECT vec_id, gcell FROM (SELECT vec_id, gcell, " +
+      s"row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, gcell ASC) AS rn FROM pgd$fin) WHERE rn = 1), " +
+      s"d$fin AS (SELECT f.vec_id, c.cell, " +
+      "CAST(list_sum(list_transform(generate_series(1, len(f.q)), i -> f.q[i] * c.cent[i])) AS BIGINT) AS dot " +
+      s"FROM fp f JOIN pg$fin p ON p.vec_id = f.vec_id " +
+      s"JOIN fg$fin x ON x.gcell = p.gcell JOIN c$iters c ON c.cell = x.cell), " +
+      s"af AS MATERIALIZED (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+      s"row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rn FROM d$fin) WHERE rn = 1)"
+  }
+
+  // q261 — q259's SemDeDup at the 100 TB shape: cells ∝ n (constant
+  // expected cluster size ⇒ LINEAR intra-cell pair work instead of
+  // q259's n^1.5) and every assignment routed through a fixed coarse
+  // quantizer of isqrt(cells) centroids — each point dots against
+  // √cells coarse cells, then only against ITS coarse cell's fine
+  // members (n·2√cells assignment dots instead of the dense n·cells;
+  // the construction nests for deeper hierarchies). The drop decision
+  // — intra-cell pairs, the cross-multiplied 3/10 threshold with the
+  // zero-vector guard, the min-witness pick — is byte-identical to
+  // q259 (shared semanticDupDrops path), and every step including the
+  // probed clustering replays in the DuckDB oracle.
+  val q261: QuerySpec = QuerySpec(
+    "q261_semantic_dedup_scaled",
+    (s, d) =>
+      SimilarityPipeline
+        .semanticDedupFpScaled(embeddings(s, d), tNum = 3, tDen = 10,
+          targetCell = 32, iters = 2,
+          knownRows = Some(graft.ops.CorpusStats.tableRows(s, d, "embeddings")))
+        .orderBy("vec_id"),
+    Some(
+      s"WITH ${ivfAssignCteSql(iters = 2, targetCell = 32, centScale = 1000000L)}, " +
+        "pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.cell AS cell " +
+        "FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id), " +
+        "scored AS (SELECT va, vb, cell, " +
+        "CAST(list_sum(list_transform(generate_series(1, len(fa.q)), i -> fa.q[i] * fb.q[i])) AS BIGINT) AS dot_fp, " +
+        "CAST(list_sum(list_transform(fa.q, x -> x * x)) AS BIGINT) AS na, " +
+        "CAST(list_sum(list_transform(fb.q, x -> x * x)) AS BIGINT) AS nb2 " +
+        "FROM pairs JOIN fp fa ON fa.vec_id = va JOIN fp fb ON fb.vec_id = vb), " +
+        "dup AS (SELECT * FROM scored WHERE dot_fp >= 0 AND na > 0 AND nb2 > 0 " +
+        "AND CAST(dot_fp AS HUGEINT) * dot_fp * 100 >= 9 * CAST(na AS HUGEINT) * nb2) " +
+        "SELECT vec_id, keeper, cell, cos2_bp FROM (SELECT vb AS vec_id, va AS keeper, " +
+        "CAST(cell AS BIGINT) AS cell, " +
+        "CAST((CAST(dot_fp AS HUGEINT) * dot_fp * 10000) // (CAST(na AS HUGEINT) * nb2) AS BIGINT) AS cos2_bp, " +
+        "row_number() OVER (PARTITION BY vb ORDER BY va) AS rn FROM dup) " +
+        "WHERE rn = 1 ORDER BY vec_id"
+    ),
+  )
+
+  // q262 — q260's semantic decontamination under the same scaled
+  // geometry: one cells-∝-n probed clustering over the union, bench
+  // membership by the declared vec_id % 20 = 0 rule, train×bench
+  // pairs within a cell only — the drop-manifest semantics unchanged
+  // (shared semanticDecontamHits path).
+  val q262: QuerySpec = QuerySpec(
+    "q262_semantic_decontam_scaled",
+    (s, d) =>
+      SimilarityPipeline
+        .semanticDecontamFpScaled(embeddings(s, d), isBench = col("vec_id") % 20 === 0,
+          tNum = 3, tDen = 10, targetCell = 32, iters = 2,
+          knownRows = Some(graft.ops.CorpusStats.tableRows(s, d, "embeddings")))
+        .orderBy("vec_id"),
+    Some(
+      s"WITH ${ivfAssignCteSql(iters = 2, targetCell = 32, centScale = 1000000L)}, " +
+        "tr AS (SELECT vec_id, cell FROM af WHERE vec_id % 20 <> 0), " +
+        "bm AS (SELECT vec_id, cell FROM af WHERE vec_id % 20 = 0), " +
+        "pairs AS (SELECT t.vec_id AS tv, b.vec_id AS bv, t.cell AS cell " +
+        "FROM tr t JOIN bm b ON t.cell = b.cell), " +
+        "scored AS (SELECT tv, bv, cell, " +
+        "CAST(list_sum(list_transform(generate_series(1, len(ft.q)), i -> ft.q[i] * fb.q[i])) AS BIGINT) AS dot_fp, " +
+        "CAST(list_sum(list_transform(ft.q, x -> x * x)) AS BIGINT) AS na, " +
+        "CAST(list_sum(list_transform(fb.q, x -> x * x)) AS BIGINT) AS nb2 " +
+        "FROM pairs JOIN fp ft ON ft.vec_id = tv JOIN fp fb ON fb.vec_id = bv), " +
+        "hits AS (SELECT * FROM scored WHERE dot_fp >= 0 AND na > 0 AND nb2 > 0 " +
+        "AND CAST(dot_fp AS HUGEINT) * dot_fp * 100 >= 9 * CAST(na AS HUGEINT) * nb2) " +
+        "SELECT vec_id, bench_witness, cell, cos2_bp FROM (SELECT tv AS vec_id, bv AS bench_witness, " +
+        "CAST(cell AS BIGINT) AS cell, " +
+        "CAST((CAST(dot_fp AS HUGEINT) * dot_fp * 10000) // (CAST(na AS HUGEINT) * nb2) AS BIGINT) AS cos2_bp, " +
+        "row_number() OVER (PARTITION BY tv ORDER BY bv) AS rn FROM hits) " +
+        "WHERE rn = 1 ORDER BY vec_id"
+    ),
+  )
+
   /** The full q224 oracle: raw fp + exact-isqrt normalization +
     * [[pcaAxesCtes]] on the NORMALIZED corpus + fp projections → grid
     * cells (inlined [[SimilarityPipeline.gridWidthFp]] width) →
@@ -1675,5 +1817,5 @@ object LlmQueries {
   val all: Seq[QuerySpec] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q55, q201, q202, q217, q218, q224,
-      q228, q229, q230, q252, q258, q259, q260)
+      q228, q229, q230, q252, q258, q259, q260, q261, q262)
 }

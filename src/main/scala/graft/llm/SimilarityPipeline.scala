@@ -434,33 +434,9 @@ object SimilarityPipeline {
     // step — both sides of the self-join read THIS frame, not two
     // recomputations of it
     val assigned = fp.join(assignCellsFp(fp, cents), "vec_id").pinLineage()
-    val tn2 = tNum.toLong * tNum
-    val td2 = tDen.toLong * tDen
-    val dup = assigned.as("a")
-      .join(assigned.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .select(
-        col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("a.cell").as("cell"),
-        VectorFunctions.dotLong(col("a.q"), col("b.q")).as("dot_fp"),
-        VectorFunctions.dotLong(col("a.q"), col("a.q")).as("na"),
-        VectorFunctions.dotLong(col("b.q"), col("b.q")).as("nb"))
-      // na/nb > 0 excludes zero quantized vectors: 0 ≥ 0 would pass
-      // the cross-multiplied test vacuously and the cos2_bp div by
-      // na·nb = 0 would throw under ANSI (r9-ADVICE); a zero vector
-      // has no cosine to anything, so it can never be a dup
-      .where(col("dot_fp") >= 0 && col("na") > 0 && col("nb") > 0 &&
-        expr(s"cast(dot_fp as decimal(38,0)) * dot_fp * $td2 >= " +
-          s"cast(na as decimal(38,0)) * nb * $tn2"))
     // minimal witness per dropped vector — the per-vb frame is the
     // (tiny) dup-pair set, never the corpus
-    val w = Window.partitionBy("vb").orderBy(asc("va"))
-    dup
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .select(
-        col("vb").as("vec_id"), col("va").as("keeper"), col("cell").cast("long").as("cell"),
-        expr("cast((cast(dot_fp as decimal(38,0)) * dot_fp * 10000) div " +
-          "(cast(na as decimal(38,0)) * nb) as bigint)").as("cos2_bp"))
+    semanticDupDrops(assigned, tNum, tDen)
   }
 
   /** SEMANTIC decontamination under the same fixed-point k-means
@@ -494,6 +470,200 @@ object SimilarityPipeline {
     val assigned = fp
       .join(assignCellsFp(fp.select("vec_id", "q"), cents), "vec_id")
       .pinLineage()
+    semanticDecontamHits(assigned, tNum, tDen)
+  }
+
+  // -------------------------------------------------------------------
+  // The 100 TB SemDeDup shape (r10): cells ∝ n + IVF-probed
+  // assignment. The flat q259/q260 forms size cells ≈ isqrt(n)/2 and
+  // assign by the dense n·cells broadcast dot — n^1.5 pair work and
+  // n^1.5 assignment work. The published lever (SemDeDup §scaling /
+  // the FAISS IVF recipe): hold CLUSTER SIZE constant (cells = n/K ⇒
+  // intra-cell pair work is Σ|cell|²/2 ≈ n·K/2, LINEAR), and route
+  // assignment through a small fixed COARSE quantizer — each point
+  // finds its best coarse cell (n·√cells dots), then argmaxes only
+  // over the fine centroids OF THAT COARSE CELL (n·√cells expected) —
+  // n·2√cells total instead of n·cells = n²/K. One coarse level is
+  // implemented; the same construction nests (coarse-of-coarse) to
+  // keep the multiplier bounded at any scale. The DECISION RULE —
+  // intra-cell pairs, the cross-multiplied integer threshold, the
+  // min-witness pick — is untouched by the swap, and every step stays
+  // exact int64, so the scaled operators carry their own full DuckDB
+  // replays (q261/q262).
+  // -------------------------------------------------------------------
+
+  /** Two-level IVF-probed fixed-point k-means: `cells` fine centroids
+    * (seeded from the lowest vec_ids, `iters` Lloyd rounds), with
+    * every assignment — in-round and final — probed through a FIXED
+    * coarse quantizer of isqrt(cells) centroids (the lowest-vec_id
+    * seeds, the same idiom). Per round: fine centroids pick their
+    * coarse cell (cells·√cells dots, broadcast); each point picks its
+    * best LIVE coarse cell (a coarse cell can lose all fine members —
+    * ranking is restricted to live ones so every point stays
+    * assigned), then argmaxes over that cell's fine centroids via a
+    * gcell-keyed join — the blocked join IS the probe. All argmaxes
+    * tie-break (dot DESC, cell ASC); means/normalization are
+    * q42RoundCtes' exact integer forms. Returns (vec_id, cell).
+    */
+  def ivfAssignCellsFp(
+      fp: DataFrame, cells: Int, iters: Int,
+      centScale: Long = 1000000L): DataFrame = {
+    require(cells > 0 && iters >= 1)
+    val g = math.max(1L, graft.ops.Exact.isqrtLong(cells.toLong)).toInt
+    val coarse = fp
+      .orderBy("vec_id")
+      .limit(g)
+      .select(
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int").as("gcell"),
+        col("q").as("gcent"))
+      .pinLineage()
+    var cents = fp
+      .orderBy("vec_id")
+      .limit(cells)
+      .select(
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int").as("cell"),
+        col("q").as("cent"))
+      .pinLineage()
+    // one probed assignment pass against the CURRENT fine centroids
+    def assign(c: DataFrame): DataFrame = {
+      val fg = c.join(broadcast(coarse))
+        .select(col("cell"), col("cent"),
+          struct(
+            VectorFunctions.dotLong(col("cent"), col("gcent")).as("dot"),
+            (-col("gcell")).as("ng")).as("sc"))
+        .groupBy("cell", "cent")
+        .agg(max(col("sc")).as("b"))
+        .select(col("cell"), col("cent"), (-col("b.ng")).cast("int").as("gcell"))
+      val live = fg.select("gcell").distinct()
+      val pg = fp.join(broadcast(coarse.join(live, "gcell")))
+        .select(col("vec_id"),
+          struct(
+            VectorFunctions.dotLong(col("q"), col("gcent")).as("dot"),
+            (-col("gcell")).as("ng")).as("sc"))
+        .groupBy("vec_id")
+        .agg(max(col("sc")).as("b"))
+        .select(col("vec_id"), (-col("b.ng")).cast("int").as("gcell"))
+      // the probe: points meet ONLY their coarse cell's fine
+      // centroids — a gcell-keyed join, never the dense n·cells dot
+      fp.join(pg, "vec_id")
+        .join(fg, "gcell")
+        .select(col("vec_id"),
+          struct(
+            VectorFunctions.dotLong(col("q"), col("cent")).as("dot"),
+            (-col("cell")).as("negCell")).as("sc"))
+        .groupBy("vec_id")
+        .agg(max(col("sc")).as("best"))
+        .select(col("vec_id"), (-col("best.negCell")).cast("int").as("cell"))
+    }
+    for (_ <- 1 to iters) {
+      val means = assign(cents)
+        .join(fp, "vec_id")
+        .select(col("cell"), posexplode(col("q")).as(Seq("i", "v")))
+        .groupBy("cell", "i")
+        .agg(sum("v").as("s"), count(lit(1)).as("nc"))
+        .select(col("cell"), col("i"),
+          when(col("s") < 0, -expr("(-s) div nc")).otherwise(expr("s div nc")).as("m"))
+      val norms = means
+        .groupBy("cell")
+        .agg(sum(col("m") * col("m")).as("n2"))
+        .select(col("cell"), graft.ops.Exact.isqrt(col("n2")).as("r"))
+      cents = means
+        .join(norms, "cell")
+        .select(col("cell"), col("i"),
+          when(col("r") === 0, col("m"))
+            .otherwise(
+              when(col("m") < 0, -expr(s"((-m) * $centScale) div r"))
+                .otherwise(expr(s"(m * $centScale) div r"))).as("c"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ic"))
+        .select(col("cell"), transform(col("ic"), x => x.getField("c")).as("cent"))
+        .pinLineage()
+    }
+    assign(cents)
+  }
+
+  /** q259's semantic dedup at the 100 TB shape: cells = max(2,
+    * n div targetCell) (constant expected cluster size ⇒ LINEAR
+    * intra-cell pair work) with [[ivfAssignCellsFp]] clustering. The
+    * drop rule, threshold and min-witness pick are byte-identical to
+    * [[semanticDedupFp]] — only the blocking geometry changes.
+    * `knownRows` takes the parquet-footer count (CorpusStats) so
+    * sizing costs no scan.
+    */
+  def semanticDedupFpScaled(
+      corpus: DataFrame, tNum: Int, tDen: Int,
+      targetCell: Int = 32, iters: Int = 2, scale: Long = 10000000L,
+      knownRows: Option[Long] = None): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum < tDen, "threshold must be in (0,1)")
+    require(targetCell > 1, "targetCell must exceed 1")
+    val n = knownRows.getOrElse(corpus.count())
+    val cells = math.max(2L, n / targetCell).toInt
+    val fp = corpus
+      .select(col("vec_id"), VectorFunctions.quantizeFp(col("embedding"), scale).as("q"))
+      .pinLineage()
+    val assigned = fp.join(ivfAssignCellsFp(fp, cells, iters), "vec_id").pinLineage()
+    semanticDupDrops(assigned, tNum, tDen)
+  }
+
+  /** q260's semantic decontamination at the same 100 TB shape: one
+    * scaled clustering over the union, train×bench pairs within a
+    * cell only — [[semanticDecontamFp]]'s rule under
+    * [[ivfAssignCellsFp]]'s geometry.
+    */
+  def semanticDecontamFpScaled(
+      corpus: DataFrame, isBench: Column, tNum: Int, tDen: Int,
+      targetCell: Int = 32, iters: Int = 2, scale: Long = 10000000L,
+      knownRows: Option[Long] = None): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum < tDen, "threshold must be in (0,1)")
+    require(targetCell > 1, "targetCell must exceed 1")
+    val n = knownRows.getOrElse(corpus.count())
+    val cells = math.max(2L, n / targetCell).toInt
+    val fp = corpus
+      .select(col("vec_id"), VectorFunctions.quantizeFp(col("embedding"), scale).as("q"),
+        isBench.as("is_bench"))
+      .pinLineage()
+    val assigned = fp
+      .join(ivfAssignCellsFp(fp.select("vec_id", "q"), cells, iters), "vec_id")
+      .pinLineage()
+    semanticDecontamHits(assigned, tNum, tDen)
+  }
+
+  /** The SemDeDup drop rule over an assigned frame (vec_id, q, cell) —
+    * factored so the flat (q259) and scaled (q261) geometries share
+    * one decision path byte for byte.
+    */
+  private def semanticDupDrops(assigned: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    val tn2 = tNum.toLong * tNum
+    val td2 = tDen.toLong * tDen
+    val dup = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("a.cell").as("cell"),
+        VectorFunctions.dotLong(col("a.q"), col("b.q")).as("dot_fp"),
+        VectorFunctions.dotLong(col("a.q"), col("a.q")).as("na"),
+        VectorFunctions.dotLong(col("b.q"), col("b.q")).as("nb"))
+      // na/nb > 0 excludes zero quantized vectors: 0 ≥ 0 would pass
+      // the cross-multiplied test vacuously and the cos2_bp div by
+      // na·nb = 0 would throw under ANSI (r9-ADVICE); a zero vector
+      // has no cosine to anything, so it can never be a dup
+      .where(col("dot_fp") >= 0 && col("na") > 0 && col("nb") > 0 &&
+        expr(s"cast(dot_fp as decimal(38,0)) * dot_fp * $td2 >= " +
+          s"cast(na as decimal(38,0)) * nb * $tn2"))
+    val w = Window.partitionBy("vb").orderBy(asc("va"))
+    dup
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(
+        col("vb").as("vec_id"), col("va").as("keeper"), col("cell").cast("long").as("cell"),
+        expr("cast((cast(dot_fp as decimal(38,0)) * dot_fp * 10000) div " +
+          "(cast(na as decimal(38,0)) * nb) as bigint)").as("cos2_bp"))
+  }
+
+  /** The decontamination hit rule over an assigned frame
+    * (vec_id, q, cell, is_bench) — shared by q260 and q262.
+    */
+  private def semanticDecontamHits(assigned: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     val train = assigned.where(!col("is_bench"))
       .select(col("vec_id").as("tv"), col("q").as("tq"), col("cell"))
     val bench = assigned.where(col("is_bench"))
@@ -507,8 +677,7 @@ object SimilarityPipeline {
         VectorFunctions.dotLong(col("tq"), col("bq")).as("dot_fp"),
         VectorFunctions.dotLong(col("tq"), col("tq")).as("na"),
         VectorFunctions.dotLong(col("bq"), col("bq")).as("nb"))
-      // na/nb > 0: see semanticDedupFp — zero vectors pass 0 ≥ 0
-      // vacuously and divide by zero in cos2_bp
+      // na/nb > 0: see semanticDupDrops
       .where(col("dot_fp") >= 0 && col("na") > 0 && col("nb") > 0 &&
         expr(s"cast(dot_fp as decimal(38,0)) * dot_fp * $td2 >= " +
           s"cast(na as decimal(38,0)) * nb * $tn2"))

@@ -408,6 +408,57 @@ class SimilarityPipelineSpec extends SparkSpec {
     }
   }
 
+  test("ivfAssignCellsFp: degenerates to the flat assignment under a single coarse cell, covers every vector") {
+    import graft.functions.VectorFunctions
+    val fp = emb.select(col("vec_id"), VectorFunctions.quantizeFp(col("embedding"), 10000000L).as("q"))
+    // cells = 3 ⇒ isqrt(3) = 1 coarse cell ⇒ every point probes every
+    // fine centroid every round — the probed path must REPRODUCE the
+    // flat kmeans bit for bit (same seeds, same argmax tie-breaks,
+    // same integer means), which pins that the probe machinery itself
+    // introduces no decision drift
+    val scaled = SimilarityPipeline.ivfAssignCellsFp(fp, cells = 3, iters = 2)
+      .as[(Long, Int)].collect().sortBy(_._1)
+    val flat = fp.join(
+        SimilarityPipeline.assignCellsFp(fp, SimilarityPipeline.kmeansCentroidsFp(fp, 3, 2)), "vec_id")
+      .select("vec_id", "cell").as[(Long, Int)].collect().sortBy(_._1)
+    assert(scaled.toSeq == flat.toSeq,
+      "single-coarse-cell probed assignment must equal the flat assignment")
+    // coverage under a REAL two-level geometry (cells ∝ n): the live-
+    // coarse-cell restriction must keep every vector assigned
+    val n = emb.count()
+    val cells = math.max(2L, n / 32).toInt
+    val assigned = SimilarityPipeline.ivfAssignCellsFp(fp, cells, iters = 2)
+    assert(assigned.count() == n, "every vector must receive a cell")
+    assert(assigned.select("vec_id").distinct().count() == n)
+    assert(assigned.where(col("cell") < 0 || col("cell") >= cells).isEmpty)
+  }
+
+  test("semanticDedupFpScaled / semanticDecontamFpScaled: scaled-geometry drops keep q259/q260's decision contract") {
+    val out = SimilarityPipeline
+      .semanticDedupFpScaled(emb, tNum = 3, tDen = 10, targetCell = 32, iters = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.forall { case (v, k, _, _) => k < v }, "keep-first: keeper id below dropped id")
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    out.foreach { case (v, k, _, bp) =>
+      val (a, b) = (vecs(k), vecs(v))
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val cos = d / math.sqrt(a.map(x => x.toDouble * x).sum * b.map(x => x.toDouble * x).sum)
+      assert(cos >= 0.3 - 1e-4, s"scaled drop ($v ← $k): cos $cos below threshold")
+      assert(math.abs(cos * cos * 10000 - bp) <= 1)
+    }
+    val flags = SimilarityPipeline
+      .semanticDecontamFpScaled(emb, isBench = col("vec_id") % 20 === 0,
+        tNum = 3, tDen = 10, targetCell = 32, iters = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(flags.nonEmpty)
+    flags.foreach { case (v, wtn, _, _) =>
+      assert(v % 20 != 0, s"benchmark vector $v must never be flagged")
+      assert(wtn % 20 == 0, s"witness $wtn must be a benchmark vector")
+    }
+  }
+
   test("pcaProject: recovers a planted principal direction, 10x variance dominance") {
     // x = t·u + ε with u a fixed unit direction in 8-dim space and ε
     // tiny deterministic noise: PC1 must align with u and dominate.
