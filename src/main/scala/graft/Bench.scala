@@ -53,7 +53,53 @@ object Bench {
     val ordered = selected.toSeq.sortBy(_._1)
     val benchT0 = System.nanoTime()
 
-    def runPass(tag: String): Seq[(String, Double)] = ordered.map { case (name, fn) =>
+    // Pass-boundary instrumentation (round-10, after BENCH_r09's 23.3%
+    // spread with an INVERTED pass profile): storage bytes + block
+    // counts, cumulative GC time, heap occupancy and live persistent
+    // RDDs, logged before/after every pass. If in-process accumulation
+    // (checkpoint residue awaiting the ContextCleaner, heap creep) is
+    // inflating later passes, these lines show it growing; flat lines
+    // + noisy timings = box contention. One artifact, both hypotheses
+    // falsifiable.
+    def passStats(tag: String): Unit = {
+      val bd = org.apache.spark.graftshim.StorageShim.breakdown(spark.sparkContext)
+      val gcMs = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .stream.mapToLong(_.getCollectionTime).sum
+      val heap = java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed
+      val rdds = spark.sparkContext.getPersistentRDDs.size
+      System.err.println(
+        s"[bench-stats] $tag broadcast_bytes=${bd.broadcastBytes} rdd_bytes=${bd.rddBytes} " +
+          s"other_bytes=${bd.otherBytes} blocks=${bd.blocks} " +
+          s"gc_total_ms=$gcMs heap_used=$heap persistent_rdds=$rdds " +
+          f"t=${(System.nanoTime() - benchT0) / 1e9}%.1f")
+    }
+
+    // Inter-pass barrier: BLOCKING unpersist of anything still pinned
+    // (the per-query drain below is non-blocking — deliberate inside a
+    // measured window, but residue can straddle passes), then GC +
+    // settle so the ContextCleaner's reference queue drains DEAD
+    // broadcasts/checkpoints NOW — measured: broadcast residue grows
+    // ~100 MB per 9-query pass with no barrier, and the cleaner only
+    // reacts to GC, asynchronously. The next pass starts from a clean
+    // block manager instead of paying deferred cleanup inside its own
+    // measured window.
+    def interPassBarrier(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+      Thread.sleep(400) // cleaner drain window (untimed)
+      System.gc()
+      Thread.sleep(100)
+    }
+
+    def runPass(tag: String): Seq[(String, Double)] = {
+      passStats(s"$tag-begin")
+      val out = runPassInner(tag)
+      passStats(s"$tag-end")
+      interPassBarrier()
+      out
+    }
+
+    def runPassInner(tag: String): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       System.err.println(f"[bench-trace] $tag $name start at ${(t0 - benchT0) / 1e9}%.2f")
       try { fn(spark, sfDir).count() } catch {

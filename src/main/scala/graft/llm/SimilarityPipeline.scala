@@ -327,7 +327,9 @@ object SimilarityPipeline {
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ic"))
         .select(col("cell"), transform(col("ic"), x => x.getField("c")).as("cent"))
-      cents = updated.pinLineage()
+      val next = updated.pinLineage() // eager: reads (and retires) the old cents
+      graft.ops.Pin.unpin(cents)
+      cents = next
     }
     cents
   }
@@ -567,7 +569,7 @@ object SimilarityPipeline {
         .groupBy("cell")
         .agg(sum(col("m") * col("m")).as("n2"))
         .select(col("cell"), graft.ops.Exact.isqrt(col("n2")).as("r"))
-      cents = means
+      val next = means
         .join(norms, "cell")
         .select(col("cell"), col("i"),
           when(col("r") === 0, col("m"))
@@ -577,7 +579,9 @@ object SimilarityPipeline {
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("ic"))
         .select(col("cell"), transform(col("ic"), x => x.getField("c")).as("cent"))
-        .pinLineage()
+        .pinLineage() // eager: reads (and retires) the old cents
+      graft.ops.Pin.unpin(cents)
+      cents = next
     }
     assign(cents)
   }

@@ -77,6 +77,10 @@ object Components {
         .groupBy("v").agg(min(col("comp")).as("comp"))
         .pinLineage(eager = false)
       val s = labelSum(prop)
+      // round t is materialized (the probe was its action): release
+      // round t−1's blocks now — bounds live pinned storage to ~2
+      // label generations instead of one per round
+      labels.unpin()
       labels = prop
       done = s.compareTo(prevSum) == 0
       prevSum = s
@@ -177,6 +181,7 @@ object Components {
       val next = canon(smallStar(largeStar(e))).pinLineage(eager = false)
       val s = edgeSum(next)
       done = s.compareTo(prevSum) == 0
+      e.unpin() // superseded round's blocks — see the propagation loop
       e = next
       prevSum = s
       round += 1

@@ -284,6 +284,13 @@ object GraphOps {
         .select(col("b").as("v")).distinct()
         .join(dist, Seq("v"), "left_anti")
         .pinLineage(eager = true) // probed + expanded next round
+      // For k ≥ 2 the eager action above ALSO materialized the lazy
+      // dist(k−1) pin (it reads dist), so the superseded frontier —
+      // from then on referenced only by plans backed by their own
+      // blocks — can release its blocks. NOT at k = 1: dist(0) is a
+      // plain projection that keeps reading the seed frontier's RDD
+      // until dist(1) materializes.
+      if (k >= 2) frontier.unpin()
       if (next.isEmpty) done = true
       else {
         dist = dist.union(next.withColumn("d", lit(k.toLong)))

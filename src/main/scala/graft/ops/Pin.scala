@@ -63,8 +63,21 @@ object Pin {
     } else df.localCheckpoint(eager)
   }
 
+  /** Release a SUPERSEDED pinned frame's blocks now instead of at
+    * ContextCleaner leisure. Loop operators call this on round t−1
+    * once round t is materialized: without it a 20-round components
+    * run holds 20 generations of label blocks until the query ends
+    * and GC runs — dead weight that becomes the NEXT query's memory
+    * pressure (the r9 bench artifact's accumulation suspect). No-op
+    * for reliable checkpoints (file-backed; cleaned by
+    * `spark.cleaner.referenceTracking.cleanCheckpoints`).
+    */
+  def unpin(df: DataFrame): Unit =
+    org.apache.spark.sql.graftshim.RddShim.unpersistPinned(df)
+
   /** `df.pinLineage(eager)` — chainable form of [[Pin.apply]]. */
   implicit class PinOps(private val df: DataFrame) extends AnyVal {
     def pinLineage(eager: Boolean = true): DataFrame = Pin(df, eager)
+    def unpin(): Unit = Pin.unpin(df)
   }
 }
