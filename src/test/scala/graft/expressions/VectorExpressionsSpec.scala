@@ -180,4 +180,85 @@ class VectorExpressionsSpec extends SparkSpec {
       .select(VectorFunctions.dot(col("x"), col("y")).as("d"))
     assert(df.head().isNullAt(0))
   }
+
+  test("vec_quantize_fp matches the HOF transform bit-for-bit and codegen-compiles") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val e = FloatVecQuantizeFp(
+      org.apache.spark.sql.graftshim.ColumnShim.expression(col("x")), 10000000L)
+    assert(!e.isInstanceOf[CodegenFallback], "vec_quantize_fp must emit real codegen")
+    // real corpus: native ≡ HOF on every row, element for element —
+    // the quantizer feeds hash-matched pipelines, so even one ulp of
+    // divergence in the round-half-away rule would fork the oracles
+    emb.select(
+        VectorFunctions.quantizeFp(col("embedding"), 10000000L).as("n"),
+        VectorFunctions.quantizeFpHof(col("embedding"), 10000000L).as("h"))
+      .collect()
+      .foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // edges: empty array, exact .5 boundaries both signs, null array
+    val edge = Seq(
+      (Some(Seq.empty[Float]), 0),
+      (Some(Seq(0.05f, -0.05f, 0.15f, -0.15f, 1f, -1f)), 1),
+      (None: Option[Seq[Float]], 2),
+    ).toDF("x", "tag")
+      .orderBy("tag")
+      .select(
+        VectorFunctions.quantizeFp(col("x"), 10L).as("n"),
+        VectorFunctions.quantizeFpHof(col("x"), 10L).as("h"))
+      .collect()
+    assert(edge(0).getSeq[Long](0).isEmpty)
+    assert(edge(1).getSeq[Long](0) == edge(1).getSeq[Long](1))
+    assert(edge(2).isNullAt(0) && edge(2).isNullAt(1))
+  }
+
+  test("vec_sub_long matches zip_with, throws on length mismatch/overflow, codegen-compiles") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val e = LongVecSub(
+      org.apache.spark.sql.graftshim.ColumnShim.expression(col("x")),
+      org.apache.spark.sql.graftshim.ColumnShim.expression(col("y")))
+    assert(!e.isInstanceOf[CodegenFallback], "vec_sub_long must emit real codegen")
+    val out = Seq((Seq(10L, -3L, 0L), Seq(4L, 5L, -6L)))
+      .toDF("x", "y")
+      .select(
+        VectorFunctions.subLong(col("x"), col("y")).as("n"),
+        zip_with(col("x"), col("y"), (a, b) => a - b).as("h"))
+      .head()
+    assert(out.getSeq[Long](0) == Seq(6L, -8L, 6L))
+    assert(out.getSeq[Long](0) == out.getSeq[Long](1))
+    assert(intercept[Exception] {
+      Seq((Seq(1L, 2L), Seq(1L))).toDF("x", "y")
+        .select(VectorFunctions.subLong(col("x"), col("y"))).collect()
+    }.toString.contains("length mismatch"))
+    assert(intercept[Exception] {
+      Seq((Seq(Long.MinValue), Seq(1L))).toDF("x", "y")
+        .select(VectorFunctions.subLong(col("x"), col("y"))).collect()
+    }.toString.toLowerCase.contains("overflow"))
+  }
+
+  test("vec_l2norm_fp matches the exact-isqrt reference, zero vectors pass through, codegen-compiles") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val e = LongVecL2NormFp(
+      org.apache.spark.sql.graftshim.ColumnShim.expression(col("x")), 10000000L)
+    assert(!e.isInstanceOf[CodegenFallback], "vec_l2norm_fp must emit real codegen")
+    // driver reference: the same integers the old explode→join→groupBy
+    // pipeline (and the DuckDB replay) computes
+    def ref(q: Seq[Long], scale: Long): Seq[Long] = {
+      val n2 = q.map(x => x * x).sum
+      val r = graft.ops.Exact.isqrtLong(n2)
+      if (r == 0L) q else q.map(x => if (x < 0) -((-x) * scale / r) else x * scale / r)
+    }
+    val S = 10000000L
+    val fp = emb.select(VectorFunctions.quantizeFp(col("embedding"), S).as("q"))
+    fp.select(col("q"), VectorFunctions.l2NormFp(col("q"), S).as("n"))
+      .collect()
+      .foreach(r => assert(r.getSeq[Long](1) == ref(r.getSeq[Long](0), S)))
+    // zero vector: r = 0 ⇒ identity (the honest-zero contract)
+    val z = Seq(Seq(0L, 0L, 0L)).toDF("q")
+      .select(VectorFunctions.l2NormFp(col("q"), S).as("n")).head()
+    assert(z.getSeq[Long](0) == Seq(0L, 0L, 0L))
+    // isqrt domain violation is LOUD, not a wrong root
+    assert(intercept[Exception] {
+      Seq(Seq(Long.MaxValue / 2)).toDF("q")
+        .select(VectorFunctions.l2NormFp(col("q"), S)).collect()
+    }.toString.toLowerCase.contains("overflow"))
+  }
 }
