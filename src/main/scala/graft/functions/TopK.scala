@@ -49,40 +49,14 @@ object TopK {
   def topK(k: Int, score: Column, id: Column): Column =
     udaf(new TopKAggregator(k), Encoders.product[ScoredId]).apply(score, id)
 
-  final case class KeyedId(h: String, id: Long)
-
-  /** The k SMALLEST (h, id) pairs per group, lexicographic on (h, id)
-    * — the bounded-buffer form of `ORDER BY h, id LIMIT k` per group,
-    * for md5-keyed deterministic sampling (q258's candidate cap):
-    * however many rows a group generates, each map task ships at most
-    * k of them into the shuffle. Same O(k)-buffer discipline as
-    * [[TopKAggregator]], inverted order, string keys.
-    */
-  final class BottomKAggregator(k: Int) extends Aggregator[KeyedId, Seq[KeyedId], Seq[KeyedId]] {
-    private def better(a: KeyedId, b: KeyedId): Boolean = {
-      val c = a.h.compareTo(b.h)
-      c < 0 || (c == 0 && a.id < b.id)
-    }
-
-    override def zero: Seq[KeyedId] = Seq.empty
-
-    override def reduce(buf: Seq[KeyedId], in: KeyedId): Seq[KeyedId] =
-      if (buf.sizeIs < k) (in +: buf).sortWith(better)
-      else if (better(in, buf.last)) (in +: buf.init).sortWith(better)
-      else buf
-
-    override def merge(a: Seq[KeyedId], b: Seq[KeyedId]): Seq[KeyedId] =
-      (a ++ b).sortWith(better).take(k)
-
-    override def finish(r: Seq[KeyedId]): Seq[KeyedId] = r.sortWith(better)
-
-    override def bufferEncoder: Encoder[Seq[KeyedId]] = ExpressionEncoder()
-    override def outputEncoder: Encoder[Seq[KeyedId]] = ExpressionEncoder()
-  }
-
-  /** Aggregate column for [[BottomKAggregator]]: smallest `k` (h, id)
-    * pairs as an array of structs, best (smallest) first.
-    */
-  def bottomK(k: Int, h: Column, id: Column): Column =
-    udaf(new BottomKAggregator(k), Encoders.product[KeyedId]).apply(h, id)
+  // NOTE (r10): a string-keyed BottomKAggregator (per-(anchor, band)
+  // md5-smallest-k, for pushing q258's candidate cap into the band
+  // join) was built, proven set-equivalent, and probed at 64×
+  // replicas — and REMOVED: the ObjectHashAggregate machinery such an
+  // aggregate runs on cost 1.9–3.0× more than the codegen'd
+  // HashAggregate distinct it was meant to relieve (SCALE_NOTES r10).
+  // TopKAggregator above survives because ITS alternative is a full
+  // per-group SORT, which the O(k) buffer genuinely beats; the q258
+  // case's alternative was a hash distinct on two int64s, which
+  // nothing interpreted beats per row.
 }

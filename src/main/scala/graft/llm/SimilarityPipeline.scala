@@ -887,34 +887,31 @@ object SimilarityPipeline {
       explode(array((0 until bits).map(b =>
         struct(lit(b).as("m"), col("cell").bitwiseAND(lit(~(1L << b))).as("key"))): _*)).as("bk"))
       .select(col("vec_id"), col("bk.m").as("m"), col("bk.key").as("key"))
-    // The cap is pushed INTO the band join's output (r10): a bounded
-    // O(cap) buffer per (anchor, band) — map-side partial aggregation
-    // in the join's own stage — so a hot band's collisions die in the
-    // buffer instead of flooding the distinct's exchange. Semantics
-    // are UNCHANGED: the global cap keeps the `cap` md5-smallest
-    // candidates per anchor, and any member of that global set has
-    // < cap predecessors within its own band (its global predecessors
-    // are a superset of its band predecessors), so per-band
-    // bottom-cap → union → distinct → global cap selects the
-    // identical set — enumeration shipped per anchor is ≤ bands·cap
-    // rows however dense the bands are.
-    val perBand = banded.as("a")
+    // Enumeration shape (r10, measured): the candidate set goes
+    // through a whole-stage-codegen HashAggregate distinct on two
+    // int64 keys, then one per-anchor md5-order window. A bounded
+    // O(cap) per-(anchor, band) buffer BEFORE the distinct (the
+    // provably-equivalent pushdown — any global top-cap member has
+    // < cap band-local predecessors) was built and probed both ways
+    // at 64× replicas: the object-aggregate machinery it needs
+    // (ObjectHashAggregate; sort-based fallback at default config,
+    // object-buffer churn with the fallback threshold raised) costs
+    // 1.9×/3.0× MORE than the exchange it avoids (warm 64×: 103.5 s /
+    // 160.8 s vs 53.6 s for this form — probes/r10/). The cap still
+    // bounds everything DOWNSTREAM (scoring, band test, ranking run
+    // on ≤ N·cap rows); the enumeration itself stays the codegen'd
+    // distinct, whose mass is the true banded collision count.
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("__h").asc, col("negative_id").asc)
+    banded.as("a")
       .join(banded.as("b"),
         col("a.m") === col("b.m") && col("a.key") === col("b.key") &&
           col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("anchor_id"), col("a.m").as("m"),
-        col("b.vec_id").as("negative_id"))
+      .select(col("a.vec_id").as("anchor_id"), col("b.vec_id").as("negative_id"))
+      .distinct() // same-cell pairs collide on every masked key
       .withColumn("__h",
         md5(concat_ws("|", lit("hn"), col("anchor_id").cast("string"),
           col("negative_id").cast("string"))))
-      .groupBy("anchor_id", "m")
-      .agg(graft.functions.TopK.bottomK(cap, col("__h"), col("negative_id")).as("tk"))
-      .select(col("anchor_id"), explode(col("tk")).as("s"))
-      .select(col("anchor_id"), col("s.id").as("negative_id"), col("s.h").as("__h"))
-      .distinct() // same-cell pairs collide on every masked key
-    val w = Window.partitionBy("anchor_id")
-      .orderBy(col("__h").asc, col("negative_id").asc)
-    perBand
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= cap)
       .select("anchor_id", "negative_id")

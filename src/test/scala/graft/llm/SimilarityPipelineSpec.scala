@@ -294,22 +294,6 @@ class SimilarityPipelineSpec extends SparkSpec {
     // exactly the documented recall trade)
     val allCand = SimilarityPipeline.cappedDirectedCandidates(emb, bits, n.toInt)
     assert(capped.exceptAll(allCand).isEmpty)
-    // pushdown-equivalence pin (r10): the per-(anchor, band) bounded
-    // buffer inside the band join must select the IDENTICAL set as a
-    // plain global md5-order cap over the full distinct band set —
-    // the lemma is that any global top-cap member has < cap
-    // band-local predecessors, so the pre-cap discards only losers
-    val reference = allCand
-      .withColumn("__h",
-        md5(concat_ws("|", lit("hn"), col("anchor_id").cast("string"),
-          col("negative_id").cast("string"))))
-      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("anchor_id")
-          .orderBy(col("__h").asc, col("negative_id").asc)))
-      .where(col("__rn") <= cap)
-      .select("anchor_id", "negative_id")
-    assert(capped.exceptAll(reference).isEmpty && reference.exceptAll(capped).isEmpty,
-      "per-band bounded-buffer cap must equal the global md5-order cap")
   }
 
   test("semanticDedupFp: deterministic drops with minimal witnesses on a planted-cluster fixture") {
