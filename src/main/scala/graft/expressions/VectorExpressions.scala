@@ -58,6 +58,27 @@ object VectorExpressions {
   def vecDotLong(a: Column, b: Column): Column =
     ColumnShim.column(LongVecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
 
+  /** sign(a·b·k1 − c·d·k2) as int, exact over 192-bit products — the
+    * cross-multiplied cosine-threshold comparator ([[Int128.cmpProd3]]).
+    */
+  def prodCmp3(a: Column, b: Column, k1: Long, c: Column, d: Column, k2: Long): Column =
+    ColumnShim.column(ProdCmp3(
+      ColumnShim.expression(a), ColumnShim.expression(b),
+      ColumnShim.expression(c), ColumnShim.expression(d), k1, k2))
+
+  /** (dot²·10⁴) div n as long — the exact integer ranking key
+    * ([[Int128.rankFp]]).
+    */
+  def rankFp(dot: Column, n: Column): Column =
+    ColumnShim.column(RankFp(ColumnShim.expression(dot), ColumnShim.expression(n)))
+
+  /** (dot²·10⁴) div (na·nb) as long — exact basis-point squared cosine
+    * ([[Int128.cos2Bp]]).
+    */
+  def cos2Bp(dot: Column, na: Column, nb: Column): Column =
+    ColumnShim.column(Cos2Bp(
+      ColumnShim.expression(dot), ColumnShim.expression(na), ColumnShim.expression(nb)))
+
   /** The whole vector quantized: array<float> → array<long> with
     * q(x) = round(double(x)·scale) half-away-from-zero per element —
     * the codegen'd head pass of every fixed-point pipeline
@@ -105,6 +126,13 @@ object VectorExpressions {
       case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$name expects (array<bigint>, array<bigint>), got ($l, $r)")
+    }
+
+  private[expressions] def checkAllLong(es: Seq[Expression], name: String): TypeCheckResult =
+    es.find(_.dataType != LongType) match {
+      case None => TypeCheckResult.TypeCheckSuccess
+      case Some(e) => TypeCheckResult.TypeCheckFailure(
+        s"$name expects bigint inputs, got ${e.dataType}")
     }
 }
 

@@ -779,7 +779,7 @@ object SimilarityPipeline {
     * (va, vb, dot_fp, na, nb) — every threshold/band consumer applies
     * its own exact integer predicate on top.
     */
-  private def portableVerifiedPairs(corpus: DataFrame, bits: Int, dim: Int): DataFrame = {
+  private[graft] def portableVerifiedPairs(corpus: DataFrame, bits: Int, dim: Int): DataFrame = {
     val S = graft.llm.LlmQueries.Q29Scale
     val e = withCellsPortable(corpus, bits, dim).select(col("vec_id"), col("cell"), col("embedding"))
     val banded = e.select(

@@ -75,6 +75,36 @@ object FpProfile {
     time("gridImpliedCandidatesFp")(SimilarityPipeline.gridImpliedCandidatesFp(cellsP))
     time("q224 full")(graft.llm.LlmQueries.q224.run(spark, sfDir).count())
 
+    // q224 ANN-fallback anatomy — the branch every 64×+ replica takes
+    // (the grid histogram implies >> budget·N candidates there). Which
+    // stage owns the time: the banded candidate join, the distinct, the
+    // codegen'd verify dots, or the decimal(38) threshold filter?
+    val n = emb.count()
+    val bits = SimilarityPipeline.cellBits(n)
+    val cellsPort = SimilarityPipeline.withCellsPortable(emb, bits)
+      .select(col("vec_id"), col("cell"))
+    time("fallback: cells")(cellsPort.count())
+    val banded = cellsPort.select(
+      col("vec_id"),
+      explode(array((0 until bits).map(b =>
+        struct(lit(b).as("m"), col("cell").bitwiseAND(lit(~(1L << b))).as("key"))): _*)).as("bk"))
+      .select(col("vec_id"), col("bk.m").as("m"), col("bk.key").as("key"))
+    val candRaw = banded.as("a")
+      .join(banded.as("b"),
+        col("a.m") === col("b.m") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+    time("fallback: banded collisions")(candRaw.count())
+    time("fallback: distinct candidates")(candRaw.distinct().count())
+    val pv = SimilarityPipeline.portableVerifiedPairs(emb, bits, 64)
+    time("fallback: verified pairs")(pv.count())
+    val pvP = pv.pinLineage()
+    pvP.count() // pin before timing the filter alone
+    time("fallback: decimal filter (pinned)")(
+      pvP.where(col("dot_fp") >= 0 &&
+        expr("cast(dot_fp as decimal(38,0)) * dot_fp * 25 >= " +
+          "cast(na as decimal(38,0)) * nb * 16")).count())
+
     spark.stop()
   }
 }
