@@ -128,7 +128,8 @@ object LlmQueries {
   // applied to the dot product). Per candidate b against anchor a:
   //   d  = Σ round(aᵢ·10⁷)·round(bᵢ·10⁷)   (exact int64, |d| ≲ 1.01e14)
   //   n  = Σ round(bᵢ·10⁷)²                 (fixed-point squared norm)
-  //   key = sign(d) · (d²·10⁴ div n)        (d² in DECIMAL(38,0);
+  //   key = sign(d) · (d²·10⁴ div n)        (exact 192-bit quotient via
+  //                                          [[graft.expressions.Int128]];
   //                                          quotient ≤ ~1.01e18 < 2⁶³)
   // key is monotone in cosine — cos² = d²/(nₐ·n) with nₐ constant, the
   // sign carries the branch — at 1e-18 relative resolution, ties broken
@@ -154,7 +155,7 @@ object LlmQueries {
           col("vec_id"),
           col("dot_fp"),
           (when(col("dot_fp") < 0, lit(-1L)).otherwise(lit(1L)) *
-            expr("(cast(dot_fp as decimal(38,0)) * dot_fp * 10000) div n_fp")).as("rank_fp"),
+            VF.rankFp(col("dot_fp"), col("n_fp"))).as("rank_fp"),
         )
         .orderBy(desc("rank_fp"), asc("vec_id"))
         .limit(20)

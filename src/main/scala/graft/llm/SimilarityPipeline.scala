@@ -395,7 +395,7 @@ object SimilarityPipeline {
         VectorFunctions.dotLong(col("q"), col("q")).as("n_fp"))
       .select(col("query_id"), col("vec_id"),
         (when(col("dot_fp") < 0, lit(-1L)).otherwise(lit(1L)) *
-          expr("(cast(dot_fp as decimal(38,0)) * dot_fp * 10000) div n_fp")).as("rank_fp"))
+          VectorFunctions.rankFp(col("dot_fp"), col("n_fp"))).as("rank_fp"))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= k)
       .select("query_id", "vec_id", "rank_fp")
@@ -652,16 +652,14 @@ object SimilarityPipeline {
       // na·nb = 0 would throw under ANSI (r9-ADVICE); a zero vector
       // has no cosine to anything, so it can never be a dup
       .where(col("dot_fp") >= 0 && col("na") > 0 && col("nb") > 0 &&
-        expr(s"cast(dot_fp as decimal(38,0)) * dot_fp * $td2 >= " +
-          s"cast(na as decimal(38,0)) * nb * $tn2"))
+        VectorFunctions.prodCmp3(col("dot_fp"), col("dot_fp"), td2, col("na"), col("nb"), tn2) >= 0)
     val w = Window.partitionBy("vb").orderBy(asc("va"))
     dup
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .select(
         col("vb").as("vec_id"), col("va").as("keeper"), col("cell").cast("long").as("cell"),
-        expr("cast((cast(dot_fp as decimal(38,0)) * dot_fp * 10000) div " +
-          "(cast(na as decimal(38,0)) * nb) as bigint)").as("cos2_bp"))
+        VectorFunctions.cos2Bp(col("dot_fp"), col("na"), col("nb")).as("cos2_bp"))
   }
 
   /** The decontamination hit rule over an assigned frame
@@ -683,8 +681,7 @@ object SimilarityPipeline {
         VectorFunctions.dotLong(col("bq"), col("bq")).as("nb"))
       // na/nb > 0: see semanticDupDrops
       .where(col("dot_fp") >= 0 && col("na") > 0 && col("nb") > 0 &&
-        expr(s"cast(dot_fp as decimal(38,0)) * dot_fp * $td2 >= " +
-          s"cast(na as decimal(38,0)) * nb * $tn2"))
+        VectorFunctions.prodCmp3(col("dot_fp"), col("dot_fp"), td2, col("na"), col("nb"), tn2) >= 0)
     val w = Window.partitionBy("tv").orderBy(asc("bv"))
     hits
       .withColumn("__rn", row_number().over(w))
@@ -692,8 +689,7 @@ object SimilarityPipeline {
       .select(
         col("tv").as("vec_id"), col("bv").as("bench_witness"),
         col("cell").cast("long").as("cell"),
-        expr("cast((cast(dot_fp as decimal(38,0)) * dot_fp * 10000) div " +
-          "(cast(na as decimal(38,0)) * nb) as bigint)").as("cos2_bp"))
+        VectorFunctions.cos2Bp(col("dot_fp"), col("na"), col("nb")).as("cos2_bp"))
   }
 
   /** Near-dup pairs under the sign-LSH quantizer: candidates = pairs
@@ -762,7 +758,7 @@ object SimilarityPipeline {
       .select(
         col("query_id"), col("vec_id"), col("dot_fp"),
         (when(col("dot_fp") < 0, lit(-1L)).otherwise(lit(1L)) *
-          expr("(cast(dot_fp as decimal(38,0)) * dot_fp * 10000) div n_fp")).as("rank_fp"),
+          VectorFunctions.rankFp(col("dot_fp"), col("n_fp"))).as("rank_fp"),
       )
     val w = Window.partitionBy("query_id").orderBy(desc("rank_fp"), asc("vec_id"))
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
@@ -809,12 +805,11 @@ object SimilarityPipeline {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be a rational in (0, 1]")
     portableVerifiedPairs(corpus, bits, dim)
       .where(col("dot_fp") >= 0 &&
-        expr(s"cast(dot_fp as decimal(38,0)) * dot_fp * ${tDen.toLong * tDen} >= " +
-          s"cast(na as decimal(38,0)) * nb * ${tNum.toLong * tNum}"))
+        VectorFunctions.prodCmp3(col("dot_fp"), col("dot_fp"), tDen.toLong * tDen,
+          col("na"), col("nb"), tNum.toLong * tNum) >= 0)
       .select(
         col("va"), col("vb"), col("dot_fp"),
-        expr("(cast(dot_fp as decimal(38,0)) * dot_fp * 10000) div (cast(na as decimal(38,0)) * nb)")
-          .as("cos2_bp"),
+        VectorFunctions.cos2Bp(col("dot_fp"), col("na"), col("nb")).as("cos2_bp"),
       )
   }
 
@@ -835,10 +830,10 @@ object SimilarityPipeline {
       loNum.toLong * hiDen < hiNum.toLong * loDen, "band must be 0 < lo < hi")
     val band = portableVerifiedPairs(corpus, bits, dim)
       .where(col("dot_fp") >= 0 &&
-        expr(s"cast(dot_fp as decimal(38,0)) * dot_fp * ${loDen.toLong * loDen} >= " +
-          s"cast(na as decimal(38,0)) * nb * ${loNum.toLong * loNum}") &&
-        expr(s"cast(dot_fp as decimal(38,0)) * dot_fp * ${hiDen.toLong * hiDen} < " +
-          s"cast(na as decimal(38,0)) * nb * ${hiNum.toLong * hiNum}"))
+        VectorFunctions.prodCmp3(col("dot_fp"), col("dot_fp"), loDen.toLong * loDen,
+          col("na"), col("nb"), loNum.toLong * loNum) >= 0 &&
+        VectorFunctions.prodCmp3(col("dot_fp"), col("dot_fp"), hiDen.toLong * hiDen,
+          col("na"), col("nb"), hiNum.toLong * hiNum) < 0)
       .select(col("va"), col("vb"), col("dot_fp"), col("na"), col("nb"))
       // the mirror union reads the band twice; without the pin the
       // whole candidate join (the expensive half) would run twice.
@@ -855,9 +850,8 @@ object SimilarityPipeline {
       .select(
         col("anchor_id"), col("negative_id"), col("dot_fp"),
         // d ≥ 0 throughout the band, so the key is the plain quotient
-        expr("(cast(dot_fp as decimal(38,0)) * dot_fp * 10000) div n_neg").as("rank_fp"),
-        expr("(cast(dot_fp as decimal(38,0)) * dot_fp * 10000) div (cast(na as decimal(38,0)) * nb)")
-          .as("cos2_bp"),
+        VectorFunctions.rankFp(col("dot_fp"), col("n_neg")).as("rank_fp"),
+        VectorFunctions.cos2Bp(col("dot_fp"), col("na"), col("nb")).as("cos2_bp"),
       )
     val w = Window.partitionBy("anchor_id").orderBy(desc("rank_fp"), asc("negative_id"))
     directed
@@ -944,15 +938,14 @@ object SimilarityPipeline {
         VectorFunctions.dotFp(col("ea"), col("ea"), S).as("na"),
         VectorFunctions.dotFp(col("eb"), col("eb"), S).as("nb"))
       .where(col("dot_fp") >= 0 &&
-        expr(s"cast(dot_fp as decimal(38,0)) * dot_fp * ${loDen.toLong * loDen} >= " +
-          s"cast(na as decimal(38,0)) * nb * ${loNum.toLong * loNum}") &&
-        expr(s"cast(dot_fp as decimal(38,0)) * dot_fp * ${hiDen.toLong * hiDen} < " +
-          s"cast(na as decimal(38,0)) * nb * ${hiNum.toLong * hiNum}"))
+        VectorFunctions.prodCmp3(col("dot_fp"), col("dot_fp"), loDen.toLong * loDen,
+          col("na"), col("nb"), loNum.toLong * loNum) >= 0 &&
+        VectorFunctions.prodCmp3(col("dot_fp"), col("dot_fp"), hiDen.toLong * hiDen,
+          col("na"), col("nb"), hiNum.toLong * hiNum) < 0)
       .select(
         col("anchor_id"), col("negative_id"), col("dot_fp"),
-        expr("(cast(dot_fp as decimal(38,0)) * dot_fp * 10000) div nb").as("rank_fp"),
-        expr("(cast(dot_fp as decimal(38,0)) * dot_fp * 10000) div (cast(na as decimal(38,0)) * nb)")
-          .as("cos2_bp"))
+        VectorFunctions.rankFp(col("dot_fp"), col("nb")).as("rank_fp"),
+        VectorFunctions.cos2Bp(col("dot_fp"), col("na"), col("nb")).as("cos2_bp"))
     val w = Window.partitionBy("anchor_id").orderBy(desc("rank_fp"), asc("negative_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -1408,11 +1401,10 @@ object SimilarityPipeline {
         VectorFunctions.dotLong(col("qa"), col("qa")).as("na"),
         VectorFunctions.dotLong(col("qb"), col("qb")).as("nb"))
       .where(col("dot_fp") >= 0 &&
-        expr(s"cast(dot_fp as decimal(38,0)) * dot_fp * ${tDen.toLong * tDen} >= " +
-          s"cast(na as decimal(38,0)) * nb * ${tNum.toLong * tNum}"))
+        VectorFunctions.prodCmp3(col("dot_fp"), col("dot_fp"), tDen.toLong * tDen,
+          col("na"), col("nb"), tNum.toLong * tNum) >= 0)
       .select(col("va"), col("vb"), col("dot_fp"),
-        expr("(cast(dot_fp as decimal(38,0)) * dot_fp * 10000) div (cast(na as decimal(38,0)) * nb)")
-          .as("cos2_bp"))
+        VectorFunctions.cos2Bp(col("dot_fp"), col("na"), col("nb")).as("cos2_bp"))
   }
 
   /** FIXED-POINT adaptive near-dup (q224's r9 form): the same physical

@@ -104,6 +104,10 @@ object FpProfile {
       pvP.where(col("dot_fp") >= 0 &&
         expr("cast(dot_fp as decimal(38,0)) * dot_fp * 25 >= " +
           "cast(na as decimal(38,0)) * nb * 16")).count())
+    time("fallback: int128 filter (pinned)")(
+      pvP.where(col("dot_fp") >= 0 &&
+        VectorFunctions.prodCmp3(col("dot_fp"), col("dot_fp"), 25L,
+          col("na"), col("nb"), 16L) >= 0).count())
 
     spark.stop()
   }
