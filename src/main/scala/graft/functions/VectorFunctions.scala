@@ -109,6 +109,22 @@ object VectorFunctions {
   def l2NormFp(v: Column, scale: Long): Column =
     graft.expressions.VectorExpressions.vecL2NormFp(v, scale)
 
+  /** Element-wise exact Σ over `array<long>` rows as ONE aggregate
+    * state of d longs ([[graft.expressions.LongVecSumAgg]]) — replaces
+    * the posexplode → groupBy(i) mean pass of the fixed-point PCA
+    * family (N·d shuffled element rows → d-long partial states).
+    */
+  def vecSumLong(v: Column): Column =
+    graft.expressions.VectorAggregates.vecSumLong(v)
+
+  /** Row-major d² scatter matrix Σ cᵢ·cⱼ as DECIMAL(38,0), accumulated
+    * in exact int128 ([[graft.expressions.ScatterMatrixAgg]]) — the
+    * one-pass form of the r9 double-posexplode scatter (N·d² generated
+    * rows through a hash aggregate → d² int128 cells per partition).
+    */
+  def scatterMatrix(v: Column): Column =
+    graft.expressions.VectorAggregates.scatterMatrix(v)
+
   /** Exact Σ aᵢ·bᵢ over two `array<long>` columns (int64 throughout —
     * caller owns the no-overflow argument; see Q29Scale's bound note).
     * Native codegen'd ([[graft.expressions.LongVecDot]]) since round 9:

@@ -1178,38 +1178,32 @@ object SimilarityPipeline {
   def topTwoAxesFp(fp: DataFrame, iters: Int = 8, centScale: Long = 1000000L): DataFrame = {
     require(iters >= 1)
     val spark = fp.sparkSession
-    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val el = fp.select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
-    val mean = el.groupBy("i")
-      .agg(sum("x").as("s"), count(lit(1)).as("n"))
-      .select(col("i"),
-        when(col("s") < 0, -expr("(-s) div n")).otherwise(expr("s div n")).as("m"))
-    val marr = mean.agg(
-      expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)").as("marr"))
-    val cfp = fp.crossJoin(broadcast(marr))
-      .select(col("vec_id"), VectorFunctions.subLong(col("q"), col("marr")).as("c"))
-      .pinLineage()
-    // scatter matrix: double posexplode (generator-in-codegen, the
-    // covariance shape) with DECIMAL accumulation — the exchange
-    // carries d² rows per partition, never N·d² raw pairs
-    val a0rows = cfp
-      .select(col("c"), posexplode(col("c")).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"), posexplode(col("c")).as(Seq("j", "xj")))
-      .groupBy("i", "j")
-      .agg(sum((col("xi") * col("xj")).cast(dec38)).as("a0"))
-      .collect() // d² rows — dimension-bounded, never corpus-bounded
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("i", org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("a1", org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("a2", org.apache.spark.sql.types.LongType, nullable = false)))
-    if (a0rows.isEmpty)
+    // one-pass exact aggregates (r10): Σq + the row count, then the
+    // scatter of the rows centered on the truncated integer mean —
+    // two N-row aggregate passes whose exchanges carry d-/d²-sized
+    // STATES, in place of the r9 N·d mean explode and N·d² scatter
+    // explode through a hash aggregate (the dominant term of q202/q224
+    // at replica scale; same integers bit for bit — see
+    // [[graft.expressions.VectorAggregates]])
+    val sumRow = fp.agg(
+      VectorFunctions.vecSumLong(col("q")).as("s"), count(lit(1)).as("n")).head()
+    val n = sumRow.getLong(1)
+    if (n == 0L)
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+    val mArr: Array[Long] = sumRow.getSeq[Long](0)
+      .map(s => if (s < 0) -((-s) / n) else s / n).toArray
+    val flat = fp.agg(VectorFunctions.scatterMatrix(
+        VectorFunctions.subLong(col("q"), typedlit(mArr.toSeq))).as("a0"))
+      .head().getSeq[java.math.BigDecimal](0) // d² values — dimension-bounded, never corpus-bounded
     // ---- driver-exact integer power iteration (mirrors the oracle
     // CTE chain `ap`/`dg`/`k1`/`v*_t` op for op) ----
-    val dim = a0rows.iterator.map(_.getInt(0)).max + 1
-    val a0m = Array.ofDim[BigInt](dim, dim)
-    a0rows.foreach(r => a0m(r.getInt(0))(r.getInt(1)) = BigInt(r.getDecimal(2).toBigInteger))
+    val dim = mArr.length
+    val a0m = Array.tabulate(dim, dim)((i, j) => BigInt(flat(i * dim + j).toBigInteger))
     val maxA = a0m.iterator.flatten.map(_.abs).max
     val dA = maxA / 60000000000L + 1 // operands non-negative: BigInt / = div
     val am = Array.tabulate(dim, dim) { (i, j) =>
@@ -1277,13 +1271,14 @@ object SimilarityPipeline {
     * (|p| ≤ 64·2S·(CS+ε) ≈ 1.3e15, int64-exact).
     */
   def projectFpOnAxes(fp: DataFrame, axes: DataFrame): DataFrame = {
-    val el = fp.select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
-    val mean = el.groupBy("i")
-      .agg(sum("x").as("s"), count(lit(1)).as("n"))
-      .select(col("i"),
-        when(col("s") < 0, -expr("(-s) div n")).otherwise(expr("s div n")).as("m"))
-    val marr = mean.agg(
-      expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)").as("marr"))
+    // one-pass exact mean (r10): same integers as the r9 N·d explode →
+    // groupBy(i) form, as a single d-long aggregate state
+    val sumRow = fp.agg(
+      VectorFunctions.vecSumLong(col("q")).as("s"), count(lit(1)).as("n")).head()
+    val n = sumRow.getLong(1)
+    val mArr: Seq[Long] =
+      if (n == 0L) Seq.empty
+      else sumRow.getSeq[Long](0).map(s => if (s < 0) -((-s) / n) else s / n)
     val a1arr = axes.agg(
       expr("transform(array_sort(collect_list(struct(i, a1))), s -> s.a1)").as("a1arr"))
     val a2arr = axes.agg(
@@ -1295,14 +1290,13 @@ object SimilarityPipeline {
     // The m-term is row-constant (64 codegen'd multiplies — cheaper
     // than any mechanism to hoist it); bounds unchanged (each split
     // term ≤ 64·S·(CS+ε) ≈ 6.4e14 < the documented 1.3e15 envelope).
-    fp.crossJoin(broadcast(marr))
-      .crossJoin(broadcast(a1arr))
+    fp.crossJoin(broadcast(a1arr))
       .crossJoin(broadcast(a2arr))
       .select(col("vec_id"),
         (VectorFunctions.dotLong(col("q"), col("a1arr")) -
-          VectorFunctions.dotLong(col("marr"), col("a1arr"))).as("p1_fp"),
+          VectorFunctions.dotLong(typedlit(mArr), col("a1arr"))).as("p1_fp"),
         (VectorFunctions.dotLong(col("q"), col("a2arr")) -
-          VectorFunctions.dotLong(col("marr"), col("a2arr"))).as("p2_fp"))
+          VectorFunctions.dotLong(typedlit(mArr), col("a2arr"))).as("p2_fp"))
   }
 
   /** Fixed-point PCA projection (q202's r9 form): quantize, learn the
