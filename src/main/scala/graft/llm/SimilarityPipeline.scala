@@ -772,39 +772,59 @@ object SimilarityPipeline {
     */
   /** The portable cascade's shared core: banded hamming-≤1 candidate
     * pairs with their exact fixed-point dot and squared norms —
-    * (va, vb, dot_fp, na, nb) — every threshold/band consumer applies
-    * its own exact integer predicate on top.
+    * (va, vb, dot_fp, na, nb) — surviving `bandPred` (an exact integer
+    * predicate over those columns).
+    *
+    * Shape (r10, stage-traced at a 64× replica): the verify dot runs
+    * INSIDE the banded join stage — each side carries its quantized
+    * vector and precomputed squared norm through the band explode
+    * (n·bits rows of ~d·8 bytes: n·log n, linear-ish), one codegen'd
+    * int64 [[VectorFunctions.dotLong]] per banded COLLISION, and the
+    * consumer's predicate filters BEFORE the pair distinct. The r9
+    * form deduped ALL collisions and then re-joined the corpus twice
+    * to score survivors: at the 64× replica that was a 57 M-row
+    * distinct exchange plus two 57 M-row sort-merge joins dragging
+    * 264-byte embedding arrays — 450 s of the composed operator's
+    * 522 s, GC-bound (probes/r10/q224_stagetrace). Filter∘distinct ≡
+    * distinct∘filter here because dot/na/nb are deterministic in
+    * (va, vb) — so the exchange now carries THRESHOLD SURVIVORS
+    * (output-proportional: the whole point of banding) instead of the
+    * full collision mass. Multi-band collisions re-score before the
+    * dedup (measured 1.7× mean duplicate dots) — integer dots are
+    * ~free next to the exchanges they replace. Quantization is
+    * per-vector, pre-explode; `vec_quantize_fp` is bit-identical to
+    * the `FloatVecDotFp` quantizer (pinned in spec), so every emitted
+    * integer is unchanged from the r9 form.
     */
-  private[graft] def portableVerifiedPairs(corpus: DataFrame, bits: Int, dim: Int): DataFrame = {
+  private[graft] def portableVerifiedPairs(
+      corpus: DataFrame, bits: Int, dim: Int, bandPred: Column): DataFrame = {
     val S = graft.llm.LlmQueries.Q29Scale
-    val e = withCellsPortable(corpus, bits, dim).select(col("vec_id"), col("cell"), col("embedding"))
-    val banded = e.select(
-      col("vec_id"),
+    val e = withCellsPortable(corpus, bits, dim).select(
+      col("vec_id"), col("cell"),
+      VectorFunctions.quantizeFp(col("embedding"), S).as("qv"))
+    val withNorm = e.select(col("vec_id"), col("cell"), col("qv"),
+      VectorFunctions.dotLong(col("qv"), col("qv")).as("nq"))
+    val banded = withNorm.select(
+      col("vec_id"), col("qv"), col("nq"),
       explode(array((0 until bits).map(b =>
         struct(lit(b).as("m"), col("cell").bitwiseAND(lit(~(1L << b))).as("key"))): _*)).as("bk"))
-      .select(col("vec_id"), col("bk.m").as("m"), col("bk.key").as("key"))
-    val cand = banded.as("a")
+      .select(col("vec_id"), col("qv"), col("nq"), col("bk.m").as("m"), col("bk.key").as("key"))
+    banded.as("a")
       .join(banded.as("b"),
         col("a.m") === col("b.m") && col("a.key") === col("b.key") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
-      .distinct() // same-cell pairs collide on every masked key
-    val emb = corpus.select(col("vec_id"), col("embedding"))
-    cand
-      .join(emb.select(col("vec_id").as("va"), col("embedding").as("ea")), Seq("va"))
-      .join(emb.select(col("vec_id").as("vb"), col("embedding").as("eb")), Seq("vb"))
       .select(
-        col("va"), col("vb"),
-        VectorFunctions.dotFp(col("ea"), col("eb"), S).as("dot_fp"),
-        VectorFunctions.dotFp(col("ea"), col("ea"), S).as("na"),
-        VectorFunctions.dotFp(col("eb"), col("eb"), S).as("nb"),
-      )
+        col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        VectorFunctions.dotLong(col("a.qv"), col("b.qv")).as("dot_fp"),
+        col("a.nq").as("na"), col("b.nq").as("nb"))
+      .where(bandPred)
+      .distinct() // same-cell SURVIVORS collide on every masked key
   }
 
   def annNearDupPairsPortable(corpus: DataFrame, tNum: Int, tDen: Int, bits: Int, dim: Int = 64): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be a rational in (0, 1]")
-    portableVerifiedPairs(corpus, bits, dim)
-      .where(col("dot_fp") >= 0 &&
+    portableVerifiedPairs(corpus, bits, dim,
+      col("dot_fp") >= 0 &&
         VectorFunctions.prodCmp3(col("dot_fp"), col("dot_fp"), tDen.toLong * tDen,
           col("na"), col("nb"), tNum.toLong * tNum) >= 0)
       .select(
@@ -828,8 +848,10 @@ object SimilarityPipeline {
       bits: Int, dim: Int = 64): DataFrame = {
     require(loNum > 0 && loDen > 0 && hiNum > 0 && hiDen > 0 &&
       loNum.toLong * hiDen < hiNum.toLong * loDen, "band must be 0 < lo < hi")
-    val band = portableVerifiedPairs(corpus, bits, dim)
-      .where(col("dot_fp") >= 0 &&
+    val band = portableVerifiedPairs(corpus, bits, dim,
+      // the band test rides INTO the shared core, ahead of its pair
+      // distinct — the dedup exchange carries band members only
+      col("dot_fp") >= 0 &&
         VectorFunctions.prodCmp3(col("dot_fp"), col("dot_fp"), loDen.toLong * loDen,
           col("na"), col("nb"), loNum.toLong * loNum) >= 0 &&
         VectorFunctions.prodCmp3(col("dot_fp"), col("dot_fp"), hiDen.toLong * hiDen,

@@ -96,7 +96,7 @@ object FpProfile {
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
     time("fallback: banded collisions")(candRaw.count())
     time("fallback: distinct candidates")(candRaw.distinct().count())
-    val pv = SimilarityPipeline.portableVerifiedPairs(emb, bits, 64)
+    val pv = SimilarityPipeline.portableVerifiedPairs(emb, bits, 64, lit(true))
     time("fallback: verified pairs")(pv.count())
     val pvP = pv.pinLineage()
     pvP.count() // pin before timing the filter alone
