@@ -917,14 +917,34 @@ object SimilarityPipeline {
     // bounds everything DOWNSTREAM (scoring, band test, ranking run
     // on ≤ N·cap rows); the enumeration itself stays the codegen'd
     // distinct, whose mass is the true banded collision count.
-    val w = Window.partitionBy("anchor_id")
-      .orderBy(col("__h").asc, col("negative_id").asc)
-    banded.as("a")
+    // Enumeration halving (r10, stage-traced): the directed collision
+    // set is mirror-SYMMETRIC — (x, y) collides in band m iff (y, x)
+    // does — so enumerating it directed (a ≠ b) pushed 2× the banded
+    // collision mass through the join and the dedup exchange (the two
+    // stages owning 747 of 773 s at a 64× replica,
+    // probes/r10/q258_stagetrace). Enumerate UNDIRECTED (a < b),
+    // dedup half the rows, and mirror AFTER the distinct — the
+    // directed candidate set, md5 order, and cap selection are
+    // byte-identical.
+    val undirected = banded.as("a")
       .join(banded.as("b"),
         col("a.m") === col("b.m") && col("a.key") === col("b.key") &&
-          col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("anchor_id"), col("b.vec_id").as("negative_id"))
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
       .distinct() // same-cell pairs collide on every masked key
+      // the mirror union reads the frame twice; the pin keeps the
+      // join + dedup (the expensive half) single-execution — the q217
+      // band-pin rationale verbatim (plan-audited: the two union
+      // branches do NOT canonicalize to a reusable exchange, the
+      // mirror projections sit above distinct aggregates Spark plans
+      // separately)
+      .pinLineage()
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("__h").asc, col("negative_id").asc)
+    undirected
+      .select(col("va").as("anchor_id"), col("vb").as("negative_id"))
+      .unionByName(undirected
+        .select(col("vb").as("anchor_id"), col("va").as("negative_id")))
       .withColumn("__h",
         md5(concat_ws("|", lit("hn"), col("anchor_id").cast("string"),
           col("negative_id").cast("string"))))
