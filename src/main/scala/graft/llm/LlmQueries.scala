@@ -1434,6 +1434,104 @@ object LlmQueries {
     ),
   )
 
+  // q263 — hard-negative mining at the 100 TB shape (r10): q217's job
+  // with candidates blocked by q261's cells-∝-n probed clustering
+  // instead of the sign-LSH band join. The IVF index a retrieval
+  // system already maintains doubles as the negative sampler —
+  // cluster-mates ARE the near-but-not-identical pool contrastive
+  // training wants — and the geometry bounds the work with no cap:
+  // intra-cell pairs ≈ n·targetCell/2 (LINEAR at constant expected
+  // cluster size), and cell membership is unique, so the candidate
+  // pair set needs NO distinct — the dedup exchange that dominates
+  // the banded forms' stage traces does not exist in this plan.
+  // Recall trades the IVF way (band members in foreign cells are
+  // unseen) — q258's deliberate trade expressed through blocking
+  // geometry instead of md5-order truncation. Scoring, the
+  // cross-multiplied band [1/5, 3/5), the mirror, and the per-anchor
+  // top-2 ranking are q217's byte for byte; the oracle replays the
+  // probed clustering AND the mining.
+  val q263: QuerySpec = QuerySpec(
+    "q263_hard_negatives_scaled",
+    (s, d) =>
+      SimilarityPipeline
+        .annHardNegativesScaled(embeddings(s, d), k = 2, loNum = 1, loDen = 5,
+          hiNum = 3, hiDen = 5, targetCell = 32, iters = 2,
+          knownRows = Some(graft.ops.CorpusStats.tableRows(s, d, "embeddings")))
+        .orderBy("anchor_id", "rank"),
+    Some(
+      s"WITH ${ivfAssignCteSql(iters = 2, targetCell = 32, centScale = 1000000L)}, " +
+        "pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb " +
+        "FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id), " +
+        "scored AS (SELECT va, vb, " +
+        "CAST(list_sum(list_transform(generate_series(1, len(fa.q)), i -> fa.q[i] * fb.q[i])) AS BIGINT) AS dot_fp, " +
+        "CAST(list_sum(list_transform(fa.q, x -> x * x)) AS BIGINT) AS na, " +
+        "CAST(list_sum(list_transform(fb.q, x -> x * x)) AS BIGINT) AS nb2 " +
+        "FROM pairs JOIN fp fa ON fa.vec_id = va JOIN fp fb ON fb.vec_id = vb), " +
+        "band AS (SELECT * FROM scored WHERE dot_fp >= 0 " +
+        "AND CAST(dot_fp AS HUGEINT) * dot_fp * 25 >= CAST(na AS HUGEINT) * nb2 " +
+        "AND CAST(dot_fp AS HUGEINT) * dot_fp * 25 < 9 * CAST(na AS HUGEINT) * nb2), " +
+        "directed AS (SELECT va AS anchor_id, vb AS negative_id, dot_fp, nb2 AS n_neg, na, nb2 FROM band " +
+        "UNION ALL SELECT vb, va, dot_fp, na, na, nb2 FROM band), " +
+        "keyed AS (SELECT anchor_id, negative_id, dot_fp, " +
+        "(CAST(dot_fp AS HUGEINT) * dot_fp * 10000) // n_neg AS rank_fp, " +
+        "CAST((CAST(dot_fp AS HUGEINT) * dot_fp * 10000) // (CAST(na AS HUGEINT) * nb2) AS BIGINT) AS cos2_bp " +
+        "FROM directed), " +
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY rank_fp DESC, negative_id) AS rank " +
+        "FROM keyed) " +
+        "SELECT anchor_id, CAST(rank AS BIGINT) AS rank, negative_id, dot_fp, cos2_bp " +
+        "FROM ranked WHERE rank <= 2 ORDER BY anchor_id, rank"
+    ),
+  )
+
+  // q264 — IVF top-k search at the 100 TB shape (r10): q42's job under
+  // q261's cells-∝-n probed index, with the QUERY path descending the
+  // same two-level quantizer. q42 ranks each query against ALL cells
+  // (n_q·cells dots — the dense assignment cost all over again once
+  // cells ∝ n); here a query dots √cells coarse centroids, descends
+  // into its best live coarse cell, ranks that cell's ~√cells fine
+  // members, probes its nprobe best — 2·√cells dots per query and a
+  // CONSTANT nprobe·targetCell candidate scan (vs the flat form's
+  // √n-sized cells). This closes the scaled-geometry family: q261
+  // dedups on the index, q262 decontaminates, q263 mines negatives,
+  // q264 SEARCHES it — one clustering shape serving all four. Every
+  // argmax/probe/rank decision exact int64; the oracle replays index
+  // build and probed search end to end.
+  val q264: QuerySpec = QuerySpec(
+    "q264_ann_topk_scaled",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      SimilarityPipeline
+        .ivfTopKScaled(emb, emb.where(col("vec_id") < 5), k = 3,
+          targetCell = 32, iters = 2, nprobe = 2,
+          knownRows = Some(graft.ops.CorpusStats.tableRows(s, d, "embeddings")))
+        .orderBy("query_id", "vec_id")
+    },
+    Some(
+      s"WITH ${ivfAssignCteSql(iters = 2, targetCell = 32, centScale = 1000000L)}, " +
+        "qgd AS (SELECT s.vec_id AS query_id, s.q AS qq, g.gcell, " +
+        "CAST(list_sum(list_transform(generate_series(1, len(s.q)), i -> s.q[i] * g.gcent[i])) AS BIGINT) AS dot " +
+        "FROM fp s CROSS JOIN g0 g WHERE s.vec_id < 5 " +
+        "AND g.gcell IN (SELECT DISTINCT gcell FROM fg3)), " +
+        "qg AS (SELECT query_id, qq, gcell FROM (SELECT query_id, qq, gcell, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, gcell ASC) AS rn FROM qgd) WHERE rn = 1), " +
+        "qd AS (SELECT q.query_id, q.qq, x.cell, " +
+        "CAST(list_sum(list_transform(generate_series(1, len(q.qq)), i -> q.qq[i] * c.cent[i])) AS BIGINT) AS dot " +
+        "FROM qg q JOIN fg3 x ON x.gcell = q.gcell JOIN c2 c ON c.cell = x.cell), " +
+        "pr AS (SELECT query_id, qq, cell FROM (SELECT query_id, qq, cell, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, cell ASC) AS rn FROM qd) WHERE rn <= 2), " +
+        "sc AS (SELECT p.query_id, f.vec_id, " +
+        "CAST(list_sum(list_transform(generate_series(1, len(f.q)), i -> f.q[i] * p.qq[i])) AS BIGINT) AS dot_fp, " +
+        "CAST(list_sum(list_transform(f.q, x -> x * x)) AS BIGINT) AS n_fp " +
+        "FROM pr p JOIN af a ON a.cell = p.cell JOIN fp f ON f.vec_id = a.vec_id " +
+        "WHERE f.vec_id <> p.query_id), " +
+        "rk AS (SELECT query_id, vec_id, CAST((CASE WHEN dot_fp < 0 THEN -1 ELSE 1 END) * " +
+        "((CAST(dot_fp AS HUGEINT) * dot_fp * 10000) // n_fp) AS BIGINT) AS rank_fp FROM sc) " +
+        "SELECT query_id, vec_id, rank_fp FROM (SELECT query_id, vec_id, rank_fp, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY rank_fp DESC, vec_id ASC) AS rn FROM rk) " +
+        "WHERE rn <= 3 ORDER BY query_id, vec_id"
+    ),
+  )
+
   /** The full q224 oracle: raw fp + exact-isqrt normalization +
     * [[pcaAxesCtes]] on the NORMALIZED corpus + fp projections → grid
     * cells (inlined [[SimilarityPipeline.gridWidthFp]] width) →
@@ -1818,5 +1916,5 @@ object LlmQueries {
   val all: Seq[QuerySpec] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q55, q201, q202, q217, q218, q224,
-      q228, q229, q230, q252, q258, q259, q260, q261, q262)
+      q228, q229, q230, q252, q258, q259, q260, q261, q262, q263, q264)
 }

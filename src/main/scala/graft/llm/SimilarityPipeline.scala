@@ -509,7 +509,19 @@ object SimilarityPipeline {
     */
   def ivfAssignCellsFp(
       fp: DataFrame, cells: Int, iters: Int,
-      centScale: Long = 1000000L): DataFrame = {
+      centScale: Long = 1000000L): DataFrame =
+    ivfIndexFp(fp, cells, iters, centScale)._1
+
+  /** [[ivfAssignCellsFp]] with the index internals exposed for
+    * consumers that SEARCH the index rather than only read the
+    * assignment: returns (final assignment (vec_id, cell), final fine
+    * centroids (cell, cent), coarse centroids (gcell, gcent)). The
+    * assignment frame is byte-identical to `ivfAssignCellsFp`'s — the
+    * public method delegates here.
+    */
+  private[llm] def ivfIndexFp(
+      fp: DataFrame, cells: Int, iters: Int,
+      centScale: Long = 1000000L): (DataFrame, DataFrame, DataFrame) = {
     require(cells > 0 && iters >= 1)
     val g = math.max(1L, graft.ops.Exact.isqrtLong(cells.toLong)).toInt
     val coarse = fp
@@ -583,7 +595,7 @@ object SimilarityPipeline {
       graft.ops.Pin.unpin(cents)
       cents = next
     }
-    assign(cents)
+    (assign(cents), cents, coarse)
   }
 
   /** q259's semantic dedup at the 100 TB shape: cells = max(2,
@@ -994,6 +1006,174 @@ object SimilarityPipeline {
       .where(col("rank") <= k)
       .select(col("anchor_id"), col("rank").cast("long").as("rank"),
         col("negative_id"), col("dot_fp"), col("cos2_bp"))
+  }
+
+  /** Hard-negative mining at the 100 TB shape (q263): q217's job —
+    * per anchor, the top-k negatives in the cosine band
+    * [loNum/loDen, hiNum/hiDen) — with candidates blocked by
+    * [[ivfAssignCellsFp]]'s cells-∝-n clustering instead of the
+    * sign-LSH band join. This is how a production contrastive
+    * pipeline actually mines: the IVF index built for retrieval
+    * doubles as the negative sampler (cluster-mates ARE the
+    * near-but-not-identical pool), and the geometry bounds the work
+    * without a cap — intra-cell pairs are Σ|cell|²/2 ≈ n·targetCell/2
+    * (LINEAR at constant expected cluster size), and a vector has
+    * exactly ONE cell, so candidate pairs are unique BY CONSTRUCTION:
+    * the pair-distinct exchange that dominates the banded forms
+    * (q217's stage-trace: the 57 M-row dedup) does not exist here at
+    * all. The recall trade is the IVF one (band members in foreign
+    * cells are unseen) — the same deliberate trade q258 makes via its
+    * cap, expressed through blocking geometry instead of truncation.
+    *
+    * Scoring/band/ranking are q217's exactly: quantized int64 dot
+    * inside the pair join (codegen'd [[VectorFunctions.dotLong]]),
+    * both band bounds cross-multiplied integer tests, undirected
+    * enumeration mirrored to both directions (mirror-symmetry, the
+    * q258 halving), per-anchor top-k by the q29 key against the
+    * negative's norm. Every emitted integer replays in DuckDB —
+    * clustering included — via the q261 CTE chain.
+    */
+  def annHardNegativesScaled(
+      corpus: DataFrame, k: Int,
+      loNum: Int, loDen: Int, hiNum: Int, hiDen: Int,
+      targetCell: Int = 32, iters: Int = 2,
+      knownRows: Option[Long] = None): DataFrame = {
+    require(loNum > 0 && loDen > 0 && hiNum > 0 && hiDen > 0 &&
+      loNum.toLong * hiDen < hiNum.toLong * loDen, "band must be 0 < lo < hi")
+    require(targetCell > 1, "targetCell must exceed 1")
+    val n = knownRows.getOrElse(corpus.count())
+    val cells = math.max(2L, n / targetCell).toInt
+    val S = graft.llm.LlmQueries.Q29Scale
+    val fp = corpus
+      .select(col("vec_id"), VectorFunctions.quantizeFp(col("embedding"), S).as("q"))
+      .pinLineage()
+    val assigned = fp
+      .join(ivfAssignCellsFp(fp, cells, iters), "vec_id")
+      .select(col("vec_id"), col("q"),
+        VectorFunctions.dotLong(col("q"), col("q")).as("nq"), col("cell"))
+      .pinLineage()
+    // undirected intra-cell pairs, scored IN the join stage, band
+    // filter before any exchange — the fused-verify shape with no
+    // distinct to fuse into (cell membership is unique)
+    val band = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        VectorFunctions.dotLong(col("a.q"), col("b.q")).as("dot_fp"),
+        col("a.nq").as("na"), col("b.nq").as("nb"))
+      .where(col("dot_fp") >= 0 &&
+        VectorFunctions.prodCmp3(col("dot_fp"), col("dot_fp"), loDen.toLong * loDen,
+          col("na"), col("nb"), loNum.toLong * loNum) >= 0 &&
+        VectorFunctions.prodCmp3(col("dot_fp"), col("dot_fp"), hiDen.toLong * hiDen,
+          col("na"), col("nb"), hiNum.toLong * hiNum) < 0)
+      // the mirror union reads the band twice; the pin keeps the pair
+      // join (the expensive half) single-execution — q217's rationale
+      .pinLineage()
+    val directed = band
+      .select(col("va").as("anchor_id"), col("vb").as("negative_id"),
+        col("dot_fp"), col("nb").as("n_neg"), col("na"), col("nb"))
+      .unionByName(band
+        .select(col("vb").as("anchor_id"), col("va").as("negative_id"),
+          col("dot_fp"), col("na").as("n_neg"), col("na"), col("nb")))
+      .select(
+        col("anchor_id"), col("negative_id"), col("dot_fp"),
+        VectorFunctions.rankFp(col("dot_fp"), col("n_neg")).as("rank_fp"),
+        VectorFunctions.cos2Bp(col("dot_fp"), col("na"), col("nb")).as("cos2_bp"))
+    val w = Window.partitionBy("anchor_id").orderBy(desc("rank_fp"), asc("negative_id"))
+    directed
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("anchor_id"), col("rank").cast("long").as("rank"),
+        col("negative_id"), col("dot_fp"), col("cos2_bp"))
+  }
+
+  /** IVF top-k search at the 100 TB shape (q264): [[kmeansTopKFp]]'s
+    * job — per query, the k best corpus vectors by the exact q29
+    * integer key — under [[ivfIndexFp]]'s cells-∝-n geometry, with the
+    * QUERY path probed through the same two-level quantizer the corpus
+    * assignment uses. q42's flat form ranks every query against ALL
+    * cells (n_q·cells dots — at cells ∝ n that is the dense assignment
+    * cost all over again); here a query dots the √cells coarse
+    * centroids once, descends into its best LIVE coarse cell, ranks
+    * only THAT cell's fine members (√cells expected), and probes its
+    * `nprobe` best fine cells — 2·√cells dots per query, the identical
+    * multiplier the corpus-side probe buys, and the construction nests
+    * (coarse-of-coarse) when √cells itself grows inconvenient.
+    * Candidate scan stays nprobe·targetCell rows per query — CONSTANT
+    * at the scaled sizing, vs the flat form's nprobe·√n-sized cells.
+    *
+    * Every decision — Lloyd rounds, coarse/fine argmaxes (dot DESC,
+    * cell ASC), probe ranking, the signed q29 key — is exact int64;
+    * the oracle replays the whole index AND the probed search.
+    */
+  def ivfTopKScaled(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      targetCell: Int = 32,
+      iters: Int = 2,
+      nprobe: Int = 2,
+      scale: Long = 10000000L,
+      knownRows: Option[Long] = None): DataFrame = {
+    require(targetCell > 1, "targetCell must exceed 1")
+    val n = knownRows.getOrElse(corpus.count())
+    val cells = math.max(2L, n / targetCell).toInt
+    val fp = corpus
+      .select(col("vec_id"), VectorFunctions.quantizeFp(col("embedding"), scale).as("q"))
+      .pinLineage()
+    val (cellOf, cents, coarse) = ivfIndexFp(fp, cells, iters)
+    val assigned = fp.join(cellOf, "vec_id").pinLineage()
+    // fine→coarse for the FINAL centroids — the same argmax the last
+    // assignment pass ran (dot DESC, gcell ASC), rebuilt here for the
+    // query descent
+    val fg = cents.join(broadcast(coarse))
+      .select(col("cell"), col("cent"),
+        struct(
+          VectorFunctions.dotLong(col("cent"), col("gcent")).as("dot"),
+          (-col("gcell")).as("ng")).as("sc"))
+      .groupBy("cell", "cent")
+      .agg(max(col("sc")).as("b"))
+      .select(col("cell"), col("cent"), (-col("b.ng")).cast("int").as("gcell"))
+    val live = fg.select("gcell").distinct()
+    val qfp = queries.select(
+      col("vec_id").as("query_id"),
+      VectorFunctions.quantizeFp(col("embedding"), scale).as("qq"))
+    // query → best live coarse cell (a coarse cell with no fine
+    // members never ranks — ivfAssignCellsFp's rail)
+    val qg = qfp
+      .join(broadcast(coarse.join(live, "gcell")))
+      .select(col("query_id"), col("qq"),
+        struct(
+          VectorFunctions.dotLong(col("qq"), col("gcent")).as("dot"),
+          (-col("gcell")).as("ng")).as("sc"))
+      .groupBy("query_id", "qq")
+      .agg(max(col("sc")).as("b"))
+      .select(col("query_id"), col("qq"), (-col("b.ng")).cast("int").as("gcell"))
+    // nprobe best fine cells WITHIN the query's coarse cell
+    val wq = Window.partitionBy("query_id").orderBy(desc("cdot"), asc("cell"))
+    val probes = qg
+      .join(broadcast(fg), "gcell")
+      .select(col("query_id"), col("qq"), col("cell"),
+        VectorFunctions.dotLong(col("qq"), col("cent")).as("cdot"))
+      .withColumn("__rn", row_number().over(wq))
+      .where(col("__rn") <= nprobe)
+      .select(col("query_id"), col("qq"), col("cell"))
+    // candidates = probed cells' members, ranked by q29's exact key —
+    // kmeansTopKFp's tail verbatim
+    val w = Window.partitionBy("query_id").orderBy(desc("rank_fp"), asc("vec_id"))
+    assigned
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorFunctions.dotLong(col("q"), col("qq")).as("dot_fp"),
+        VectorFunctions.dotLong(col("q"), col("q")).as("n_fp"))
+      .select(col("query_id"), col("vec_id"),
+        (when(col("dot_fp") < 0, lit(-1L)).otherwise(lit(1L)) *
+          VectorFunctions.rankFp(col("dot_fp"), col("n_fp"))).as("rank_fp"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select("query_id", "vec_id", "rank_fp")
   }
 
   // -------------------------------------------------------------------

@@ -443,6 +443,104 @@ class SimilarityPipelineSpec extends SparkSpec {
     }
   }
 
+  test("annHardNegativesScaled: exact replay of q217's band/ranking over the scaled clustering's cluster-mates") {
+    import graft.functions.VectorFunctions
+    val n = emb.count()
+    val out = SimilarityPipeline
+      .annHardNegativesScaled(emb, k = 2, 1, 5, 3, 5, targetCell = 32, iters = 2,
+        knownRows = Some(n))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // brute-force replay: same clustering, then plain-Scala scoring of
+    // every intra-cell pair through q217's exact integer band + rank —
+    // the operator must reproduce it row for row (the candidate
+    // geometry, the mirror, the tie-breaks, the top-k truncation)
+    val S = graft.llm.LlmQueries.Q29Scale
+    val fp = emb.select(col("vec_id"), VectorFunctions.quantizeFp(col("embedding"), S).as("q"))
+    val cells = math.max(2L, n / 32).toInt
+    val assigned = fp
+      .join(SimilarityPipeline.ivfAssignCellsFp(fp, cells, iters = 2), "vec_id")
+      .select("vec_id", "q", "cell").as[(Long, Seq[Long], Int)].collect()
+    val groups: Seq[Seq[(Long, Seq[Long], Int)]] =
+      assigned.toSeq.groupBy(_._3).values.toSeq
+    val dirs: Seq[(Long, Long, Long, Long, Long)] = groups.flatMap { grp =>
+      for {
+        a <- grp
+        b <- grp
+        if a._1 != b._1
+        d = a._2.zip(b._2).map { case (x, y) => x * y }.sum
+        na = a._2.map(x => x * x).sum
+        nb = b._2.map(x => x * x).sum
+        if d >= 0 &&
+          BigInt(d) * BigInt(d) * 25 >= BigInt(na) * BigInt(nb) &&
+          BigInt(d) * BigInt(d) * 25 < BigInt(na) * BigInt(nb) * 9
+      } yield (a._1, b._1, d,
+        (BigInt(d) * BigInt(d) * 10000 / BigInt(nb)).toLong,
+        (BigInt(d) * BigInt(d) * 10000 / (BigInt(na) * BigInt(nb))).toLong)
+    }
+    val expected = dirs.groupBy(_._1).toSeq.flatMap { case (anchor, g) =>
+      g.sortBy(r => (-r._4, r._2)).take(2).zipWithIndex.map { case (r, i) =>
+        (anchor, (i + 1).toLong, r._2, r._3, r._5)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(out.sortBy(r => (r._1, r._2)).toSeq == expected,
+      "scaled hard negatives diverge from the intra-cell brute-force replay")
+    // the structural claim the operator makes: candidates never leave
+    // a cell, so per-anchor fan-in is bounded by its cluster size − 1
+    val cellSize = assigned.groupBy(_._3).view.mapValues(_.length).toMap
+    val byCell = assigned.map(r => r._1 -> r._3).toMap
+    dirs.groupBy(_._1).foreach { case (anchor, g) =>
+      assert(g.length <= cellSize(byCell(anchor)) - 1)
+    }
+  }
+
+  test("ivfTopKScaled: exact replay of the two-level probed descent and q29 ranking") {
+    import graft.functions.VectorFunctions
+    val n = emb.count()
+    val queries = emb.where(col("vec_id") < 5)
+    val out = SimilarityPipeline
+      .ivfTopKScaled(emb, queries, k = 3, targetCell = 32, iters = 2, nprobe = 2,
+        knownRows = Some(n))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.nonEmpty)
+    // replay: same index internals, then plain-Scala descent — coarse
+    // argmax, fine ranking within the coarse cell, nprobe probe, q29
+    // key over probed members — must match row for row
+    val S = graft.llm.LlmQueries.Q29Scale
+    val fp = emb.select(col("vec_id"), VectorFunctions.quantizeFp(col("embedding"), S).as("q"))
+    val cells = math.max(2L, n / 32).toInt
+    val (cellOf, centsDf, coarseDf) = SimilarityPipeline.ivfIndexFp(fp, cells, iters = 2)
+    val assigned = fp.join(cellOf, "vec_id").select("vec_id", "q", "cell")
+      .as[(Long, Seq[Long], Int)].collect()
+    val cents = centsDf.as[(Int, Seq[Long])].collect().sortBy(_._1)
+    val coarse = coarseDf.as[(Int, Seq[Long])].collect().sortBy(_._1)
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def argmax(q: Seq[Long], cands: Seq[(Int, Seq[Long])]): Int =
+      cands.map { case (c, v) => (dot(q, v), c) }.minBy { case (d, c) => (-d, c) }._2
+    val fg = cents.map { case (c, v) => c -> argmax(v, coarse) }.toMap
+    val liveCoarse = coarse.filter { case (gc, _) => fg.values.exists(_ == gc) }
+    val qs = fp.where(col("vec_id") < 5).as[(Long, Seq[Long])].collect()
+    val byCell = assigned.groupBy(_._3)
+    val expected = qs.flatMap { case (qid, qq) =>
+      val g = argmax(qq, liveCoarse)
+      val fine = cents.filter { case (c, _) => fg(c) == g }
+      val probed = fine.map { case (c, v) => (dot(qq, v), c) }
+        .sortBy { case (d, c) => (-d, c) }.take(2).map(_._2)
+      val cands = probed.flatMap(c => byCell.getOrElse(c, Array.empty[(Long, Seq[Long], Int)]))
+        .filter(_._1 != qid)
+      cands.map { m =>
+        val d = dot(m._2, qq)
+        val nf = dot(m._2, m._2)
+        val key = (if (d < 0) -1L else 1L) *
+          (BigInt(d) * BigInt(d) * 10000 / BigInt(nf)).toLong
+        (qid, m._1, key)
+      }.sortBy(r => (-r._3, r._2)).take(3)
+    }.sortBy(r => (r._1, r._2))
+    assert(out.toSeq == expected.toSeq,
+      "scaled IVF search diverges from the probed-descent replay")
+  }
+
   test("pcaProject: recovers a planted principal direction, 10x variance dominance") {
     // x = t·u + ε with u a fixed unit direction in 8-dim space and ε
     // tiny deterministic noise: PC1 must align with u and dominate.
