@@ -1299,7 +1299,7 @@ object LlmQueries {
     * q42RoundCtes mean/normalize update. Mirrors
     * [[SimilarityPipeline.ivfAssignCellsFp]] op for op.
     */
-  private def ivfRoundCtes(t: Int, prev: String, centScale: Long): String =
+  private def ivfRoundCtes(t: Int, prev: String, centScale: Long, src: String = "fp"): String =
     s"fgd$t AS (SELECT c.cell, g.gcell, " +
       "CAST(list_sum(list_transform(generate_series(1, len(c.cent)), i -> c.cent[i] * g.gcent[i])) AS BIGINT) AS dot " +
       s"FROM $prev c CROSS JOIN g0 g), " +
@@ -1307,17 +1307,17 @@ object LlmQueries {
       s"row_number() OVER (PARTITION BY cell ORDER BY dot DESC, gcell ASC) AS rn FROM fgd$t) WHERE rn = 1), " +
       s"pgd$t AS (SELECT f.vec_id, g.gcell, " +
       "CAST(list_sum(list_transform(generate_series(1, len(f.q)), i -> f.q[i] * g.gcent[i])) AS BIGINT) AS dot " +
-      s"FROM fp f CROSS JOIN g0 g WHERE g.gcell IN (SELECT DISTINCT gcell FROM fg$t)), " +
+      s"FROM $src f CROSS JOIN g0 g WHERE g.gcell IN (SELECT DISTINCT gcell FROM fg$t)), " +
       s"pg$t AS (SELECT vec_id, gcell FROM (SELECT vec_id, gcell, " +
       s"row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, gcell ASC) AS rn FROM pgd$t) WHERE rn = 1), " +
       s"d$t AS (SELECT f.vec_id, c.cell, " +
       "CAST(list_sum(list_transform(generate_series(1, len(f.q)), i -> f.q[i] * c.cent[i])) AS BIGINT) AS dot " +
-      s"FROM fp f JOIN pg$t p ON p.vec_id = f.vec_id " +
+      s"FROM $src f JOIN pg$t p ON p.vec_id = f.vec_id " +
       s"JOIN fg$t x ON x.gcell = p.gcell JOIN $prev c ON c.cell = x.cell), " +
       s"a$t AS MATERIALIZED (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
       s"row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rn FROM d$t) WHERE rn = 1), " +
       s"u$t AS (SELECT a.cell, t.i, CAST(sum(f.q[t.i]) AS BIGINT) AS s, count(*) AS nc " +
-      s"FROM a$t a JOIN fp f ON f.vec_id = a.vec_id, " +
+      s"FROM a$t a JOIN $src f ON f.vec_id = a.vec_id, " +
       "LATERAL (SELECT unnest(generate_series(1, len(f.q))) AS i) t GROUP BY 1, 2), " +
       s"m$t AS (SELECT cell, i, CASE WHEN s < 0 THEN -((-s) // nc) ELSE s // nc END AS m FROM u$t), " +
       s"n$t AS (SELECT cell, CAST(sum(m * m) AS BIGINT) AS n2 FROM m$t GROUP BY 1), " +
@@ -1332,17 +1332,30 @@ object LlmQueries {
     * Yields `fp` and `af` — [[ivfAssignCteSql]] is to q261/q262 what
     * [[kmeansAssignCteSql]] is to q42/q259/q260.
     */
-  private def ivfAssignCteSql(iters: Int, targetCell: Int, centScale: Long): String = {
-    val rounds = (1 to iters).map(t => ivfRoundCtes(t, if (t == 1) "c0" else s"c${t - 1}", centScale))
+  private def ivfAssignCteSql(
+      iters: Int, targetCell: Int, centScale: Long,
+      clusterWhere: Option[String] = None): String = {
+    // clusterWhere restricts the CLUSTERING SOURCE (seeds, Lloyd
+    // rounds, sizing) to a sub-frame — the q265 incremental mode,
+    // where the index is built over the base corpus only; the final
+    // `af` assignment always covers the FULL fp (frozen-probe
+    // assignment of base and incoming alike)
+    val src = if (clusterWhere.isDefined) "fpb" else "fp"
+    val fpb = clusterWhere
+      .map(w => s"fpb AS MATERIALIZED (SELECT vec_id, q FROM fp WHERE $w), ")
+      .getOrElse("")
+    val rounds = (1 to iters).map(t =>
+      ivfRoundCtes(t, if (t == 1) "c0" else s"c${t - 1}", centScale, src))
     val fin = iters + 1
     s"fp AS MATERIALIZED (SELECT vec_id, list_transform(embedding, " +
       s"x -> CAST(round(CAST(x AS DOUBLE) * $Q29Scale) AS BIGINT)) AS q FROM embeddings), " +
-      s"cs AS (SELECT GREATEST(2, n // $targetCell) AS c FROM (SELECT count(*) AS n FROM fp)), " +
+      fpb +
+      s"cs AS (SELECT GREATEST(2, n // $targetCell) AS c FROM (SELECT count(*) AS n FROM $src)), " +
       s"gs AS (SELECT GREATEST(1, ${graft.ops.Exact.isqrtSql("c")}) AS g FROM cs), " +
       "g0 AS MATERIALIZED (SELECT s.rn - 1 AS gcell, s.q AS gcent FROM " +
-      "(SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) AS rn FROM fp) s, gs WHERE s.rn <= gs.g), " +
+      s"(SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) AS rn FROM $src) s, gs WHERE s.rn <= gs.g), " +
       "c0 AS MATERIALIZED (SELECT s.rn - 1 AS cell, s.q AS cent FROM " +
-      "(SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) AS rn FROM fp) s, cs WHERE s.rn <= cs.c), " +
+      s"(SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) AS rn FROM $src) s, cs WHERE s.rn <= cs.c), " +
       rounds.mkString("", ", ", ", ") +
       s"fgd$fin AS (SELECT c.cell, g.gcell, " +
       "CAST(list_sum(list_transform(generate_series(1, len(c.cent)), i -> c.cent[i] * g.gcent[i])) AS BIGINT) AS dot " +
@@ -1529,6 +1542,48 @@ object LlmQueries {
         "SELECT query_id, vec_id, rank_fp FROM (SELECT query_id, vec_id, rank_fp, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY rank_fp DESC, vec_id ASC) AS rn FROM rk) " +
         "WHERE rn <= 3 ORDER BY query_id, vec_id"
+    ),
+  )
+
+  // q265 — INCREMENTAL semantic dedup (r10): q88's batch-vs-base
+  // operating mode at the semantic axis, under the scaled geometry.
+  // The clustering builds over the BASE frame only (vec_id % 4 <> 0 —
+  // the frozen index a production corpus already maintains, sized on
+  // the base count), the FULL frame assigns through the frozen
+  // two-level probe (q264's query path applied to ingest), and pairs
+  // are INCOMING × BASE within a cell only — base×base never
+  // materializes (it was deduped when it WAS incoming, q88's
+  // argument), incoming×incoming is the next batch's base×base.
+  // Emits the drop manifest per flagged incoming vector with its
+  // minimal base witness. Every decision exact int64; the oracle
+  // replays base-only clustering, frozen-probe assignment, and the
+  // hit rule.
+  val q265: QuerySpec = QuerySpec(
+    "q265_semantic_dedup_incremental",
+    (s, d) =>
+      SimilarityPipeline
+        .semanticDedupIncrementalFp(embeddings(s, d),
+          isIncoming = col("vec_id") % 4 === 0,
+          tNum = 3, tDen = 10, targetCell = 32, iters = 2)
+        .orderBy("vec_id"),
+    Some(
+      s"WITH ${ivfAssignCteSql(iters = 2, targetCell = 32, centScale = 1000000L, clusterWhere = Some("vec_id % 4 <> 0"))}, " +
+        "inc AS (SELECT vec_id, cell FROM af WHERE vec_id % 4 = 0), " +
+        "bs AS (SELECT vec_id, cell FROM af WHERE vec_id % 4 <> 0), " +
+        "pairs AS (SELECT i.vec_id AS tv, b.vec_id AS bv, i.cell AS cell " +
+        "FROM inc i JOIN bs b ON i.cell = b.cell), " +
+        "scored AS (SELECT tv, bv, cell, " +
+        "CAST(list_sum(list_transform(generate_series(1, len(ft.q)), i -> ft.q[i] * fb.q[i])) AS BIGINT) AS dot_fp, " +
+        "CAST(list_sum(list_transform(ft.q, x -> x * x)) AS BIGINT) AS na, " +
+        "CAST(list_sum(list_transform(fb.q, x -> x * x)) AS BIGINT) AS nb2 " +
+        "FROM pairs JOIN fp ft ON ft.vec_id = tv JOIN fp fb ON fb.vec_id = bv), " +
+        "hits AS (SELECT * FROM scored WHERE dot_fp >= 0 AND na > 0 AND nb2 > 0 " +
+        "AND CAST(dot_fp AS HUGEINT) * dot_fp * 100 >= 9 * CAST(na AS HUGEINT) * nb2) " +
+        "SELECT vec_id, base_witness, cell, cos2_bp FROM (SELECT tv AS vec_id, bv AS base_witness, " +
+        "CAST(cell AS BIGINT) AS cell, " +
+        "CAST((CAST(dot_fp AS HUGEINT) * dot_fp * 10000) // (CAST(na AS HUGEINT) * nb2) AS BIGINT) AS cos2_bp, " +
+        "row_number() OVER (PARTITION BY tv ORDER BY bv) AS rn FROM hits) " +
+        "WHERE rn = 1 ORDER BY vec_id"
     ),
   )
 
@@ -1916,5 +1971,5 @@ object LlmQueries {
   val all: Seq[QuerySpec] =
     Seq(q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q55, q201, q202, q217, q218, q224,
-      q228, q229, q230, q252, q258, q259, q260, q261, q262, q263, q264)
+      q228, q229, q230, q252, q258, q259, q260, q261, q262, q263, q264, q265)
 }

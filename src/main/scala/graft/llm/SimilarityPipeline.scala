@@ -539,36 +539,7 @@ object SimilarityPipeline {
         col("q").as("cent"))
       .pinLineage()
     // one probed assignment pass against the CURRENT fine centroids
-    def assign(c: DataFrame): DataFrame = {
-      val fg = c.join(broadcast(coarse))
-        .select(col("cell"), col("cent"),
-          struct(
-            VectorFunctions.dotLong(col("cent"), col("gcent")).as("dot"),
-            (-col("gcell")).as("ng")).as("sc"))
-        .groupBy("cell", "cent")
-        .agg(max(col("sc")).as("b"))
-        .select(col("cell"), col("cent"), (-col("b.ng")).cast("int").as("gcell"))
-      val live = fg.select("gcell").distinct()
-      val pg = fp.join(broadcast(coarse.join(live, "gcell")))
-        .select(col("vec_id"),
-          struct(
-            VectorFunctions.dotLong(col("q"), col("gcent")).as("dot"),
-            (-col("gcell")).as("ng")).as("sc"))
-        .groupBy("vec_id")
-        .agg(max(col("sc")).as("b"))
-        .select(col("vec_id"), (-col("b.ng")).cast("int").as("gcell"))
-      // the probe: points meet ONLY their coarse cell's fine
-      // centroids — a gcell-keyed join, never the dense n·cells dot
-      fp.join(pg, "vec_id")
-        .join(fg, "gcell")
-        .select(col("vec_id"),
-          struct(
-            VectorFunctions.dotLong(col("q"), col("cent")).as("dot"),
-            (-col("cell")).as("negCell")).as("sc"))
-        .groupBy("vec_id")
-        .agg(max(col("sc")).as("best"))
-        .select(col("vec_id"), (-col("best.negCell")).cast("int").as("cell"))
-    }
+    def assign(c: DataFrame): DataFrame = probedAssignFp(fp, c, coarse)
     for (_ <- 1 to iters) {
       val means = assign(cents)
         .join(fp, "vec_id")
@@ -596,6 +567,48 @@ object SimilarityPipeline {
       cents = next
     }
     (assign(cents), cents, coarse)
+  }
+
+  /** One probed assignment pass of `fp = (vec_id, q, …)` against fine
+    * centroids `cents = (cell, cent)` through coarse quantizer
+    * `coarse = (gcell, gcent)` — [[ivfIndexFp]]'s per-round assignment,
+    * factored out so an ALREADY-BUILT (frozen) index can assign any
+    * frame: fine centroids pick their coarse cell, points argmax over
+    * the LIVE coarse cells, then only over their coarse cell's fine
+    * members (the gcell-keyed blocked join — never the dense n·cells
+    * dot). All argmaxes tie-break (dot DESC, cell ASC). Returns
+    * (vec_id, cell).
+    */
+  private[llm] def probedAssignFp(
+      fp: DataFrame, cents: DataFrame, coarse: DataFrame): DataFrame = {
+    val fg = cents.join(broadcast(coarse))
+      .select(col("cell"), col("cent"),
+        struct(
+          VectorFunctions.dotLong(col("cent"), col("gcent")).as("dot"),
+          (-col("gcell")).as("ng")).as("sc"))
+      .groupBy("cell", "cent")
+      .agg(max(col("sc")).as("b"))
+      .select(col("cell"), col("cent"), (-col("b.ng")).cast("int").as("gcell"))
+    val live = fg.select("gcell").distinct()
+    val pg = fp.join(broadcast(coarse.join(live, "gcell")))
+      .select(col("vec_id"),
+        struct(
+          VectorFunctions.dotLong(col("q"), col("gcent")).as("dot"),
+          (-col("gcell")).as("ng")).as("sc"))
+      .groupBy("vec_id")
+      .agg(max(col("sc")).as("b"))
+      .select(col("vec_id"), (-col("b.ng")).cast("int").as("gcell"))
+    // the probe: points meet ONLY their coarse cell's fine
+    // centroids — a gcell-keyed join, never the dense n·cells dot
+    fp.join(pg, "vec_id")
+      .join(fg, "gcell")
+      .select(col("vec_id"),
+        struct(
+          VectorFunctions.dotLong(col("q"), col("cent")).as("dot"),
+          (-col("cell")).as("negCell")).as("sc"))
+      .groupBy("vec_id")
+      .agg(max(col("sc")).as("best"))
+      .select(col("vec_id"), (-col("best.negCell")).cast("int").as("cell"))
   }
 
   /** q259's semantic dedup at the 100 TB shape: cells = max(2,
@@ -642,6 +655,48 @@ object SimilarityPipeline {
       .join(ivfAssignCellsFp(fp.select("vec_id", "q"), cells, iters), "vec_id")
       .pinLineage()
     semanticDecontamHits(assigned, tNum, tDen)
+  }
+
+  /** INCREMENTAL semantic dedup at the scaled geometry (q265): the
+    * batch-vs-base operating mode q88 gives the lexical cascade,
+    * applied to the semantic axis. The clustering is built over the
+    * BASE frame only — the frozen index a production corpus already
+    * maintains — and sized on the BASE count (cells = max(2,
+    * n_base div targetCell)); the FULL frame (base and incoming) is
+    * then assigned through the frozen two-level probe
+    * ([[probedAssignFp]] — 2·√cells dots per vector, the q264 query
+    * path applied to ingest), and the pair stage compares INCOMING ×
+    * BASE within a cell only: base×base never materializes (it was
+    * deduped when it WAS incoming — q88's argument verbatim), and
+    * incoming×incoming is the next batch's base×base. Output: one row
+    * per flagged incoming vector with its minimal base witness — the
+    * same drop-manifest shape as q260, because "is this new vector a
+    * semantic dup of the corpus" and "is this training vector a
+    * semantic dup of the benchmark" are the same cross-frame question
+    * with the frames renamed. Every decision exact int64; the oracle
+    * replays the base-only clustering, the frozen-probe assignment of
+    * the full frame, and the hit rule.
+    */
+  def semanticDedupIncrementalFp(
+      corpus: DataFrame, isIncoming: Column, tNum: Int, tDen: Int,
+      targetCell: Int = 32, iters: Int = 2, scale: Long = 10000000L): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum < tDen, "threshold must be in (0,1)")
+    require(targetCell > 1, "targetCell must exceed 1")
+    val fp = corpus
+      .select(col("vec_id"), VectorFunctions.quantizeFp(col("embedding"), scale).as("q"),
+        isIncoming.as("inc"))
+      .pinLineage()
+    val base = fp.where(!col("inc")).select("vec_id", "q")
+    val cells = math.max(2L, base.count() / targetCell).toInt
+    val (_, cents, coarse) = ivfIndexFp(base, cells, iters)
+    val assigned = fp
+      .join(probedAssignFp(fp.select("vec_id", "q"), cents, coarse), "vec_id")
+      .pinLineage()
+    // the cross-frame hit rule is q260's with the frames renamed:
+    // "bench" = the base corpus, "train" = the incoming batch
+    semanticDecontamHits(
+      assigned.withColumn("is_bench", !col("inc")), tNum, tDen)
+      .withColumnRenamed("bench_witness", "base_witness")
   }
 
   /** The SemDeDup drop rule over an assigned frame (vec_id, q, cell) —

@@ -541,6 +541,53 @@ class SimilarityPipelineSpec extends SparkSpec {
       "scaled IVF search diverges from the probed-descent replay")
   }
 
+  test("semanticDedupIncrementalFp: frozen-base clustering, incoming×base pairs only, exact replay") {
+    import graft.functions.VectorFunctions
+    val out = SimilarityPipeline
+      .semanticDedupIncrementalFp(emb, isIncoming = col("vec_id") % 4 === 0,
+        tNum = 3, tDen = 10, targetCell = 32, iters = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // frame contract: only incoming vectors are flagged, only base
+    // vectors witness — base×base and incoming×incoming never pair
+    out.foreach { case (v, w, _, _) =>
+      assert(v % 4 == 0, s"flagged vector $v is not incoming")
+      assert(w % 4 != 0, s"witness $w is not a base vector")
+    }
+    // exact replay: cluster the BASE frame only, probe-assign the full
+    // frame through the frozen index, then plain-Scala cross-frame
+    // hits with the min-witness pick
+    val S = graft.llm.LlmQueries.Q29Scale
+    val fp = emb.select(col("vec_id"), VectorFunctions.quantizeFp(col("embedding"), S).as("q"))
+    val base = fp.where(col("vec_id") % 4 =!= 0)
+    val cells = math.max(2L, base.count() / 32).toInt
+    val (_, cents, coarse) = SimilarityPipeline.ivfIndexFp(base, cells, iters = 2)
+    val assigned = fp
+      .join(SimilarityPipeline.probedAssignFp(fp, cents, coarse), "vec_id")
+      .select("vec_id", "q", "cell").as[(Long, Seq[Long], Int)].collect()
+    val expected = assigned.groupBy(_._3).toSeq.flatMap { case (cell, grp) =>
+      val (incoming, bs) = grp.partition(_._1 % 4 == 0)
+      incoming.flatMap { i =>
+        val hits = bs.flatMap { b =>
+          val d = i._2.zip(b._2).map { case (x, y) => x * y }.sum
+          val na = i._2.map(x => x * x).sum
+          val nb = b._2.map(x => x * x).sum
+          if (d >= 0 && na > 0 && nb > 0 &&
+            BigInt(d) * BigInt(d) * 100 >= BigInt(na) * BigInt(nb) * 9)
+            Some((b._1, (BigInt(d) * BigInt(d) * 10000 / (BigInt(na) * BigInt(nb))).toLong))
+          else None
+        }
+        if (hits.isEmpty) None
+        else {
+          val (w, bp) = hits.minBy(_._1)
+          Some((i._1, w, cell.toLong, bp))
+        }
+      }
+    }.sortBy(_._1)
+    assert(out.sortBy(_._1).toSeq == expected.toSeq,
+      "incremental semantic dedup diverges from the frozen-base replay")
+  }
+
   test("pcaProject: recovers a planted principal direction, 10x variance dominance") {
     // x = t·u + ε with u a fixed unit direction in 8-dim space and ε
     // tiny deterministic noise: PC1 must align with u and dominate.
