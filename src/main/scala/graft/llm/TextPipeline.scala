@@ -35,8 +35,14 @@ object TextPipeline {
     * that this form simply doesn't have. Same output set (spec-pinned:
     * band keys and q30/q41 oracles unchanged).
     */
-  def docShingles(docs: DataFrame, k: Int = 3): DataFrame =
-    docs
+  /** @param widen parallelism floor for the scan-fused explode
+    *   ([[graft.ops.Widen]] — conditional, so a wide production scan
+    *   is never re-shuffled). [[incrementalCascade]] opts out: its two
+    *   half-sized shingle passes are band-join-bound, and the paired
+    *   A/B measured the two widen exchanges as a net +21% on q88.
+    */
+  def docShingles(docs: DataFrame, k: Int = 3, widen: Boolean = true): DataFrame =
+    (if (widen) graft.ops.Widen.widened(docs) else docs)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .where(size(col("ws")) >= k)
       .select(col("doc_id"), col("ws"),
@@ -402,18 +408,30 @@ object TextPipeline {
     */
   def prefixCandidates(shingles: DataFrame, threshold: Double): DataFrame = {
     val df = shingles.groupBy("s").agg(count(lit(1)).as("df"))
-    val prefix = shingles.select("doc_id", "s")
-      .join(df, Seq("s"))
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("arr"))
-      .select(
-        col("doc_id"),
-        size(col("arr")).cast("long").as("n"),
-        explode(slice(
-          col("arr"), lit(1),
-          (size(col("arr")) - ceil(lit(threshold) * size(col("arr"))) + 1).cast("int"),
-        )).as("p"))
-      .select(col("doc_id"), col("p.s").as("s"), col("n"))
+    // Pin the prefix frame PARTITIONED ON ITS JOIN KEY
+    // ([[graft.ops.Pin.pinPartitioned]]): the self-join below aliases
+    // the same frame on both sides, and alias dedup breaks
+    // exchange-reuse canonicalization — stage-traced r10, the full
+    // df-join + per-doc array_sort ran TWICE (two identical 2.7 s
+    // stages), and the join's own exchange was AQE-coalesced to 3
+    // tasks (bytes-small, candidate-heavy — the same
+    // work-behind-small-rows blindness as q231). Pinned hash(s) at
+    // session parallelism: one construction, zero join-side
+    // exchanges, no coalescing.
+    val prefix = graft.ops.Pin.pinPartitioned(
+      shingles.select("doc_id", "s")
+        .join(df, Seq("s"))
+        .groupBy("doc_id")
+        .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("arr"))
+        .select(
+          col("doc_id"),
+          size(col("arr")).cast("long").as("n"),
+          explode(slice(
+            col("arr"), lit(1),
+            (size(col("arr")) - ceil(lit(threshold) * size(col("arr"))) + 1).cast("int"),
+          )).as("p"))
+        .select(col("doc_id"), col("p.s").as("s"), col("n")),
+      parts = Seq(col("s")))
     prefix.as("a")
       .join(
         prefix.as("b"),
@@ -484,8 +502,8 @@ object TextPipeline {
       threshold: Double = 0.5,
   ): DataFrame = {
     require(bands * rowsPerBand <= k)
-    withPersisted(withDocCounts(docShingles(base, shingleK))) { shB =>
-      withPersisted(withDocCounts(docShingles(incoming, shingleK))) { shI =>
+    withPersisted(withDocCounts(docShingles(base, shingleK, widen = false))) { shB =>
+      withPersisted(withDocCounts(docShingles(incoming, shingleK, widen = false))) { shI =>
         val bandB = bandKeys(minHashSignatures(shB.select("doc_id", "s"), k), bands, rowsPerBand)
         val bandI = bandKeys(minHashSignatures(shI.select("doc_id", "s"), k), bands, rowsPerBand)
         val cand = bandI.as("i")

@@ -63,6 +63,40 @@ object Pin {
     } else df.localCheckpoint(eager)
   }
 
+  /** Pin `df` MATERIALIZED IN A CHOSEN LAYOUT: hash-partitioned on
+    * `parts` at the session's shuffle parallelism (optionally sorted
+    * within partitions), with the partitioning/ordering CAPTURED into
+    * the checkpointed frame so every downstream join/aggregate on the
+    * same keys plans exchange-free and sort-free against it — the
+    * bucketed-table contract without the table. Two non-obvious rules
+    * this helper owns (r10, measured):
+    *
+    *  - the checkpoint must plan NON-adaptively: under AQE,
+    *    `Dataset.checkpoint` captures UnknownPartitioning and every
+    *    consumer re-exchanges the pinned frame (3 exchanges per LPA
+    *    round instead of ≤1). The AQE flip covers only this one
+    *    materialization job;
+    *  - `repartition(n, cols)` carries REPARTITION_BY_NUM, so the
+    *    layout is also immune to AQE coalescing when consumed.
+    */
+  def pinPartitioned(
+      df: DataFrame,
+      parts: Seq[org.apache.spark.sql.Column],
+      sortBy: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val rp = df.repartition(n, parts: _*)
+      Pin(if (sortBy.isEmpty) rp else rp.sortWithinPartitions(sortBy: _*), eager = true)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Release a SUPERSEDED pinned frame's blocks now instead of at
     * ContextCleaner leisure. Loop operators call this on round t−1
     * once round t is materialized: without it a 20-round components

@@ -915,7 +915,19 @@ object StatQueries {
       // an md5-per-replicate array would hash 32× per row (measured
       // 8.2 s at sf0.1); hoisted, each row hashes exactly 8× and the
       // explode carries only substring+conv (measured 3.0 s).
-      val withDigests = rows.select(
+      //
+      // Fan the rows out first: orders at bench scale is ONE parquet
+      // split, so the md5×8 + ×32 explode + partial aggregate all ran
+      // inside the single scan task (stage-traced r10: 3.6 of the
+      // query's 3.8 s on 1 task). Input bytes are a uselessly small
+      // proxy for per-row generate work — widen the thin (priority,
+      // key, cents) projection conditionally ([[Widen]]: a
+      // production-scale scan keeps its own splits) so the
+      // hash/explode mass runs on every core; the map-side combine
+      // still reduces to |slices|·32 rows before the only aggregate
+      // exchange.
+      val withDigests = Widen.widened(rows)
+        .select(
         col("priority") +: col("cents") +: (0 to 7).map { g =>
           md5(concat(lit("boot:"), col("o_orderkey"), lit(":"), lit(g)))
             .as(s"d$g")

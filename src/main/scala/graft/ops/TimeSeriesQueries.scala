@@ -717,8 +717,21 @@ object TimeSeriesQueries {
       // irrelevant, and a measured salting attempt (replicate the
       // build side ×32) only doubled the cost. Low-cardinality keys
       // hurt a SHUFFLED join, not a broadcast probe.
-      val pairs = daily.as("a")
-        .join(daily.as("b"),
+      //
+      // The streamed side is the CALENDAR-sized daily frame (~7.5k
+      // rows): AQE coalesces that post-aggregate shuffle to ONE
+      // partition by input bytes, so the ~9M-pair expansion and both
+      // full-pair passes (histogram + in-bucket re-filter) ran on a
+      // single task (stage-traced r10: the three 1-task stages owned
+      // ~4 of the query's 7.7 s). Rows are a uselessly small proxy for
+      // the work BEHIND a generate-like expansion — force the streamed
+      // side wide before the probe (REPARTITION_BY_NUM is exempt from
+      // AQE coalescing; sized by the session's shuffle parallelism,
+      // not a constant).
+      val dailyWide = daily
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val pairs = dailyWide.as("a")
+        .join(broadcast(daily.as("b")),
           col("a.flag") === col("b.flag") && col("a.day") < col("b.day"))
         .select(col("a.flag").as("flag"),
           ((col("b.cents") - col("a.cents")) * 1000).as("num"),

@@ -238,22 +238,35 @@ class GraphOpsSpec extends SparkSpec {
     if (i >= 0) s.substring(0, i) else s
   }
 
-  test("kCorePeel runs EXCHANGE-FREE: bucketed degree agg + broadcast peel-layer anti-joins") {
+  test("kCorePeel runs EXCHANGE-FREE: pinned-layout degree agg + broadcast peel-layer anti-joins") {
     // triangle + pendant chain forces two real peel rounds, so the
     // returned frame's plan carries the anti-joins, not just the scan
     val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
     val out = GraphOps.kCorePeel(g.toDF("a", "b"), "a", "b", k = 2, rounds = 3)
     assert(out.as[(Long, Long)].collect().toMap == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
     val plan = finalPlanStr(out)
-    assert(plan.contains("Bucketed: true"), s"adjacency must read as a bucketed scan:\n$plan")
+    assert(plan.contains("ExistingRDD"), s"adjacency must read the pinned layout:\n$plan")
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"peel layers must apply as broadcast anti-joins:\n$plan")
     assert(!plan.contains("Exchange hashpartitioning"),
-      s"a k-core round must not shuffle anything — degree agg rides the bucketing, " +
-        s"layers broadcast:\n$plan")
+      s"a k-core round must not shuffle anything — degree agg rides the pinned " +
+        s"partitioning, layers broadcast:\n$plan")
   }
 
-  test("labelPropagation round: the edge⋈labels join rides the bucketing (no exchange under it)") {
+  test("kCorePeel under the bucketed-adjacency flag keeps the r9 table landing, exchange-free") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    spark.conf.set(GraphOps.BucketedAdjacencyFlag, "true")
+    try {
+      val out = GraphOps.kCorePeel(g.toDF("a", "b"), "a", "b", k = 2, rounds = 3)
+      assert(out.as[(Long, Long)].collect().toMap == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+      val plan = finalPlanStr(out)
+      assert(plan.contains("Bucketed: true"), s"adjacency must read as a bucketed scan:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"a k-core round must not shuffle anything under the bucketed layout either:\n$plan")
+    } finally spark.conf.unset(GraphOps.BucketedAdjacencyFlag)
+  }
+
+  test("labelPropagation round: the edge⋈labels join rides the pinned layout (no exchange under it)") {
     val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (1L, 5L))
     val conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
@@ -263,12 +276,14 @@ class GraphOpsSpec extends SparkSpec {
       val plan = finalPlanStr(out)
       assert(plan.contains("SortMergeJoin"), s"expected the SMJ shape:\n$plan")
       // ONE exchange in the whole round — the post-join argmax shuffle
-      // (|V|·labels rows). The join reads the bucketed adjacency on
-      // both sides with zero exchange; round 1's neighbor-label count
-      // even rides the subset-partitioning rule (lbl ≡ join key).
+      // (|V|·labels rows). The join reads the pinned adjacency on
+      // both sides with zero exchange (the checkpoint-captured
+      // HashPartitioning + sort order — the bucketed-table contract
+      // without the landing); round 1's neighbor-label count even
+      // rides the subset-partitioning rule (lbl ≡ join key).
       val n = "Exchange hashpartitioning".r.findAllIn(plan).size
       assert(n <= 1, s"expected ≤1 shuffle in a round, found $n:\n$plan")
-      assert(plan.contains("Bucketed: true"), s"adjacency must read bucketed:\n$plan")
+      assert(plan.contains("ExistingRDD"), s"adjacency must read the pinned layout:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", conf)
   }
 }
