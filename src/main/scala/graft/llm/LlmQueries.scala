@@ -786,19 +786,20 @@ object LlmQueries {
     "q252_phash_near_dup",
     (s, d) => {
       val MM = graft.multimodal.Multimodal
-      // Fan out before the grid pass and pin its ONE evaluation: the
-      // 64-cell integer grid is the query's per-row hot expression,
-      // and it previously ran inside the 2-split document scan — and
-      // TWICE per doc (the originals and copies branches each
-      // re-evaluated g; stage-traced r10: 4.0 of the query's ~4.3 s in
-      // that one 2-task stage). Widen conditionally (graft.ops.Widen —
-      // a production-scale scan keeps its own splits), compute every
-      // grid once at full parallelism, and let both branches read the
-      // pinned blocks.
+      // Fan out before the grid pass: the 64-cell integer grid is the
+      // query's per-row hot expression, and it previously ran inside
+      // the 2-split document scan (stage-traced r10: 4.0 of the
+      // query's ~4.3 s in that one 2-task stage). Widen conditionally
+      // (graft.ops.Widen — a production-scale scan keeps its own
+      // splits). The originals/copies branches each evaluate g — a
+      // deliberate recompute: pinning the grid frame to share one
+      // evaluation was measured at the 64× replica and LOST (the
+      // 64-long arrays churn the old gen as checkpoint blocks; two
+      // codegen'd parallel passes are cheaper than one materialized
+      // one).
       val g = graft.ops.Widen
         .widened(documents(s, d).select(col("doc_id"), col("text")))
         .select(col("doc_id"), MM.textPixelGrid64(col("text")).as("v"))
-        .pinLineage()
       val originals = g.select(
         (col("doc_id") * 2).as("media_id"), lit("png").as("format"), col("v"))
       val copies = g.where(pmod(col("doc_id"), lit(4)) <= 1)

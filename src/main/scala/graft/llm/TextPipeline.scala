@@ -408,30 +408,26 @@ object TextPipeline {
     */
   def prefixCandidates(shingles: DataFrame, threshold: Double): DataFrame = {
     val df = shingles.groupBy("s").agg(count(lit(1)).as("df"))
-    // Pin the prefix frame PARTITIONED ON ITS JOIN KEY
-    // ([[graft.ops.Pin.pinPartitioned]]): the self-join below aliases
-    // the same frame on both sides, and alias dedup breaks
-    // exchange-reuse canonicalization — stage-traced r10, the full
-    // df-join + per-doc array_sort ran TWICE (two identical 2.7 s
-    // stages), and the join's own exchange was AQE-coalesced to 3
-    // tasks (bytes-small, candidate-heavy — the same
-    // work-behind-small-rows blindness as q231). Pinned hash(s) at
-    // session parallelism: one construction, zero join-side
-    // exchanges, no coalescing.
-    val prefix = graft.ops.Pin.pinPartitioned(
-      shingles.select("doc_id", "s")
-        .join(df, Seq("s"))
-        .groupBy("doc_id")
-        .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("arr"))
-        .select(
-          col("doc_id"),
-          size(col("arr")).cast("long").as("n"),
-          explode(slice(
-            col("arr"), lit(1),
-            (size(col("arr")) - ceil(lit(threshold) * size(col("arr"))) + 1).cast("int"),
-          )).as("p"))
-        .select(col("doc_id"), col("p.s").as("s"), col("n")),
-      parts = Seq(col("s")))
+    // Measured and REJECTED this round: pinning this frame
+    // hash-partitioned on s (Pin.pinPartitioned) to dedup the double
+    // construction the self-join's alias dedup causes. Bench-neutral
+    // at sf0.1, and at the 64× replica it LOST 3.7× — the prefix
+    // frame is corpus-sized (~86 rows/doc), and materializing it as
+    // checkpoint blocks costs far more than streaming its (cheap,
+    // codegen'd) construction twice. The double construction stays as
+    // the lesser evil; it is two map-side passes, never a shuffle.
+    val prefix = shingles.select("doc_id", "s")
+      .join(df, Seq("s"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("arr"))
+      .select(
+        col("doc_id"),
+        size(col("arr")).cast("long").as("n"),
+        explode(slice(
+          col("arr"), lit(1),
+          (size(col("arr")) - ceil(lit(threshold) * size(col("arr"))) + 1).cast("int"),
+        )).as("p"))
+      .select(col("doc_id"), col("p.s").as("s"), col("n"))
     prefix.as("a")
       .join(
         prefix.as("b"),

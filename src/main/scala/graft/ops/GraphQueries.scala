@@ -39,14 +39,20 @@ object GraphQueries {
     // width (≤7 lineitems in this schema), so the per-row expansion is
     // O(width²) with a small constant — the same pairs the join
     // emitted, produced where the data already sits (guide §2.4).
+    //
+    // TWO chained generators, NOT a lambda HOF: the first form of this
+    // rewrite built the pairs with flatten(transform(... transform
+    // (slice ...))), and lambda higher-order functions are
+    // CodegenFallback — at the 64× replica the pair stage went
+    // GC-bound on interpreted struct allocation (709 task-seconds of
+    // GC in one stage). posexplode + explode(slice(...)) stay inside
+    // WholeStageCodegen (the docShingles lesson, re-learned).
     lineitem(s, d)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        "flatten(transform(ps, (x, i) -> " +
-          "transform(slice(ps, i + 2, size(ps) - i - 1), " +
-          "y -> named_struct('a', x, 'b', y))))")).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("ps"), col("i") + lit(2), size(col("ps")) - col("i") - lit(1))).as("b"))
       .distinct()
   }
 

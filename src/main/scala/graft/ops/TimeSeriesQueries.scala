@@ -707,10 +707,21 @@ object TimeSeriesQueries {
   val q231: QuerySpec = QuerySpec(
     "q231_theil_sen",
     (s, d) => {
+      // Pin the calendar-sized daily frame: it re-enters the plan five
+      // ways (wide streamed side ×2 passes, broadcast build, counts,
+      // sizes), and the repartition/broadcast split below BREAKS the
+      // exchange reuse that used to share one lineitem aggregation
+      // between the two join aliases — measured at 64×: three full
+      // fact-table aggregations instead of one, +29 s. Pinned, the
+      // fact table is aggregated exactly ONCE per run regardless of
+      // how many consumers the selection machinery adds (fewer scans
+      // than the r9 form, which reused the exchange but still re-ran
+      // it once per pair pass).
       val daily = lineitem(s, d)
         .groupBy(col("l_returnflag").as("flag"),
           col("l_shipdate").cast("date").as("day"))
         .agg((Exact.revenueDecimal * 100).cast("long").as("cents"))
+        .pinLineage()
       // Pair generation rides a BROADCAST hash join on the bare flag
       // key: the calendar-sized build side broadcasts, so parallelism
       // comes from the STREAMED side's partitions — the key count is
