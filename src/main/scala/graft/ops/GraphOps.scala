@@ -413,19 +413,26 @@ object GraphOps {
     * round only cascades one deletion "layer", so depth needed =
     * longest deletion chain, small for real heavy-tailed graphs).
     *
-    * Scale: the symmetrized adjacency lands ONCE as a bucketed table
-    * ([[bucketedSym]]); each round is then a degree aggregate that
-    * RIDES the bucketing (zero exchange — a directed row (a,b) exists
-    * per endpoint, so count-by-a IS the degree) plus two anti-joins
-    * against the round's PEEL LAYER (the vertices that just fell below
-    * k). The layer — not the survivor set — is what ships: it is the
-    * small side by construction after the first round (each round only
-    * cascades one deletion "layer"), so it broadcasts and the round
-    * runs with NO exchange at all; a pathological first round (most of
-    * the graph below k) exceeds the broadcast rail and falls back to a
-    * shuffled anti-join for that round only. Filters preserve the
-    * bucketed partitioning, so exchange-freedom survives across
-    * rounds without re-materializing anything.
+    * Scale (r11 — DELTA-FRONTIER form, guide §2.4/§5): the symmetrized
+    * adjacency lands ONCE ([[symLayout]]) and is NEVER filtered or
+    * re-derived; the full degree aggregate runs ONCE (it rides the
+    * layout — a directed row (a,b) exists per endpoint, so count-by-a
+    * IS the degree). Each round then maintains the surviving degrees
+    * by SUBTRACTION: only the edges incident to the round's PEEL
+    * LAYER (the vertices that just fell below k) are aggregated — one
+    * broadcast semi-join probe of the pinned adjacency feeding a
+    * near-empty count, joined co-partitioned against the |V'|-row
+    * degree frame (both sides carry the adjacency's captured
+    * HashPartitioning, so the round still shuffles NOTHING). The old
+    * form recounted every vertex's degree from the filtered adjacency
+    * every round — r× full-graph aggregates through a filter stack
+    * that grew two anti-joins per round; the delta form does one
+    * full-graph aggregate total, and per-round work proportional to
+    * the layer's edge neighborhood. A pathological first round (most
+    * of the graph below k) exceeds the broadcast rail and falls back
+    * to a shuffled semi-join for that round only. [[peelRound]] holds
+    * the delta-equivalence argument; GraphOpsSpec pins delta ≡
+    * recount on random graphs.
     *
     * @return (v, deg) for vertices surviving `rounds` peels, with
     *         degree counted inside the surviving subgraph.
@@ -438,22 +445,56 @@ object GraphOps {
       rounds: Int,
       broadcastRailRows: Long = 4000000L,
   ): DataFrame = {
-    var adj = symLayout(canon(edges, srcCol, dstCol), "kcore")
+    val adj = symLayout(canon(edges, srcCol, dstCol), "kcore")
+    // the one full recount; lazy pin — the round's probe materializes it
+    var deg = Pin.pinAligned(
+      adj.groupBy(col("a").as("v")).agg(count(lit(1)).as("dg")), eager = false)
+    var prevDeg: Option[DataFrame] = None
     var stable = false
     for (_ <- 1 to rounds if !stable) {
-      val deg = adj.groupBy(col("a").as("v")).agg(count(lit(1)).as("dg"))
-        .pinLineage(eager = true) // probed + anti-joined below, one materialization
       val dead = deg.where(col("dg") < k).select("v")
-      val nDead = dead.count() // on the pinned |V'|-row frame — cheap
+      // ONE job per round: materializes this round's lazy degree
+      // checkpoint and reads the layer size off it
+      val nDead = dead.count()
+      // deg is now backed by its own blocks — release round t−1's
+      prevDeg.foreach(Pin.unpin)
+      prevDeg = None
       if (nDead == 0L) stable = true
       else {
         val layer =
           if (nDead <= broadcastRailRows) broadcast(dead) else dead
-        adj = adj
-          .join(layer.withColumnRenamed("v", "a"), Seq("a"), "left_anti")
-          .join(layer.withColumnRenamed("v", "b"), Seq("b"), "left_anti")
+        prevDeg = Some(deg)
+        deg = Pin.pinAligned(peelRound(adj, deg, layer, k), eager = false)
       }
     }
-    adj.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+    deg.select(col("v"), col("dg").as("deg"))
+  }
+
+  /** One peel round's DELTA degree update: survivors (dg ≥ k) keep
+    * dg − (edges lost to the layer); vertices whose degree hits 0
+    * leave the frame (they have no surviving edge — exactly the
+    * vertices a recount of the filtered adjacency would no longer
+    * see, so frame membership stays recount-identical round by
+    * round).
+    *
+    * Equivalence to the recount (why probing the ORIGINAL adjacency
+    * is exact): an edge (v, u) with u in this round's layer is
+    * guaranteed still present in the surviving subgraph — u was alive
+    * until this round, so no earlier layer removed the edge from u's
+    * side, and while v survives nothing removed it from v's side.
+    * Rows whose v is itself dead (layer–layer edges, dead–layer
+    * edges) drop out at the join: the survivor frame is the LEFT side
+    * of a left-outer. So per survivor, `lost` counts exactly the
+    * edges the recount would stop seeing this round.
+    */
+  private[ops] def peelRound(
+      adj: DataFrame, deg: DataFrame, layer: DataFrame, k: Int): DataFrame = {
+    val losses = adj
+      .join(layer.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+      .groupBy(col("a").as("v")).agg(count(lit(1)).as("lost"))
+    deg.where(col("dg") >= k)
+      .join(losses, Seq("v"), "left_outer")
+      .select(col("v"), (col("dg") - coalesce(col("lost"), lit(0L))).as("dg"))
+      .where(col("dg") >= 1L)
   }
 }

@@ -238,31 +238,82 @@ class GraphOpsSpec extends SparkSpec {
     if (i >= 0) s.substring(0, i) else s
   }
 
-  test("kCorePeel runs EXCHANGE-FREE: pinned-layout degree agg + broadcast peel-layer anti-joins") {
-    // triangle + pendant chain forces two real peel rounds, so the
-    // returned frame's plan carries the anti-joins, not just the scan
+  /** The OLD (pre-r11) operator semantics, replayed literally: full
+    * degree recount of the filtered edge set every round, bounded
+    * rounds, early exit when a round drops nothing. The delta form
+    * must match this EXACTLY — including mid-cascade truncation —
+    * on any graph.
+    */
+  private def kCoreRecount(edges: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] = {
+    var es = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    var stable = false
+    for (_ <- 1 to rounds if !stable) {
+      val deg = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (v, o) => v -> o.size }
+      val dead = deg.filter(_._2 < k).keySet
+      if (dead.isEmpty) stable = true
+      else es = es.filterNot(e => dead(e._1) || dead(e._2))
+    }
+    es.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (v, o) => v -> o.size.toLong }
+  }
+
+  test("kCorePeel DELTA ≡ RECOUNT: bounded rounds, every k, random graphs (r11 equivalence pin)") {
+    // the r11 delta-frontier form replaces the per-round full degree
+    // recount with layer-loss subtraction; this property test replays
+    // the recount semantics and demands exact agreement INCLUDING
+    // mid-cascade round budgets (where a wrong 0-degree or dead-layer
+    // rule would diverge)
+    for (seed <- Seq(1, 42, 421); (n, m) <- Seq((20, 60), (28, 160), (16, 30))) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      for (k <- Seq(2, 3, 5, 8); rounds <- Seq(1, 2, 3, 30)) {
+        assert(kCore(edges, k, rounds) == kCoreRecount(edges, k, rounds),
+          s"seed=$seed n=$n m=$m k=$k rounds=$rounds")
+      }
+    }
+  }
+
+  test("kCorePeel delta round: broadcast semi-join loss probe, co-partitioned update, ZERO exchange") {
+    import graft.ops.Pin
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    val sym = (g ++ g.map(e => (e._2, e._1))).toDF("a", "b")
+    val adj = Pin.pinPartitioned(sym, Seq(col("a")), Seq(col("a")))
+    val deg = Pin.pinAligned(adj.groupBy(col("a").as("v")).agg(count(lit(1)).as("dg")))
+    val layer = broadcast(deg.where(col("dg") < 2).select("v"))
+    val next = GraphOps.peelRound(adj, deg, layer, k = 2)
+    // survivors after peeling {5}: 4 loses its edge to 5
+    assert(next.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+    val plan = finalPlanStr(next)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"the loss probe must be a broadcast semi-join of the pinned adjacency:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"a delta peel round must not shuffle anything — the loss aggregate rides the " +
+        s"adjacency partitioning and the update join is co-partitioned:\n$plan")
+  }
+
+  test("kCorePeel result frame reads the pinned delta degree frame, exchange-free") {
     val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
     val out = GraphOps.kCorePeel(g.toDF("a", "b"), "a", "b", k = 2, rounds = 3)
     assert(out.as[(Long, Long)].collect().toMap == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
     val plan = finalPlanStr(out)
-    assert(plan.contains("ExistingRDD"), s"adjacency must read the pinned layout:\n$plan")
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
-      s"peel layers must apply as broadcast anti-joins:\n$plan")
+    assert(plan.contains("ExistingRDD"), s"result must read the pinned degree frame:\n$plan")
     assert(!plan.contains("Exchange hashpartitioning"),
-      s"a k-core round must not shuffle anything — degree agg rides the pinned " +
-        s"partitioning, layers broadcast:\n$plan")
+      s"the returned frame must not re-shuffle anything:\n$plan")
   }
 
-  test("kCorePeel under the bucketed-adjacency flag keeps the r9 table landing, exchange-free") {
+  test("kCorePeel under the bucketed-adjacency flag lands the table and peels identically") {
     val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
     spark.conf.set(GraphOps.BucketedAdjacencyFlag, "true")
     try {
       val out = GraphOps.kCorePeel(g.toDF("a", "b"), "a", "b", k = 2, rounds = 3)
       assert(out.as[(Long, Long)].collect().toMap == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+      // the r9 persistent layout is still what the loop builds on
+      assert(spark.catalog.tableExists("graft_adj_kcore"),
+        "the bucketed adjacency table must land under the flag")
       val plan = finalPlanStr(out)
-      assert(plan.contains("Bucketed: true"), s"adjacency must read as a bucketed scan:\n$plan")
       assert(!plan.contains("Exchange hashpartitioning"),
-        s"a k-core round must not shuffle anything under the bucketed layout either:\n$plan")
+        s"the returned frame must not re-shuffle anything under the bucketed layout either:\n$plan")
     } finally spark.conf.unset(GraphOps.BucketedAdjacencyFlag)
   }
 
